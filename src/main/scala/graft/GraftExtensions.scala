@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{Fingerprint64, ParseSqdataTs}
+
+/** SparkSessionExtensions hook: injects graft's native functions into
+  * the session's FunctionRegistry so they're available to pure-SQL
+  * users (`spark.sql("SELECT parse_sqdata_ts(...)")`).
+  *
+  * Wire up with:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)   // or
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("parse_sqdata_ts"),
+      new ExpressionInfo(classOf[ParseSqdataTs].getName, "parse_sqdata_ts"),
+      exprs => ParseSqdataTs(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("fingerprint64"),
+      new ExpressionInfo(classOf[Fingerprint64].getName, "fingerprint64"),
+      exprs => Fingerprint64(exprs.head)))
+  }
+}
