@@ -1,0 +1,345 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{AsOfJoin, RangeJoin}
+import graft.sources.Tables
+
+/** §2.B — relational / OLAP core. Every query is declarative
+  * DataFrame algebra (Catalyst does pushdown / pruning / join
+  * selection); money math is decimal-exact so the DuckDB oracle
+  * hashes bit-identically (SURVEY §6).
+  */
+object RelationalQueries {
+
+  private def dec2(c: Column) = c.cast(DecimalType(18, 2))
+  private def one = lit(1).cast(DecimalType(3, 2))
+  /** Exact decimal average exposed as a double: the decimal sum and
+    * the count are exact, decimal→double is correctly rounded, and
+    * IEEE division is deterministic — both engines emit the same bits
+    * (a plain avg(double) is partition-order-dependent in Spark). */
+  private def avgDec2(c: Column) =
+    sum(dec2(c)).cast("double") / count(lit(1))
+  private def sumDec6(c: Column) =
+    sum(c.cast(DecimalType(18, 6))).cast(DecimalType(38, 6))
+
+  /** revenue := extprice * (1 - discount), exact decimal. */
+  private def revenue =
+    dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B1 — scan + filter + hash-agg, partial aggregation before the
+    // single shuffle; decimal-exact money math.
+    "q1_pricing" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-12-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
+          sum(revenue).cast(DecimalType(38, 4)).as("sum_disc_price"),
+          sum(revenue * (one + dec2(col("l_tax")))).cast(DecimalType(38, 6)).as("sum_charge"),
+          avgDec2(col("l_quantity")).as("avg_qty"),
+          avgDec2(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // B2 — 3-way join, agg, top-N. customer⋈orders⋈lineitem shuffle on
+    // their keys; top-10 is TakeOrderedAndProject (no global sort).
+    "q3_shipping" -> { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1999-01-01"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1999-01-01"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(revenue).cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+
+    // B3 — 6-table star join. region/nation are tiny → broadcast;
+    // customer/orders/lineitem/supplier shuffle on their keys with AQE.
+    "q5_supplier_volume" -> { (s, d) =>
+      val r = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
+      val n = broadcast(Tables.nation(s, d))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+                col("o_orderdate") < lit("1998-01-01"))
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(sum(revenue).cast(DecimalType(38, 4)).as("revenue"))
+    },
+
+    // B4 — global top-K: TakeOrderedAndProject keeps K per partition
+    // then merges on the driver — no full sort, no single-node shuffle.
+    "topn_orders" -> { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey").as("order_key"),
+          dec2(col("o_totalprice")).cast(DecimalType(38, 2)).as("total_price"),
+          col("o_orderdate").as("order_date"))
+    },
+
+    // B5 — left-semi (EXISTS) + left-anti (NOT EXISTS), tagged union.
+    "semi_anti_join" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val semi = c.join(o.filter(col("o_orderstatus") === "F"),
+          c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey").as("cust_key"), col("c_name").as("cust_name"),
+          lit("has_f_order").as("tag"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey").as("cust_key"), col("c_name").as("cust_name"),
+          lit("no_orders").as("tag"))
+      semi.unionByName(anti)
+    },
+
+    // B6 — scalar + IN subqueries on the SQL surface (Catalyst rewrites
+    // the IN to a left-semi and the scalar to a broadcast subquery).
+    "scalar_subquery" -> { (s, d) =>
+      Tables.part(s, d).createOrReplaceTempView("part")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT p_partkey AS part_key, p_name AS part_name,
+               CAST(p_retailprice AS DECIMAL(38,2)) AS retail_price
+        FROM part
+        WHERE p_retailprice > (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                                      / count(*) FROM part)
+          AND p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+      """)
+    },
+
+    // B7 — ROLLUP hierarchy totals in one pass (Expand + single agg).
+    "rollup_agg" -> { (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total_price"))
+    },
+
+    // B8 — window functions: top-3 orders per customer; rank shares
+    // place on price ties, row_number breaks them by key.
+    "window_rank" -> { (s, d) =>
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val priceOnly = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(byPrice))
+        .withColumn("rnk", rank().over(priceOnly))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey").as("cust_key"), col("o_orderkey").as("order_key"),
+          dec2(col("o_totalprice")).cast(DecimalType(38, 2)).as("total_price"),
+          col("rn"), col("rnk"))
+    },
+
+    // B9 — UNION / INTERSECT / EXCEPT (distinct semantics), tagged.
+    "set_ops" -> { (s, d) =>
+      val cn = Tables.customer(s, d).select(col("c_nationkey").as("nation_key"))
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nation_key"))
+      cn.union(sn).distinct().withColumn("op", lit("union"))
+        .unionByName(cn.intersect(sn).withColumn("op", lit("intersect")))
+        .unionByName(cn.except(sn).withColumn("op", lit("except")))
+    },
+
+    // B10 — pivot: one shuffle, statuses become columns.
+    "pivot_agg" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec2(col("o_totalprice"))).cast(DecimalType(38, 2)))
+        .withColumnRenamed("F", "total_f")
+        .withColumnRenamed("O", "total_o")
+        .withColumnRenamed("P", "total_p")
+    },
+
+    // B11 — as-of join: each event picks the customer's latest order
+    // at or before the event time. One shuffle (see AsOfJoin).
+    "asof_join" -> { (s, d) =>
+      val perDay = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val ordersDeduped = Tables.orders(s, d)
+        .withColumn("__rn", row_number().over(perDay))
+        .filter(col("__rn") === 1).drop("__rn")
+      AsOfJoin.leftAsOf(
+        Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+        ordersDeduped,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        payload = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("o_orderkey").as("order_key"),
+          dec2(col("o_totalprice")).cast(DecimalType(38, 2)).as("order_total"))
+    },
+
+    // B12 — range join: events within 10 minutes after each error
+    // event of the same user; bucketed equi-join, no cross product.
+    "range_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_event_id"), col("user_id").as("err_user"),
+          col("ts").as("t0"), (col("ts") + expr("INTERVAL 10 MINUTES")).as("t1"))
+      RangeJoin.pointInInterval(
+        ev.select(col("user_id"), col("ts"), col("value")),
+        err, pointKey = "user_id", intervalKey = "err_user",
+        ptTs = "ts", startTs = "t0", endTs = "t1", bucketWidthSec = 600)
+        .groupBy(col("err_event_id"), col("err_user").as("user_id"))
+        .agg(count(lit(1)).as("n_in_window"), sumDec6(col("value")).as("sum_value"))
+    },
+
+    // B13 — exact distinct aggregation (Spark expands to a two-phase
+    // agg; distinct keys shuffle once).
+    "distinct_agg" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sumDec6(col("value")).as("sum_value"))
+    },
+
+    // B14 — sketches (HLL++, KLL-style quantiles): constant memory per
+    // group at any scale; float-inherent → rows-only check + spec.
+    "approx_sketch" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000))
+            .as("value_p50_p95"))
+    })
+
+  private val Rev =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" -> s"""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+             CAST(sum($Rev) AS DECIMAL(38,4)) AS sum_disc_price,
+             CAST(sum($Rev * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+             count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      GROUP BY 1, 2""",
+
+    "q3_shipping" -> s"""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             CAST(sum($Rev) AS DECIMAL(38,4)) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+
+    "q5_supplier_volume" -> s"""
+      SELECT n_name AS nation, CAST(sum($Rev) AS DECIMAL(38,4)) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+                    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1""",
+
+    "topn_orders" -> """
+      SELECT o_orderkey AS order_key,
+             CAST(o_totalprice AS DECIMAL(38,2)) AS total_price,
+             o_orderdate AS order_date
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+
+    "semi_anti_join" -> """
+      SELECT c_custkey AS cust_key, c_name AS cust_name, 'has_f_order' AS tag
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      UNION ALL
+      SELECT c_custkey, c_name, 'no_orders'
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+
+    "scalar_subquery" -> """
+      SELECT p_partkey AS part_key, p_name AS part_name,
+             CAST(p_retailprice AS DECIMAL(38,2)) AS retail_price
+      FROM part
+      WHERE p_retailprice > (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                                    / count(*) FROM part)
+        AND p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)""",
+
+    "rollup_agg" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+
+    "window_rank" -> """
+      SELECT cust_key, order_key, total_price, rn, rnk FROM (
+        SELECT o_custkey AS cust_key, o_orderkey AS order_key,
+               CAST(o_totalprice AS DECIMAL(38,2)) AS total_price,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+               rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+        FROM orders) WHERE rn <= 3""",
+
+    "set_ops" -> """
+      SELECT nation_key, 'union' AS op FROM (
+        SELECT c_nationkey AS nation_key FROM customer
+        UNION SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT nation_key, 'intersect' FROM (
+        SELECT c_nationkey AS nation_key FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT nation_key, 'except' FROM (
+        SELECT c_nationkey AS nation_key FROM customer
+        EXCEPT SELECT s_nationkey FROM supplier)""",
+
+    "pivot_agg" -> """
+      SELECT o_orderpriority AS priority,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DECIMAL(38,2)) AS total_f,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DECIMAL(38,2)) AS total_o,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DECIMAL(38,2)) AS total_p
+      FROM orders GROUP BY 1""",
+
+    "asof_join" -> """
+      WITH o2 AS (
+        SELECT * FROM (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                    ORDER BY o_orderkey DESC) AS rn
+          FROM orders) WHERE rn = 1)
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS order_key,
+             CAST(o.o_totalprice AS DECIMAL(38,2)) AS order_total
+      FROM events e ASOF LEFT JOIN o2 o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+
+    "range_join" -> """
+      SELECT e1.event_id AS err_event_id, e1.user_id,
+             count(*) AS n_in_window,
+             CAST(sum(CAST(e2.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+      FROM events e1 JOIN events e2
+        ON e1.user_id = e2.user_id
+       AND e2.ts >= e1.ts AND e2.ts < e1.ts + INTERVAL 10 MINUTE
+      WHERE e1.event_type = 'error'
+      GROUP BY 1, 2""",
+
+    "distinct_agg" -> """
+      SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+      FROM events GROUP BY 1""")
+}
