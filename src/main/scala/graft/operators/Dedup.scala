@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication for LLM training corpora: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash.
+  *
+  * Scale posture (100 TB of documents):
+  *  - exact dedup groups on a 64-bit content hash — the shuffle moves
+  *    8 bytes + id per row, never the text.
+  *  - near-dup candidate generation shuffles (band_id, band_hash)
+  *    pairs (MinHash) or 16-bit band values (SimHash) — both constant
+  *    bytes per doc, no all-pairs comparison anywhere.
+  *  - verification joins signature arrays by doc id (co-partitioned
+  *    by the candidate join), comparing fixed-width signatures, not
+  *    documents.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per distinct content. Grouping
+    * key is xxhash64(text) so the shuffle moves hashes, not bodies; a
+    * 64-bit collision (~1e-9 at billions of docs) merges two groups,
+    * which for keep-one-per-group semantics drops one extra doc. */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  /** All pairs (a < b) with character-`k`-gram Jaccard similarity >=
+    * `minBp` basis points. Exact (no sketching): explode distinct
+    * shingle HASHES, self-join on the hash, count common, join back
+    * per-doc set sizes. Intended for bounded corpora / verification —
+    * the sketched path for open corpora is [[minhashLsh]]. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                        k: Int, minBp: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.shingleHashes(textCol, k)).as("g"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes).withColumnRenamed("id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(broadcast(sizes).withColumnRenamed("id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .withColumn("jaccard_bp",
+        floor(lit(10000.0) * col("common") / (col("n_a") + col("n_b") - col("common")))
+          .cast("long"))
+      .filter(col("jaccard_bp") >= minBp)
+      .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard_bp")
+  }
+
+  /** MinHash signature (numPerm permutations via seeded xxhash64 over
+    * the shingle-hash set) + banded LSH candidate generation + exact
+    * Jaccard verification on the signature sets.
+    *
+    * Returns (doc_a, doc_b, jaccard_bp) for verified pairs; the
+    * verification Jaccard is exact on shingle-hash sets, so the only
+    * approximation is candidate RECALL (LSH banding). */
+  def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
+                 k: Int = 5, numPerm: Int = 64, bands: Int = 16,
+                 minBp: Int = 5000): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val withSet = docs.select(col(idCol).as("id"),
+      TextFunctions.shingleHashes(textCol, k).as("hs"))
+      .filter(size(col("hs")) > 0)
+    // sig[i] = min over shingles of xxhash64(shingle_hash, i)
+    val sigCols = (0 until numPerm).map(i =>
+      expr(s"array_min(transform(hs, h -> xxhash64(h, $i)))"))
+    val signed = withSet.withColumn("sig", array(sigCols: _*))
+    // LSH: hash each band of the signature; docs sharing any
+    // (band_id, band_hash) become candidates.
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        expr(s"xxhash64(slice(sig, ${b * rowsPerBand + 1}, $rowsPerBand))").as("bh")))
+    val buckets = signed
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+    val cands = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+    // Verify candidates with exact Jaccard over the shingle-hash sets.
+    val sets = withSet.select(col("id"), col("hs"))
+    cands
+      .join(sets.withColumnRenamed("id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
+      .join(sets.withColumnRenamed("id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
+      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard_bp",
+        floor(lit(10000.0) * col("common") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("common"))).cast("long"))
+      .filter(col("jaccard_bp") >= minBp)
+      .select("doc_a", "doc_b", "jaccard_bp")
+  }
+
+  /** 64-bit SimHash over whitespace-token hashes: bit i of the
+    * signature is the sign of the sum over tokens of ±1 on that bit
+    * of the token hash. Token hashes are computed once per doc. */
+  def simhashSignature(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        expr(s"transform(split($textCol, ' '), t -> xxhash64(t))").as("th"))
+      .select(col("id"), expr(
+        """aggregate(
+          |  sequence(0, 63), CAST(0 AS BIGINT),
+          |  (acc, i) -> acc | IF(
+          |    aggregate(th, 0, (c, h) -> c + IF((shiftright(h, i) & 1) = 1, 1, -1)) > 0,
+          |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+        .as("simhash"))
+
+  /** Near-dup pairs by SimHash: 16-bit band blocking (any equal band
+    * → candidate; guarantees recall for hamming <= 3 by pigeonhole
+    * over 4 bands) then exact hamming verify. */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignature(docs, textCol, idCol)
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftright(simhash, ${b * 16}) & 65535").as("bv")))
+    val buckets = sigs.select(col("id"), col("simhash"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band"), col("bb.bv"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

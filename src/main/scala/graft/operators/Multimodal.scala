@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) handling: media travels as an
+  * opaque `binary` payload column plus typed metadata; decode /
+  * feature-extraction runs per partition over iterator batches so a
+  * real codec would amortize native-library setup per partition, not
+  * per row.
+  *
+  * The container ships no media libraries, so [[decodeMeta]]'s codec
+  * step is a clearly-marked deterministic STUB — the Spark-side
+  * plumbing (binary column, case-class schema, mapPartitions batch
+  * shape, partition-level reuse) is the real, tested part.
+  */
+object Multimodal {
+
+  /** A media row: opaque bytes + typed metadata. */
+  case class MediaRecord(doc_id: Long, format: String, payload: Array[Byte],
+                         width: Int, height: Int)
+
+  /** Decoded/per-item features. */
+  case class MediaMeta(doc_id: Long, format: String, n_bytes: Long,
+                       width: Int, height: Int, pixels: Long)
+
+  /** Synthesize a deterministic media table from `documents`: payload
+    * is the UTF-8 text bytes; metadata derives from doc_id. */
+  def synthesize(docs: DataFrame): Dataset[MediaRecord] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("png"), lit("jpg"), lit("wav")),
+        (col("doc_id") % 3 + 1).cast("int")).as("format"),
+      col("text").cast("binary").as("payload"),
+      (col("doc_id") % 640 + 1).cast("int").as("width"),
+      (col("doc_id") % 480 + 1).cast("int").as("height"))
+      .as[MediaRecord]
+  }
+
+  /** Per-partition "decode": iterate the batch, emit metadata +
+    * derived features. STUB: a real implementation hands
+    * `rec.payload` to an image/audio codec here (e.g. per-partition
+    * decoder instance reused across the iterator); payload length and
+    * pixel count stand in for decoded features. */
+  def decodeMeta(media: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition setup would go here (codec init, native buffers)
+      it.map { rec =>
+        MediaMeta(rec.doc_id, rec.format, rec.payload.length.toLong,
+          rec.width, rec.height, rec.width.toLong * rec.height)
+      }
+    }
+  }
+}

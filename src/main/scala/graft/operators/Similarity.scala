@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), UDF-free: dot products via `zip_with` +
+  * `aggregate` stay in codegen.
+  *
+  * Scale posture: brute-force top-k is broadcast(queries) × one scan
+  * of the corpus — embarrassingly parallel, zero shuffle of the
+  * corpus, cost linear in corpus × queries. The LSH path buckets the
+  * corpus ONCE by random-hyperplane signs (at 100 TB the bucketed
+  * corpus is written partitioned-by-bucket so repeated query batches
+  * prune to matching buckets), probes only matching buckets, and
+  * reranks exactly.
+  */
+object Similarity {
+
+  /** Sum of elementwise products as double (floats promote). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors of each query vector (brute force).
+    *
+    * @param corpus  (idCol, vecCol)
+    * @param queries (idCol, vecCol) — small; broadcast
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** Deterministic random hyperplanes: `planes(p)(i)` ~ U(-1, 1)
+    * derived from a splitmix-style integer hash — reproducible across
+    * runs and engines. */
+  def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim) { (p, i) =>
+      var z = (p.toLong * dim + i) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z.toDouble / Long.MaxValue.toDouble)
+    }
+
+  /** Sign-bucket id for a vector under the given planes (as a
+    * Column expression over `array<float>`). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeLit = array(plane.map(lit): _*)
+      when(dot(vec, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: bucket corpus and queries by hyperplane signs,
+    * compare only within matching buckets, rerank by exact cosine.
+    * Recall < 1 by construction (that's the trade); verified against
+    * [[bruteForceTopK]] in the spec. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), planes).as("bucket")))
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(q, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** Per-label embedding stats: count, mean L2 norm, centroid.
+    * Centroid via posexplode + two-level agg — the shuffle moves
+    * (label, dim, partial sums), never whole vectors twice. */
+  def labelStats(embeddings: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val byDim = embeddings
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))),
+        x => x.getField("m")).as("centroid"))
+    val norms = embeddings
+      .select(col(labelCol).as("label"), norm(col(vecCol)).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), avg(col("nrm")).as("avg_norm"))
+    norms.join(byDim, "label")
+  }
+}

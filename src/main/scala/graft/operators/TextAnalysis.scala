@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Text analysis for corpus curation: language ID, quality scoring,
+  * token counting. All builtin-function compositions (codegen'd); all
+  * integer-or-decimal outputs so results are engine-exact.
+  */
+object TextAnalysis {
+
+  /** Marker-token sets per language for the heuristic classifier.
+    * A real deployment swaps these for per-language stopword tables;
+    * the mechanism (count markers per language, argmax with a fixed
+    * priority tie-break) is the operator under test. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "de" -> Seq("scan", "window", "stream"),
+    "es" -> Seq("query", "filter", "row"),
+    "fr" -> Seq("merge", "sort", "order"),
+    "zh" -> Seq("spark", "batch", "vector"))
+
+  /** Language-ID heuristic: marker-count argmax, ties resolved by
+    * list order (en > de > es > fr > zh). Emits the per-language
+    * scores so downstream filters can threshold on confidence. */
+  def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val scored = Markers.foldLeft(docs.select(col(idCol), col(textCol))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"score_$lang", TextFunctions.markerCount(textCol, markers))
+    }
+    // Cascading argmax: the first language (in priority order) whose
+    // score is positive and >= every LATER language's score. If case
+    // i fails because some later score is larger, a later case with
+    // the running max fires — so the winner is the true max, with
+    // ties broken by list order.
+    val langs = Markers.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), els) =>
+      val geLater = langs.drop(i + 1)
+        .map(o => col(s"score_$lang") >= col(s"score_$o"))
+        .foldLeft(col(s"score_$lang") > 0)(_ && _)
+      when(geLater, lit(lang)).otherwise(els)
+    }
+    scored.withColumn("pred_lang", pred).drop(textCol)
+  }
+
+  /** Quality metrics: char/word counts, punct/digit/upper counts, and
+    * basis-point ratios computed with integer-exact arithmetic. */
+  def quality(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      length(t).as("n_chars_m"),
+      size(split(t, " ")).as("n_words"),
+      (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).as("n_punct"),
+      (length(t) - length(regexp_replace(t, "[0-9]", ""))).as("n_digits"),
+      (length(t) - length(regexp_replace(t, "[A-Z]", ""))).as("n_upper"))
+      .withColumn("word_len_bp",
+        floor(lit(10000.0) * (col("n_chars_m") - col("n_words") + 1) / col("n_words"))
+          .cast("long"))
+      .withColumn("punct_bp",
+        floor(lit(10000.0) * col("n_punct") / col("n_chars_m")).cast("long"))
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish regex tokens
+    * (letter runs / digit runs / single non-alnum). */
+  def tokenCount(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(split(col(textCol), " ")).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("re_tokens"))
+}

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** §2.C — LLM-training-data pipeline operators over `documents` /
+  * `embeddings`. SQL-expressible ops carry DuckDB oracles; the
+  * sketch/ANN ops are rows-checked here and semantics-checked in
+  * ScalaTest against brute-force oracles.
+  */
+object PipelineQueries {
+
+  /** Near-dup test corpus: a bounded id range plus perturbed copies
+    * (last 7 chars dropped, id offset by 1e6) so near-duplicate pairs
+    * provably exist. Mirrored exactly by [[CorpusCte]]. */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val pert = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, 1, char_length(text) - 7)").as("text"))
+    base.unionByName(pert)
+  }
+
+  private val CorpusCte =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 7)
+      |  FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0
+      |)""".stripMargin
+
+  /** Embedding query set: first 8 vectors. */
+  private def embQueries(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 8)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1 — exact dedup on content hash.
+    "dedup_exact" -> { (s, d) =>
+      Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+    },
+
+    // C2 — exact character-5-gram Jaccard near-dup pairs.
+    "dedup_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(corpus(s, d), "text", "doc_id", k = 5, minBp = 8000)
+    },
+
+    // C3 — MinHash + banded LSH + exact-on-signature verify (rows;
+    // LSH recall is probabilistic → DedupSpec checks semantics).
+    "dedup_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashLsh(corpus(s, d), "text", "doc_id", minBp = 8000)
+    },
+
+    // C4 — SimHash banding near-dup pairs (rows + DedupSpec).
+    "dedup_simhash" -> { (s, d) =>
+      Dedup.simhashPairs(corpus(s, d), "text", "doc_id", maxHamming = 3)
+    },
+
+    // C5 — brute-force cosine top-10 (rows + SimilaritySpec).
+    "embed_cosine_topk" -> { (s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), embQueries(s, d),
+        "vec_id", "embedding", k = 10)
+    },
+
+    // C6 — random-hyperplane LSH ANN + rerank (rows + SimilaritySpec).
+    "embed_lsh_ann" -> { (s, d) =>
+      // 4 planes → 16 buckets: candidate sets stay large enough for
+      // useful recall at this corpus size (planes scale up with corpus).
+      Similarity.lshTopK(Tables.embeddings(s, d), embQueries(s, d),
+        "vec_id", "embedding", k = 10, numPlanes = 4)
+    },
+
+    // C7 — marker-argmax language ID.
+    "lang_id" -> { (s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d), "text", "doc_id")
+    },
+
+    // C8 — quality metrics, integer-exact.
+    "text_quality" -> { (s, d) =>
+      TextAnalysis.quality(Tables.documents(s, d), "text", "doc_id")
+    },
+
+    // C9 — token counting (whitespace + BPE-ish regex).
+    "token_count" -> { (s, d) =>
+      TextAnalysis.tokenCount(Tables.documents(s, d), "text", "doc_id")
+    },
+
+    // C10 — 64-bit FNV-1a fingerprint, native codegen expression
+    // (rows; FingerprintSpec recomputes FNV independently).
+    "doc_fingerprint" -> { (s, d) =>
+      GraftFunctions.register(s)
+      Tables.documents(s, d).select(col("doc_id"),
+        GraftFunctions.fingerprint64(col("text")).as("fp64"))
+    },
+
+    // C11 — multimodal metadata pipeline (binary payload + typed
+    // metadata + per-partition decode stub).
+    "multimodal_meta" -> { (s, d) =>
+      Multimodal.decodeMeta(Multimodal.synthesize(Tables.documents(s, d))).toDF()
+    },
+
+    // C12 — per-label centroid/norm stats (rows + SimilaritySpec).
+    "embed_stats" -> { (s, d) =>
+      Similarity.labelStats(Tables.embeddings(s, d), "label", "embedding")
+    })
+
+  private def markerList(lang: String): String =
+    TextAnalysis.Markers.toMap.apply(lang).map(m => s"'$m'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+
+    "dedup_ngram_jaccard" -> s"""$CorpusCte,
+      |sh AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(0, greatest(length(text) - 4, 0)),
+      |                                         i -> substr(text, i + 1, 5))) AS g
+      |    FROM corpus)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+      |  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, common, sa.n AS n_a, sb.n AS n_b,
+      |       CAST(floor(10000.0 * common / (sa.n + sb.n - common)) AS BIGINT) AS jaccard_bp
+      |FROM pairs
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE floor(10000.0 * common / (sa.n + sb.n - common)) >= 8000""".stripMargin,
+
+    "lang_id" -> s"""
+      |WITH s AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), t -> t IN (${markerList("en")}))) AS score_en,
+      |    len(list_filter(string_split(text, ' '), t -> t IN (${markerList("de")}))) AS score_de,
+      |    len(list_filter(string_split(text, ' '), t -> t IN (${markerList("es")}))) AS score_es,
+      |    len(list_filter(string_split(text, ' '), t -> t IN (${markerList("fr")}))) AS score_fr,
+      |    len(list_filter(string_split(text, ' '), t -> t IN (${markerList("zh")}))) AS score_zh
+      |  FROM documents)
+      |SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+      |  CASE WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_es
+      |            AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+      |       WHEN score_de > 0 AND score_de >= score_es AND score_de >= score_fr
+      |            AND score_de >= score_zh THEN 'de'
+      |       WHEN score_es > 0 AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+      |       WHEN score_fr > 0 AND score_fr >= score_zh THEN 'fr'
+      |       WHEN score_zh > 0 THEN 'zh'
+      |       ELSE 'und' END AS pred_lang
+      |FROM s""".stripMargin,
+
+    "text_quality" -> """
+      |SELECT doc_id, n_chars_m, n_words, n_punct, n_digits, n_upper,
+      |       CAST(floor(10000.0 * (n_chars_m - n_words + 1) / n_words) AS BIGINT) AS word_len_bp,
+      |       CAST(floor(10000.0 * n_punct / n_chars_m) AS BIGINT) AS punct_bp
+      |FROM (
+      |  SELECT doc_id, length(text) AS n_chars_m,
+      |         len(string_split(text, ' ')) AS n_words,
+      |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+      |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+      |         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+      |  FROM documents)""".stripMargin,
+
+    "token_count" -> """
+      |SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+      |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS re_tokens
+      |FROM documents""".stripMargin,
+
+    "multimodal_meta" -> """
+      |SELECT doc_id,
+      |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+      |            ELSE 'wav' END AS format,
+      |       strlen(text) AS n_bytes,
+      |       CAST(doc_id % 640 + 1 AS INT) AS width,
+      |       CAST(doc_id % 480 + 1 AS INT) AS height,
+      |       CAST((doc_id % 640 + 1) * (doc_id % 480 + 1) AS BIGINT) AS pixels
+      |FROM documents""".stripMargin)
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.GraftFunctions
+
+/** Structured-Streaming twin of the reference job
+  * (`StreamingJob.java:57-151`): CDC JSON envelopes → timestamp parse
+  * → latest-value enrichment (keyed state) → watermark → tumbling
+  * window aggregation.
+  *
+  * The reference's `KeyedCoProcessFunction` (EnrichmentJoin.java:23)
+  * keeps the latest enrichment row in `ValueState` and buffers early
+  * stream rows in `ListState`. Spark's equivalent keyed-state
+  * primitive is `flatMapGroupsWithState`: [[enrichLatest]] unions the
+  * two streams, groups by key, and keeps (latest enrichment, buffered
+  * rows) as the group state — same semantics, engine-managed state
+  * store (RocksDB/HDFS-checkpointed on a real cluster).
+  */
+object CdcPipeline {
+
+  /** A change record after envelope decode: join key, event time,
+    * payload (JSON of after_image), and which side it came from. */
+  case class Change(key: Long, eventTimeMs: Long, payload: String, isEnrichment: Boolean)
+
+  /** An enriched output row. */
+  case class Enriched(key: Long, eventTimeMs: Long, payload: String, enrichPayload: String)
+
+  /** Keyed state: latest enrichment image + rows waiting for it. */
+  case class EnrichState(latest: Option[(Long, String)], buffered: List[(Long, String)])
+
+  /** Decode the CDC JSON envelope wire format (sv_* + after_image)
+    * into typed rows — the streaming twin of
+    * `sources.CdcEnvelope.fromEnvelopeJson`. */
+  def decodeEnvelope(raw: DataFrame, afterImageSchema: StructType): DataFrame = {
+    GraftFunctions.register(raw.sparkSession)
+    val envSchema = StructType(Seq(
+      StructField("sv_manip_type", StringType),
+      StructField("sv_trans_id", LongType),
+      StructField("sv_trans_row_seq", IntegerType),
+      StructField("sv_op_timestamp", StringType),
+      StructField("after_image", afterImageSchema)))
+    raw.select(from_json(col("value"), envSchema).as("e"))
+      .select(col("e.sv_manip_type").as("manip"),
+        col("e.sv_trans_row_seq").as("seq"),
+        GraftFunctions.parse_sqdata_ts(col("e.sv_op_timestamp")).as("op_ts"),
+        col("e.after_image"))
+  }
+
+  /** Latest-value enrichment join over two keyed change streams.
+    * Stream rows that arrive before their enrichment are buffered in
+    * state and flushed when it lands (ref EnrichmentJoin.java:64-95).
+    * State is per-key and O(latest + buffer) — at scale the state
+    * store shards by key across executors. */
+  def enrichLatest(changes: Dataset[Change]): Dataset[Enriched] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[EnrichState, Enriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Change], state: GroupState[EnrichState]) =>
+          var st = state.getOption.getOrElse(EnrichState(None, Nil))
+          val out = scala.collection.mutable.ListBuffer[Enriched]()
+          // Process in event-time order within the batch for
+          // deterministic latest-wins semantics.
+          rows.toSeq.sortBy(c => (c.eventTimeMs, c.isEnrichment)).foreach { c =>
+            if (c.isEnrichment) {
+              val newer = st.latest.forall(_._1 <= c.eventTimeMs)
+              if (newer) st = st.copy(latest = Some((c.eventTimeMs, c.payload)))
+              if (st.buffered.nonEmpty && st.latest.isDefined) {
+                st.buffered.reverse.foreach { case (t, p) =>
+                  out += Enriched(key, t, p, st.latest.get._2)
+                }
+                st = st.copy(buffered = Nil)
+              }
+            } else st.latest match {
+              case Some((_, ep)) => out += Enriched(key, c.eventTimeMs, c.payload, ep)
+              case None => st = st.copy(buffered = (c.eventTimeMs, c.payload) :: st.buffered)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Watermarked tumbling aggregation over the enriched stream — the
+    * reference's `output.sql` TUMBLE with 10-minute out-of-orderness
+    * (`StreamingJob.java:119-126`): rows later than the watermark are
+    * dropped by the engine. */
+  def windowedTotals(enriched: Dataset[Enriched],
+                     watermarkDelay: String = "10 minutes",
+                     width: String = "10 minutes"): DataFrame = {
+    import enriched.sparkSession.implicits._
+    enriched
+      .withColumn("event_time", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), width), col("enrichPayload").as("group_key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("window.start").as("order_period"), col("group_key"), col("n_rows"))
+  }
+}

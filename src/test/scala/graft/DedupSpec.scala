@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup operators vs brute-force oracles computed in plain Scala. */
+class DedupSpec extends SparkTestBase {
+
+  private def corpus() = {
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 100).select("doc_id", "text")
+    val pert = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000L).as("doc_id"),
+        expr("substring(text, 1, char_length(text) - 7)").as("text"))
+    docs.unionByName(pert)
+  }
+
+  private def shingleSet(text: String, k: Int = 5): Set[String] =
+    if (text.length < k) Set.empty
+    else (0 to text.length - k).map(i => text.substring(i, i + k)).toSet
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty && b.isEmpty) 0.0
+    else a.intersect(b).size.toDouble / a.union(b).size
+
+  private lazy val local: Map[Long, String] = {
+    corpus().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("exact dedup keeps the min id per content group") {
+    import spark.implicits._
+    val dup = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"), (5L, "ccc"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(dup, "text", "doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 5L))
+  }
+
+  test("ngramJaccardPairs matches brute force exactly") {
+    val got = Dedup.ngramJaccardPairs(corpus(), "text", "doc_id", k = 5, minBp = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    val ids = local.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids; j <- ids if i < j
+      bp = math.floor(10000.0 * jaccard(shingleSet(local(i)), shingleSet(local(j)))).toLong
+      if bp >= 8000
+    } yield (i, j) -> bp).toMap
+    assert(got.keySet == expect.keySet)
+    // jaccard over shingle *hashes* == jaccard over shingles (no collisions)
+    for ((k, bp) <- got) assert(bp == expect(k), s"pair $k")
+  }
+
+  test("minhashLsh verified pairs are correct and recall high-sim pairs") {
+    val got = Dedup.minhashLsh(corpus(), "text", "doc_id", minBp = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = local.keys.toSeq.sorted
+    val trueBp = (for { i <- ids; j <- ids if i < j }
+      yield (i, j) -> math.floor(10000.0 *
+        jaccard(shingleSet(local(i)), shingleSet(local(j)))).toLong).toMap
+    // precision: every emitted pair truly >= threshold (verify step is exact)
+    for (p <- got) assert(trueBp(p) >= 8000, s"false positive $p bp=${trueBp(p)}")
+    // recall: the perturbed near-dups (jaccard ~1) must all be found
+    val mustFind = trueBp.filter(_._2 >= 9500).keySet
+    assert(mustFind.nonEmpty && mustFind.subsetOf(got),
+      s"missed ${mustFind.diff(got)}")
+  }
+
+  test("simhashPairs = exactly the pairs within the hamming budget") {
+    val got = Dedup.simhashPairs(corpus(), "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val sigs = Dedup.simhashSignature(corpus(), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sigs.keys.toSeq.sorted
+    val expect = (for { i <- ids; j <- ids if i < j
+      h = java.lang.Long.bitCount(sigs(i) ^ sigs(j)) if h <= 3
+    } yield (i, j) -> h).toMap
+    // banding over 4×16 bits guarantees recall for hamming <= 3
+    // (pigeonhole: <=3 flipped bits leave >=1 of 4 bands intact)
+    assert(got == expect)
+    assert(expect.nonEmpty, "corpus produced no close pairs — test data too weak")
+  }
+
+  test("simhash signature is stable and has 64-bit spread") {
+    val sigs = Dedup.simhashSignature(corpus(), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sigs2 = Dedup.simhashSignature(corpus(), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs == sigs2)
+    assert(sigs.values.toSet.size > sigs.size / 2) // not collapsing
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Cdc, RangeJoin}
+
+/** Batch operator semantics on hand-built frames. */
+class OperatorSpec extends SparkTestBase {
+  import java.time.Instant
+  private def ts(s: String) = Timestamp.from(Instant.parse(s))
+
+  test("latestImage: newest wins, tombstone removes, seq breaks ties") {
+    import spark.implicits._
+    val chg = Seq(
+      (1L, "v1", ts("2024-01-01T00:00:00Z"), 1, "I"),
+      (1L, "v2", ts("2024-01-01T01:00:00Z"), 2, "U"), // newest for key 1
+      (2L, "x1", ts("2024-01-01T00:00:00Z"), 1, "I"),
+      (2L, "x2", ts("2024-01-01T02:00:00Z"), 2, "D"), // tombstoned
+      (3L, "a", ts("2024-01-01T00:00:00Z"), 1, "I"),
+      (3L, "b", ts("2024-01-01T00:00:00Z"), 2, "U")   // same ts, higher seq
+    ).toDF("k", "v", "op_ts", "seq", "manip")
+    val got = Cdc.latestImage(chg, "k")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "v2", 3L -> "b"))
+  }
+
+  test("asof join picks latest right <= left ts, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (10L, ts("2024-01-01T10:00:00Z"), "e1"),
+      (10L, ts("2024-01-01T12:00:00Z"), "e2"),
+      (20L, ts("2024-01-01T10:00:00Z"), "e3"), // before any right row
+      (30L, ts("2024-01-01T10:00:00Z"), "e4")  // key with no right rows
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (10L, ts("2024-01-01T09:00:00Z"), 100.0),
+      (10L, ts("2024-01-01T11:00:00Z"), 200.0),
+      (10L, ts("2024-01-01T12:00:00Z"), 300.0), // == e2's ts → counts
+      (20L, ts("2024-01-01T11:00:00Z"), 400.0)
+    ).toDF("rk", "rt", "price")
+    val got = AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt", Seq("price"))
+      .select("name", "price").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got == Map("e1" -> Some(100.0), "e2" -> Some(300.0),
+      "e3" -> None, "e4" -> None))
+  }
+
+  test("range join equals the naive theta join") {
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val iv = ev.filter(col("event_id") % 7 === 0)
+      .select(col("event_id").as("iv_id"), col("user_id").as("iv_user"),
+        col("ts").as("t0"), (col("ts") + expr("INTERVAL 10 MINUTES")).as("t1"))
+    val bucketed = RangeJoin.pointInInterval(ev, iv,
+        "user_id", "iv_user", "ts", "t0", "t1", bucketWidthSec = 600)
+      .select("iv_id", "event_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = ev.join(iv,
+        col("user_id") === col("iv_user") && col("ts") >= col("t0") && col("ts") < col("t1"))
+      .select("iv_id", "event_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == naive && bucketed.nonEmpty)
+  }
+
+  test("enrichment join drops the enrichment's key copy from output") {
+    import spark.implicits._
+    val stream = Seq((1L, "o1"), (2L, "o2")).toDF("k", "payload")
+    val enr = Seq((1L, "dim1")).toDF("k", "dim")
+    val out = graft.operators.EnrichmentJoin.enrich(stream, enr, "k")
+    assert(out.columns.count(_ == "k") == 1) // deduped like the reference
+    assert(out.collect().map(_.getString(2)).toSeq == Seq("dim1"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-posture assertions on the physical plans: pushdown reaches
+  * the parquet scan, small dims broadcast, hot paths stay inside
+  * WholeStageCodegen, and dedup shuffles hashes rather than bodies. */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    val qe = df.queryExecution
+    org.apache.spark.sql.execution.ExplainMode.fromString("formatted") match {
+      case m => qe.explainString(m)
+    }
+  }
+
+  test("q1_pricing: filter pushed to parquet scan, pruned read schema") {
+    val df = SparkEntry.queries("q1_pricing")(spark, sfDir)
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"no pushed filter in:\n$plan")
+    // only the 7 needed columns of 11 are read
+    assert(!plan.contains("l_orderkey"), "read schema not pruned")
+    // codegen spans only materialize in the AQE final plan → execute
+    // THIS df (count() would build a separate query execution)
+    df.collect()
+    // "*(n)" prefixes mark WholeStageCodegen stages in the tree string
+    val executed = planOf(df)
+    assert(executed.contains("*(1)") && executed.contains("*(2)"), executed)
+  }
+
+  test("q5_supplier_volume: dimension joins are broadcast") {
+    val df = SparkEntry.queries("q5_supplier_volume")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("enrich_join: deduped dims broadcast — no shuffle of the fact side for dims") {
+    val df = SparkEntry.queries("enrich_join")(spark, sfDir)
+    assert(planOf(df).contains("BroadcastHashJoin"))
+  }
+
+  test("dedup_exact: shuffle carries the 64-bit hash, not the text") {
+    val df = operators.Dedup.exact(
+      sources.Tables.documents(spark, sfDir), "text", "doc_id")
+    val plan = planOf(df)
+    assert(plan.contains("xxhash64"))
+    // map-side partial_min runs BELOW the exchange (later in tree
+    // text), so each row crosses the shuffle as (hash, min-id) — the
+    // text column never leaves the scan stage
+    val exch = plan.indexOf("Exchange hashpartitioning")
+    val partial = plan.indexOf("partial_min")
+    assert(exch >= 0 && partial > exch, s"no map-side combine before shuffle:\n$plan")
+    val exchangeLine = plan.linesIterator.find(_.contains("Exchange hashpartitioning")).get
+    assert(exchangeLine.contains("_groupingexpression"), exchangeLine)
+  }
+
+  test("topn_orders plans as TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("topn_orders")(spark, sfDir)
+    assert(planOf(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("tumble_agg: partial aggregation before the shuffle") {
+    val df = SparkEntry.queries("tumble_agg")(spark, sfDir)
+    val plan = planOf(df)
+    val firstAgg = plan.indexOf("HashAggregate")
+    val exch = plan.indexOf("Exchange")
+    assert(firstAgg >= 0 && exch >= 0 && plan.indexOf("HashAggregate", exch) > exch,
+      "expected partial+final HashAggregate around the exchange")
+  }
+
+  test("asof_join costs exactly one shuffle") {
+    val df = SparkEntry.queries("asof_join")(spark, sfDir)
+    val plan = planOf(df)
+    // orders-side dedupe window + asof window hash-partition on the
+    // same key; the events side contributes its scan — union then one
+    // partitioning for the running-last window
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"$shuffles shuffles in:\n$plan")
+  }
+
+  test("brute-force ANN broadcasts the query set (no corpus shuffle)") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val df = operators.Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+  }
+}

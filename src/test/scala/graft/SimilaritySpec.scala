@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** ANN / vector ops vs plain-Scala brute force. */
+class SimilaritySpec extends SparkTestBase {
+
+  private lazy val vecs: Map[Long, Array[Float]] =
+    sources.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) {
+      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def bruteTopK(q: Long, k: Int): Seq[Long] =
+    vecs.toSeq.filter(_._1 != q)
+      .map { case (id, v) => (id, cos(vecs(q), v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+
+  test("bruteForceTopK matches Scala brute force") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 4)
+    val got = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+    for (q <- 0L until 4L) assert(got(q) == bruteTopK(q, 10), s"query $q")
+  }
+
+  test("lshTopK returns correctly ranked subsets with reasonable recall") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 8)
+    // these embeddings are near-random (top cosine ~0.3), the worst
+    // case for hyperplane LSH — 2 planes keep buckets big enough to
+    // show the mechanism beats random candidate selection
+    val got = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 10, numPlanes = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    // every returned neighbor's cosine must be exact
+    for ((q, rows) <- got; (id, c) <- rows)
+      assert(math.abs(c - cos(vecs(q), vecs(id))) < 1e-6)
+    // recall floor vs brute force: 2 planes → buckets cover ~1/4 of
+    // the corpus; same-bucket bias must beat that random baseline
+    val recalls = for ((q, rows) <- got.toSeq) yield {
+      val truth = bruteTopK(q, 10).toSet
+      rows.count(r => truth.contains(r._1)).toDouble / 10.0
+    }
+    assert(recalls.nonEmpty && recalls.sum / recalls.size >= 0.25,
+      s"mean recall ${recalls.sum / recalls.size}")
+  }
+
+  test("labelStats centroids match Scala aggregation") {
+    val labels = sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.labelStats(
+      sources.Tables.embeddings(spark, sfDir), "label", "embedding")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](3))).toMap
+    for (lbl <- labels.values.toSet.take(3)) {
+      val members = labels.filter(_._2 == lbl).keys.map(vecs).toSeq
+      val (n, centroid) = got(lbl)
+      assert(n == members.size)
+      val expect0 = members.map(_(0).toDouble).sum / members.size
+      assert(math.abs(centroid.head - expect0) < 1e-9, s"label $lbl dim 0")
+    }
+  }
+}

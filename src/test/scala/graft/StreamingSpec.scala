@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.CdcPipeline
+import graft.streaming.CdcPipeline.{Change, Enriched}
+
+/** A9 — Structured-Streaming twin of the reference pipeline:
+  * keyed latest-value enrichment state + watermarked tumbling agg. */
+class StreamingSpec extends SparkTestBase {
+
+  private def t(min: Int): Long = 1704067200000L + min * 60000L // 2024-01-01 UTC
+
+  test("enrichLatest: latest-wins, early rows buffered until enrichment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = CdcPipeline.enrichLatest(input.toDS())
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: stream row arrives BEFORE its enrichment → buffered
+      input.addData(Change(1L, t(0), "order-a", isEnrichment = false))
+      q.processAllAvailable()
+      assert(spark.table("enriched").count() == 0)
+      // batch 2: enrichment lands → buffered row flushes with it;
+      // a second enrichment updates latest; later stream row joins the newest
+      input.addData(
+        Change(1L, t(1), "dim-v1", isEnrichment = true),
+        Change(1L, t(2), "dim-v2", isEnrichment = true))
+      q.processAllAvailable()
+      input.addData(Change(1L, t(3), "order-b", isEnrichment = false))
+      q.processAllAvailable()
+      val got = spark.table("enriched").as[Enriched].collect()
+        .map(e => (e.payload, e.enrichPayload)).toSet
+      assert(got == Set(("order-a", "dim-v1"), ("order-b", "dim-v2")))
+    } finally q.stop()
+  }
+
+  test("windowedTotals drops data later than the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Enriched]
+    val q = CdcPipeline.windowedTotals(input.toDS(),
+        watermarkDelay = "10 minutes", width = "10 minutes")
+      .writeStream.format("memory").queryName("totals")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Enriched(1L, t(5), "o1", "DE"),
+        Enriched(2L, t(7), "o2", "DE"))
+      q.processAllAvailable()
+      // advance event time far enough that the [0,10) window closes
+      input.addData(Enriched(3L, t(25), "o3", "DE"))
+      q.processAllAvailable()
+      // this row is 20+ minutes behind the watermark → dropped
+      input.addData(Enriched(4L, t(6), "late", "DE"))
+      q.processAllAvailable()
+      input.addData(Enriched(5L, t(45), "o5", "DE"))
+      q.processAllAvailable()
+      val rows = spark.table("totals").collect()
+        .map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(2))).toMap
+      // the first window emitted exactly the two on-time rows; the
+      // late row never inflated a result
+      assert(rows("2024-01-01T00:00:00Z") == 2L)
+    } finally q.stop()
+  }
+}
