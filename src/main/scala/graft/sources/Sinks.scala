@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Read/write helpers beyond the parquet star schema: CSV and JSON
+  * (schema'd round-trips), partitioned parquet, and bucketed tables
+  * for co-located (exchange-free) joins.
+  *
+  * Scale notes: partitioned writes give partition PRUNING on read
+  * (predicates on the partition column skip whole directories);
+  * bucketed writes give co-located JOINS — two tables bucketed by the
+  * same key into the same bucket count sort-merge-join with zero
+  * exchange, the batch analogue of a co-partitioned stream join. At
+  * 100 TB, bucketing the fact table by its main join key at write
+  * time amortizes every subsequent join's shuffle.
+  */
+object Sinks {
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Schema'd CSV read — never infer on a 100 TB lake (inference
+    * scans everything once before the real read). */
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJson(spark: SparkSession, path: String,
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Partitioned parquet: directory per partition-column value. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** Bucketed managed table (requires saveAsTable — bucket metadata
+    * lives in the catalog). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Sinks, Tables}
+
+/** §2.D — source/sink coverage: CSV/JSON round-trips, partitioned
+  * writes with pruning, bucketed co-located joins. */
+class SourcesSpec extends SparkTestBase {
+
+  private def tmp(name: String) =
+    Files.createTempDirectory(s"graft_$name").toString + "/out"
+
+  test("CSV round-trip preserves values under an explicit schema") {
+    val nation = Tables.nation(spark, sfDir)
+    val path = tmp("csv")
+    Sinks.writeCsv(nation, path)
+    val back = Sinks.readCsv(spark, path, nation.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("JSON round-trip preserves values under an explicit schema") {
+    val region = Tables.region(spark, sfDir)
+    val path = tmp("json")
+    Sinks.writeJson(region, path)
+    val back = Sinks.readJson(spark, path, region.schema)
+    assert(back.orderBy("r_regionkey").collect().toSeq ==
+      region.orderBy("r_regionkey").collect().toSeq)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val path = tmp("part")
+    Sinks.writePartitioned(
+      Tables.orders(spark, sfDir).withColumn("status", col("o_orderstatus")),
+      path, "status")
+    val pruned = spark.read.parquet(path).filter(col("status") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(status"), plan)
+    val full = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F").count()
+    assert(pruned.count() == full)
+  }
+
+  test("bucketed tables sort-merge-join with zero exchange") {
+    val wh = Files.createTempDirectory("graft_bucket")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Sinks.writeBucketed(Tables.orders(spark, sfDir), "orders_b", "o_orderkey", 8)
+      Sinks.writeBucketed(
+        Tables.lineitem(spark, sfDir)
+          .groupBy("l_orderkey").agg(sum("l_quantity").as("qty")),
+        "lineitem_b", "l_orderkey", 8)
+      val joined = spark.table("orders_b").join(spark.table("lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("rate stream source feeds a windowed count") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+      .groupBy(window(col("timestamp"), "1 second"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("rate_counts")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(200)).start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      assert(spark.table("rate_counts").count() >= 1)
+    } finally q.stop()
+  }
+}
