@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{Fingerprint64, ParseSqdataTs}
+import org.apache.spark.sql.catalyst.expressions.Literal
+
+import graft.functions.{Fingerprint64, MinHashSig, ParseSqdataTs}
 
 /** SparkSessionExtensions hook: injects graft's native functions into
   * the session's FunctionRegistry so they're available to pure-SQL
@@ -27,5 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fingerprint64"),
       new ExpressionInfo(classOf[Fingerprint64].getName, "fingerprint64"),
       exprs => Fingerprint64(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      exprs => MinHashSig(exprs.head,
+        exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
   }
 }

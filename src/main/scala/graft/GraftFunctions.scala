@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{Fingerprint64, ParseSqdataTs}
+import org.apache.spark.sql.catalyst.expressions.Literal
+
+import graft.functions.{Fingerprint64, MinHashSig, ParseSqdataTs}
 
 /** Registration + Column-API surface for graft's native Catalyst
   * expressions. Registration is idempotent; every `SparkEntry.queries`
@@ -19,6 +21,9 @@ object GraftFunctions {
       "parse_sqdata_ts", exprs => ParseSqdataTs(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "fingerprint64", exprs => Fingerprint64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head,
+        exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
   }
 
   /** `yyyyMMddHHmmss[f...]` digit string → timestamp (ref DateParser). */
@@ -26,4 +31,9 @@ object GraftFunctions {
 
   /** 64-bit FNV-1a content fingerprint. */
   def fingerprint64(c: Column): Column = call_function("fingerprint64", c)
+
+  /** MinHash signature (`numPerm` minima) over an array<bigint> of
+    * element hashes — one pass, no intermediate arrays. */
+  def minhash_sig(c: Column, numPerm: Int): Column =
+    call_function("minhash_sig", c, org.apache.spark.sql.functions.lit(numPerm))
 }

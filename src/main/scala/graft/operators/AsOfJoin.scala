@@ -22,19 +22,25 @@ object AsOfJoin {
   /** Left as-of join.
     *
     * @param left      probe side
-    * @param right     build side (must be unique per (key, ts) —
-    *                  pre-dedupe with e.g. a row_number window)
+    * @param right     build side
     * @param leftKey   join key column name on `left`
     * @param rightKey  join key column name on `right`
     * @param leftTs    event-time column on `left`
     * @param rightTs   event-time column on `right`
     * @param payload   right columns carried to the output (nulls when
     *                  no right row precedes the left row)
+    * @param rightTieBreak right columns ordering duplicate (key, ts)
+    *                  rows — the LARGEST wins. Resolving ties inside
+    *                  the as-of window (instead of a pre-dedup
+    *                  row_number pass) saves a whole shuffle: both the
+    *                  dedup and the as-of would partition by the key.
+    *                  Must be payload columns.
     */
   def leftAsOf(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTs: String, rightTs: String,
-               payload: Seq[String]): DataFrame = {
+               payload: Seq[String],
+               rightTieBreak: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns
     val l = left
       .withColumn("__k", col(leftKey))
@@ -52,10 +58,15 @@ object AsOfJoin {
     val unioned = l.select((leftCols.map(col) ++ Seq(col("__k"), col("__t"),
       col("__side"), col("__p"))): _*)
       .unionByName(r, allowMissingColumns = true)
-    // Orders before events at the same instant: side 0 sorts first, so
-    // rightTs == leftTs counts as "already arrived" (<= semantics).
+    // Right rows before left rows at the same instant: side 0 sorts
+    // first, so rightTs == leftTs counts as "already arrived" (<=
+    // semantics). Tie-break columns sort ascending, so among right
+    // rows at the same (key, ts) the largest is the running last.
+    // (Left rows have a null payload struct → null tie-break fields →
+    // nulls-first, which cannot reorder them after a right row.)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc +: col("__side").asc +:
+        rightTieBreak.map(tb => col(s"__p.$tb").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))

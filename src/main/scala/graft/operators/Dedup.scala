@@ -63,14 +63,15 @@ object Dedup {
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
                  k: Int = 5, numPerm: Int = 64, bands: Int = 16,
                  minBp: Int = 5000): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
     val rowsPerBand = numPerm / bands
     val withSet = docs.select(col(idCol).as("id"),
       TextFunctions.shingleHashes(textCol, k).as("hs"))
       .filter(size(col("hs")) > 0)
-    // sig[i] = min over shingles of xxhash64(shingle_hash, i)
-    val sigCols = (0 until numPerm).map(i =>
-      expr(s"array_min(transform(hs, h -> xxhash64(h, $i)))"))
-    val signed = withSet.withColumn("sig", array(sigCols: _*))
+    // sig[p] = min over shingles of splitmix(h ^ seed_p) — native
+    // one-pass expression (graft.functions.MinHashSig)
+    val signed = withSet.withColumn("sig",
+      graft.GraftFunctions.minhash_sig(col("hs"), numPerm))
     // LSH: hash each band of the signature; docs sharing any
     // (band_id, band_hash) become candidates.
     val bandCols = (0 until bands).map(b =>

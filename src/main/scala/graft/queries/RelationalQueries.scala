@@ -166,19 +166,16 @@ object RelationalQueries {
     },
 
     // B11 — as-of join: each event picks the customer's latest order
-    // at or before the event time. One shuffle (see AsOfJoin).
+    // at or before the event time; same-date orders resolve to the
+    // max orderkey inside the as-of window — ONE shuffle total.
     "asof_join" -> { (s, d) =>
-      val perDay = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
-        .orderBy(col("o_orderkey").desc)
-      val ordersDeduped = Tables.orders(s, d)
-        .withColumn("__rn", row_number().over(perDay))
-        .filter(col("__rn") === 1).drop("__rn")
       AsOfJoin.leftAsOf(
         Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
-        ordersDeduped,
+        Tables.orders(s, d),
         leftKey = "user_id", rightKey = "o_custkey",
         leftTs = "ts", rightTs = "o_orderdate",
-        payload = Seq("o_orderkey", "o_totalprice"))
+        payload = Seq("o_orderkey", "o_totalprice"),
+        rightTieBreak = Seq("o_orderkey"))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("o_orderkey").as("order_key"),
           dec2(col("o_totalprice")).cast(DecimalType(38, 2)).as("order_total"))

@@ -47,6 +47,35 @@ class ExpressionSpec extends SparkTestBase {
     for (r <- rows) assert(r.getLong(1) == fnv(r.getString(0)), s"for '${r.getString(0)}'")
   }
 
+  test("minhash_sig equals per-permutation scalar minima") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq(7L, 42L, 99L, -3L)), Tuple1(Seq(1L)))
+      .toDF("hs")
+      .select(col("hs"), GraftFunctions.minhash_sig(col("hs"), 16).as("sig"))
+    for (r <- df.collect()) {
+      val hs = r.getSeq[Long](0)
+      val sig = r.getSeq[Long](1)
+      assert(sig.length == 16)
+      // independent recomputation via the same public mix contract:
+      // sig[p] = min over h of splitmix64(h ^ seed_p)
+      def mix(x0: Long): Long = {
+        var z = x0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val seeds = Array.tabulate(16)(p => mix(0x5851f42d4c957f2dL * p))
+      for (p <- 0 until 16)
+        assert(sig(p) == hs.map(h => mix(h ^ seeds(p))).min, s"perm $p")
+    }
+    // identical sets → identical signatures regardless of order
+    val a = Seq(Tuple1(Seq(5L, 6L, 7L))).toDF("hs")
+      .select(GraftFunctions.minhash_sig(col("hs"), 64)).collect()(0).getSeq[Long](0)
+    val b = Seq(Tuple1(Seq(7L, 5L, 6L))).toDF("hs")
+      .select(GraftFunctions.minhash_sig(col("hs"), 64)).collect()(0).getSeq[Long](0)
+    assert(a == b)
+  }
+
   test("expressions agree between codegen and interpreted eval") {
     val df = sources.Tables.documents(spark, sfDir).limit(50)
       .select(GraftFunctions.fingerprint64(col("text")).as("fp"))

@@ -63,6 +63,19 @@ class OperatorSpec extends SparkTestBase {
     assert(bucketed == naive && bucketed.nonEmpty)
   }
 
+  test("salted join returns exactly the plain join's rows") {
+    import spark.implicits._
+    // heavy skew: 90% of left rows share key 1
+    val left = (1 to 1000).map(i => (if (i % 10 == 0) i.toLong else 1L, i))
+      .toDF("k", "v")
+    val right = (1 to 100).map(i => (i.toLong, s"dim$i")).toDF("k", "d")
+    val plain = left.join(right, "k").select("k", "v", "d")
+      .collect().map(_.toSeq).toSet
+    val salted = graft.operators.Skew.saltedJoin(left, right, "k", nSalts = 8)
+      .select("k", "v", "d").collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+
   test("enrichment join drops the enrichment's key copy from output") {
     import spark.implicits._
     val stream = Seq((1L, "o1"), (2L, "o2")).toDF("k", "payload")

@@ -76,11 +76,10 @@ class PlanSpec extends SparkTestBase {
   test("asof_join costs exactly one shuffle") {
     val df = SparkEntry.queries("asof_join")(spark, sfDir)
     val plan = planOf(df)
-    // orders-side dedupe window + asof window hash-partition on the
-    // same key; the events side contributes its scan — union then one
-    // partitioning for the running-last window
+    // union both sides, one hash partitioning on the key for the
+    // running-last window — duplicates resolve in-window, no pre-dedup
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(shuffles <= 2, s"$shuffles shuffles in:\n$plan")
+    assert(shuffles == 1, s"$shuffles shuffles in:\n$plan")
   }
 
   test("brute-force ANN broadcasts the query set (no corpus shuffle)") {
