@@ -38,6 +38,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source CDC JSON end-to-end: decode → enrich → window") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // write a batch of envelope JSON files (the Kafka-topic stand-in)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_stream").toString
+    val chg = sources.CdcEnvelope.ordersChangelog(spark, sfDir).limit(200)
+    val env = sources.CdcEnvelope.envelope(chg, "SALES.ORDERS", "o_orderkey", Seq(
+      "SalesOrderId" -> col("o_orderkey"),
+      "TotalDue" -> col("o_totalprice")))
+    sources.CdcEnvelope.toEnvelopeJson(env).coalesce(1)
+      .write.mode("overwrite").text(s"$dir/in")
+    val afterImage = StructType(Seq(
+      StructField("SalesOrderId", LongType), StructField("TotalDue", DoubleType)))
+    val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+      .text(s"$dir/in")
+    val decoded = CdcPipeline.decodeEnvelope(raw, afterImage)
+      .select(col("after_image.SalesOrderId").as("key"),
+        unix_millis(col("op_ts")).as("eventTimeMs"),
+        col("after_image.TotalDue").cast("string").as("payload"),
+        (col("manip") === "X").as("isEnrichment")) // all stream-side here
+      .as[Change]
+    val q = CdcPipeline.windowedTotals(
+        decoded.map(c => Enriched(c.key, c.eventTimeMs, c.payload, "ALL")),
+        watermarkDelay = "10 minutes", width = "1 day")
+      .writeStream.format("memory").queryName("cdc_e2e")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // append-mode windows only emit once the watermark passes them;
+      // with a finite file batch the open tail windows stay pending —
+      // assert the closed ones carry the decoded rows
+      val emitted = spark.table("cdc_e2e").agg(sum("n_rows")).collect()(0).getLong(0)
+      assert(emitted > 0 && emitted <= 200)
+    } finally q.stop()
+  }
+
   test("windowedTotals drops data later than the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
