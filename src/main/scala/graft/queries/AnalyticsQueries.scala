@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** §2.B extension — analytic/time-series operators (B15–B19): CUBE,
+  * running windows, argmax aggregation, gap filling, histograms.
+  */
+object AnalyticsQueries {
+
+  private def dec2(c: Column) = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B15 — CUBE: all grouping combinations in one Expand pass.
+    "cube_agg" -> { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total_price"))
+    },
+
+    // B16 — running analytics per customer: cumulative sum, previous
+    // value, 3-row moving sum. One shuffle (all windows share the
+    // partition key), per-partition sort.
+    "running_total" -> { (s, d) =>
+      val byTime = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val cum = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov3 = byTime.rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_custkey").as("cust_key"), col("o_orderkey").as("order_key"),
+        col("o_orderdate").as("order_date"),
+        dec2(col("o_totalprice")).cast(DecimalType(38, 2)).as("price"),
+        sum(dec2(col("o_totalprice"))).over(cum).cast(DecimalType(38, 2)).as("running_sum"),
+        coalesce(lag(dec2(col("o_totalprice")), 1).over(byTime), lit(0))
+          .cast(DecimalType(38, 2)).as("prev_price"),
+        sum(dec2(col("o_totalprice"))).over(mov3).cast(DecimalType(38, 2)).as("moving_sum3"))
+    },
+
+    // B17 — argmax/argmin aggregation: per nation, the customer with
+    // the highest / lowest balance (exact integer ordering key so ties
+    // resolve identically in both engines).
+    "first_last_agg" -> { (s, d) =>
+      val ordKey = (round(col("c_acctbal") * 100).cast("long") * 1000000L
+        + col("c_custkey"))
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey").as("nation_key"))
+        .agg(max_by(col("c_name"), ordKey).as("richest_customer"),
+          min_by(col("c_name"), ordKey).as("poorest_customer"),
+          count(lit(1)).as("n_customers"))
+    },
+
+    // B18 — gap filling: a dense hourly series per user between that
+    // user's first and last event, zero-filled where no events. The
+    // series generation is sequence+explode (no driver loop); the fill
+    // join shuffles once on (user, hour).
+    "gap_fill" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val hourly = ev.groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n_events"))
+      val spine = ev.groupBy(col("user_id"))
+        .agg(min(date_trunc("hour", col("ts"))).as("t0"),
+          max(date_trunc("hour", col("ts"))).as("t1"))
+        .select(col("user_id"),
+          explode(expr("sequence(t0, t1, INTERVAL 1 HOUR)")).as("hour_start"))
+      spine.join(hourly, Seq("user_id", "hour_start"), "left")
+        .select(col("user_id"), col("hour_start"),
+          coalesce(col("n_events"), lit(0L)).as("n_events_filled"))
+    },
+
+    // B19 — histogram: fixed-width value bins per event type.
+    "value_histogram" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floor(col("value") / 50.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "cube_agg" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    "running_total" -> """
+      SELECT o_custkey AS cust_key, o_orderkey AS order_key,
+             o_orderdate AS order_date,
+             CAST(o_totalprice AS DECIMAL(38,2)) AS price,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_sum,
+             CAST(coalesce(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1)
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0)
+                  AS DECIMAL(38,2)) AS prev_price,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS moving_sum3
+      FROM orders""",
+
+    "first_last_agg" -> """
+      SELECT c_nationkey AS nation_key,
+             arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS richest_customer,
+             arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS poorest_customer,
+             count(*) AS n_customers
+      FROM customer GROUP BY 1""",
+
+    "gap_fill" -> """
+      WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_start, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      spine AS (
+        SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_start
+        FROM (SELECT user_id, min(date_trunc('hour', ts)) AS t0,
+                     max(date_trunc('hour', ts)) AS t1
+              FROM events GROUP BY 1))
+      SELECT s.user_id, s.hour_start,
+             coalesce(h.n_events, 0) AS n_events_filled
+      FROM spine s LEFT JOIN hourly h
+        ON s.user_id = h.user_id AND s.hour_start = h.hour_start""",
+
+    "value_histogram" -> """
+      SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n
+      FROM events GROUP BY 1, 2""")
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import graft.operators.AsOfJoin
+
+/** Randomized (seeded, reproducible) checks vs straightforward
+  * reference implementations. */
+class PropertySpec extends SparkTestBase {
+
+  test("parse_sqdata_ts inverts formatting for random micros-precision instants") {
+    import java.time._
+    val rnd = new Random(42)
+    val fmt = format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSSSSS")
+    val cases = Seq.fill(50)(math.abs(rnd.nextLong()) % 4102444800000000L) // 1970..2100
+    val digits = cases.map { us =>
+      val inst = Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+      (LocalDateTime.ofInstant(inst, ZoneOffset.UTC).format(fmt), inst)
+    }
+    import spark.implicits._
+    val got = digits.map(_._1).toDF("s")
+      .selectExpr("s", "parse_sqdata_ts(s) AS t").collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1).toInstant).toMap
+    for ((s, inst) <- digits) assert(got(s) == inst, s"digits=$s")
+  }
+
+  test("asof join equals the nested-loop definition on random data") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    for (trial <- 1 to 5) {
+      val nL = 5 + rnd.nextInt(35)
+      val nR = rnd.nextInt(40)
+      val lefts = Seq.fill(nL)((rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+      val rights = Seq.fill(nR)((rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+      val left = lefts.zipWithIndex
+        .map { case ((k, t), i) => (k, new Timestamp(t * 1000), i.toLong) }
+        .toDF("k", "t", "lid")
+      val right = rights.zipWithIndex
+        .map { case ((k, t), i) => (k, new Timestamp(t * 1000), i.toLong) }
+        .toDF("rk", "rt", "rid")
+      val got = AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt",
+          payload = Seq("rid"), rightTieBreak = Seq("rid"))
+        .select("lid", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val expect = lefts.zipWithIndex.map { case ((k, t), i) =>
+        val candidates = rights.zipWithIndex
+          .filter { case ((rk, rt), _) => rk == k && rt <= t }
+        val best = if (candidates.isEmpty) -1L
+        else candidates.maxBy { case ((_, rt), rid) => (rt, rid) }._2.toLong
+        i.toLong -> best
+      }.toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("minhash LSH candidate recall tracks Jaccard similarity") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    // synthetic docs: controlled overlap via shared token pools
+    val base = Seq.fill(60)(rnd.alphanumeric.take(6).mkString)
+    def doc(share: Int): String =
+      (base.take(share) ++ Seq.fill(60 - share)(rnd.alphanumeric.take(6).mkString))
+        .mkString(" ")
+    val docs = (Seq.tabulate(10)(i => (i.toLong, doc(58))) ++   // ~97% overlap pool
+      Seq.tabulate(10)(i => (100L + i, doc(5)))).toDF("doc_id", "text")
+    val pairs = operators.Dedup.minhashLsh(docs, "text", "doc_id", minBp = 7000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the high-overlap docs share 58/60 tokens pairwise → shingle
+    // jaccard >> 0.7 → banded LSH must surface essentially all of them
+    val hi = (for { i <- 0L until 10L; j <- (i + 1) until 10L } yield (i, j)).toSet
+    assert(pairs.intersect(hi).size >= (hi.size * 0.9).toInt,
+      s"found only ${pairs.intersect(hi).size} of ${hi.size} high-sim pairs")
+    // and none of the low-overlap cross pairs survive verification
+    assert(!pairs.exists { case (a, b) => a < 100 && b >= 100 })
+  }
+}
