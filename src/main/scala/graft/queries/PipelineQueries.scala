@@ -106,6 +106,31 @@ object PipelineQueries {
     // C12 — per-label centroid/norm stats (rows + SimilaritySpec).
     "embed_stats" -> { (s, d) =>
       Similarity.labelStats(Tables.embeddings(s, d), "label", "embedding")
+    },
+
+    // C13 — corpus profile per (lang, source): integer-exact totals.
+    "corpus_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_words"))
+    },
+
+    // C14 — corpus-wide top-20 word bigrams (explode + count + top-k;
+    // TakeOrderedAndProject, ties broken on the bigram itself).
+    "ngram_topk" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(expr(
+          """CASE WHEN size(split(text, ' ')) < 2 THEN array()
+            |ELSE transform(sequence(0, size(split(text, ' ')) - 2),
+            |  i -> concat(element_at(split(text, ' '), i + 1), ' ',
+            |              element_at(split(text, ' '), i + 2))) END""".stripMargin))
+          .as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)
     })
 
   private def markerList(lang: String): String =
@@ -169,6 +194,21 @@ object PipelineQueries {
       |SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
       |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS re_tokens
       |FROM documents""".stripMargin,
+
+    "corpus_stats" -> """
+      |SELECT lang, source, count(*) AS n_docs,
+      |       sum(n_chars) AS total_chars,
+      |       sum(len(string_split(text, ' '))) AS total_words
+      |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "ngram_topk" -> """
+      |WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+      |                               i -> t[i + 1] || ' ' || t[i + 2])) AS bigram
+      |  FROM tk)
+      |SELECT bigram, count(*) AS n FROM bg GROUP BY 1
+      |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
 
     "multimodal_meta" -> """
       |SELECT doc_id,

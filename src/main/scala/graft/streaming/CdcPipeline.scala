@@ -53,9 +53,15 @@ object CdcPipeline {
   /** Latest-value enrichment join over two keyed change streams.
     * Stream rows that arrive before their enrichment are buffered in
     * state and flushed when it lands (ref EnrichmentJoin.java:64-95).
-    * State is per-key and O(latest + buffer) — at scale the state
-    * store shards by key across executors. */
-  def enrichLatest(changes: Dataset[Change]): Dataset[Enriched] = {
+    *
+    * State is per-key and BOUNDED: `maxBuffered` caps the early-row
+    * buffer (oldest dropped first) so a key whose enrichment never
+    * arrives cannot grow state without limit — at 100 TB the state
+    * store shards by key across executors and per-key state must stay
+    * O(1). The reference's ListState has no such bound; this is the
+    * production-hardened form. */
+  def enrichLatest(changes: Dataset[Change],
+                   maxBuffered: Int = 1000): Dataset[Enriched] = {
     import changes.sparkSession.implicits._
     changes
       .groupByKey(_.key)
@@ -78,7 +84,10 @@ object CdcPipeline {
               }
             } else st.latest match {
               case Some((_, ep)) => out += Enriched(key, c.eventTimeMs, c.payload, ep)
-              case None => st = st.copy(buffered = (c.eventTimeMs, c.payload) :: st.buffered)
+              case None =>
+                // buffered is newest-first; cap drops the oldest
+                st = st.copy(buffered =
+                  ((c.eventTimeMs, c.payload) :: st.buffered).take(maxBuffered))
             }
           }
           state.update(st)

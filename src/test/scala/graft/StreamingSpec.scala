@@ -38,6 +38,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("enrichLatest bounds per-key state: oldest buffered rows drop at the cap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = CdcPipeline.enrichLatest(input.toDS(), maxBuffered = 2)
+      .writeStream.format("memory").queryName("bounded")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Change(1L, t(0), "o1", isEnrichment = false),
+        Change(1L, t(1), "o2", isEnrichment = false),
+        Change(1L, t(2), "o3", isEnrichment = false)) // o1 evicted
+      q.processAllAvailable()
+      input.addData(Change(1L, t(3), "dim", isEnrichment = true))
+      q.processAllAvailable()
+      val got = spark.table("bounded").as[Enriched].collect().map(_.payload).toSet
+      assert(got == Set("o2", "o3"), s"got $got")
+    } finally q.stop()
+  }
+
+  test("soak: sustained rate-source stateful aggregation stays healthy") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "5000").load()
+      .withWatermark("timestamp", "2 seconds")
+      .groupBy(window(col("timestamp"), "1 second"), pmod(col("value"), lit(100)).as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .writeStream.format("memory").queryName("soak")
+      .outputMode("append").trigger(Trigger.ProcessingTime(250)).start()
+    try {
+      val deadline = System.currentTimeMillis() + 12000
+      while (System.currentTimeMillis() < deadline) Thread.sleep(500)
+      q.processAllAvailable()
+      val progress = q.recentProgress
+      assert(progress.nonEmpty)
+      val processed = progress.map(_.numInputRows).sum
+      assert(processed > 10000, s"only $processed rows in soak")
+      // watermark advanced → closed windows emitted, state not unbounded
+      val lastState = progress.last.stateOperators.head
+      assert(lastState.numRowsTotal < 10000,
+        s"state grew to ${lastState.numRowsTotal}")
+      assert(spark.table("soak").count() > 0)
+    } finally q.stop()
+  }
+
   test("file-source CDC JSON end-to-end: decode → enrich → window") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
