@@ -54,4 +54,28 @@ object Multimodal {
       }
     }
   }
+
+  /** One sampled frame. */
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Sample every `stride`-th "frame" of each media payload — the
+    * row-amplifying decode shape (1 video → N frame rows). The
+    * iterator never materializes a whole partition; at scale the
+    * output is written partitioned by doc_id range so downstream
+    * per-frame featurizers scan only their shard. STUB: frames are
+    * fixed-size payload slices standing in for codec frame extraction. */
+  def sampleFrames(media: Dataset[MediaRecord], frameSize: Int,
+                   stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { rec =>
+        val nFrames = math.max(rec.payload.length / frameSize, 0)
+        (0 until nFrames by stride).iterator.map { f =>
+          Frame(rec.doc_id, f,
+            java.util.Arrays.copyOfRange(rec.payload, f * frameSize,
+              math.min((f + 1) * frameSize, rec.payload.length)))
+        }
+      }
+    }
+  }
 }
