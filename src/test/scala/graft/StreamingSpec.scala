@@ -121,6 +121,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: per-batch latest-image upsert to parquet") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val input = MemoryStream[Change]
+    // the Kafka-sink stand-in: each micro-batch folds into a keyed
+    // parquet materialization via latest-image semantics
+    val q = input.toDS().toDF()
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val prev = try spark.read.parquet(s"$dir/state")
+          catch { case _: Throwable => spark.emptyDataFrame }
+        val merged =
+          if (prev.isEmpty) batch
+          else prev.unionByName(batch)
+        operators.Cdc.latestImage(
+            merged.withColumn("op_ts", timestamp_millis(col("eventTimeMs")))
+              .withColumn("seq", lit(0)).withColumn("manip", lit("U")),
+            "key")
+          .drop("op_ts", "seq", "manip")
+          .write.mode("overwrite").parquet(s"$dir/next")
+        // atomic-ish swap for the test; a real deployment writes Delta/Iceberg
+        val fs = new java.io.File(s"$dir/state")
+        if (fs.exists()) { scala.reflect.io.Directory(fs).deleteRecursively() }
+        new java.io.File(s"$dir/next").renameTo(fs)
+        ()
+      }.start()
+    try {
+      input.addData(Change(1L, t(0), "v1", false), Change(2L, t(0), "w1", false))
+      q.processAllAvailable()
+      input.addData(Change(1L, t(5), "v2", false))
+      q.processAllAvailable()
+      val state = spark.read.parquet(s"$dir/state")
+        .select("key", "payload").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(state == Map(1L -> "v2", 2L -> "w1"))
+    } finally q.stop()
+  }
+
   test("windowedTotals drops data later than the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
