@@ -50,38 +50,61 @@ object CdcEnvelope {
 
   /** Deterministic orders changelog: I for every order at o_orderdate;
     * U (status → 'U') at +5min for keys %3==0; D tombstone at +10min
-    * for keys %5==0. */
+    * for keys %5==0.
+    *
+    * ONE scan: each order row explodes into its 1–3 change rows via an
+    * inline array (a 3-leg union would scan the 100 TB fact three
+    * times; explode reads it once and amplifies in the projection). */
   def ordersChangelog(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val ins = o.select(col("*"), col("o_orderdate").as("op_ts"),
-      lit("I").as("manip"), lit(1).as("seq"))
-    val upd = o.filter(col("o_orderkey") % 3 === 0)
-      .withColumn("o_orderstatus", lit("U"))
-      .select(col("*"), expr("o_orderdate + INTERVAL 5 MINUTE").as("op_ts"),
-        lit("U").as("manip"), lit(2).as("seq"))
-    val del = o.filter(col("o_orderkey") % 5 === 0)
-      .select(col("*"), expr("o_orderdate + INTERVAL 10 MINUTE").as("op_ts"),
-        lit("D").as("manip"), lit(3).as("seq"))
-    ins.unionByName(upd).unionByName(del)
+    val legs = expr(
+      """filter(array(
+        |  named_struct('manip', 'I', 'seq', 1,
+        |               'op_ts', o_orderdate, 'status', o_orderstatus),
+        |  IF(o_orderkey % 3 = 0,
+        |     named_struct('manip', 'U', 'seq', 2,
+        |                  'op_ts', o_orderdate + INTERVAL 5 MINUTE, 'status', 'U'),
+        |     NULL),
+        |  IF(o_orderkey % 5 = 0,
+        |     named_struct('manip', 'D', 'seq', 3,
+        |                  'op_ts', o_orderdate + INTERVAL 10 MINUTE, 'status', o_orderstatus),
+        |     NULL)), x -> x IS NOT NULL)""".stripMargin)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"), explode(legs).as("chg"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("chg.status").as("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"),
+        col("chg.op_ts").as("op_ts"), col("chg.manip").as("manip"),
+        col("chg.seq").as("seq"))
   }
 
   /** Deterministic customer changelog (no ts column on customer, so the
     * op time is a fixed epoch + c_custkey seconds): I for every row; U
     * (c_mktsegment → 'UPDATED') at +5min for keys %4==0; D at +10min
-    * for keys %10==0. */
+    * for keys %10==0. Single scan, explode-amplified like
+    * [[ordersChangelog]]. */
   def customerChangelog(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.customer(spark, dir).withColumn(
-      "base_ts", expr("TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,c_custkey)"))
-    val ins = base.select(col("*"), col("base_ts").as("op_ts"),
-      lit("I").as("manip"), lit(1).as("seq"))
-    val upd = base.filter(col("c_custkey") % 4 === 0)
-      .withColumn("c_mktsegment", lit("UPDATED"))
-      .select(col("*"), expr("base_ts + INTERVAL 5 MINUTE").as("op_ts"),
-        lit("U").as("manip"), lit(2).as("seq"))
-    val del = base.filter(col("c_custkey") % 10 === 0)
-      .select(col("*"), expr("base_ts + INTERVAL 10 MINUTE").as("op_ts"),
-        lit("D").as("manip"), lit(3).as("seq"))
-    ins.unionByName(upd).unionByName(del).drop("base_ts")
+    val legs = expr(
+      """filter(array(
+        |  named_struct('manip', 'I', 'seq', 1,
+        |               'op_ts', base_ts, 'seg', c_mktsegment),
+        |  IF(c_custkey % 4 = 0,
+        |     named_struct('manip', 'U', 'seq', 2,
+        |                  'op_ts', base_ts + INTERVAL 5 MINUTE, 'seg', 'UPDATED'),
+        |     NULL),
+        |  IF(c_custkey % 10 = 0,
+        |     named_struct('manip', 'D', 'seq', 3,
+        |                  'op_ts', base_ts + INTERVAL 10 MINUTE, 'seg', c_mktsegment),
+        |     NULL)), x -> x IS NOT NULL)""".stripMargin)
+    Tables.customer(spark, dir)
+      .withColumn("base_ts",
+        expr("TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,c_custkey)"))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), explode(legs).as("chg"))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("chg.seg").as("c_mktsegment"),
+        col("chg.op_ts").as("op_ts"), col("chg.manip").as("manip"),
+        col("chg.seq").as("seq"))
   }
 
   /** Wrap a changelog into the full envelope: `sv_*` + `after_image`
