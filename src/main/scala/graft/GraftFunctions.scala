@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.call_function
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{Fingerprint64, MinHashSig, ParseSqdataTs}
+import graft.functions.{Fingerprint64, MinHashSig, ParseSqdataTs, ReservoirSample}
 
 /** Registration + Column-API surface for graft's native Catalyst
   * expressions. Registration is idempotent; every `SparkEntry.queries`
@@ -24,6 +24,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head,
         exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "reservoir_sample", exprs => ReservoirSample(exprs.head,
+        exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
   }
 
   /** `yyyyMMddHHmmss[f...]` digit string → timestamp (ref DateParser). */
@@ -36,4 +39,10 @@ object GraftFunctions {
     * element hashes — one pass, no intermediate arrays. */
   def minhash_sig(c: Column, numPerm: Int): Column =
     call_function("minhash_sig", c, org.apache.spark.sql.functions.lit(numPerm))
+
+  /** Uniform k-reservoir sample aggregate over a bigint column — one
+    * pass, k-sized state, distributed merge (no sort, no shuffle of
+    * the data being sampled). */
+  def reservoir_sample(c: Column, k: Int): Column =
+    call_function("reservoir_sample", c, org.apache.spark.sql.functions.lit(k))
 }

@@ -117,6 +117,18 @@ object PipelineQueries {
           sum(size(split(col("text"), " ")).cast("long")).as("total_words"))
     },
 
+    // C15 — per-language uniform doc sample via the reservoir
+    // aggregate: one pass, k-sized state per group, no sort (rows +
+    // statistical spec in ReservoirSpec).
+    "stratified_sample" -> { (s, d) =>
+      GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(GraftFunctions.reservoir_sample(col("doc_id"), 20).as("sampled_ids"),
+          count(lit(1)).as("n_docs"))
+        .select(col("lang"), size(col("sampled_ids")).as("n_sampled"), col("n_docs"))
+    },
+
     // C14 — corpus-wide top-20 word bigrams (explode + count + top-k;
     // TakeOrderedAndProject, ties broken on the bigram itself).
     "ngram_topk" -> { (s, d) =>
@@ -194,6 +206,10 @@ object PipelineQueries {
       |SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
       |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS re_tokens
       |FROM documents""".stripMargin,
+
+    "stratified_sample" -> """
+      |SELECT lang, least(20, count(*)) AS n_sampled, count(*) AS n_docs
+      |FROM documents GROUP BY 1""".stripMargin,
 
     "corpus_stats" -> """
       |SELECT lang, source, count(*) AS n_docs,
