@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -71,4 +71,16 @@ object TextAnalysis {
       size(split(col(textCol), " ")).as("ws_tokens"),
       size(regexp_extract_all(col(textCol),
         lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("re_tokens"))
+
+  /** Whitespace normalization: collapse runs, trim. */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(text, " +", " "))
+
+  /** PII scrub: redact email addresses and long digit runs (phone/id
+    * numbers). Patterns stay in the portable regex subset so any
+    * engine applies the identical policy. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+      "[0-9]{7,}", "<NUM>")
 }

@@ -108,6 +108,11 @@ object PipelineQueries {
       Similarity.labelStats(Tables.embeddings(s, d), "label", "embedding")
     },
 
+    // C17 — int8 embedding quantization (rows + SimilaritySpec).
+    "embed_quantize" -> { (s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+    },
+
     // C13 — corpus profile per (lang, source): integer-exact totals.
     "corpus_stats" -> { (s, d) =>
       Tables.documents(s, d)
@@ -115,6 +120,23 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
           sum(size(split(col("text"), " ")).cast("long")).as("total_words"))
+    },
+
+    // C16 — text cleaning + PII scrub over deterministically-dirtied
+    // docs (every 5th doc gains an email + phone + ragged spaces).
+    "text_clean_pii" -> { (s, d) =>
+      val dirty = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("  Contact: user"), col("doc_id"),
+              lit("@example.com   or  12345678901 .")))
+            .otherwise(lit(""))).as("dirty"))
+      dirty.select(
+        col("doc_id"),
+        TextAnalysis.scrubPii(TextAnalysis.normalizeWhitespace(col("dirty"))).as("clean"),
+        length(col("dirty")).as("n_dirty"),
+        length(TextAnalysis.scrubPii(
+          TextAnalysis.normalizeWhitespace(col("dirty")))).as("n_clean"))
     },
 
     // C15 — per-language uniform doc sample via the reservoir
@@ -206,6 +228,24 @@ object PipelineQueries {
       |SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
       |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS re_tokens
       |FROM documents""".stripMargin,
+
+    "text_clean_pii" -> """
+      |WITH dirty AS (
+      |  SELECT doc_id,
+      |         text || CASE WHEN doc_id % 5 = 0
+      |                      THEN '  Contact: user' || doc_id ||
+      |                           '@example.com   or  12345678901 .'
+      |                      ELSE '' END AS dirty
+      |  FROM documents),
+      |clean AS (
+      |  SELECT doc_id, dirty,
+      |         regexp_replace(
+      |           regexp_replace(trim(regexp_replace(dirty, ' +', ' ', 'g')),
+      |                          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+      |           '[0-9]{7,}', '<NUM>', 'g') AS clean
+      |  FROM dirty)
+      |SELECT doc_id, clean, length(dirty) AS n_dirty, length(clean) AS n_clean
+      |FROM clean""".stripMargin,
 
     "stratified_sample" -> """
       |SELECT lang, least(20, count(*)) AS n_sampled, count(*) AS n_docs

@@ -57,6 +57,21 @@ class SimilaritySpec extends SparkTestBase {
       s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("quantizeInt8: |q| <= 127, max hits 127, reconstruction within half-step") {
+    val got = Similarity.quantizeInt8(
+      sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2)))
+    assert(got.length == vecs.size)
+    for ((id, scale, q) <- got.take(50)) {
+      val v = vecs(id)
+      assert(q.length == v.length)
+      assert(q.map(math.abs).max == 127, s"vec $id max ${q.map(math.abs).max}")
+      for (i <- v.indices)
+        assert(math.abs(q(i) / scale - v(i)) <= 0.5 / scale + 1e-9,
+          s"vec $id dim $i")
+    }
+  }
+
   test("labelStats centroids match Scala aggregation") {
     val labels = sources.Tables.embeddings(spark, sfDir)
       .select("vec_id", "label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
