@@ -113,6 +113,48 @@ object Dedup {
           |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
         .as("simhash"))
 
+  /** Connected components over near-dup pairs → (doc, canonical)
+    * where canonical is the component's minimum id — the keep/drop
+    * decision for near-dup groups (A~B, B~C ⇒ one survivor of
+    * {A,B,C}).
+    *
+    * Label propagation to fixpoint: each round every node adopts the
+    * minimum label in its neighborhood. Rounds are join+groupBy (all
+    * distributed); the number of rounds is O(log component-diameter) —
+    * near-dup components are small and dense, so this converges in a
+    * handful of rounds at any corpus size. The driver only checks a
+    * per-round convergence COUNT, never collects data. */
+  def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
+                   maxIter: Int = 20): DataFrame = {
+    // undirected edges + self-loops keep isolated propagation stable
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "dst_label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** Near-dup pairs by SimHash: 16-bit band blocking (any equal band
     * → candidate; guarantees recall for hamming <= 3 by pigeonhole
     * over 4 bands) then exact hamming verify. */

@@ -60,6 +60,14 @@ object PipelineQueries {
       Dedup.simhashPairs(corpus(s, d), "text", "doc_id", maxHamming = 3)
     },
 
+    // C18 — full near-dup pipeline: MinHash-LSH pairs → connected
+    // components → per-cluster canonical (rows + DedupSpec).
+    "dedup_clusters" -> { (s, d) =>
+      Dedup.clusterPairs(
+        Dedup.minhashLsh(corpus(s, d), "text", "doc_id", minBp = 8000),
+        "doc_a", "doc_b")
+    },
+
     // C5 — brute-force cosine top-10 (rows + SimilaritySpec).
     "embed_cosine_topk" -> { (s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), embQueries(s, d),

@@ -81,6 +81,41 @@ class DedupSpec extends SparkTestBase {
     assert(expect.nonEmpty, "corpus produced no close pairs — test data too weak")
   }
 
+  test("clusterPairs equals union-find on the same pairs") {
+    import spark.implicits._
+    // two chains, a triangle, an isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L))) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(x => x -> find(x)).toMap ++
+      Seq(1L, 20L, 30L).map(x => x -> find(x))
+    assert(got == expect.map { case (k, v) => k -> v })
+  }
+
+  test("end-to-end near-dup removal: pairs → clusters → survivors") {
+    val pairs = Dedup.minhashLsh(corpus(), "text", "doc_id", minBp = 8000)
+    val clusters = Dedup.clusterPairs(pairs, "doc_a", "doc_b")
+    val survivors = clusters.filter(org.apache.spark.sql.functions.col("doc_id") ===
+      org.apache.spark.sql.functions.col("canonical_id"))
+    // every perturbed doc (id >= 1000) pairs with its source → its
+    // canonical is the source, so no perturbed doc survives
+    val survivorIds = survivors.collect().map(_.getLong(0)).toSet
+    assert(survivorIds.nonEmpty && survivorIds.forall(_ < 1000))
+  }
+
   test("simhash signature is stable and has 64-bit spread") {
     val sigs = Dedup.simhashSignature(corpus(), "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

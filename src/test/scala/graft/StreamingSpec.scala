@@ -121,6 +121,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("native stream-stream interval join with watermarks") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long)] // (user, clickMs)
+    val buys = MemoryStream[(Long, Long)]   // (user, buyMs)
+    val c = clicks.toDS().toDF("c_user", "c_ms")
+      .withColumn("c_time", timestamp_millis(col("c_ms")))
+      .withWatermark("c_time", "1 minute")
+    val b = buys.toDS().toDF("b_user", "b_ms")
+      .withColumn("b_time", timestamp_millis(col("b_ms")))
+      .withWatermark("b_time", "1 minute")
+    // buys within 10 minutes AFTER a click — the engine bounds state
+    // retention from the interval + watermark, no custom state code
+    val q = c.join(b,
+        col("c_user") === col("b_user") &&
+        col("b_time") >= col("c_time") &&
+        col("b_time") <= col("c_time") + expr("INTERVAL 10 MINUTES"))
+      .select(col("c_user").as("user"), col("c_ms"), col("b_ms"))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((1L, t(0)), (2L, t(0)))
+      buys.addData((1L, t(5)), (2L, t(20)), (1L, t(8)))
+      q.processAllAvailable()
+      val got = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      // user 1: both buys inside the window; user 2's buy is 20min late
+      assert(got == Set((1L, t(5)), (1L, t(8))))
+    } finally q.stop()
+  }
+
   test("foreachBatch sink: per-batch latest-image upsert to parquet") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
