@@ -163,11 +163,12 @@ object PipelineQueries {
     // TakeOrderedAndProject, ties broken on the bigram itself).
     "ngram_topk" -> { (s, d) =>
       Tables.documents(s, d)
+        .select(split(col("text"), " ").as("t"))
         .select(explode(expr(
-          """CASE WHEN size(split(text, ' ')) < 2 THEN array()
-            |ELSE transform(sequence(0, size(split(text, ' ')) - 2),
-            |  i -> concat(element_at(split(text, ' '), i + 1), ' ',
-            |              element_at(split(text, ' '), i + 2))) END""".stripMargin))
+          """CASE WHEN size(t) < 2 THEN array()
+            |ELSE transform(sequence(0, size(t) - 2),
+            |  i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2))) END"""
+            .stripMargin))
           .as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("n"))
