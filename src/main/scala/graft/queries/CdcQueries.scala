@@ -67,7 +67,14 @@ object CdcQueries {
         "Status" -> col("o_orderstatus"),
         "CustomerId" -> col("o_custkey"),
         "TotalDue" -> col("o_totalprice")))
-      val decoded = CdcEnvelope.fromEnvelopeJson(CdcEnvelope.toEnvelopeJson(env), env.schema)
+      // Schema-on-read: declare only the fields this projection needs —
+      // from_json then skips converting the other 13 sv_* columns (the
+      // intermediate `e.*` expansion otherwise defeats Catalyst's own
+      // JSON field pruning).
+      val needed = org.apache.spark.sql.types.StructType(
+        env.schema.filter(f =>
+          Set("sv_manip_type", "sv_op_timestamp", "after_image").contains(f.name)))
+      val decoded = CdcEnvelope.fromEnvelopeJson(CdcEnvelope.toEnvelopeJson(env), needed)
       decoded.select(
         col("after_image.SalesOrderId").as("sales_order_id"),
         parse_sqdata_ts(col("after_image.OrderDate")).as("order_date"),

@@ -121,6 +121,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("two-level enrichment chain like the reference topology") {
+    // ref StreamingJob.java:112-113 — address⋈state, then
+    // orders⋈(address+state): the first stage's output feeds the
+    // second stage as its enrichment stream, two stateful operators
+    // in one continuous query
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dims = MemoryStream[Change]   // states (enrichment) + addresses
+    val orders = MemoryStream[Change] // orders keyed by address id
+    // stage 1: addresses enriched by states; its output re-flagged as
+    // the enrichment stream for stage 2, unioned with the order stream
+    val stage1 = CdcPipeline.enrichLatest(dims.toDS())
+    val stage2Input = stage1.map(e =>
+        Change(e.key, e.eventTimeMs, s"${e.payload}|${e.enrichPayload}",
+          isEnrichment = true))
+      .union(orders.toDS())
+    val q = CdcPipeline.enrichLatest(stage2Input).writeStream
+      .format("memory").queryName("chained").outputMode(OutputMode.Append).start()
+    try {
+      // state arrives, then address (stage-1 pair), then the order
+      dims.addData(
+        Change(100L, t(0), "state:CA", isEnrichment = true),
+        Change(100L, t(1), "addr:market-st", isEnrichment = false))
+      q.processAllAvailable()
+      orders.addData(Change(100L, t(2), "order:42", isEnrichment = false))
+      q.processAllAvailable()
+      val got = spark.table("chained").as[Enriched].collect()
+        .map(e => (e.payload, e.enrichPayload)).toSet
+      assert(got == Set(("order:42", "addr:market-st|state:CA")), got.toString)
+    } finally q.stop()
+  }
+
   test("native stream-stream interval join with watermarks") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -150,6 +182,33 @@ class StreamingSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(2))).toSet
       // user 1: both buys inside the window; user 2's buy is 20min late
       assert(got == Set((1L, t(5)), (1L, t(8))))
+    } finally q.stop()
+  }
+
+  test("checkpoint recovery: state survives a query restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[Change]
+    // the memory sink can't recover from a checkpoint — a file sink can
+    def start() = CdcPipeline.enrichLatest(input.toDS()).toDF()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append).start()
+    var q = start()
+    try {
+      // enrichment lands before shutdown — only state, no output yet
+      input.addData(Change(1L, t(0), "dim-v1", isEnrichment = true))
+      q.processAllAvailable()
+      q.stop()
+      q = start() // restart from checkpoint
+      // stream row arrives after recovery: joins the RESTORED state
+      input.addData(Change(1L, t(5), "order-a", isEnrichment = false))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/out").as[Enriched].collect()
+        .map(e => (e.payload, e.enrichPayload)).toSet
+      assert(got == Set(("order-a", "dim-v1")), got.toString)
     } finally q.stop()
   }
 
