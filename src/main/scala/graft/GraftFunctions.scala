@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.call_function
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{Fingerprint64, MinHashSig, ParseSqdataTs, ReservoirSample}
+import graft.functions.{Fingerprint64, MinHashSig, ParseSqdataTs, ReservoirSample, TopK}
 
 /** Registration + Column-API surface for graft's native Catalyst
   * expressions. Registration is idempotent; every `SparkEntry.queries`
@@ -27,6 +27,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "reservoir_sample", exprs => ReservoirSample(exprs.head,
         exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "top_k", exprs => TopK(exprs.head,
+        exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
   }
 
   /** `yyyyMMddHHmmss[f...]` digit string → timestamp (ref DateParser). */
@@ -45,4 +48,9 @@ object GraftFunctions {
     * the data being sampled). */
   def reservoir_sample(c: Column, k: Int): Column =
     call_function("reservoir_sample", c, org.apache.spark.sql.functions.lit(k))
+
+  /** Top-k bigints per group via a bounded min-heap aggregate — the
+    * O(n log k) / k-state replacement for sort-based window ranking. */
+  def top_k(c: Column, k: Int): Column =
+    call_function("top_k", c, org.apache.spark.sql.functions.lit(k))
 }

@@ -73,6 +73,25 @@ object AnalyticsQueries {
           coalesce(col("n_events"), lit(0L)).as("n_events_filled"))
     },
 
+    // B20 — top-3 orders per customer via the bounded-heap top_k
+    // aggregate: O(n log k) with map-side partial aggregation and only
+    // k values per group crossing the shuffle — no per-partition sort
+    // (compare window_rank, the O(n log n) formulation of the same
+    // result set).
+    "topk_per_group" -> { (s, d) =>
+      graft.GraftFunctions.register(s)
+      val comb = (round(col("o_totalprice") * 100).cast("long") * 1000000000L
+        + col("o_orderkey"))
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("cust_key"))
+        .agg(graft.GraftFunctions.top_k(comb, 3).as("top"))
+        .select(col("cust_key"), posexplode(col("top")).as(Seq("pos", "comb")))
+        .select(col("cust_key"),
+          (col("comb") % 1000000000L).as("order_key"),
+          expr("comb div 1000000000").as("price_cents"),
+          (col("pos") + 1).as("rn"))
+    },
+
     // B19 — histogram: fixed-width value bins per event type.
     "value_histogram" -> { (s, d) =>
       Tables.events(s, d)
@@ -122,6 +141,19 @@ object AnalyticsQueries {
              coalesce(h.n_events, 0) AS n_events_filled
       FROM spine s LEFT JOIN hourly h
         ON s.user_id = h.user_id AND s.hour_start = h.hour_start""",
+
+    "topk_per_group" -> """
+      WITH c AS (
+        SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000
+               + o_orderkey AS comb
+        FROM orders),
+      r AS (
+        SELECT o_custkey, comb,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY comb DESC) AS rn
+        FROM c)
+      SELECT o_custkey AS cust_key, comb % 1000000000 AS order_key,
+             comb // 1000000000 AS price_cents, rn
+      FROM r WHERE rn <= 3""",
 
     "value_histogram" -> """
       SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n

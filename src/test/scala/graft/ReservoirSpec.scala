@@ -41,6 +41,20 @@ class ReservoirSpec extends SparkTestBase {
     }
   }
 
+  test("top_k returns the exact k largest across partitions (merge path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vals = Seq.fill(5000)(rnd.nextLong() % 1000000L)
+    val got = vals.toDF("v").repartition(16) // force partial+merge
+      .agg(GraftFunctions.top_k(col("v"), 25).as("t"))
+      .collect()(0).getSeq[Long](0)
+    assert(got == vals.sorted.reverse.take(25))
+    // k larger than the data: everything, sorted desc
+    val small = Seq(3L, 1L, 2L).toDF("v")
+      .agg(GraftFunctions.top_k(col("v"), 10)).collect()(0).getSeq[Long](0)
+    assert(small == Seq(3L, 2L, 1L))
+  }
+
   test("SQL surface works") {
     GraftFunctions.register(spark)
     sources.Tables.documents(spark, sfDir).createOrReplaceTempView("docs_rs")
