@@ -55,7 +55,7 @@ object AsOfJoin {
       .withColumn("__side", lit(0))
       .withColumn("__p", struct(payload.map(col): _*))
       .select("__k", "__t", "__side", "__p")
-    val unioned = l.select((leftCols.map(col) ++ Seq(col("__k"), col("__t"),
+    val unioned = l.select((leftCols.toSeq.map(col) ++ Seq(col("__k"), col("__t"),
       col("__side"), col("__p"))): _*)
       .unionByName(r, allowMissingColumns = true)
     // Right rows before left rows at the same instant: side 0 sorts
@@ -71,6 +71,6 @@ object AsOfJoin {
     unioned
       .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(p => col(s"__match.$p").as(p)): _*)
+      .select(leftCols.toSeq.map(col) ++ payload.map(p => col(s"__match.$p").as(p)): _*)
   }
 }

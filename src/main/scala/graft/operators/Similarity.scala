@@ -61,7 +61,7 @@ object Similarity {
     * Column expression over `array<float>`). */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      val planeLit = array(plane.map(lit): _*)
+      val planeLit = array(plane.toSeq.map(lit): _*)
       when(dot(vec, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

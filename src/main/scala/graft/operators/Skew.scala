@@ -28,7 +28,7 @@ object Skew {
     // on all columns), not rand() — reruns and retries see the same
     // placement, which keeps shuffle-file reuse valid.
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(nSalts)).cast("int"))
+      pmod(xxhash64(struct(skewed.columns.toSeq.map(col): _*)), lit(nSalts)).cast("int"))
     val replicated = other.withColumn("__salt",
       explode(array((0 until nSalts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
