@@ -185,6 +185,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("enrichLatest runs on the RocksDB state store (large-state path)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // at 100 TB keyed state outgrows the JVM heap — RocksDB keeps it
+    // off-heap/on-disk; same query code, one provider switch
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Change]
+    val q = CdcPipeline.enrichLatest(input.toDS())
+      .writeStream.format("memory").queryName("rocksdb_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Change(9L, t(0), "dim", isEnrichment = true))
+      q.processAllAvailable()
+      input.addData(Change(9L, t(1), "row1", isEnrichment = false),
+        Change(9L, t(2), "row2", isEnrichment = false))
+      q.processAllAvailable()
+      val got = spark.table("rocksdb_out").as[Enriched].collect().map(_.payload).toSet
+      assert(got == Set("row1", "row2"))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("checkpoint recovery: state survives a query restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
