@@ -92,6 +92,46 @@ object AnalyticsQueries {
           (col("pos") + 1).as("rn"))
     },
 
+    // B21 — unpivot (wide → long): per-part price/size metrics melted
+    // into (metric, value) rows.
+    "unpivot_metrics" -> { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_retailprice").cast("double").as("retailprice"),
+          col("p_size").cast("double").as("size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("retailprice"), col("size")), "metric", "value")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total"))
+    },
+
+    // B22 — JSON field extraction from the events.props payload +
+    // aggregation over the extracted value.
+    "json_extract_agg" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+    },
+
+    // B23 — explicit GROUPING SETS with grouping_id: chosen combos
+    // only (status totals, priority totals, grand total).
+    "grouping_sets" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping__id AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      """)
+    },
+
     // B19 — histogram: fixed-width value bins per event type.
     "value_histogram" -> { (s, d) =>
       Tables.events(s, d)
@@ -154,6 +194,30 @@ object AnalyticsQueries {
       SELECT o_custkey AS cust_key, comb % 1000000000 AS order_key,
              comb // 1000000000 AS price_cents, rn
       FROM r WHERE rn <= 3""",
+
+    "unpivot_metrics" -> """
+      WITH u AS (
+        SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
+      SELECT metric, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      FROM u GROUP BY 1""",
+
+    "json_extract_agg" -> """
+      SELECT event_type,
+             count(CAST(props ->> '$.k' AS BIGINT)) AS n_with_k,
+             sum(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+             max(CAST(props ->> '$.k' AS BIGINT)) AS max_k
+      FROM events GROUP BY 1""",
+
+    "grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority,
+             grouping(o_orderstatus, o_orderpriority) AS gid,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
 
     "value_histogram" -> """
       SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n
