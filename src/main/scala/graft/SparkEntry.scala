@@ -17,12 +17,25 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     GraftFunctions.register(spark)
     val dir = "/root/testdata/sf0.001"
-    val enriched = queries("enrich_join")(spark, dir)
-    val orders = sources.Tables.orders(spark, dir)
+    // the reference chain (StreamingJob.java:112-135): orders enriched
+    // through the latest-image dimension chain, then the 10-minute
+    // tumbling revenue rollup of output.sql — one pipeline, dims
+    // broadcast after dedup, single aggregation shuffle
+    val custLatest = operators.Cdc
+      .latestImage(sources.CdcEnvelope.customerChangelog(spark, dir), "c_custkey")
+      .drop("op_ts", "seq", "manip")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    import operators.EnrichmentJoin.enrich
+    val withCust = enrich(sources.Tables.orders(spark, dir), custLatest, "o_custkey")
+      .withColumnRenamed("c_nationkey", "n_nationkey")
+    val withNation = enrich(withCust, sources.Tables.nation(spark, dir), "n_nationkey")
+      .withColumnRenamed("n_regionkey", "r_regionkey")
+    val enriched = enrich(withNation, sources.Tables.region(spark, dir), "r_regionkey")
     enriched
-      .join(orders.select(col("o_orderkey").as("order_key"), col("o_orderdate")), Seq("order_key"))
-      .groupBy(window(col("o_orderdate"), "10 minutes"), col("region"), col("nation"))
-      .agg(sum(col("total_price")).cast(DecimalType(38, 2)).as("total_due"))
+      .groupBy(window(col("o_orderdate"), "10 minutes"),
+        col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DecimalType(38, 2)).as("total_due"))
       .select(col("window.start").as("order_period"), col("region"),
         col("nation"), col("total_due"))
   }
