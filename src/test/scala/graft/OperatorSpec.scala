@@ -83,5 +83,9 @@ class OperatorSpec extends SparkTestBase {
     val out = graft.operators.EnrichmentJoin.enrich(stream, enr, "k")
     assert(out.columns.count(_ == "k") == 1) // deduped like the reference
     assert(out.collect().map(_.getString(2)).toSeq == Seq("dim1"))
+    // shuffle-join fallback (non-broadcastable enrichment) agrees
+    val noBc = graft.operators.EnrichmentJoin
+      .enrich(stream, enr, "k", broadcastEnrichment = false)
+    assert(noBc.collect().map(_.toSeq).toSet == out.collect().map(_.toSeq).toSet)
   }
 }

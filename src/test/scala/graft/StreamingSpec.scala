@@ -153,6 +153,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming session windows merge and close under the watermark") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user, ms)
+    val q = input.toDS().toDF("user", "ms")
+      .withColumn("event_time", timestamp_millis(col("ms")))
+      .withWatermark("event_time", "5 minutes")
+      .groupBy(session_window(col("event_time"), "10 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("user"), col("n"))
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two bursts 3 min apart merge into one session; a distant event
+      // advances the watermark and closes it
+      input.addData((1L, t(0)), (1L, t(3)))
+      q.processAllAvailable()
+      input.addData((1L, t(60)))
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getLong(2), r.getTimestamp(0).toInstant.toEpochMilli,
+          r.getTimestamp(1).toInstant.toEpochMilli, r.getLong(3)))
+      // the merged session: [t0, t3+10min), 2 events
+      assert(rows.contains((1L, t(0), t(13), 2L)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("native stream-stream interval join with watermarks") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
