@@ -1,6 +1,7 @@
 package graft
 
-/** Dev scratchpad (not part of the library surface). */
+/** Dev scratchpad (not part of the library surface): smoke-run the
+  * flagship and print a couple of rows. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
