@@ -130,6 +130,20 @@ object PipelineQueries {
           sum(size(split(col("text"), " ")).cast("long")).as("total_words"))
     },
 
+    // C19 — deterministic train/val/test split: a multiplicative-hash
+    // bucket of the id (NOT id ranges — ranges correlate with crawl
+    // order/source at 100 TB; a hash decorrelates). 80/10/10. Integer
+    // arithmetic stays within 63 bits so any engine reproduces the
+    // assignment exactly.
+    "dataset_split" -> { (s, d) =>
+      val bucket = (col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(100)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+    },
+
     // C16 — text cleaning + PII scrub over deterministically-dirtied
     // docs (every 5th doc gains an email + phone + ragged spaces).
     "text_clean_pii" -> { (s, d) =>
@@ -236,6 +250,13 @@ object PipelineQueries {
     "token_count" -> """
       |SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
       |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS re_tokens
+      |FROM documents""".stripMargin,
+
+    "dataset_split" -> """
+      |SELECT doc_id,
+      |       CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
+      |            WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
+      |            ELSE 'test' END AS split
       |FROM documents""".stripMargin,
 
     "text_clean_pii" -> """
