@@ -13,6 +13,13 @@ import graft.sources.Tables
 object AnalyticsQueries {
 
   private def dec2(c: Column) = c.cast(DecimalType(18, 2))
+  /** Decimal-exact sum surfaced as DOUBLE: accumulation is exact
+    * decimal (partition-order-independent); only the final value is
+    * cast, so Spark and the DuckDB oracle emit bit-identical float64.
+    * (Round-1 lesson: DECIMAL(38,x) output columns reach the driver's
+    * comparator as pandas Decimal objects vs DuckDB float64 and can
+    * never hash-match.) */
+  private def sumDbl2(c: Column) = sum(dec2(c)).cast("double")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B15 — CUBE: all grouping combinations in one Expand pass.
@@ -20,7 +27,7 @@ object AnalyticsQueries {
       Tables.orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec2(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total_price"))
+          sumDbl2(col("o_totalprice")).as("total_price"))
     },
 
     // B16 — running analytics per customer: cumulative sum, previous
@@ -34,11 +41,11 @@ object AnalyticsQueries {
       Tables.orders(s, d).select(
         col("o_custkey").as("cust_key"), col("o_orderkey").as("order_key"),
         col("o_orderdate").as("order_date"),
-        dec2(col("o_totalprice")).cast(DecimalType(38, 2)).as("price"),
-        sum(dec2(col("o_totalprice"))).over(cum).cast(DecimalType(38, 2)).as("running_sum"),
+        col("o_totalprice").as("price"),
+        sum(dec2(col("o_totalprice"))).over(cum).cast("double").as("running_sum"),
         coalesce(lag(dec2(col("o_totalprice")), 1).over(byTime), lit(0))
-          .cast(DecimalType(38, 2)).as("prev_price"),
-        sum(dec2(col("o_totalprice"))).over(mov3).cast(DecimalType(38, 2)).as("moving_sum3"))
+          .cast("double").as("prev_price"),
+        sum(dec2(col("o_totalprice"))).over(mov3).cast("double").as("moving_sum3"))
     },
 
     // B17 — argmax/argmin aggregation: per nation, the customer with
@@ -103,7 +110,7 @@ object AnalyticsQueries {
           Array(col("retailprice"), col("size")), "metric", "value")
         .groupBy(col("metric"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total"))
+          sumDbl2(col("value")).as("total"))
     },
 
     // B22 — JSON field extraction from the events.props payload +
@@ -126,7 +133,7 @@ object AnalyticsQueries {
         SELECT o_orderstatus, o_orderpriority,
                grouping__id AS gid,
                count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       """)
@@ -143,22 +150,22 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "cube_agg" -> """
       SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
 
     "running_total" -> """
       SELECT o_custkey AS cust_key, o_orderkey AS order_key,
              o_orderdate AS order_date,
-             CAST(o_totalprice AS DECIMAL(38,2)) AS price,
+             o_totalprice AS price,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                        ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_sum,
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum,
              CAST(coalesce(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1)
                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0)
-                  AS DECIMAL(38,2)) AS prev_price,
+                  AS DOUBLE) AS prev_price,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS moving_sum3
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
       FROM orders""",
 
     "first_last_agg" -> """
@@ -201,13 +208,13 @@ object AnalyticsQueries {
         UNION ALL
         SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
       SELECT metric, count(*) AS n,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM u GROUP BY 1""",
 
     "json_extract_agg" -> """
       SELECT event_type,
              count(CAST(props ->> '$.k' AS BIGINT)) AS n_with_k,
-             sum(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+             CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
              max(CAST(props ->> '$.k' AS BIGINT)) AS max_k
       FROM events GROUP BY 1""",
 
@@ -215,7 +222,7 @@ object AnalyticsQueries {
       SELECT o_orderstatus, o_orderpriority,
              grouping(o_orderstatus, o_orderpriority) AS gid,
              count(*) AS n_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
 

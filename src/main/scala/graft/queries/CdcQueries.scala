@@ -44,8 +44,14 @@ object CdcQueries {
       |         'D', 3 FROM customer WHERE c_custkey % 10 = 0
       |)""".stripMargin
 
+  /** Decimal-exact sum surfaced as DOUBLE: accumulation is exact
+    * decimal (partition-order-independent); only the final value is
+    * cast, so Spark and the DuckDB oracle emit bit-identical float64.
+    * (Round-1 lesson: DECIMAL(38,x) output columns reach the driver's
+    * comparator as pandas Decimal objects vs DuckDB float64 and can
+    * never hash-match.) */
   private def sumDec(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(18, 6))).cast(DecimalType(38, 6))
+    sum(c.cast(DecimalType(18, 6))).cast("double")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — the reference's parseTs UDF as a native expression: format
@@ -80,7 +86,7 @@ object CdcQueries {
         parse_sqdata_ts(col("after_image.OrderDate")).as("order_date"),
         col("after_image.Status").as("status"),
         col("after_image.CustomerId").as("customer_id"),
-        col("after_image.TotalDue").cast(DecimalType(38, 2)).as("total_due"),
+        col("after_image.TotalDue").cast("double").as("total_due"),
         parse_sqdata_ts(col("sv_op_timestamp")).as("order_asof"),
         col("sv_manip_type").as("manip_type"))
     },
@@ -90,7 +96,7 @@ object CdcQueries {
       Cdc.latestImage(CdcEnvelope.ordersChangelog(s, d), "o_orderkey").select(
         col("o_orderkey").as("order_key"),
         col("o_orderstatus").as("status"),
-        col("o_totalprice").cast(DecimalType(38, 2)).as("total_price"))
+        col("o_totalprice").as("total_price"))
     },
 
     // A4 — chained latest-value enrichment joins (ref StreamingJob:112-113).
@@ -107,7 +113,7 @@ object CdcQueries {
         withNation, Tables.region(s, d), "r_regionkey")
       withRegion.select(
         col("o_orderkey").as("order_key"),
-        col("o_totalprice").cast(DecimalType(38, 2)).as("total_price"),
+        col("o_totalprice").as("total_price"),
         col("c_name").as("customer_name"),
         col("c_mktsegment").as("mktsegment"),
         col("n_name").as("nation"),
@@ -149,7 +155,7 @@ object CdcQueries {
       |       date_trunc('milliseconds', o_orderdate) AS order_date,
       |       o_orderstatus AS status,
       |       o_custkey AS customer_id,
-      |       CAST(o_totalprice AS DECIMAL(38,2)) AS total_due,
+      |       CAST(o_totalprice AS DOUBLE) AS total_due,
       |       date_trunc('milliseconds', op_ts) AS order_asof,
       |       manip AS manip_type
       |FROM chg""".stripMargin,
@@ -159,7 +165,7 @@ object CdcQueries {
       |             ORDER BY op_ts DESC, seq DESC) AS rn FROM chg
       |)
       |SELECT o_orderkey AS order_key, o_orderstatus AS status,
-      |       CAST(o_totalprice AS DECIMAL(38,2)) AS total_price
+      |       o_totalprice AS total_price
       |FROM r WHERE rn = 1 AND manip <> 'D'""".stripMargin,
 
     "enrich_join" -> s"""$CustChg, r AS (
@@ -167,7 +173,7 @@ object CdcQueries {
       |             ORDER BY op_ts DESC, seq DESC) AS rn FROM chg
       |), latest AS (SELECT * FROM r WHERE rn = 1 AND manip <> 'D')
       |SELECT o.o_orderkey AS order_key,
-      |       CAST(o.o_totalprice AS DECIMAL(38,2)) AS total_price,
+      |       o.o_totalprice AS total_price,
       |       c.c_name AS customer_name, c.c_mktsegment AS mktsegment,
       |       n.n_name AS nation, r2.r_name AS region
       |FROM orders o
@@ -178,7 +184,7 @@ object CdcQueries {
     "tumble_agg" ->
       """SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start, event_type,
         |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "hop_agg" ->
@@ -188,7 +194,7 @@ object CdcQueries {
         |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE, event_type, value FROM events
         |)
         |SELECT ws AS window_start, event_type, count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM b GROUP BY 1, 2""".stripMargin,
 
     "session_agg" ->
@@ -203,7 +209,7 @@ object CdcQueries {
         |                           ROWS UNBOUNDED PRECEDING) AS sid FROM x
         |)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM y GROUP BY user_id, sid""".stripMargin,
 
     "cdc_changelog_stats" -> s"""$OrdersChg

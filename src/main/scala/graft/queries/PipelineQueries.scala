@@ -112,13 +112,21 @@ object PipelineQueries {
     },
 
     // C12 — per-label centroid/norm stats (rows + SimilaritySpec).
+    // Centroid serialized to JSON: the driver's comparator sorts rows
+    // through pandas and an ndarray cell crashes it (round-1 err);
+    // float-sum order-dependence keeps this rows-only regardless.
     "embed_stats" -> { (s, d) =>
       Similarity.labelStats(Tables.embeddings(s, d), "label", "embedding")
+        .select(col("label"), col("n_vecs"), col("avg_norm"),
+          to_json(col("centroid")).as("centroid_json"))
     },
 
-    // C17 — int8 embedding quantization (rows + SimilaritySpec).
+    // C17 — int8 embedding quantization. Integer outputs are exactly
+    // reproducible, so serializing the int-array to JSON (scalar string
+    // cell for the driver) also unlocks a DuckDB oracle.
     "embed_quantize" -> { (s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"), to_json(col("q")).as("q_json"))
     },
 
     // C13 — corpus profile per (lang, source): integer-exact totals.
@@ -277,14 +285,28 @@ object PipelineQueries {
       |SELECT doc_id, clean, length(dirty) AS n_dirty, length(clean) AS n_clean
       |FROM clean""".stripMargin,
 
+    "embed_quantize" -> """
+      |WITH m AS (
+      |  SELECT vec_id, embedding,
+      |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, embedding,
+      |         CASE WHEN max_abs > 0 THEN 127.0 / max_abs ELSE 0.0 END AS scale
+      |  FROM m)
+      |SELECT vec_id, scale,
+      |       CAST(to_json(list_transform(embedding,
+      |              x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT))) AS VARCHAR) AS q_json
+      |FROM sc""".stripMargin,
+
     "stratified_sample" -> """
       |SELECT lang, least(20, count(*)) AS n_sampled, count(*) AS n_docs
       |FROM documents GROUP BY 1""".stripMargin,
 
     "corpus_stats" -> """
       |SELECT lang, source, count(*) AS n_docs,
-      |       sum(n_chars) AS total_chars,
-      |       sum(len(string_split(text, ' '))) AS total_words
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words
       |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "ngram_topk" -> """

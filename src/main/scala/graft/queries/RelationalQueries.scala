@@ -23,8 +23,16 @@ object RelationalQueries {
     * (a plain avg(double) is partition-order-dependent in Spark). */
   private def avgDec2(c: Column) =
     sum(dec2(c)).cast("double") / count(lit(1))
-  private def sumDec6(c: Column) =
-    sum(c.cast(DecimalType(18, 6))).cast(DecimalType(38, 6))
+  /** Decimal-exact sum surfaced as DOUBLE. Accumulation is exact
+    * decimal (partition-order-independent); only the FINAL value is
+    * cast, and decimal→double is correctly rounded — so Spark and the
+    * DuckDB oracle emit bit-identical float64 (round-1 lesson: a
+    * DECIMAL(38,x) output column reaches the driver's comparator as
+    * pandas Decimal objects on the Spark side but float64 on the
+    * DuckDB side and can never hash-match). */
+  private def sumDbl2(c: Column) = sum(dec2(c)).cast("double")
+  private def sumDbl6(c: Column) =
+    sum(c.cast(DecimalType(18, 6))).cast("double")
 
   /** revenue := extprice * (1 - discount), exact decimal. */
   private def revenue =
@@ -38,10 +46,10 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("2000-12-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
-          sum(revenue).cast(DecimalType(38, 4)).as("sum_disc_price"),
-          sum(revenue * (one + dec2(col("l_tax")))).cast(DecimalType(38, 6)).as("sum_charge"),
+          sumDbl2(col("l_quantity")).as("sum_qty"),
+          sumDbl2(col("l_extendedprice")).as("sum_base_price"),
+          sum(revenue).cast("double").as("sum_disc_price"),
+          sum(revenue * (one + dec2(col("l_tax")))).cast("double").as("sum_charge"),
           avgDec2(col("l_quantity")).as("avg_qty"),
           avgDec2(col("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("count_order"))
@@ -56,7 +64,7 @@ object RelationalQueries {
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(revenue).cast(DecimalType(38, 4)).as("revenue"))
+        .agg(sum(revenue).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     },
@@ -78,7 +86,7 @@ object RelationalQueries {
         .join(n, col("s_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name").as("nation"))
-        .agg(sum(revenue).cast(DecimalType(38, 4)).as("revenue"))
+        .agg(sum(revenue).cast("double").as("revenue"))
     },
 
     // B4 — global top-K: TakeOrderedAndProject keeps K per partition
@@ -88,7 +96,7 @@ object RelationalQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)
         .select(col("o_orderkey").as("order_key"),
-          dec2(col("o_totalprice")).cast(DecimalType(38, 2)).as("total_price"),
+          col("o_totalprice").as("total_price"),
           col("o_orderdate").as("order_date"))
     },
 
@@ -113,7 +121,7 @@ object RelationalQueries {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql("""
         SELECT p_partkey AS part_key, p_name AS part_name,
-               CAST(p_retailprice AS DECIMAL(38,2)) AS retail_price
+               p_retailprice AS retail_price
         FROM part
         WHERE p_retailprice > (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
                                       / count(*) FROM part)
@@ -126,7 +134,7 @@ object RelationalQueries {
       Tables.orders(s, d)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec2(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total_price"))
+          sumDbl2(col("o_totalprice")).as("total_price"))
     },
 
     // B8 — window functions: top-3 orders per customer; rank shares
@@ -141,7 +149,7 @@ object RelationalQueries {
         .withColumn("rnk", rank().over(priceOnly))
         .filter(col("rn") <= 3)
         .select(col("o_custkey").as("cust_key"), col("o_orderkey").as("order_key"),
-          dec2(col("o_totalprice")).cast(DecimalType(38, 2)).as("total_price"),
+          col("o_totalprice").as("total_price"),
           col("rn"), col("rnk"))
     },
 
@@ -159,7 +167,7 @@ object RelationalQueries {
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority").as("priority"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(sum(dec2(col("o_totalprice"))).cast(DecimalType(38, 2)))
+        .agg(sum(dec2(col("o_totalprice"))).cast("double"))
         .withColumnRenamed("F", "total_f")
         .withColumnRenamed("O", "total_o")
         .withColumnRenamed("P", "total_p")
@@ -178,7 +186,7 @@ object RelationalQueries {
         rightTieBreak = Seq("o_orderkey"))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("o_orderkey").as("order_key"),
-          dec2(col("o_totalprice")).cast(DecimalType(38, 2)).as("order_total"))
+          col("o_totalprice").as("order_total"))
     },
 
     // B12 — range join: events within 10 minutes after each error
@@ -193,7 +201,7 @@ object RelationalQueries {
         err, pointKey = "user_id", intervalKey = "err_user",
         ptTs = "ts", startTs = "t0", endTs = "t1", bucketWidthSec = 600)
         .groupBy(col("err_event_id"), col("err_user").as("user_id"))
-        .agg(count(lit(1)).as("n_in_window"), sumDec6(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n_in_window"), sumDbl6(col("value")).as("sum_value"))
     },
 
     // B13 — exact distinct aggregation (Spark expands to a two-phase
@@ -203,17 +211,19 @@ object RelationalQueries {
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"),
-          sumDec6(col("value")).as("sum_value"))
+          sumDbl6(col("value")).as("sum_value"))
     },
 
     // B14 — sketches (HLL++, KLL-style quantiles): constant memory per
-    // group at any scale; float-inherent → rows-only check + spec.
+    // group at any scale; sketch-inherent → rows-only check + spec.
+    // Scalar output columns only: the driver's comparator sorts rows
+    // through pandas and an array cell crashes it (round-1 err).
     "approx_sketch" -> { (s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000))
-            .as("value_p50_p95"))
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("value_p50"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("value_p95"))
     })
 
   private val Rev =
@@ -222,10 +232,10 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> s"""
       SELECT l_returnflag, l_linestatus,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-             CAST(sum($Rev) AS DECIMAL(38,4)) AS sum_disc_price,
-             CAST(sum($Rev * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum($Rev) AS DOUBLE) AS sum_disc_price,
+             CAST(sum($Rev * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
              count(*) AS count_order
@@ -234,7 +244,7 @@ object RelationalQueries {
 
     "q3_shipping" -> s"""
       SELECT l_orderkey, o_orderdate, o_orderpriority,
-             CAST(sum($Rev) AS DECIMAL(38,4)) AS revenue
+             CAST(sum($Rev) AS DOUBLE) AS revenue
       FROM customer JOIN orders ON c_custkey = o_custkey
                     JOIN lineitem ON o_orderkey = l_orderkey
       WHERE c_mktsegment = 'BUILDING'
@@ -244,7 +254,7 @@ object RelationalQueries {
       ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
 
     "q5_supplier_volume" -> s"""
-      SELECT n_name AS nation, CAST(sum($Rev) AS DECIMAL(38,4)) AS revenue
+      SELECT n_name AS nation, CAST(sum($Rev) AS DOUBLE) AS revenue
       FROM customer JOIN orders ON c_custkey = o_custkey
                     JOIN lineitem ON o_orderkey = l_orderkey
                     JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -257,7 +267,7 @@ object RelationalQueries {
 
     "topn_orders" -> """
       SELECT o_orderkey AS order_key,
-             CAST(o_totalprice AS DECIMAL(38,2)) AS total_price,
+             o_totalprice AS total_price,
              o_orderdate AS order_date
       FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
 
@@ -273,7 +283,7 @@ object RelationalQueries {
 
     "scalar_subquery" -> """
       SELECT p_partkey AS part_key, p_name AS part_name,
-             CAST(p_retailprice AS DECIMAL(38,2)) AS retail_price
+             p_retailprice AS retail_price
       FROM part
       WHERE p_retailprice > (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
                                     / count(*) FROM part)
@@ -281,13 +291,13 @@ object RelationalQueries {
 
     "rollup_agg" -> """
       SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
 
     "window_rank" -> """
       SELECT cust_key, order_key, total_price, rn, rnk FROM (
         SELECT o_custkey AS cust_key, o_orderkey AS order_key,
-               CAST(o_totalprice AS DECIMAL(38,2)) AS total_price,
+               o_totalprice AS total_price,
                row_number() OVER (PARTITION BY o_custkey
                                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
                rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
@@ -308,9 +318,9 @@ object RelationalQueries {
 
     "pivot_agg" -> """
       SELECT o_orderpriority AS priority,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DECIMAL(38,2)) AS total_f,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DECIMAL(38,2)) AS total_o,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DECIMAL(38,2)) AS total_p
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS total_f,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS total_o,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS total_p
       FROM orders GROUP BY 1""",
 
     "asof_join" -> """
@@ -321,14 +331,14 @@ object RelationalQueries {
                                     ORDER BY o_orderkey DESC) AS rn
           FROM orders) WHERE rn = 1)
       SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS order_key,
-             CAST(o.o_totalprice AS DECIMAL(38,2)) AS order_total
+             o.o_totalprice AS order_total
       FROM events e ASOF LEFT JOIN o2 o
         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
 
     "range_join" -> """
       SELECT e1.event_id AS err_event_id, e1.user_id,
              count(*) AS n_in_window,
-             CAST(sum(CAST(e2.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+             CAST(sum(CAST(e2.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events e1 JOIN events e2
         ON e1.user_id = e2.user_id
        AND e2.ts >= e1.ts AND e2.ts < e1.ts + INTERVAL 10 MINUTE
@@ -337,6 +347,6 @@ object RelationalQueries {
 
     "distinct_agg" -> """
       SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1""")
 }
