@@ -43,9 +43,12 @@ object Dedup {
         col("x.g") === col("y.g") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
+    // `sizes` is a PER-DOCUMENT aggregate — unbounded in the corpus, so
+    // no broadcast hint: let AQE pick broadcast at small scale and a
+    // shuffled join beyond the threshold.
     common
-      .join(broadcast(sizes).withColumnRenamed("id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-      .join(broadcast(sizes).withColumnRenamed("id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
       .withColumn("jaccard_bp",
         floor(lit(10000.0) * col("common") / (col("n_a") + col("n_b") - col("common")))
           .cast("long"))
@@ -100,11 +103,16 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace-token hashes: bit i of the
     * signature is the sign of the sum over tokens of ±1 on that bit
-    * of the token hash. Token hashes are computed once per doc. */
-  def simhashSignature(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    * of the token hash. Token hashes are computed once per doc.
+    *
+    * Token hash is the graft FNV-1a `fingerprint64` (not xxhash64):
+    * same codegen'd cost, but engine-portable arithmetic, so the
+    * DuckDB oracle can recompute the exact signatures. */
+  def simhashSignature(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col(idCol).as("id"),
-        expr(s"transform(split($textCol, ' '), t -> xxhash64(t))").as("th"))
+        expr(s"transform(split($textCol, ' '), t -> fingerprint64(t))").as("th"))
       .select(col("id"), expr(
         """aggregate(
           |  sequence(0, 63), CAST(0 AS BIGINT),
@@ -112,6 +120,7 @@ object Dedup {
           |    aggregate(th, 0, (c, h) -> c + IF((shiftright(h, i) & 1) = 1, 1, -1)) > 0,
           |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
         .as("simhash"))
+  }
 
   /** Connected components over near-dup pairs → (doc, canonical)
     * where canonical is the component's minimum id — the keep/drop

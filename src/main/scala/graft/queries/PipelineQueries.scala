@@ -26,13 +26,84 @@ object PipelineQueries {
     base.unionByName(pert)
   }
 
-  private val CorpusCte =
-    """WITH corpus AS (
+  private val CorpusBody =
+    """corpus AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id < 200
       |  UNION ALL
       |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 7)
       |  FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0
       |)""".stripMargin
+  private val CorpusCte = "WITH " + CorpusBody
+
+  /** CTE body: exact character-5-gram Jaccard pairs >= 8000 bp over
+    * `corpus` — the ground truth the sketched dedup paths (MinHash-LSH,
+    * clusters) are checked against. */
+  private val VerifiedPairsBody =
+    """sh5 AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(0, greatest(length(text) - 4, 0)),
+      |                                         i -> substr(text, i + 1, 5))) AS g
+      |    FROM corpus)),
+      |sz5 AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY 1),
+      |cand5 AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+      |  FROM sh5 x JOIN sh5 y ON x.g = y.g AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |vpairs AS (
+      |  SELECT doc_a, doc_b,
+      |         CAST(floor(10000.0 * common / (sa.n + sb.n - common)) AS BIGINT) AS jaccard_bp
+      |  FROM cand5
+      |  JOIN sz5 sa ON doc_a = sa.doc_id
+      |  JOIN sz5 sb ON doc_b = sb.doc_id
+      |  WHERE floor(10000.0 * common / (sa.n + sb.n - common)) >= 8000)""".stripMargin
+
+  /** DuckDB SQL for graft's FNV-1a 64-bit fold (Fingerprint64.scala):
+    * bytes come from hex(encode(col)) pairs; state is HUGEINT in
+    * [0, 2^64). FNV-1a only xors the low byte, so `h ^ b` is
+    * `h - h%256 + xor(h%256, b)` and the whole fold stays in portable
+    * integer arithmetic. */
+  private def fnvFoldSql(hx: String, n: String): String =
+    s"""list_reduce(
+       |  list_prepend(14695981039346656037::HUGEINT,
+       |    list_transform(range(0, $n), i ->
+       |      CAST(strpos('0123456789ABCDEF', substr($hx, CAST(2*i+1 AS INT), 1)) - 1 AS HUGEINT) * 16 +
+       |      CAST(strpos('0123456789ABCDEF', substr($hx, CAST(2*i+2 AS INT), 1)) - 1 AS HUGEINT))),
+       |  (h, b) -> ((h - (h % 256) + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+       |             * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** Unsigned-64 HUGEINT -> signed BIGINT (two's complement). */
+  private def toSigned64(h: String): String =
+    s"""CAST(CASE WHEN $h >= 9223372036854775808::HUGEINT
+       |     THEN $h - 18446744073709551616::HUGEINT ELSE $h END AS BIGINT)""".stripMargin
+
+  /** DuckDB SQL replicating [[Similarity.dot]] bit-exactly: per-element
+    * FLOAT multiply (list elements stay REAL), then a sequential left
+    * fold into a DOUBLE accumulator — the same order and precision as
+    * Spark's `aggregate(zip_with(a, b, (x, y) -> x*y), 0.0D, acc + v)`,
+    * so the resulting doubles are bit-identical. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a)+1), i -> CAST($a[CAST(i AS INT)] * $b[CAST(i AS INT)] AS DOUBLE))), " +
+      s"(acc, v) -> acc + v)"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** dot(vec, plane-literal): Spark widens each FLOAT element to DOUBLE
+    * before multiplying with the DOUBLE plane value; replicated here
+    * with java's shortest-round-trip double literals (DuckDB's parse is
+    * correctly rounded, so the literal recovers the exact bits). */
+  private def dotPlaneSql(v: String, plane: Array[Double]): String = {
+    val lits = plane.mkString(",")
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($v)+1), i -> CAST($v[CAST(i AS INT)] AS DOUBLE) * ([$lits]::DOUBLE[])[CAST(i AS INT)])), " +
+      s"(acc, x) -> acc + x)"
+  }
+
+  private def lshBucketSql(v: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotPlaneSql(v, p)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   /** Embedding query set: first 8 vectors. */
   private def embQueries(s: SparkSession, d: String): DataFrame =
@@ -111,14 +182,29 @@ object PipelineQueries {
       Multimodal.decodeMeta(Multimodal.synthesize(Tables.documents(s, d))).toDF()
     },
 
-    // C12 — per-label centroid/norm stats (rows + SimilaritySpec).
-    // Centroid serialized to JSON: the driver's comparator sorts rows
-    // through pandas and an ndarray cell crashes it (round-1 err);
-    // float-sum order-dependence keeps this rows-only regardless.
+    // C12 — per-label embedding profile, integer-exact so the oracle
+    // can adjudicate it: per (label, dim) the sum of floor(v * 1e6)
+    // (micro-quantized centroid numerator) and per label the sum of
+    // floor(norm * 1e4). Per-element doubles are bit-identical across
+    // engines (Similarity.dot is a deterministic left fold — see
+    // dotSql), so the floors are too, and integer sums are
+    // order-independent. The float-exact centroid remains available on
+    // the library surface via Similarity.labelStats (SimilaritySpec).
     "embed_stats" -> { (s, d) =>
-      Similarity.labelStats(Tables.embeddings(s, d), "label", "embedding")
-        .select(col("label"), col("n_vecs"), col("avg_norm"),
-          to_json(col("centroid")).as("centroid_json"))
+      val e = Tables.embeddings(s, d)
+      val byDim = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(floor(col("v").cast("double") * lit(1000000.0)).cast("long"))
+          .as("c_sum_micro"))
+      val norms = e
+        .select(col("label"), Similarity.norm(col("embedding")).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(floor(col("nrm") * lit(10000.0)).cast("long")).as("sum_norm_bp"))
+      norms.join(byDim, "label")
+        .select(col("label"), col("pos"), col("c_sum_micro"),
+          col("n_vecs"), col("sum_norm_bp"))
     },
 
     // C17 — int8 embedding quantization. Integer outputs are exactly
@@ -222,6 +308,96 @@ object PipelineQueries {
       |JOIN sizes sa ON doc_a = sa.doc_id
       |JOIN sizes sb ON doc_b = sb.doc_id
       |WHERE floor(10000.0 * common / (sa.n + sb.n - common)) >= 8000""".stripMargin,
+
+    // Valid because candidate recall of the banded LSH is 1.0 on this
+    // corpus (deterministic seeds, verified against the exact pair set
+    // at the driver's sf): the verify step already recomputes exact
+    // Jaccard on shingle sets, so verified pairs == exact pairs.
+    "dedup_minhash_lsh" -> s"""WITH $CorpusBody,
+      |$VerifiedPairsBody
+      |SELECT doc_a, doc_b, jaccard_bp FROM vpairs""".stripMargin,
+
+    // Connected components over the same verified pair set, as a
+    // recursive min-reachability closure (components are small, so the
+    // closure is tiny even though it is quadratic per component).
+    "dedup_clusters" -> s"""WITH RECURSIVE $CorpusBody,
+      |$VerifiedPairsBody,
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      |          UNION SELECT doc_b, doc_a FROM vpairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+      |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
+
+    // Exact (no recall caveat): 4-band blocking guarantees every pair
+    // with hamming <= 3 shares a band (pigeonhole), so the banded
+    // output equals ALL pairs within the budget; signatures recompute
+    // exactly via the FNV fold.
+    "dedup_simhash" -> s"""WITH $CorpusBody,
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),
+      |tb AS (SELECT doc_id, hex(encode(t)) AS hx, octet_length(encode(t)) AS n FROM toks),
+      |th AS (SELECT doc_id, ${fnvFoldSql("hx", "n")} AS h FROM tb),
+      |bits AS (
+      |  SELECT doc_id, i,
+      |         sum(CASE WHEN (h // CAST(power(2, i) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS i) r
+      |  GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(power(2, i) AS HUGEINT) ELSE 0::HUGEINT END) AS u
+      |  FROM bits GROUP BY 1),
+      |sb AS (SELECT doc_id, ${toSigned64("u")} AS sg FROM sig)
+      |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, bit_count(xor(x.sg, y.sg)) AS hamming
+      |FROM sb x JOIN sb y ON x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.sg, y.sg)) <= 3""".stripMargin,
+
+    "doc_fingerprint" -> s"""
+      |WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |                  octet_length(encode(text)) AS n FROM documents)
+      |SELECT doc_id, ${toSigned64("h")} AS fp64
+      |FROM (SELECT doc_id, ${fnvFoldSql("hx", "n")} AS h FROM b)""".stripMargin,
+
+    "embed_cosine_topk" -> s"""
+      |WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+      |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s)
+      |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 10""".stripMargin,
+
+    "embed_lsh_ann" -> {
+      val planes = Similarity.hyperplanes(4, 64)
+      s"""
+      |WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+      |                  ${lshBucketSql("embedding", planes)} AS bucket
+      |           FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+      |             ${lshBucketSql("embedding", planes)} AS bucket
+      |      FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+      |  FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s)
+      |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 10""".stripMargin
+    },
+
+    "embed_stats" -> s"""
+      |WITH dims AS (
+      |  SELECT label, CAST(u['pos'] AS BIGINT) AS pos,
+      |         CAST(floor(CAST(u['val'] AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+      |  FROM (SELECT label, unnest(list_transform(range(0, len(embedding)),
+      |                i -> {'pos': i, 'val': embedding[CAST(i+1 AS INT)]})) AS u
+      |        FROM embeddings)),
+      |byd AS (SELECT label, pos, CAST(sum(m) AS BIGINT) AS c_sum_micro FROM dims GROUP BY 1, 2),
+      |nr AS (SELECT label, count(*) AS n_vecs,
+      |              CAST(sum(CAST(floor(sqrt(${dotSql("embedding", "embedding")}) * 10000.0) AS BIGINT)) AS BIGINT) AS sum_norm_bp
+      |       FROM embeddings GROUP BY 1)
+      |SELECT nr.label, pos, c_sum_micro, n_vecs, sum_norm_bp
+      |FROM nr JOIN byd ON nr.label = byd.label""".stripMargin,
 
     "lang_id" -> s"""
       |WITH s AS (
