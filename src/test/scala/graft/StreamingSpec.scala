@@ -58,6 +58,70 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("enrichLatest: a CDC delete tombstone clears the enrichment image") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = CdcPipeline.enrichLatest(input.toDS())
+      .writeStream.format("memory").queryName("tombstoned")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // image lands → stream row joins it
+      input.addData(
+        Change(1L, t(0), "dim-v1", isEnrichment = true),
+        Change(1L, t(1), "order-a", isEnrichment = false))
+      q.processAllAvailable()
+      // delete tombstone clears the image → next row BUFFERS (does not
+      // join the dead image), mirroring Cdc.latestImage dropping the key
+      input.addData(Change(1L, t(2), "dim-v1", isEnrichment = true, manip = "D"))
+      q.processAllAvailable()
+      input.addData(Change(1L, t(3), "order-b", isEnrichment = false))
+      q.processAllAvailable()
+      assert(spark.table("tombstoned").as[Enriched].collect()
+        .map(e => (e.payload, e.enrichPayload)).toSet
+        == Set(("order-a", "dim-v1")))
+      // a fresh image re-enables enrichment and flushes the buffered row
+      input.addData(Change(1L, t(4), "dim-v2", isEnrichment = true))
+      q.processAllAvailable()
+      assert(spark.table("tombstoned").as[Enriched].collect()
+        .map(e => (e.payload, e.enrichPayload)).toSet
+        == Set(("order-a", "dim-v1"), ("order-b", "dim-v2")))
+    } finally q.stop()
+  }
+
+  test("KafkaCdc: record projection + envelope decode round-trips the wire shape") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.streaming.KafkaCdc
+    // a batch frame shaped exactly like the Kafka source output
+    // (binary key/value + topic/partition/offset metadata)
+    val env = sources.CdcEnvelope.envelope(
+      sources.CdcEnvelope.ordersChangelog(spark, sfDir).limit(50),
+      "SALES.ORDERS", "o_orderkey",
+      Seq("SalesOrderId" -> col("o_orderkey"), "TotalDue" -> col("o_totalprice")))
+    val kafkaShaped = sources.CdcEnvelope.toEnvelopeJson(env)
+      .select(lit(null).cast("binary").as("key"),
+        col("value").cast("binary").as("value"),
+        lit("precisely_orders").as("topic"),
+        lit(0).as("partition"),
+        monotonically_increasing_id().as("offset"),
+        current_timestamp().as("timestamp"))
+    val afterImage = StructType(Seq(
+      StructField("SalesOrderId", LongType), StructField("TotalDue", DoubleType)))
+    val decoded = graft.streaming.CdcPipeline.decodeEnvelope(
+      KafkaCdc.recordValues(kafkaShaped), afterImage)
+    assert(decoded.count() == 50)
+    assert(decoded.filter(col("after_image.SalesOrderId").isNull).count() == 0)
+    assert(decoded.select("manip").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("I", "U", "D")))
+    // sink side: rows → (key, value-json) records
+    val recs = KafkaCdc.toRecords(
+      decoded.select(col("after_image.SalesOrderId").as("k"), col("manip")), "k")
+    assert(recs.columns.toSeq == Seq("key", "value"))
+    val r0 = recs.limit(1).collect().head
+    assert(r0.getString(1).contains("\"manip\""))
+  }
+
   test("soak: sustained rate-source stateful aggregation stays healthy") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
@@ -104,7 +168,8 @@ class StreamingSpec extends SparkTestBase {
       .select(col("after_image.SalesOrderId").as("key"),
         unix_millis(col("op_ts")).as("eventTimeMs"),
         col("after_image.TotalDue").cast("string").as("payload"),
-        (col("manip") === "X").as("isEnrichment")) // all stream-side here
+        (col("manip") === "X").as("isEnrichment"), // all stream-side here
+        col("manip"))
       .as[Change]
     val q = CdcPipeline.windowedTotals(
         decoded.map(c => Enriched(c.key, c.eventTimeMs, c.payload, "ALL")),
@@ -278,9 +343,12 @@ class StreamingSpec extends SparkTestBase {
       .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         val prev = try spark.read.parquet(s"$dir/state")
           catch { case _: Throwable => spark.emptyDataFrame }
+        // the upsert assigns its own manip below; drop the wire column
+        // so the schema matches the manip-free persisted state
+        val b = batch.drop("manip")
         val merged =
-          if (prev.isEmpty) batch
-          else prev.unionByName(batch)
+          if (prev.isEmpty) b
+          else prev.unionByName(b)
         operators.Cdc.latestImage(
             merged.withColumn("op_ts", timestamp_millis(col("eventTimeMs")))
               .withColumn("seq", lit(0)).withColumn("manip", lit("U")),
