@@ -164,6 +164,34 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * word-`n`-gram with a held-out probe set (eval/benchmark texts),
+    * the standard guard against train/test leakage.
+    *
+    * Scale posture: probe sets are bounded (benchmark suites, not
+    * corpora), so the probe gram-hash set broadcasts — the 100 TB
+    * corpus side is one scan with a map-side hash-join, zero corpus
+    * shuffle before the per-doc count aggregation (which moves only
+    * (doc_id, partial count)). Grams are joined as engine-portable
+    * `fingerprint64` hashes, 8 bytes each; a 64-bit collision
+    * (~1e-9 at millions of grams) can at worst over-flag one doc —
+    * the conservative direction for decontamination. */
+  def contaminatedDocs(corpus: DataFrame, probe: DataFrame,
+                       textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    def gramHashes(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(expr(
+        s"""CASE WHEN size(split($textCol, ' ')) < $n THEN array()
+           |ELSE array_distinct(transform(sequence(0, size(split($textCol, ' ')) - $n),
+           |  i -> fingerprint64(concat_ws(' ', slice(split($textCol, ' '), i + 1, $n))))) END"""
+          .stripMargin)).as("g"))
+    val probeGrams = broadcast(gramHashes(probe).select("g").distinct())
+    gramHashes(corpus)
+      .join(probeGrams, "g")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Near-dup pairs by SimHash: 16-bit band blocking (any equal band
     * → candidate; guarantees recall for hamming <= 3 by pigeonhole
     * over 4 bands) then exact hamming verify. */

@@ -72,6 +72,29 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol),
         lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("re_tokens"))
 
+  /** Within-document repetition score (a Gopher/C4-style quality
+    * signal): the share of duplicate word-`n`-grams, in basis points.
+    * Heavily templated or crawler-looped text scores high and gets
+    * filtered before training. Pure builtin HOFs (one pass, codegen'd,
+    * no shuffle — per-row work only), integer-exact output. */
+  def repetition(docs: DataFrame, textCol: String, idCol: String,
+                 n: Int = 3): DataFrame = {
+    val grams = expr(
+      s"""CASE WHEN size(split($textCol, ' ')) < $n THEN array()
+         |ELSE transform(sequence(0, size(split($textCol, ' ')) - $n),
+         |  i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n))) END"""
+        .stripMargin)
+    docs.select(col(idCol), grams.as("grams"))
+      .select(col(idCol),
+        size(col("grams")).as("n_grams"),
+        size(array_distinct(col("grams"))).as("n_distinct"))
+      .withColumn("dup_bp",
+        when(col("n_grams") > 0,
+          floor(lit(10000.0) * (col("n_grams") - col("n_distinct")) / col("n_grams"))
+            .cast("long"))
+          .otherwise(lit(0L)))
+  }
+
   /** Whitespace normalization: collapse runs, trim. */
   def normalizeWhitespace(text: Column): Column =
     trim(regexp_replace(text, " +", " "))

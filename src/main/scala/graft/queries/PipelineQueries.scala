@@ -288,6 +288,44 @@ object PipelineQueries {
         .select(col("lang"), size(col("sampled_ids")).as("n_sampled"), col("n_docs"))
     },
 
+    // C20 — within-doc repetition (duplicate word-3-gram share):
+    // Gopher/C4-style quality filter signal, integer-exact.
+    "repetition_score" -> { (s, d) =>
+      TextAnalysis.repetition(Tables.documents(s, d), "text", "doc_id", n = 3)
+    },
+
+    // C21 — benchmark decontamination: docs sharing any word-8-gram
+    // with the held-out probe slice (doc_id % 97 == 0 stands in for
+    // the benchmark suite). Since the synthetic corpus has no natural
+    // leakage, contaminated docs are synthesized (probe text behind a
+    // prefix, id offset) so hits provably exist. Probe gram set
+    // broadcasts; corpus side is one scan, no corpus shuffle before
+    // the count.
+    "decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val probe = docs.filter(col("doc_id") % 97 === 0)
+      val leaked = probe.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("leak prefix words then "), col("text")).as("text"))
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text")).unionByName(leaked)
+      Dedup.contaminatedDocs(corpus, probe, "text", "doc_id", n = 8)
+    },
+
+    // C22 — deterministic source-mix downsampling: cap every source at
+    // 50 docs, chosen by multiplicative-hash order so the sample is
+    // uniform, engine-reproducible, and stable under reruns (no RNG).
+    // Window formulation shown here; for groups that dwarf a sort
+    // buffer the bounded-heap top_k aggregate (see topk_per_group) is
+    // the same semantics at O(n log k).
+    "source_mix_sample" -> { (s, d) =>
+      val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= 50)
+    },
+
     // C14 — corpus-wide top-20 word bigrams (explode + count + top-k;
     // TakeOrderedAndProject, ties broken on the bigram itself).
     "ngram_topk" -> { (s, d) =>
@@ -514,6 +552,50 @@ object PipelineQueries {
       |  FROM tk)
       |SELECT bigram, count(*) AS n FROM bg GROUP BY 1
       |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "repetition_score" -> """
+      |SELECT doc_id, n_grams, n_distinct,
+      |       CASE WHEN n_grams > 0
+      |            THEN CAST(floor(10000.0 * (n_grams - n_distinct) / n_grams) AS BIGINT)
+      |            ELSE 0 END AS dup_bp
+      |FROM (
+      |  SELECT doc_id, len(g) AS n_grams, len(list_distinct(g)) AS n_distinct
+      |  FROM (
+      |    SELECT doc_id,
+      |           list_transform(range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+      |             i -> string_split(text, ' ')[i+1] || ' ' ||
+      |                  string_split(text, ' ')[i+2] || ' ' ||
+      |                  string_split(text, ' ')[i+3]) AS g
+      |    FROM documents))""".stripMargin,
+
+    // Joins gram STRINGS where Spark joins fingerprint64 hashes —
+    // identical output barring a 64-bit collision inside this corpus.
+    "decontaminate" -> """
+      |WITH probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, 'leak prefix words then ' || text FROM probe),
+      |cg AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(0, greatest(len(string_split(text, ' ')) - 7, 0)),
+      |    i -> array_to_string(string_split(text, ' ')[i+1:i+8], ' ')))) AS g
+      |  FROM corpus),
+      |pg AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |    range(0, greatest(len(string_split(text, ' ')) - 7, 0)),
+      |    i -> array_to_string(string_split(text, ' ')[i+1:i+8], ' ')))) AS g
+      |  FROM probe)
+      |SELECT cg.doc_id, count(*) AS n_hits
+      |FROM cg JOIN pg USING (g)
+      |GROUP BY 1""".stripMargin,
+
+    "source_mix_sample" -> """
+      |SELECT doc_id, source, rn FROM (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source
+      |            ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+      |  FROM documents) WHERE rn <= 50""".stripMargin,
 
     "multimodal_meta" -> """
       |SELECT doc_id,

@@ -88,4 +88,35 @@ class OperatorSpec extends SparkTestBase {
       .enrich(stream, enr, "k", broadcastEnrichment = false)
     assert(noBc.collect().map(_.toSeq).toSet == out.collect().map(_.toSeq).toSet)
   }
+
+  test("repetition: duplicate n-gram share in basis points") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),      // 3-grams: aba bab aba bab → 4 grams, 2 distinct
+      (2L, "w x y z"),          // 2 grams, both distinct
+      (3L, "one two")           // shorter than n → 0 grams
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.repetition(docs, "text", "doc_id")
+      .select("doc_id", "n_grams", "n_distinct", "dup_bp")
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4, 2, 5000L)))
+    assert(got(2L) == ((2L, 2, 2, 0L)))
+    assert(got(3L) == ((3L, 0, 0, 0L)))
+  }
+
+  test("contaminatedDocs: flags docs sharing an n-gram with the probe set") {
+    import spark.implicits._
+    val probe = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the probe's full 8-gram "the quick ... lazy" twice? once
+      (1L, "prefix the quick brown fox jumps over the lazy dog suffix"),
+      (2L, "completely unrelated text with no overlap at all here"),
+      (3L, "the quick brown fox jumps over the lazy cat entirely")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.contaminatedDocs(corpus, probe, "text", "doc_id", n = 8)
+      .as[(Long, Long)].collect().toMap
+    // probe 8-grams: "the..lazy", "quick..dog"; doc 1 contains both,
+    // doc 3 contains only the first, doc 2 none
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
 }
