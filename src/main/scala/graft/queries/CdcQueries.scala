@@ -66,7 +66,11 @@ object CdcQueries {
     // A2 — envelope → JSON → decode → after_image projection (ref orders.sql).
     "cdc_project" -> { (s, d) =>
       GraftFunctions.register(s)
-      val chg = CdcEnvelope.ordersChangelog(s, d)
+      // fanOut: the JSON encode/decode round-trip is the CPU cost and
+      // the single-row-group scan would otherwise run it on one task
+      // (see Tables.fanOut) — the latest-image/enrich consumers skip
+      // this (their first shuffle parallelizes them anyway).
+      val chg = Tables.fanOut(CdcEnvelope.ordersChangelog(s, d))
       val env = CdcEnvelope.envelope(chg, "SALES.ORDERS", "o_orderkey", Seq(
         "SalesOrderId" -> col("o_orderkey"),
         "OrderDate" -> CdcEnvelope.tsDigits(col("o_orderdate")),

@@ -291,7 +291,8 @@ object PipelineQueries {
     // C20 — within-doc repetition (duplicate word-3-gram share):
     // Gopher/C4-style quality filter signal, integer-exact.
     "repetition_score" -> { (s, d) =>
-      TextAnalysis.repetition(Tables.documents(s, d), "text", "doc_id", n = 3)
+      TextAnalysis.repetition(Tables.fanOut(Tables.documents(s, d)),
+        "text", "doc_id", n = 3)
     },
 
     // C21 — benchmark decontamination: docs sharing any word-8-gram
@@ -302,7 +303,7 @@ object PipelineQueries {
     // broadcasts; corpus side is one scan, no corpus shuffle before
     // the count.
     "decontaminate" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = Tables.fanOut(Tables.documents(s, d))
       val probe = docs.filter(col("doc_id") % 97 === 0)
       val leaked = probe.select((col("doc_id") + 2000000L).as("doc_id"),
         concat(lit("leak prefix words then "), col("text")).as("text"))

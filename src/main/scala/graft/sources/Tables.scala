@@ -28,4 +28,15 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Restore scan parallelism over the driver's SINGLE-row-group
+    * testdata files: one parquet row group = one Spark split = one
+    * task, which serializes every downstream per-row transform (JSON
+    * codec, gram hashing, regex) on one core until the first exchange.
+    * A production lake writes many row groups and files, so splits
+    * give this parallelism for free; locally one small round-robin
+    * exchange buys the cores back. Use ONLY ahead of CPU-heavy decode
+    * paths — cheap scans should keep their exchange-free plan. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
