@@ -89,4 +89,29 @@ class PlanSpec extends SparkTestBase {
     val plan = planOf(df)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
   }
+
+  test("decontaminate: probe grams broadcast; corpus side joins without a pre-join shuffle") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val df = operators.Dedup.contaminatedDocs(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0), "text", "doc_id", n = 8)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the corpus branch (the ":-" side of the join) must be
+    // exchange-free: corpus grams flow scan → explode → join without
+    // ever shuffling; the only exchanges are the tiny probe distinct
+    // (inside the BroadcastExchange subtree) and the post-join count
+    val corpusBranch = plan.linesIterator
+      .filter(l => l.contains(":-") || l.startsWith(":") || l.contains(":  "))
+      .mkString("\n")
+    assert(!corpusBranch.contains("Exchange hashpartitioning"),
+      s"corpus grams shuffled before join:\n$plan")
+  }
+
+  test("repetition: per-row only — no exchange beyond the explicit fan-out") {
+    val df = operators.TextAnalysis.repetition(
+      sources.Tables.documents(spark, sfDir), "text", "doc_id")
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }
