@@ -53,6 +53,49 @@ object CdcPipeline {
         col("e.after_image"))
   }
 
+  /** Envelope decode with a dead-letter side: malformed JSON (or JSON
+    * whose shape misses the envelope fields) cannot silently vanish in
+    * a CDC pipeline — it means capture-side corruption and must be
+    * routed, not dropped. `from_json` yields a null struct on parse
+    * failure; rows where every envelope field is null split to the
+    * dead-letter frame with the raw payload intact for replay.
+    * Both outputs derive from one source frame, so in streaming each
+    * can be sunk independently (results topic + DLQ topic). */
+  def decodeEnvelopeWithDeadLetter(raw: DataFrame, afterImageSchema: StructType)
+      : (DataFrame, DataFrame) = {
+    GraftFunctions.register(raw.sparkSession)
+    val envSchema = StructType(Seq(
+      StructField("sv_manip_type", StringType),
+      StructField("sv_trans_id", LongType),
+      StructField("sv_trans_row_seq", IntegerType),
+      StructField("sv_op_timestamp", StringType),
+      StructField("after_image", afterImageSchema)))
+    val parsed = raw.select(col("value"), from_json(col("value"), envSchema).as("e"))
+    val bad = parsed
+      .filter(col("e").isNull ||
+        (col("e.sv_manip_type").isNull && col("e.sv_op_timestamp").isNull &&
+         col("e.after_image").isNull))
+      .select(col("value").as("raw"))
+    val good = parsed
+      .filter(col("e").isNotNull &&
+        (col("e.sv_manip_type").isNotNull || col("e.sv_op_timestamp").isNotNull ||
+         col("e.after_image").isNotNull))
+      .select(col("e.sv_manip_type").as("manip"),
+        col("e.sv_trans_row_seq").as("seq"),
+        GraftFunctions.parse_sqdata_ts(col("e.sv_op_timestamp")).as("op_ts"),
+        col("e.after_image"))
+    (good, bad)
+  }
+
+  /** Exactly-once event dedup for at-least-once CDC transports: drops
+    * redelivered records by id inside the watermark horizon, so state
+    * is bounded by (rate × watermark), not stream history — the
+    * streaming twin of `operators.Dedup.exact`. */
+  def dedupWithinWatermark(df: DataFrame, idCols: Seq[String],
+                           eventTimeCol: String, watermark: String): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Latest-value enrichment join over two keyed change streams.
     * Stream rows that arrive before their enrichment are buffered in
     * state and flushed when it lands (ref EnrichmentJoin.java:64-95).

@@ -122,6 +122,49 @@ class StreamingSpec extends SparkTestBase {
     assert(r0.getString(1).contains("\"manip\""))
   }
 
+  test("decode dead-letter: malformed envelopes route to the DLQ with raw payload") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val afterImage = StructType(Seq(StructField("SalesOrderId", LongType)))
+    val env = sources.CdcEnvelope.envelope(
+      sources.CdcEnvelope.ordersChangelog(spark, sfDir).limit(10),
+      "SALES.ORDERS", "o_orderkey", Seq("SalesOrderId" -> col("o_orderkey")))
+    val goodJson = sources.CdcEnvelope.toEnvelopeJson(env)
+    val raw = goodJson.unionByName(Seq(
+      "{ not json at all",
+      """{"valid_json": "but not an envelope"}""").toDF("value"))
+    val (good, bad) = graft.streaming.CdcPipeline
+      .decodeEnvelopeWithDeadLetter(raw, afterImage)
+    assert(good.count() == 10)
+    assert(good.filter(col("after_image.SalesOrderId").isNull).count() == 0)
+    val deadLetters = bad.as[String].collect().toSet
+    assert(deadLetters == Set("{ not json at all",
+      """{"valid_json": "but not an envelope"}"""))
+  }
+
+  test("dedupWithinWatermark: redelivered ids dropped, state bounded by the horizon") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (event_id, eventTimeMs)
+    val deduped = graft.streaming.CdcPipeline.dedupWithinWatermark(
+      input.toDS().toDF("event_id", "ms")
+        .withColumn("event_time", timestamp_millis(col("ms"))),
+      Seq("event_id"), "event_time", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, t(0)), (2L, t(1)), (1L, t(0))) // in-batch redelivery
+      q.processAllAvailable()
+      input.addData((1L, t(2)), (3L, t(3)))             // cross-batch redelivery
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("soak: sustained rate-source stateful aggregation stays healthy") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
