@@ -65,22 +65,38 @@ object Dedup {
     * approximation is candidate RECALL (LSH banding). */
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
                  k: Int = 5, numPerm: Int = 64, bands: Int = 16,
-                 minBp: Int = 5000): DataFrame = {
+                 minBp: Int = 5000): DataFrame =
+    minhashLshFromSignatures(
+      withMinHashSignatures(docs, textCol, idCol, k, numPerm), bands, minBp)
+
+  /** One-pass signature computation: (id, hs, sig). At 100 TB this is
+    * the INGEST-time step: signatures are `numPerm * 8` bytes per doc
+    * regardless of document size, so they persist columnar next to
+    * the corpus and every later dedup/clustering run starts here —
+    * the text column never re-enters the pipeline. sig[p] = min over
+    * shingles of splitmix(h ^ seed_p), a native one-pass expression
+    * (graft.functions.MinHashSig). */
+  def withMinHashSignatures(docs: DataFrame, textCol: String, idCol: String,
+                            k: Int = 5, numPerm: Int = 64): DataFrame = {
     graft.GraftFunctions.register(docs.sparkSession)
-    val rowsPerBand = numPerm / bands
-    val withSet = docs.select(col(idCol).as("id"),
+    docs.select(col(idCol).as("id"),
       TextFunctions.shingleHashes(textCol, k).as("hs"))
       .filter(size(col("hs")) > 0)
-    // sig[p] = min over shingles of splitmix(h ^ seed_p) — native
-    // one-pass expression (graft.functions.MinHashSig)
-    val signed = withSet.withColumn("sig",
-      graft.GraftFunctions.minhash_sig(col("hs"), numPerm))
+      .withColumn("sig", graft.GraftFunctions.minhash_sig(col("hs"), numPerm))
+  }
+
+  /** Banded LSH candidates + exact-on-signature-set verification from
+    * a precomputed (id, hs, sig) frame (see
+    * [[withMinHashSignatures]]). */
+  def minhashLshFromSignatures(sigs: DataFrame, bands: Int = 16,
+                               minBp: Int = 5000, numPerm: Int = 64): DataFrame = {
+    val rowsPerBand = numPerm / bands
     // LSH: hash each band of the signature; docs sharing any
     // (band_id, band_hash) become candidates.
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         expr(s"xxhash64(slice(sig, ${b * rowsPerBand + 1}, $rowsPerBand))").as("bh")))
-    val buckets = signed
+    val buckets = sigs
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
     val cands = buckets.as("x").join(buckets.as("y"),
@@ -89,7 +105,7 @@ object Dedup {
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .distinct()
     // Verify candidates with exact Jaccard over the shingle-hash sets.
-    val sets = withSet.select(col("id"), col("hs"))
+    val sets = sigs.select(col("id"), col("hs"))
     cands
       .join(sets.withColumnRenamed("id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
       .join(sets.withColumnRenamed("id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")

@@ -109,21 +109,22 @@ object PipelineQueries {
   private def embQueries(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") < 8)
 
-  /** The near-dup corpus materialized ONCE per source dir as
-    * range-clustered parquet ([[graft.sources.Sinks.writeClustered]])
-    * and read back for the iterative clustering path. Why: the
-    * candidate and verify stages both consume the shingle sets, and
-    * label-propagation rounds re-probe the slice — against the raw
-    * documents table each pass re-decodes the full text column
-    * (profiled as the 10× growth term in round 1). The clustered copy
-    * is the write-time-layout answer that holds at 100 TB: the sort is
-    * paid once at ingest, every probe after it prunes on row-group
-    * stats. */
+  /** The near-dup corpus's MinHash SIGNATURE table (id, hs, sig),
+    * materialized ONCE per source dir as range-clustered parquet
+    * ([[graft.sources.Sinks.writeClustered]]) and read back for the
+    * iterative clustering path. This is the ingest-time shape that
+    * holds at 100 TB: signatures are `numPerm × 8` bytes per doc
+    * regardless of document size, the candidate and verify stages both
+    * consume them without ever re-shingling text (the raw-table
+    * re-decode was the 10× growth term profiled in round 1), and the
+    * range-clustered layout gives row-group pruning on id probes. */
   private val corpusPaths = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def corpusClustered(s: SparkSession, d: String): DataFrame = {
+  private def corpusSignatures(s: SparkSession, d: String): DataFrame = {
     val path = corpusPaths.getOrElseUpdate(d, {
-      val p = java.nio.file.Files.createTempDirectory("graft_corpus_clustered").toString
-      graft.sources.Sinks.writeClustered(corpus(s, d), p, "doc_id", numRanges = 4)
+      val p = java.nio.file.Files.createTempDirectory("graft_corpus_sigs").toString
+      graft.sources.Sinks.writeClustered(
+        Dedup.withMinHashSignatures(corpus(s, d), "text", "doc_id"),
+        p, "id", numRanges = 4)
       p
     })
     s.read.parquet(path)
@@ -152,11 +153,12 @@ object PipelineQueries {
     },
 
     // C18 — full near-dup pipeline: MinHash-LSH pairs → connected
-    // components → per-cluster canonical, over the range-clustered
-    // corpus materialization (see corpusClustered).
+    // components → per-cluster canonical, over the materialized
+    // signature table (see corpusSignatures — text never enters the
+    // iterative path).
     "dedup_clusters" -> { (s, d) =>
       Dedup.clusterPairs(
-        Dedup.minhashLsh(corpusClustered(s, d), "text", "doc_id", minBp = 8000),
+        Dedup.minhashLshFromSignatures(corpusSignatures(s, d), minBp = 8000),
         "doc_a", "doc_b")
     },
 

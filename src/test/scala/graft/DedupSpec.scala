@@ -51,6 +51,21 @@ class DedupSpec extends SparkTestBase {
     for ((k, bp) <- got) assert(bp == expect(k), s"pair $k")
   }
 
+  test("minhashLsh from a PERSISTED signature table equals the direct path") {
+    // the ingest-time shape: signatures written once (range-clustered),
+    // dedup reruns start from the parquet — text never re-shingled
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigs").toString
+    sources.Sinks.writeClustered(
+      Dedup.withMinHashSignatures(corpus(), "text", "doc_id"), dir, "id", numRanges = 2)
+    val fromSigs = Dedup.minhashLshFromSignatures(
+        spark.read.parquet(dir), minBp = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Dedup.minhashLsh(corpus(), "text", "doc_id", minBp = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromSigs == direct)
+    assert(fromSigs.nonEmpty)
+  }
+
   test("minhashLsh verified pairs are correct and recall high-sim pairs") {
     val got = Dedup.minhashLsh(corpus(), "text", "doc_id", minBp = 8000)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
