@@ -332,7 +332,7 @@ object PipelineQueries {
     // C14 — corpus-wide top-20 word bigrams (explode + count + top-k;
     // TakeOrderedAndProject, ties broken on the bigram itself).
     "ngram_topk" -> { (s, d) =>
-      Tables.documents(s, d)
+      Tables.fanOut(Tables.documents(s, d))
         .select(split(col("text"), " ").as("t"))
         .select(explode(expr(
           """CASE WHEN size(t) < 2 THEN array()
