@@ -55,6 +55,45 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("fingerprint64 matches a byte-for-byte FNV-1a reference on random unicode") {
+    import spark.implicits._
+    def ref(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      for (b <- s.getBytes("UTF-8")) { h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    val rnd = new Random(13)
+    // whole code points (an indexed char pool would split the emoji's
+    // surrogate pair and produce invalid strings)
+    val pool: IndexedSeq[String] =
+      "abc XYZ 123 .,!? äöü 中文字".map(_.toString) :+ "🙂"
+    val cases = "" +: Seq.fill(60)(
+      Seq.fill(rnd.nextInt(40))(pool(rnd.nextInt(pool.length))).mkString)
+    val got = cases.toDF("s")
+      .selectExpr("s", "fingerprint64(s) AS f").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (s <- cases) assert(got(s) == ref(s), s"input=$s")
+  }
+
+  test("repetition equals a brute-force duplicate-gram count on random token lists") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    val docs = Seq.tabulate(40) { i =>
+      val toks = Seq.fill(rnd.nextInt(12))(s"t${rnd.nextInt(4)}")
+      (i.toLong, toks.mkString(" "))
+    }
+    val got = operators.TextAnalysis.repetition(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    for ((id, text) <- docs) {
+      val toks = text.split(" ", -1).toSeq // split keeps "" for empty text like Spark
+      val grams = if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      val n = grams.length; val d = grams.distinct.length
+      val bp = if (n > 0) math.floor(10000.0 * (n - d) / n).toLong else 0L
+      assert(got(id) == ((n, d, bp)), s"doc=$id text='$text'")
+    }
+  }
+
   test("minhash LSH candidate recall tracks Jaccard similarity") {
     import spark.implicits._
     val rnd = new Random(11)
