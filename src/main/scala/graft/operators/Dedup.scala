@@ -155,10 +155,15 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+    // init = identity labels with the FIRST propagation round fused in
+    // (label = min(self, neighbors)): star/pair components — the common
+    // near-dup shape — then converge after a single verification round
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("label"))
+      .cache()
     var converged = false
-    var iter = 0
+    var iter = 1
     while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst")

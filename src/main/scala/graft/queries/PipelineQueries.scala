@@ -317,9 +317,12 @@ object PipelineQueries {
     // C22 — deterministic source-mix downsampling: cap every source at
     // 50 docs, chosen by multiplicative-hash order so the sample is
     // uniform, engine-reproducible, and stable under reruns (no RNG).
-    // Window formulation shown here; for groups that dwarf a sort
-    // buffer the bounded-heap top_k aggregate (see topk_per_group) is
-    // the same semantics at O(n log k).
+    // Integer envelope: doc_id * 2654435761 stays in 63 bits for
+    // doc_id < ~3.5e9 (same envelope as dataset_split); beyond that,
+    // reduce the id mod a 32-bit prime first. Window formulation shown
+    // here; for groups that dwarf a sort buffer the bounded-heap top_k
+    // aggregate (see topk_per_group) is the same semantics at
+    // O(n log k).
     "source_mix_sample" -> { (s, d) =>
       val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
       val win = org.apache.spark.sql.expressions.Window
