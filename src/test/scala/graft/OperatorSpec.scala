@@ -89,6 +89,26 @@ class OperatorSpec extends SparkTestBase {
     assert(noBc.collect().map(_.toSeq).toSet == out.collect().map(_.toSeq).toSet)
   }
 
+  test("approx_sketch: sketches land within tolerance of exact answers") {
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, sfDir)
+    val approx = SparkEntry.queries("approx_sketch")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    for ((k, (n, p50, p95)) <- exact) {
+      val (an, a50, a95) = approx(k)
+      assert(math.abs(an - n).toDouble / n < 0.05, s"$k: hll $an vs $n")
+      // accuracy=10000 → rank error ~1e-4; values are continuous, so
+      // allow a small relative envelope
+      assert(math.abs(a50 - p50) <= math.abs(p50) * 0.05 + 1.0, s"$k: p50 $a50 vs $p50")
+      assert(math.abs(a95 - p95) <= math.abs(p95) * 0.05 + 1.0, s"$k: p95 $a95 vs $p95")
+    }
+  }
+
   test("repetition: duplicate n-gram share in basis points") {
     import spark.implicits._
     val docs = Seq(
