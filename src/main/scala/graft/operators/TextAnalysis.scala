@@ -45,8 +45,16 @@ object TextAnalysis {
     scored.withColumn("pred_lang", pred).drop(textCol)
   }
 
-  /** Quality metrics: char/word counts, punct/digit/upper counts, and
-    * basis-point ratios computed with integer-exact arithmetic. */
+  /** The stopword list for quality's stopword ratio: the union of the
+    * language marker sets (a deployment swaps in real per-language
+    * stopword tables; the ratio mechanism is what's under test). */
+  val Stopwords: Seq[String] = Markers.flatMap(_._2).distinct
+
+  /** Quality metrics: char/word counts, punct/digit/upper counts,
+    * stopword share, and basis-point ratios computed with
+    * integer-exact arithmetic. A low stopword ratio flags
+    * non-linguistic content (code, tables, boilerplate) — a standard
+    * C4/Gopher-style filter signal. */
   def quality(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
     docs.select(
@@ -55,12 +63,15 @@ object TextAnalysis {
       size(split(t, " ")).as("n_words"),
       (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).as("n_punct"),
       (length(t) - length(regexp_replace(t, "[0-9]", ""))).as("n_digits"),
-      (length(t) - length(regexp_replace(t, "[A-Z]", ""))).as("n_upper"))
+      (length(t) - length(regexp_replace(t, "[A-Z]", ""))).as("n_upper"),
+      TextFunctions.markerCount(textCol, Stopwords).as("n_stopwords"))
       .withColumn("word_len_bp",
         floor(lit(10000.0) * (col("n_chars_m") - col("n_words") + 1) / col("n_words"))
           .cast("long"))
       .withColumn("punct_bp",
         floor(lit(10000.0) * col("n_punct") / col("n_chars_m")).cast("long"))
+      .withColumn("stopword_bp",
+        floor(lit(10000.0) * col("n_stopwords") / col("n_words")).cast("long"))
   }
 
   /** Token counts: whitespace tokens and BPE-ish regex tokens

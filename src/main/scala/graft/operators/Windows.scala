@@ -41,4 +41,32 @@ object Windows {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("session_start", col("session_window.start"))
       .drop("session_window")
+
+  /** Dense hourly gap fill per key: an hourly spine between each key's
+    * first and last event, left-joined back and zero-filled.
+    *
+    * `maxSpineHours` caps the generated spine per key: the spine is
+    * O(span × keys) — at 100 TB a single key spanning years would
+    * explode the sequence; the cap bounds row amplification and is
+    * the knob a pipeline sets to its SLA horizon. `None` = unbounded
+    * (matches the SQL-oracle semantics). */
+  def gapFillHourly(df: DataFrame, keyCol: String, ts: String,
+                    maxSpineHours: Option[Int] = None): DataFrame = {
+    val hourly = df.groupBy(col(keyCol),
+        date_trunc("hour", col(ts)).as("hour_start"))
+      .agg(count(lit(1)).as("n_events"))
+    val bounds = df.groupBy(col(keyCol))
+      .agg(min(date_trunc("hour", col(ts))).as("t0"),
+        max(date_trunc("hour", col(ts))).as("t1"))
+    val capped = maxSpineHours match {
+      case Some(h) => bounds.withColumn("t1",
+        least(col("t1"), col("t0") + expr(s"INTERVAL ${h - 1} HOUR")))
+      case None => bounds
+    }
+    val spine = capped.select(col(keyCol),
+      explode(expr("sequence(t0, t1, INTERVAL 1 HOUR)")).as("hour_start"))
+    spine.join(hourly, Seq(keyCol, "hour_start"), "left")
+      .select(col(keyCol), col("hour_start"),
+        coalesce(col("n_events"), lit(0L)).as("n_events_filled"))
+  }
 }

@@ -64,20 +64,11 @@ object AnalyticsQueries {
     // B18 — gap filling: a dense hourly series per user between that
     // user's first and last event, zero-filled where no events. The
     // series generation is sequence+explode (no driver loop); the fill
-    // join shuffles once on (user, hour).
+    // join shuffles once on (user, hour). Unbounded spine here to
+    // match the SQL oracle; Windows.gapFillHourly's maxSpineHours is
+    // the production cap for keys spanning years.
     "gap_fill" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-      val hourly = ev.groupBy(col("user_id"),
-          date_trunc("hour", col("ts")).as("hour_start"))
-        .agg(count(lit(1)).as("n_events"))
-      val spine = ev.groupBy(col("user_id"))
-        .agg(min(date_trunc("hour", col("ts"))).as("t0"),
-          max(date_trunc("hour", col("ts"))).as("t1"))
-        .select(col("user_id"),
-          explode(expr("sequence(t0, t1, INTERVAL 1 HOUR)")).as("hour_start"))
-      spine.join(hourly, Seq("user_id", "hour_start"), "left")
-        .select(col("user_id"), col("hour_start"),
-          coalesce(col("n_events"), lit(0L)).as("n_events_filled"))
+      graft.operators.Windows.gapFillHourly(Tables.events(s, d), "user_id", "ts")
     },
 
     // B20 — top-3 orders per customer via the bounded-heap top_k

@@ -484,16 +484,19 @@ object PipelineQueries {
       |       ELSE 'und' END AS pred_lang
       |FROM s""".stripMargin,
 
-    "text_quality" -> """
-      |SELECT doc_id, n_chars_m, n_words, n_punct, n_digits, n_upper,
+    "text_quality" -> s"""
+      |SELECT doc_id, n_chars_m, n_words, n_punct, n_digits, n_upper, n_stopwords,
       |       CAST(floor(10000.0 * (n_chars_m - n_words + 1) / n_words) AS BIGINT) AS word_len_bp,
-      |       CAST(floor(10000.0 * n_punct / n_chars_m) AS BIGINT) AS punct_bp
+      |       CAST(floor(10000.0 * n_punct / n_chars_m) AS BIGINT) AS punct_bp,
+      |       CAST(floor(10000.0 * n_stopwords / n_words) AS BIGINT) AS stopword_bp
       |FROM (
       |  SELECT doc_id, length(text) AS n_chars_m,
       |         len(string_split(text, ' ')) AS n_words,
       |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
       |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
-      |         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+      |         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+      |         len(list_filter(string_split(text, ' '),
+      |             t -> t IN (${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stopwords
       |  FROM documents)""".stripMargin,
 
     "token_count" -> """

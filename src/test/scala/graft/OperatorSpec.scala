@@ -109,6 +109,23 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("gapFillHourly: dense zero-filled spine; cap bounds a key's span") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01T00:10:00Z")),
+      (1L, ts("2024-01-01T03:40:00Z")), // 4-hour span, 2 active hours
+      (2L, ts("2024-01-01T05:00:00Z"))
+    ).toDF("user_id", "ts")
+    val full = graft.operators.Windows.gapFillHourly(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toString, r.getLong(2)))
+    assert(full.count(_._1 == 1L) == 4) // 00,01,02,03
+    assert(full.filter(_._1 == 1L).count(_._3 == 0L) == 2)
+    assert(full.count(_._1 == 2L) == 1)
+    val capped = graft.operators.Windows.gapFillHourly(ev, "user_id", "ts",
+      maxSpineHours = Some(2))
+    assert(capped.filter(col("user_id") === 1L).count() == 2) // 00,01 only
+  }
+
   test("repetition: duplicate n-gram share in basis points") {
     import spark.implicits._
     val docs = Seq(
