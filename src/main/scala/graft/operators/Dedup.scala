@@ -67,7 +67,8 @@ object Dedup {
                  k: Int = 5, numPerm: Int = 64, bands: Int = 16,
                  minBp: Int = 5000): DataFrame =
     minhashLshFromSignatures(
-      withMinHashSignatures(docs, textCol, idCol, k, numPerm), bands, minBp)
+      withMinHashSignatures(docs, textCol, idCol, k, numPerm),
+      bands, minBp, numPerm)
 
   /** One-pass signature computation: (id, hs, sig). At 100 TB this is
     * the INGEST-time step: signatures are `numPerm * 8` bytes per doc
@@ -90,6 +91,8 @@ object Dedup {
     * [[withMinHashSignatures]]). */
   def minhashLshFromSignatures(sigs: DataFrame, bands: Int = 16,
                                minBp: Int = 5000, numPerm: Int = 64): DataFrame = {
+    require(numPerm % bands == 0 && numPerm > 0,
+      s"numPerm ($numPerm) must be a positive multiple of bands ($bands)")
     val rowsPerBand = numPerm / bands
     // LSH: hash each band of the signature; docs sharing any
     // (band_id, band_hash) become candidates.
@@ -200,11 +203,14 @@ object Dedup {
   def contaminatedDocs(corpus: DataFrame, probe: DataFrame,
                        textCol: String, idCol: String, n: Int = 8): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
-    def gramHashes(df: DataFrame) = df.select(col(idCol).as("id"),
-      explode(expr(
-        s"""CASE WHEN size(split($textCol, ' ')) < $n THEN array()
-           |ELSE array_distinct(transform(sequence(0, size(split($textCol, ' ')) - $n),
-           |  i -> fingerprint64(concat_ws(' ', slice(split($textCol, ' '), i + 1, $n))))) END"""
+    // tokens projected ONCE per doc: a split() inside the transform
+    // lambda is not hoisted by Catalyst (O(words²) otherwise)
+    def gramHashes(df: DataFrame) = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col("id"), explode(expr(
+        s"""CASE WHEN size(toks) < $n THEN array()
+           |ELSE array_distinct(transform(sequence(0, size(toks) - $n),
+           |  i -> fingerprint64(concat_ws(' ', slice(toks, i + 1, $n))))) END"""
           .stripMargin)).as("g"))
     val probeGrams = broadcast(gramHashes(probe).select("g").distinct())
     gramHashes(corpus)

@@ -90,12 +90,14 @@ object TextAnalysis {
     * no shuffle — per-row work only), integer-exact output. */
   def repetition(docs: DataFrame, textCol: String, idCol: String,
                  n: Int = 3): DataFrame = {
+    // tokens projected ONCE: a split() inside the transform lambda is
+    // not hoisted by Catalyst, turning per-doc work O(words²)
     val grams = expr(
-      s"""CASE WHEN size(split($textCol, ' ')) < $n THEN array()
-         |ELSE transform(sequence(0, size(split($textCol, ' ')) - $n),
-         |  i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n))) END"""
-        .stripMargin)
-    docs.select(col(idCol), grams.as("grams"))
+      s"""CASE WHEN size(toks) < $n THEN array()
+         |ELSE transform(sequence(0, size(toks) - $n),
+         |  i -> concat_ws(' ', slice(toks, i + 1, $n))) END""".stripMargin)
+    docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol), grams.as("grams"))
       .select(col(idCol),
         size(col("grams")).as("n_grams"),
         size(array_distinct(col("grams"))).as("n_distinct"))

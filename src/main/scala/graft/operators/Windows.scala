@@ -52,6 +52,8 @@ object Windows {
     * (matches the SQL-oracle semantics). */
   def gapFillHourly(df: DataFrame, keyCol: String, ts: String,
                     maxSpineHours: Option[Int] = None): DataFrame = {
+    require(maxSpineHours.forall(_ > 0),
+      s"maxSpineHours must be positive, got $maxSpineHours")
     val hourly = df.groupBy(col(keyCol),
         date_trunc("hour", col(ts)).as("hour_start"))
       .agg(count(lit(1)).as("n_events"))

@@ -12,14 +12,7 @@ import graft.sources.Tables
   */
 object AnalyticsQueries {
 
-  private def dec2(c: Column) = c.cast(DecimalType(18, 2))
-  /** Decimal-exact sum surfaced as DOUBLE: accumulation is exact
-    * decimal (partition-order-independent); only the final value is
-    * cast, so Spark and the DuckDB oracle emit bit-identical float64.
-    * (Round-1 lesson: DECIMAL(38,x) output columns reach the driver's
-    * comparator as pandas Decimal objects vs DuckDB float64 and can
-    * never hash-match.) */
-  private def sumDbl2(c: Column) = sum(dec2(c)).cast("double")
+  import QueryMath.{dec2, sumDbl2}
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B15 — CUBE: all grouping combinations in one Expand pass.

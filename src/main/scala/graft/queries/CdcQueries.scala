@@ -44,14 +44,7 @@ object CdcQueries {
       |         'D', 3 FROM customer WHERE c_custkey % 10 = 0
       |)""".stripMargin
 
-  /** Decimal-exact sum surfaced as DOUBLE: accumulation is exact
-    * decimal (partition-order-independent); only the final value is
-    * cast, so Spark and the DuckDB oracle emit bit-identical float64.
-    * (Round-1 lesson: DECIMAL(38,x) output columns reach the driver's
-    * comparator as pandas Decimal objects vs DuckDB float64 and can
-    * never hash-match.) */
-  private def sumDec(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(18, 6))).cast("double")
+  private def sumDec(c: org.apache.spark.sql.Column) = QueryMath.sumDbl6(c)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — the reference's parseTs UDF as a native expression: format

@@ -121,11 +121,17 @@ object PipelineQueries {
   private val corpusPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def corpusSignatures(s: SparkSession, d: String): DataFrame = {
     val path = corpusPaths.getOrElseUpdate(d, {
-      val p = java.nio.file.Files.createTempDirectory("graft_corpus_sigs").toString
+      val p = java.nio.file.Files.createTempDirectory("graft_corpus_sigs")
+      // scratch, keyed by source dir for the JVM's lifetime (the
+      // source tables are immutable here); cleaned up on exit
+      sys.addShutdownHook {
+        import scala.reflect.io.Directory
+        new Directory(p.toFile).deleteRecursively()
+      }
       graft.sources.Sinks.writeClustered(
         Dedup.withMinHashSignatures(corpus(s, d), "text", "doc_id"),
-        p, "id", numRanges = 4)
-      p
+        p.toString, "id", numRanges = 4)
+      p.toString
     })
     s.read.parquet(path)
   }

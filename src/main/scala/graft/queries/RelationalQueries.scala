@@ -15,24 +15,8 @@ import graft.sources.Tables
   */
 object RelationalQueries {
 
-  private def dec2(c: Column) = c.cast(DecimalType(18, 2))
+  import QueryMath.{avgDec2, dec2, sumDbl2, sumDbl6}
   private def one = lit(1).cast(DecimalType(3, 2))
-  /** Exact decimal average exposed as a double: the decimal sum and
-    * the count are exact, decimal→double is correctly rounded, and
-    * IEEE division is deterministic — both engines emit the same bits
-    * (a plain avg(double) is partition-order-dependent in Spark). */
-  private def avgDec2(c: Column) =
-    sum(dec2(c)).cast("double") / count(lit(1))
-  /** Decimal-exact sum surfaced as DOUBLE. Accumulation is exact
-    * decimal (partition-order-independent); only the FINAL value is
-    * cast, and decimal→double is correctly rounded — so Spark and the
-    * DuckDB oracle emit bit-identical float64 (round-1 lesson: a
-    * DECIMAL(38,x) output column reaches the driver's comparator as
-    * pandas Decimal objects on the Spark side but float64 on the
-    * DuckDB side and can never hash-match). */
-  private def sumDbl2(c: Column) = sum(dec2(c)).cast("double")
-  private def sumDbl6(c: Column) =
-    sum(c.cast(DecimalType(18, 6))).cast("double")
 
   /** revenue := extprice * (1 - discount), exact decimal. */
   private def revenue =

@@ -32,25 +32,39 @@ object CdcPipeline {
   /** An enriched output row. */
   case class Enriched(key: Long, eventTimeMs: Long, payload: String, enrichPayload: String)
 
-  /** Keyed state: latest enrichment image + rows waiting for it. */
-  case class EnrichState(latest: Option[(Long, String)], buffered: List[(Long, String)])
+  /** Keyed state: latest enrichment image, rows waiting for it, and
+    * the newest delete-tombstone time. The tombstone time must persist
+    * (not just clear `latest`): a late image OLDER than the delete
+    * would otherwise resurrect a deleted key within the pipeline's
+    * out-of-orderness window. */
+  case class EnrichState(latest: Option[(Long, String)],
+                         buffered: List[(Long, String)],
+                         deleteTs: Long = Long.MinValue)
+
+  /** The pruned envelope read schema (only the fields the pipeline
+    * consumes — from_json skips converting the rest). */
+  private def envSchema(afterImageSchema: StructType): StructType =
+    StructType(Seq(
+      StructField("sv_manip_type", StringType),
+      StructField("sv_trans_id", LongType),
+      StructField("sv_trans_row_seq", IntegerType),
+      StructField("sv_op_timestamp", StringType),
+      StructField("after_image", afterImageSchema)))
+
+  /** Typed projection of a parsed envelope struct column `e`. */
+  private def envProjection(df: DataFrame): DataFrame =
+    df.select(col("e.sv_manip_type").as("manip"),
+      col("e.sv_trans_row_seq").as("seq"),
+      GraftFunctions.parse_sqdata_ts(col("e.sv_op_timestamp")).as("op_ts"),
+      col("e.after_image"))
 
   /** Decode the CDC JSON envelope wire format (sv_* + after_image)
     * into typed rows — the streaming twin of
     * `sources.CdcEnvelope.fromEnvelopeJson`. */
   def decodeEnvelope(raw: DataFrame, afterImageSchema: StructType): DataFrame = {
     GraftFunctions.register(raw.sparkSession)
-    val envSchema = StructType(Seq(
-      StructField("sv_manip_type", StringType),
-      StructField("sv_trans_id", LongType),
-      StructField("sv_trans_row_seq", IntegerType),
-      StructField("sv_op_timestamp", StringType),
-      StructField("after_image", afterImageSchema)))
-    raw.select(from_json(col("value"), envSchema).as("e"))
-      .select(col("e.sv_manip_type").as("manip"),
-        col("e.sv_trans_row_seq").as("seq"),
-        GraftFunctions.parse_sqdata_ts(col("e.sv_op_timestamp")).as("op_ts"),
-        col("e.after_image"))
+    envProjection(
+      raw.select(from_json(col("value"), envSchema(afterImageSchema)).as("e")))
   }
 
   /** Envelope decode with a dead-letter side: malformed JSON (or JSON
@@ -64,26 +78,13 @@ object CdcPipeline {
   def decodeEnvelopeWithDeadLetter(raw: DataFrame, afterImageSchema: StructType)
       : (DataFrame, DataFrame) = {
     GraftFunctions.register(raw.sparkSession)
-    val envSchema = StructType(Seq(
-      StructField("sv_manip_type", StringType),
-      StructField("sv_trans_id", LongType),
-      StructField("sv_trans_row_seq", IntegerType),
-      StructField("sv_op_timestamp", StringType),
-      StructField("after_image", afterImageSchema)))
-    val parsed = raw.select(col("value"), from_json(col("value"), envSchema).as("e"))
-    val bad = parsed
-      .filter(col("e").isNull ||
-        (col("e.sv_manip_type").isNull && col("e.sv_op_timestamp").isNull &&
-         col("e.after_image").isNull))
-      .select(col("value").as("raw"))
-    val good = parsed
-      .filter(col("e").isNotNull &&
-        (col("e.sv_manip_type").isNotNull || col("e.sv_op_timestamp").isNotNull ||
-         col("e.after_image").isNotNull))
-      .select(col("e.sv_manip_type").as("manip"),
-        col("e.sv_trans_row_seq").as("seq"),
-        GraftFunctions.parse_sqdata_ts(col("e.sv_op_timestamp")).as("op_ts"),
-        col("e.after_image"))
+    val parsed = raw.select(col("value"),
+      from_json(col("value"), envSchema(afterImageSchema)).as("e"))
+    val isDead = col("e").isNull ||
+      (col("e.sv_manip_type").isNull && col("e.sv_op_timestamp").isNull &&
+        col("e.after_image").isNull)
+    val bad = parsed.filter(isDead).select(col("value").as("raw"))
+    val good = envProjection(parsed.filter(!isDead))
     (good, bad)
   }
 
@@ -114,7 +115,7 @@ object CdcPipeline {
       .flatMapGroupsWithState[EnrichState, Enriched](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, rows: Iterator[Change], state: GroupState[EnrichState]) =>
-          var st = state.getOption.getOrElse(EnrichState(None, Nil))
+          var st = state.getOption.getOrElse(EnrichState(None, Nil, Long.MinValue))
           val out = scala.collection.mutable.ListBuffer[Enriched]()
           // Process in event-time order within the batch for
           // deterministic latest-wins semantics. Any total order over
@@ -129,18 +130,23 @@ object CdcPipeline {
           batch.sortInPlaceBy(c => (c.eventTimeMs, c.isEnrichment))
           batch.foreach { c =>
             if (c.isEnrichment) {
-              val newer = st.latest.forall(_._1 <= c.eventTimeMs)
               if (c.manip == "D") {
-                // CDC delete tombstone: the enrichment image no longer
-                // exists. Clear it so later stream rows buffer until a
-                // new image lands — mirrors the batch twin
-                // (Cdc.latestImage drops deleted keys).
-                if (newer) st = st.copy(latest = None)
-              } else {
-                if (newer) st = st.copy(latest = Some((c.eventTimeMs, c.payload)))
-                if (st.buffered.nonEmpty && st.latest.isDefined) {
+                // CDC delete tombstone: drop the image so later stream
+                // rows buffer until a new one lands — mirrors the batch
+                // twin (Cdc.latestImage drops deleted keys). The
+                // tombstone TIME persists so an out-of-order image
+                // older than the delete cannot resurrect the key.
+                if (st.latest.forall(_._1 <= c.eventTimeMs)) st = st.copy(latest = None)
+                if (c.eventTimeMs > st.deleteTs) st = st.copy(deleteTs = c.eventTimeMs)
+              } else if (c.eventTimeMs >= st.deleteTs &&
+                st.latest.forall(_._1 <= c.eventTimeMs)) {
+                // image applies only if at-or-after the newest delete
+                // (image wins a delete/image tie, matching the batch
+                // twin's seq ordering where the later record wins)
+                st = st.copy(latest = Some((c.eventTimeMs, c.payload)))
+                if (st.buffered.nonEmpty) {
                   st.buffered.reverse.foreach { case (t, p) =>
-                    out += Enriched(key, t, p, st.latest.get._2)
+                    out += Enriched(key, t, p, c.payload)
                   }
                   st = st.copy(buffered = Nil)
                 }

@@ -80,12 +80,21 @@ class StreamingSpec extends SparkTestBase {
       assert(spark.table("tombstoned").as[Enriched].collect()
         .map(e => (e.payload, e.enrichPayload)).toSet
         == Set(("order-a", "dim-v1")))
-      // a fresh image re-enables enrichment and flushes the buffered row
+      // a LATE image older than the delete must NOT resurrect the key
+      input.addData(Change(1L, t(1), "dim-stale", isEnrichment = true))
+      q.processAllAvailable()
+      input.addData(Change(1L, t(3), "order-c", isEnrichment = false))
+      q.processAllAvailable()
+      assert(spark.table("tombstoned").as[Enriched].collect()
+        .map(e => (e.payload, e.enrichPayload)).toSet
+        == Set(("order-a", "dim-v1")))
+      // a fresh image newer than the delete re-enables enrichment and
+      // flushes ALL buffered rows
       input.addData(Change(1L, t(4), "dim-v2", isEnrichment = true))
       q.processAllAvailable()
       assert(spark.table("tombstoned").as[Enriched].collect()
         .map(e => (e.payload, e.enrichPayload)).toSet
-        == Set(("order-a", "dim-v1"), ("order-b", "dim-v2")))
+        == Set(("order-a", "dim-v1"), ("order-b", "dim-v2"), ("order-c", "dim-v2")))
     } finally q.stop()
   }
 

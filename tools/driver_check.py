@@ -22,6 +22,9 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 
 def canon(df):
+    # lowercase before sorting so case-differing names cannot reorder
+    # the row-sort keys differently on the two sides
+    df = df.rename(columns={c: c.lower() for c in df.columns})
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df):
         # same call shape as the driver's traceback (sort_values over all
@@ -60,14 +63,17 @@ def main(sf_dir, out_dir, only):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
-    names = sorted(n for n in os.listdir(out_dir)
-                   if os.path.isdir(f"{out_dir}/{n}"))
+    # union of dumped dirs AND oracle keys: a query whose dump dir is
+    # missing entirely (Verify crashed/skipped it) must count as bad,
+    # not be silently skipped
+    names = sorted(set(n for n in os.listdir(out_dir)
+                       if os.path.isdir(f"{out_dir}/{n}")) | set(oracle))
     for name in names:
         if only and name not in only:
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            print(f"MISSING {name}: no spark parquet")
+            print(f"MISSING {name}: no spark parquet dump")
             n_bad += 1
             continue
         try:
@@ -95,7 +101,7 @@ def main(sf_dir, out_dir, only):
             continue
         bad_cols = []
         for c in sdf.columns:
-            oc = [x for x in odf.columns if x.lower() == c.lower()][0]
+            oc = c
             if not col_equal(sdf[c], odf[oc]):
                 i = next((j for j in range(len(sdf))
                           if not col_equal(sdf[c].iloc[j:j + 1].reset_index(drop=True),
