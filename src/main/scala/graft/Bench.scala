@@ -30,19 +30,24 @@ object Bench {
       catch { case _: Throwable => }
     }
 
-    // min of two measured passes — the second pass has the plan/codegen
-    // cache warm, so min() reports steady-state per-query cost
+    // median of three measured passes: min-of-2 is not robust to
+    // background machine load on the driver host (a loaded r2 run
+    // recorded 2× the code's steady-state cost) — the median discards
+    // one outlier in either direction, and the emitted per-query
+    // [min, median, max] spread makes a loaded run self-diagnosing
+    // (wide spread ⇒ distrust the total).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try {
-        val runs = Seq.fill(2)(
-          time(fn(spark, sfDir).write.format("noop").mode("overwrite").save()))
-        runs.min
-      } catch { case _: Throwable => -1.0 }
-      name -> sec
+      val runs = try {
+        Seq.fill(3)(
+          time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())).sorted
+      } catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+      name -> runs
     }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, r) => s""""$k":${r(1)}""" }.mkString("{", ",", "}")
+    val spread = results.map { case (k, r) =>
+      s""""$k":[${r.head},${r(1)},${r.last}]""" }.mkString("{", ",", "}")
+    val total = results.map(_._2(1)).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

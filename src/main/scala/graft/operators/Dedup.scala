@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -65,18 +66,20 @@ object Dedup {
     * approximation is candidate RECALL (LSH banding). */
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
                  k: Int = 5, numPerm: Int = 64, bands: Int = 16,
-                 minBp: Int = 5000): DataFrame =
+                 minBp: Int = 5000, maxBucket: Int = 1000): DataFrame =
     minhashLshFromSignatures(
       withMinHashSignatures(docs, textCol, idCol, k, numPerm),
-      bands, minBp, numPerm)
+      bands, minBp, numPerm, maxBucket)
 
   /** One-pass signature computation: (id, hs, sig). At 100 TB this is
-    * the INGEST-time step: signatures are `numPerm * 8` bytes per doc
-    * regardless of document size, so they persist columnar next to
-    * the corpus and every later dedup/clustering run starts here —
-    * the text column never re-enters the pipeline. sig[p] = min over
-    * shingles of splitmix(h ^ seed_p), a native one-pass expression
-    * (graft.functions.MinHashSig). */
+    * the INGEST-time step: `sig` is `numPerm * 8` bytes per doc
+    * regardless of document size; `hs` (the distinct shingle-hash set,
+    * O(tokens) per doc and the dominant storage term) is persisted
+    * alongside it because the exact-Jaccard VERIFY stage consumes it —
+    * persist sig-only where verification will re-derive hs from text.
+    * Either way the text column never re-enters the pipeline. sig[p] =
+    * min over shingles of splitmix(h ^ seed_p), a native one-pass
+    * expression (graft.functions.MinHashSig). */
   def withMinHashSignatures(docs: DataFrame, textCol: String, idCol: String,
                             k: Int = 5, numPerm: Int = 64): DataFrame = {
     graft.GraftFunctions.register(docs.sparkSession)
@@ -86,27 +89,75 @@ object Dedup {
       .withColumn("sig", graft.GraftFunctions.minhash_sig(col("hs"), numPerm))
   }
 
-  /** Banded LSH candidates + exact-on-signature-set verification from
-    * a precomputed (id, hs, sig) frame (see
-    * [[withMinHashSignatures]]). */
-  def minhashLshFromSignatures(sigs: DataFrame, bands: Int = 16,
-                               minBp: Int = 5000, numPerm: Int = 64): DataFrame = {
-    require(numPerm % bands == 0 && numPerm > 0,
-      s"numPerm ($numPerm) must be a positive multiple of bands ($bands)")
+  /** (id, band, bh) LSH bucket assignment for a (id, sig) frame: one
+    * 64-bit hash per signature band. Validates that stored signatures
+    * agree with `numPerm` — slice() past the end would silently yield
+    * short/empty bands (wrong band hashes, silent recall loss), so a
+    * persisted-signature / parameter mismatch fails loudly instead. */
+  private def minhashBuckets(sigs: DataFrame, bands: Int, numPerm: Int): DataFrame = {
     val rowsPerBand = numPerm / bands
-    // LSH: hash each band of the signature; docs sharing any
-    // (band_id, band_hash) become candidates.
+    val checked = sigs.withColumn("sig", expr(
+      s"""CASE WHEN size(sig) = $numPerm THEN sig
+         |ELSE raise_error(concat('minhash signature length ', size(sig),
+         |                        ' != numPerm $numPerm')) END""".stripMargin))
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         expr(s"xxhash64(slice(sig, ${b * rowsPerBand + 1}, $rowsPerBand))").as("bh")))
-    val buckets = sigs
+    checked
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
-    val cands = buckets.as("x").join(buckets.as("y"),
+  }
+
+  /** The logged-recall escape hatch for the hot-bucket star pairing:
+    * (band, bh, w) for every bucket wider than `maxBucket`. Run (and
+    * log/persist) alongside a guarded dedup to quantify how many
+    * buckets fell back to O(w) star pairing — an empty result means
+    * the guarded output is identical to unguarded all-pairs. */
+  def hotBucketStats(sigs: DataFrame, bands: Int = 16, numPerm: Int = 64,
+                     maxBucket: Int = 1000): DataFrame =
+    minhashBuckets(sigs, bands, numPerm)
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") > maxBucket)
+
+  /** Banded LSH candidates + exact-on-signature-set verification from
+    * a precomputed (id, hs, sig) frame (see
+    * [[withMinHashSignatures]]).
+    *
+    * Hot-bucket guard: a (band, band_hash) bucket with w members
+    * yields w²/2 candidate pairs under the all-pairs self-join — and
+    * real crawl corpora have buckets with 10⁵ exact copies of one
+    * page, i.e. ~5×10⁹ pairs from a single bucket. Buckets wider than
+    * `maxBucket` therefore switch to star pairing: every member pairs
+    * with the bucket's min-id representative only — O(w) candidates
+    * that keep the component connected for [[clusterPairs]] (exact
+    * copies all verify at jaccard 10000 against the rep). The traded
+    * recall — a non-rep pair similar to each other but not to the rep,
+    * co-bucketed ONLY in hot buckets — is logged per run via
+    * [[hotBucketStats]]. Below the cap the output is identical to the
+    * unguarded all-pairs form. */
+  def minhashLshFromSignatures(sigs: DataFrame, bands: Int = 16,
+                               minBp: Int = 5000, numPerm: Int = 64,
+                               maxBucket: Int = 1000): DataFrame = {
+    require(numPerm % bands == 0 && numPerm > 0,
+      s"numPerm ($numPerm) must be a positive multiple of bands ($bands)")
+    val buckets = minhashBuckets(sigs, bands, numPerm)
+    // Bucket width + min-id rep in ONE window shuffle on the bucket key
+    // (both functions share the window spec → a single Window operator).
+    val byBucket = Window.partitionBy(col("band"), col("bh"))
+    val wb = buckets
+      .withColumn("w", count(lit(1)).over(byBucket))
+      .withColumn("rep", min(col("id")).over(byBucket))
+    val small = wb.filter(col("w") <= maxBucket).select("id", "band", "bh")
+    val smallPairs = small.as("x").join(small.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
-      .distinct()
+    // rep = min(id) over the bucket, so rep < id holds and pair
+    // orientation (doc_a < doc_b) is preserved.
+    val hotPairs = wb.filter(col("w") > maxBucket && col("id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("id").as("doc_b"))
+    val cands = smallPairs.unionByName(hotPairs).distinct()
     // Verify candidates with exact Jaccard over the shingle-hash sets.
     val sets = sigs.select(col("id"), col("hs"))
     cands
@@ -148,10 +199,13 @@ object Dedup {
     *
     * Label propagation to fixpoint: each round every node adopts the
     * minimum label in its neighborhood. Rounds are join+groupBy (all
-    * distributed); the number of rounds is O(log component-diameter) —
-    * near-dup components are small and dense, so this converges in a
-    * handful of rounds at any corpus size. The driver only checks a
-    * per-round convergence COUNT, never collects data. */
+    * distributed); the min label travels one hop per round, so rounds
+    * ≈ component diameter — near-dup components are small and dense
+    * (stars/cliques of copies), so this converges in a handful of
+    * rounds at any corpus size, and lineage is truncated every 5
+    * rounds so even adversarial long-chain components keep bounded
+    * plan depth. The driver only checks a per-round convergence
+    * COUNT, never collects data. */
   def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
                    maxIter: Int = 20): DataFrame = {
     // undirected edges + self-loops keep isolated propagation stable
@@ -173,10 +227,19 @@ object Dedup {
           .withColumnRenamed("label", "dst_label"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("nbr_label"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val nextPlan = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
+      // Lineage truncation: each round's plan chains the last round's
+      // joins, so a long-diameter component (rounds ≈ diameter) would
+      // stack O(rounds) joins of planning + lineage. localCheckpoint
+      // every 5 rounds materializes labels and restarts the plan from
+      // the stored partitions (cluster-mode callers with a checkpoint
+      // dir get durability too via spark.checkpoint; local blocks are
+      // enough for plan-depth control).
+      val next =
+        if (iter % 5 == 0) nextPlan.localCheckpoint()
+        else nextPlan.cache()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
       labels.unpersist()
@@ -221,9 +284,18 @@ object Dedup {
 
   /** Near-dup pairs by SimHash: 16-bit band blocking (any equal band
     * → candidate; guarantees recall for hamming <= 3 by pigeonhole
-    * over 4 bands) then exact hamming verify. */
+    * over 4 bands) then exact hamming verify.
+    *
+    * Same hot-bucket guard as [[minhashLshFromSignatures]]: a band
+    * value shared by w docs (identical pages collide on ALL bands)
+    * switches from O(w²) all-pairs to O(w) star pairing against the
+    * bucket's min-id representative once w exceeds `maxBucket`;
+    * below the cap the output is identical to unguarded all-pairs.
+    * The pigeonhole recall guarantee then holds for pairs involving
+    * the rep; non-rep hot-bucket pairs rely on component transitivity
+    * (exact copies are hamming 0 to the rep, so they still verify). */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sigs = simhashSignature(docs, textCol, idCol)
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"),
@@ -231,11 +303,24 @@ object Dedup {
     val buckets = sigs.select(col("id"), col("simhash"),
       explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band"), col("bb.bv"))
-    buckets.as("x").join(buckets.as("y"),
+    // width + min-(id, simhash) rep in one window shuffle; the struct
+    // min orders by id first, so rep.id = min id and rep.simhash is
+    // that doc's signature (needed for the hamming verify).
+    val byBucket = Window.partitionBy(col("band"), col("bv"))
+    val wb = buckets
+      .withColumn("w", count(lit(1)).over(byBucket))
+      .withColumn("rep", min(struct(col("id"), col("simhash"))).over(byBucket))
+    val small = wb.filter(col("w") <= maxBucket)
+      .select("id", "simhash", "band", "bv")
+    val smallPairs = small.as("x").join(small.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
         col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
+    val hotPairs = wb.filter(col("w") > maxBucket && col("id") =!= col("rep.id"))
+      .select(col("rep.id").as("doc_a"), col("id").as("doc_b"),
+        col("rep.simhash").as("sig_a"), col("simhash").as("sig_b"))
+    smallPairs.unionByName(hotPairs)
       .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)

@@ -35,4 +35,19 @@ object EnrichmentJoin {
     val e = if (broadcastEnrichment) broadcast(enrichment) else enrichment
     stream.join(e, Seq(key), "inner")
   }
+
+  /** The documented fallback for the case `enrich` can't serve well:
+    * an enrichment too large to broadcast (→ shuffled join) whose key
+    * distribution on the FACT side is skewed (a handful of customers
+    * own most orders). A plain shuffled join lands every hot key on
+    * one reducer; salting spreads each key over `nSalts` sub-keys on
+    * the fact side and replicates the enrichment ×`nSalts`, so a hot
+    * key occupies `nSalts` reducers. Result rows are identical to
+    * `enrich(_, _, key, broadcastEnrichment = false)` — OperatorSpec
+    * asserts both the equality and the salted plan shape. Prefer AQE's
+    * runtime skew split when it applies; this is the explicit form for
+    * paths AQE can't rewrite (see [[Skew.saltedJoin]]). */
+  def enrichSalted(stream: DataFrame, enrichment: DataFrame, key: String,
+                   nSalts: Int = 8): DataFrame =
+    Skew.saltedJoin(stream, enrichment, key, nSalts)
 }

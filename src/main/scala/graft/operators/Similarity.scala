@@ -74,17 +74,36 @@ object Similarity {
   /** LSH-bucketed ANN: bucket corpus and queries by hyperplane signs,
     * compare only within matching buckets, rerank by exact cosine.
     * Recall < 1 by construction (that's the trade); verified against
-    * [[bruteForceTopK]] in the spec. */
+    * [[bruteForceTopK]] in the spec.
+    *
+    * `multiprobe` — probe every corpus bucket within `multiprobe` sign
+    * flips (hamming distance over the bucket bits) of the query's own
+    * bucket. This is what lets `numPlanes` SCALE with the corpus
+    * (more planes → smaller buckets → sublinear rerank) without
+    * cratering recall: a true neighbor differing on one or two
+    * marginal hyperplanes is still probed. The query side is exploded
+    * ×(number of probe masks) BEFORE the broadcast — the corpus is
+    * still scanned once and never shuffled, and each (query, corpus)
+    * pair matches at most one probe mask (masks are distinct XORs of
+    * one bucket), so no dedup pass is needed. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+              numPlanes: Int = 8, dim: Int = 64, multiprobe: Int = 0): DataFrame = {
+    require(multiprobe >= 0 && multiprobe <= numPlanes,
+      s"multiprobe ($multiprobe) must be in [0, numPlanes=$numPlanes]")
     val planes = hyperplanes(numPlanes, dim)
+    val probeMasks: Seq[Long] = (0 to multiprobe).flatMap(nFlips =>
+      (0 until numPlanes).combinations(nFlips)
+        .map(_.foldLeft(0L)((m, p) => m | (1L << p))).toSeq)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"),
       lshBucket(col(vecCol), planes).as("bucket"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"),
-      lshBucket(col(vecCol), planes).as("bucket")))
+      lshBucket(col(vecCol), planes).as("bucket0"))
+      .withColumn("bucket", explode(array(probeMasks.map(m =>
+        col("bucket0").bitwiseXOR(lit(m))): _*)))
+      .drop("bucket0"))
     val byScore = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(q, "bucket")

@@ -176,10 +176,13 @@ object PipelineQueries {
 
     // C6 — random-hyperplane LSH ANN + rerank (rows + SimilaritySpec).
     "embed_lsh_ann" -> { (s, d) =>
-      // 4 planes → 16 buckets: candidate sets stay large enough for
-      // useful recall at this corpus size (planes scale up with corpus).
+      // The scale configuration: 8 planes → 256 buckets shrink the
+      // rerank set, and multiprobe=1 (probe all buckets within one
+      // sign flip) buys the recall back — this is how numPlanes keeps
+      // scaling with the corpus. The oracle replicates the probe set
+      // exactly (hamming <= 1 join on the same plane literals).
       Similarity.lshTopK(Tables.embeddings(s, d), embQueries(s, d),
-        "vec_id", "embedding", k = 10, numPlanes = 4)
+        "vec_id", "embedding", k = 10, numPlanes = 8, multiprobe = 1)
     },
 
     // C7 — marker-argmax language ID.
@@ -323,19 +326,31 @@ object PipelineQueries {
     // C22 — deterministic source-mix downsampling: cap every source at
     // 50 docs, chosen by multiplicative-hash order so the sample is
     // uniform, engine-reproducible, and stable under reruns (no RNG).
-    // Integer envelope: doc_id * 2654435761 stays in 63 bits for
-    // doc_id < ~3.5e9 (same envelope as dataset_split); beyond that,
-    // reduce the id mod a 32-bit prime first. Window formulation shown
-    // here; for groups that dwarf a sort buffer the bounded-heap top_k
-    // aggregate (see topk_per_group) is the same semantics at
-    // O(n log k).
+    // SCALE FORM: the bounded-min-heap `top_k` aggregate — O(n log k)
+    // work, O(k) state per source, map-side partial aggregation, and
+    // only k encoded longs per source cross the shuffle. A window
+    // row_number() (the oracle's mirror formulation, same semantics)
+    // would SORT every source partition — a web-scale source has
+    // billions of docs, which is exactly the per-partition sort this
+    // avoids. Encoding: rank order (hash asc, doc_id asc) packs into
+    // one bigint as h * 2^33 + doc_id (h < 2^30 so the sum stays in 63
+    // bits; doc_id beyond 2^33 → widen the hash modulus split),
+    // negated because top_k keeps the LARGEST k.
     "source_mix_sample" -> { (s, d) =>
+      GraftFunctions.register(s)
       val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
-      Tables.documents(s, d).select(col("doc_id"), col("source"))
-        .withColumn("rn", row_number().over(win))
-        .filter(col("rn") <= 50)
+      val enc = -(h * lit(1L << 33) + col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), enc.as("v"))
+        .groupBy(col("source"))
+        .agg(GraftFunctions.top_k(col("v"), 50).as("vs"))
+        .select(col("source"), posexplode(col("vs")).as(Seq("pos", "v")))
+        // top_k output is descending in -(h·2^33+id) = ascending in
+        // (h, doc_id), so rank = position + 1; decode id from the low
+        // 33 bits
+        .select((-col("v") % lit(1L << 33)).as("doc_id"),
+          col("source"),
+          (col("pos") + 1).cast("int").as("rn"))
     },
 
     // C14 — corpus-wide top-20 word bigrams (explode + count + top-k;
@@ -439,8 +454,12 @@ object PipelineQueries {
       |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s)
       |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 10""".stripMargin,
 
+    // Mirrors lshTopK(numPlanes = 8, multiprobe = 1): Spark explodes
+    // the query bucket over XOR masks of popcount <= 1, which joins
+    // exactly the corpus buckets within hamming 1 of the query bucket
+    // — expressed here directly as the hamming predicate.
     "embed_lsh_ann" -> {
-      val planes = Similarity.hyperplanes(4, 64)
+      val planes = Similarity.hyperplanes(8, 64)
       s"""
       |WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
       |                  ${lshBucketSql("embedding", planes)} AS bucket
@@ -450,7 +469,8 @@ object PipelineQueries {
       |      FROM embeddings),
       |s AS (
       |  SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
-      |  FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
+      |  FROM c JOIN q ON bit_count(xor(c.bucket, q.bucket)) <= 1
+      |  WHERE neighbor_id <> query_id),
       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
       |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s)
       |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 10""".stripMargin

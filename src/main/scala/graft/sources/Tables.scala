@@ -34,9 +34,17 @@ object Tables {
     * task, which serializes every downstream per-row transform (JSON
     * codec, gram hashing, regex) on one core until the first exchange.
     * A production lake writes many row groups and files, so splits
-    * give this parallelism for free; locally one small round-robin
-    * exchange buys the cores back. Use ONLY ahead of CPU-heavy decode
+    * give this parallelism for free — and then this is a NO-OP: the
+    * exchange is added only when the input plan has fewer than half
+    * the cluster's cores in partitions, so the same call sites that
+    * buy back local parallelism never round-robin-shuffle a corpus
+    * that already arrives split. Use ONLY ahead of CPU-heavy decode
     * paths — cheap scans should keep their exchange-free plan. */
-  def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def fanOut(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // physical-plan partition count of the input as it would execute
+    // (no job is run; rdd construction only plans)
+    if (df.rdd.getNumPartitions >= math.max(1, parallelism / 2)) df
+    else df.repartition(parallelism)
+  }
 }

@@ -27,7 +27,7 @@ object CdcPipeline {
     * CDC manipulation type ('I'nsert/'U'pdate/'D'elete — sv_manip_type
     * on the wire). */
   case class Change(key: Long, eventTimeMs: Long, payload: String,
-                    isEnrichment: Boolean, manip: String = "I")
+                    isEnrichment: Boolean, manip: String = "I", seq: Int = 0)
 
   /** An enriched output row. */
   case class Enriched(key: Long, eventTimeMs: Long, payload: String, enrichPayload: String)
@@ -127,7 +127,15 @@ object CdcPipeline {
           // history.
           val batch = scala.collection.mutable.ArrayBuffer.empty[Change]
           rows.foreach(batch += _)
-          batch.sortInPlaceBy(c => (c.eventTimeMs, c.isEnrichment))
+          // Total, DETERMINISTIC order: event time, then side, then the
+          // wire transaction-row seq, then deletes before images — so a
+          // delete+reinsert sharing sv_op_timestamp in one micro-batch
+          // resolves by seq (the batch twin's (op_ts, seq) order), and
+          // when seq is absent too, the image is applied after the
+          // delete ("image wins the tie") regardless of shuffle
+          // arrival order.
+          batch.sortInPlaceBy(c =>
+            (c.eventTimeMs, c.isEnrichment, c.seq, if (c.manip == "D") 0 else 1))
           batch.foreach { c =>
             if (c.isEnrichment) {
               if (c.manip == "D") {

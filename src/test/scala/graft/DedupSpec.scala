@@ -131,6 +131,88 @@ class DedupSpec extends SparkTestBase {
     assert(survivorIds.nonEmpty && survivorIds.forall(_ < 1000))
   }
 
+  test("hot-bucket guard: 10k copies of one doc yield O(k) candidates, not k²/2") {
+    import spark.implicits._
+    // crawl-corpus shape: one page duplicated 10k times (all 10k land
+    // in the same (band, hash) bucket on EVERY band) + distinct docs
+    val page = "the same boilerplate page crawled from ten thousand mirrors again"
+    val docs = spark.range(0, 10000).select(col("id").as("doc_id"), lit(page).as("text"))
+      .unionByName(Seq((20000L, "a completely unrelated document about gardens"),
+        (20001L, "another distinct text concerning naval history"))
+        .toDF("doc_id", "text"))
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id", minBp = 8000, maxBucket = 100)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star pairing: every copy pairs with the bucket rep (min id 0) —
+    // exactly k-1 verified pairs, not ~5×10⁷
+    assert(got.size == 9999, s"got ${got.size} pairs")
+    assert(got.forall { case (a, b) => a == 0L && b > 0L && b < 10000L })
+    // connectivity survives for clustering: one component, canonical 0
+    val labels = Dedup.clusterPairs(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 10000 && labels.values.forall(_ == 0L))
+    // the escape hatch reports the fallback: all 16 bands hot
+    val hot = Dedup.hotBucketStats(
+      Dedup.withMinHashSignatures(docs, "text", "doc_id"), maxBucket = 100)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(hot.length == 16 && hot.forall(_._2 == 10000L), hot.mkString(","))
+  }
+
+  test("hot-bucket guard is a no-op below the cap (identical pair set)") {
+    val guarded = Dedup.minhashLsh(corpus(), "text", "doc_id", minBp = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val unguarded = Dedup.minhashLsh(corpus(), "text", "doc_id", minBp = 8000,
+        maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(guarded == unguarded && guarded.nonEmpty)
+    val sGuarded = Dedup.simhashPairs(corpus(), "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sUnguarded = Dedup.simhashPairs(corpus(), "text", "doc_id", maxHamming = 3,
+        maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sGuarded == sUnguarded && sGuarded.nonEmpty)
+  }
+
+  test("simhash hot-bucket guard: duplicate-heavy corpus stays O(k)") {
+    import spark.implicits._
+    val page = "identical mirror page text for the simhash banding path"
+    val docs = spark.range(0, 5000).select(col("id").as("doc_id"), lit(page).as("text"))
+      .unionByName(Seq((9000L, "some other words entirely unlike the page"))
+        .toDF("doc_id", "text"))
+    val got = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical sigs are hamming 0 from the rep → all k-1 star pairs verify
+    assert(got.size == 4999, s"got ${got.size}")
+    assert(got.forall { case (a, b) => a == 0L && b > 0L })
+  }
+
+  test("signature/numPerm mismatch fails loudly instead of silently degrading") {
+    val sigs32 = Dedup.withMinHashSignatures(corpus(), "text", "doc_id", numPerm = 32)
+    val ex = intercept[Exception] {
+      Dedup.minhashLshFromSignatures(sigs32, numPerm = 64, minBp = 8000).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("minhash signature length")), ex.toString)
+  }
+
+  test("clusterPairs: 50-node path converges with bounded plan depth") {
+    import spark.implicits._
+    // worst-case diameter (the opposite of the dense near-dup shape):
+    // min label travels one hop per round → ~49 rounds, which without
+    // lineage truncation would stack ~100 joins of plan
+    val pairs = (0L until 49L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.clusterPairs(pairs, "doc_a", "doc_b", maxIter = 60)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 50 && got.values.forall(_ == 0L))
+    // truncated lineage: the final plan hangs off a materialized
+    // checkpoint scan, not 49 rounds of joins
+    val plan = labels.queryExecution.optimizedPlan.toString
+    val joins = "(?i)\\bjoin\\b".r.findAllIn(plan).length
+    assert(joins <= 20, s"$joins joins in final plan — lineage not truncated")
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      "no checkpoint scan in plan")
+  }
+
   test("simhash signature is stable and has 64-bit spread") {
     val sigs = Dedup.simhashSignature(corpus(), "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

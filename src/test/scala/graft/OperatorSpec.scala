@@ -76,6 +76,24 @@ class OperatorSpec extends SparkTestBase {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("enrichSalted: salted fallback equals the shuffled enrich, plan is salted") {
+    import spark.implicits._
+    // the fallback case: a non-broadcastable enrichment + a hot-keyed
+    // fact side (90% of facts share one key)
+    val facts = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 1L, i))
+      .toDF("k", "v")
+    val dim = (1 to 200).map(i => (i.toLong, s"dim$i")).toDF("k", "d")
+    val plain = graft.operators.EnrichmentJoin
+      .enrich(facts, dim, "k", broadcastEnrichment = false)
+      .collect().map(_.toSeq).toSet
+    val salted = graft.operators.EnrichmentJoin.enrichSalted(facts, dim, "k", nSalts = 8)
+    assert(salted.collect().map(_.toSeq).toSet == plain && plain.nonEmpty)
+    // plan shape: the join runs on (k, __salt) — the hot key is spread
+    // over 8 reducers — and is NOT a broadcast join
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan)
+  }
+
   test("enrichment join drops the enrichment's key copy from output") {
     import spark.implicits._
     val stream = Seq((1L, "o1"), (2L, "o2")).toDF("k", "payload")

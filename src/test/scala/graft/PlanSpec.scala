@@ -114,4 +114,22 @@ class PlanSpec extends SparkTestBase {
     val plan = planOf(df)
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("fanOut gates on scan parallelism: no-op on pre-split input") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val par = spark.sparkContext.defaultParallelism
+    // the driver's single-row-group file: one split → fan out
+    assert(docs.rdd.getNumPartitions < math.max(1, par / 2),
+      "precondition: testdata should read as a single split")
+    val fanned = sources.Tables.fanOut(docs)
+    assert(fanned.rdd.getNumPartitions == par)
+    assert(planOf(fanned).contains("Exchange RoundRobinPartitioning"))
+    // production-lake shape (input already split): the SAME call adds
+    // ZERO exchange — it returns the input plan untouched
+    val preSplit = docs.repartition(par)
+    val gated = sources.Tables.fanOut(preSplit)
+    assert(gated eq preSplit, "fanOut should return the input frame unchanged")
+    assert(planOf(gated).linesIterator.count(_.contains("Exchange")) ==
+      planOf(preSplit).linesIterator.count(_.contains("Exchange")))
+  }
 }

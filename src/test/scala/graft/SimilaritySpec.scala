@@ -57,6 +57,65 @@ class SimilaritySpec extends SparkTestBase {
       s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("multiprobe keeps recall >= 0.9 when planes scale up (10k corpus, 8 planes)") {
+    import spark.implicits._
+    // synthetic 10k-vector corpus with PLANTED near-neighbor clusters
+    // (the realistic ANN shape: queries have genuinely close matches,
+    // cosine ~0.99, instead of the uniform-random worst case). 8
+    // planes → 256 buckets ≈ corpus/256 rerank per probe; without
+    // multiprobe a true neighbor flipping one marginal hyperplane is
+    // lost, with hamming<=2 probing it is kept.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    def noisy(base: Array[Double], eps: Double): Array[Float] =
+      base.map(v => (v + eps * rnd.nextGaussian()).toFloat)
+    val bases = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    val members = for {
+      (b, c) <- bases.zipWithIndex
+      m <- 0 until 30
+    } yield ((c * 30 + m).toLong, noisy(b, 0.12))
+    val fillerStart = bases.length * 30
+    val filler = (0 until (10000 - members.size)).map(i =>
+      ((fillerStart + i).toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val all = (members ++ filler).toSeq
+    val corpus = all.toDF("vec_id", "embedding")
+    val queries = all.filter(r => r._1 < 600 && r._1 % 30 == 0) // one per cluster
+      .toDF("vec_id", "embedding")
+    val localVecs = all.toMap
+    def cosL(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def truth(q: Long): Set[Long] =
+      localVecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cosL(localVecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val got = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+        k = 10, numPlanes = 8, multiprobe = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val recalls = got.toSeq.map { case (q, ids) =>
+      ids.intersect(truth(q)).size.toDouble / 10.0 }
+    val mean = recalls.sum / recalls.size
+    assert(recalls.size == 20, s"only ${recalls.size} queries returned")
+    assert(mean >= 0.9, s"mean recall $mean")
+  }
+
+  test("multiprobe=0 equals the plain single-bucket probe") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 8)
+    val plain = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        k = 10, numPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val mp0 = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        k = 10, numPlanes = 4, multiprobe = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(plain == mp0 && plain.nonEmpty)
+  }
+
   test("quantizeInt8: |q| <= 127, max hits 127, reconstruction within half-step") {
     val got = Similarity.quantizeInt8(
       sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding")

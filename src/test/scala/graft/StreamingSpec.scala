@@ -98,6 +98,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("delete+reinsert sharing an op timestamp resolves deterministically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = CdcPipeline.enrichLatest(input.toDS())
+      .writeStream.format("memory").queryName("tiebreak")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // ONE micro-batch: delete (seq=1) + reinsert (seq=2) at the SAME
+      // sv_op_timestamp — a normal CDC transaction shape. The wire seq
+      // must decide (reinsert wins), not shuffle arrival order.
+      input.addData(
+        Change(1L, t(0), "dim-v1", isEnrichment = true, seq = 1),
+        Change(1L, t(2), "stale", isEnrichment = true, manip = "D", seq = 1),
+        Change(1L, t(2), "dim-v2", isEnrichment = true, seq = 2))
+      q.processAllAvailable()
+      input.addData(Change(1L, t(3), "order-a", isEnrichment = false))
+      q.processAllAvailable()
+      assert(spark.table("tiebreak").as[Enriched].collect()
+        .map(e => (e.payload, e.enrichPayload)).toSet
+        == Set(("order-a", "dim-v2")))
+      // reversed seq: the delete is the transaction's LAST word → dead
+      input.addData(
+        Change(2L, t(2), "dim-v1", isEnrichment = true, seq = 1),
+        Change(2L, t(2), "kill", isEnrichment = true, manip = "D", seq = 2))
+      q.processAllAvailable()
+      input.addData(Change(2L, t(3), "order-b", isEnrichment = false))
+      q.processAllAvailable()
+      // order-b buffered against the dead key, never emitted
+      assert(spark.table("tiebreak").as[Enriched].collect()
+        .map(e => (e.payload, e.enrichPayload)).toSet
+        == Set(("order-a", "dim-v2")))
+      // seq absent (both 0): deletes sort before images → image wins
+      // the tie regardless of addData order
+      input.addData(
+        Change(3L, t(2), "dim-x", isEnrichment = true),
+        Change(3L, t(2), "del-x", isEnrichment = true, manip = "D"))
+      q.processAllAvailable()
+      input.addData(Change(3L, t(3), "order-c", isEnrichment = false))
+      q.processAllAvailable()
+      assert(spark.table("tiebreak").as[Enriched].collect()
+        .map(e => (e.payload, e.enrichPayload)).toSet
+        == Set(("order-a", "dim-v2"), ("order-c", "dim-x")))
+    } finally q.stop()
+  }
+
   test("KafkaCdc: record projection + envelope decode round-trips the wire shape") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -221,7 +267,7 @@ class StreamingSpec extends SparkTestBase {
         unix_millis(col("op_ts")).as("eventTimeMs"),
         col("after_image.TotalDue").cast("string").as("payload"),
         (col("manip") === "X").as("isEnrichment"), // all stream-side here
-        col("manip"))
+        col("manip"), coalesce(col("seq"), lit(0)).as("seq"))
       .as[Change]
     val q = CdcPipeline.windowedTotals(
         decoded.map(c => Enriched(c.key, c.eventTimeMs, c.payload, "ALL")),
@@ -267,6 +313,109 @@ class StreamingSpec extends SparkTestBase {
       val got = spark.table("chained").as[Enriched].collect()
         .map(e => (e.payload, e.enrichPayload)).toSet
       assert(got == Set(("order:42", "addr:market-st|state:CA")), got.toString)
+    } finally q.stop()
+  }
+
+  test("three-stream reference topology end-to-end: decode → enrich² → window → sink") {
+    // The full reference wiring (StreamingJob.java:93-135): three
+    // concurrent CDC streams with DISTINCT after_image schemas —
+    // states, addresses, orders — through envelope decode, the
+    // two-level enrichment chain (address⋈state, then orders⋈that),
+    // the 10-minute watermark and tumbling window, into one sink;
+    // including a mid-stream address tombstone and a late-drop.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def wire(min: Int) = f"20240101${min / 60}%02d${min % 60}%02d00"
+    def env(manip: String, seq: Int, min: Int, after: String): String =
+      s"""{"sv_manip_type":"$manip","sv_trans_id":1,"sv_trans_row_seq":$seq,""" +
+        s""""sv_op_timestamp":"${wire(min)}","after_image":$after}"""
+    val stateSchema = StructType(Seq(
+      StructField("StateId", LongType), StructField("StateName", StringType)))
+    val addrSchema = StructType(Seq(
+      StructField("AddressId", LongType), StructField("StateId", LongType),
+      StructField("Street", StringType)))
+    val orderSchema = StructType(Seq(
+      StructField("SalesOrderId", LongType), StructField("AddressId", LongType),
+      StructField("TotalDue", DoubleType)))
+    val states = MemoryStream[String]
+    val addresses = MemoryStream[String]
+    val orders = MemoryStream[String]
+    val ems = unix_millis(col("op_ts")).as("eventTimeMs")
+    val sq = coalesce(col("seq"), lit(0)).as("seq")
+    val stateChanges = CdcPipeline.decodeEnvelope(states.toDF(), stateSchema)
+      .select(col("after_image.StateId").as("key"), ems,
+        col("after_image.StateName").as("payload"),
+        lit(true).as("isEnrichment"), col("manip"), sq).as[Change]
+    val addrDecoded = CdcPipeline.decodeEnvelope(addresses.toDF(), addrSchema)
+    // address images join states on StateId (stage-1 stream side);
+    // address DELETES skip stage 1 (no image to enrich) and tombstone
+    // the address dimension in stage 2 directly
+    val addrImages = addrDecoded.filter(col("manip") =!= "D")
+      .select(col("after_image.StateId").as("key"), ems,
+        concat(col("after_image.AddressId"), lit("|"),
+          col("after_image.Street")).as("payload"),
+        lit(false).as("isEnrichment"), col("manip"), sq).as[Change]
+    val addrDeletes = addrDecoded.filter(col("manip") === "D")
+      .select(col("after_image.AddressId").as("key"), ems,
+        lit("").as("payload"), lit(true).as("isEnrichment"), col("manip"), sq)
+      .as[Change]
+    val orderChanges = CdcPipeline.decodeEnvelope(orders.toDF(), orderSchema)
+      .select(col("after_image.AddressId").as("key"), ems,
+        concat(lit("order-"), col("after_image.SalesOrderId")).as("payload"),
+        lit(false).as("isEnrichment"), col("manip"), sq).as[Change]
+    // stage 1: address ⋈ latest state; re-keyed by AddressId it IS the
+    // enrichment stream of stage 2 (ref chains the two joins the same way)
+    val stage1 = CdcPipeline.enrichLatest(stateChanges.union(addrImages))
+    val stage2Enrich = stage1.map { e =>
+      val Array(addrId, street) = e.payload.split("\\|", 2)
+      Change(addrId.toLong, e.eventTimeMs, s"$street|${e.enrichPayload}",
+        isEnrichment = true)
+    }
+    val enriched = CdcPipeline.enrichLatest(
+      stage2Enrich.union(addrDeletes).union(orderChanges))
+    val q = CdcPipeline.windowedTotals(enriched,
+        watermarkDelay = "10 minutes", width = "10 minutes")
+      .writeStream.format("memory").queryName("ref_topology")
+      .outputMode(OutputMode.Append).start()
+    try {
+      states.addData(env("I", 1, 0, """{"StateId":1,"StateName":"CA"}"""))
+      addresses.addData(
+        env("I", 2, 1, """{"AddressId":7,"StateId":1,"Street":"market-st"}"""),
+        env("I", 3, 1, """{"AddressId":8,"StateId":1,"Street":"oak-ave"}"""))
+      q.processAllAvailable()
+      orders.addData(
+        env("I", 1, 2, """{"SalesOrderId":42,"AddressId":7,"TotalDue":10.5}"""),
+        env("I", 2, 3, """{"SalesOrderId":43,"AddressId":8,"TotalDue":20.0}"""))
+      q.processAllAvailable()
+      // tombstone address 7 mid-stream → later orders for it buffer
+      addresses.addData(env("D", 1, 6,
+        """{"AddressId":7,"StateId":1,"Street":"market-st"}"""))
+      q.processAllAvailable()
+      orders.addData(env("I", 1, 7,
+        """{"SalesOrderId":45,"AddressId":7,"TotalDue":5.0}"""))
+      q.processAllAvailable()
+      // advance the watermark past the [0,10) window via a live key
+      orders.addData(env("I", 1, 45,
+        """{"SalesOrderId":44,"AddressId":8,"TotalDue":7.0}"""))
+      q.processAllAvailable()
+      // late-drop: 40 minutes behind the watermark → engine drops it
+      orders.addData(env("I", 1, 5,
+        """{"SalesOrderId":46,"AddressId":8,"TotalDue":9.9}"""))
+      q.processAllAvailable()
+      orders.addData(env("I", 1, 50,
+        """{"SalesOrderId":47,"AddressId":8,"TotalDue":1.0}"""))
+      q.processAllAvailable()
+      val got = spark.table("ref_topology").collect()
+        .map(r => (r.getTimestamp(0).toInstant.toString, r.getString(1), r.getLong(2)))
+        .toSet
+      // exactly the two on-time orders in the closed [00:00,00:10)
+      // window, fully enriched street|state; order 45 (tombstoned
+      // address) and order 46 (late) never surface
+      assert(got == Set(
+        ("2024-01-01T00:00:00Z", "market-st|CA", 1L),
+        ("2024-01-01T00:00:00Z", "oak-ave|CA", 1L)), got.toString)
     } finally q.stop()
   }
 
@@ -395,9 +544,9 @@ class StreamingSpec extends SparkTestBase {
       .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         val prev = try spark.read.parquet(s"$dir/state")
           catch { case _: Throwable => spark.emptyDataFrame }
-        // the upsert assigns its own manip below; drop the wire column
-        // so the schema matches the manip-free persisted state
-        val b = batch.drop("manip")
+        // the upsert assigns its own manip/seq below; drop the wire
+        // columns so the schema matches the persisted state
+        val b = batch.drop("manip", "seq")
         val merged =
           if (prev.isEmpty) b
           else prev.unionByName(b)

@@ -36,8 +36,13 @@ def canon(df):
 def col_equal(s, o):
     sk, ok = s.dtype.kind, o.dtype.kind
     if sk in "mM" and ok in "mM":
-        return np.array_equal(s.to_numpy("datetime64[ns]"),
-                              o.to_numpy("datetime64[ns]"))
+        a = s.to_numpy("datetime64[ns]")
+        b = o.to_numpy("datetime64[ns]")
+        # NaT != NaT under ==, so mask symmetrically (mirrors the NaN
+        # handling on float columns): legit null timestamps on both
+        # sides (e.g. an outer-join miss) must compare equal
+        nat = np.isnat(a) & np.isnat(b)
+        return bool((nat | (~np.isnat(a) & ~np.isnat(b) & (a == b))).all())
     if sk != ok:
         return False
     if sk == "f":
