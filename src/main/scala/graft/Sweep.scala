@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev-only 10× scaling sweep (not part of the library surface):
+  * duplicates the sf0.1 `documents`/`embeddings` tables 10× with
+  * shifted ids into a scratch dir, then times the r3-touched pipeline
+  * queries at 1× vs 10× to check nothing is super-linear. */
+object Sweep {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    val base = "/root/testdata/sf0.1"
+    val big = "/tmp/sweep10x"
+    val f = new java.io.File(s"$big/documents.parquet")
+    if (!f.exists()) {
+      new java.io.File(big).mkdirs()
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val n = 5000000L // id shift comfortably above the corpus range
+      (0 until 10).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * n)))
+        .reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$big/documents.parquet")
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until 10).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * n)))
+        .reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$big/embeddings.parquet")
+    }
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    val keys = Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+      "source_mix_sample", "embed_lsh_ann", "dedup_exact")
+    for (k <- keys) {
+      val fn = SparkEntry.queries(k)
+      def run(d: String) = {
+        // warm once, then median of 3
+        try fn(spark, d).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => println(s"$k $d FAILED: ${e.getMessage}") }
+        Seq.fill(3)(time(
+          fn(spark, d).write.format("noop").mode("overwrite").save())).sorted.apply(1)
+      }
+      val t1 = run(base)
+      val t10 = run(big)
+      println(f"SWEEP $k%-20s 1x=$t1%6.2fs 10x=$t10%6.2fs ratio=${t10 / t1}%5.2f")
+    }
+    spark.stop()
+  }
+}

@@ -115,6 +115,31 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("source_mix_sample: bounded-heap aggregate, no per-source window sort") {
+    val df = SparkEntry.queries("source_mix_sample")(spark, sfDir)
+    val plan = planOf(df)
+    // the TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // map-side partial — k encoded longs per source cross the shuffle
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("top_k"), plan)
+    // the old formulation's scaling hazard: a Window (row_number) sorts
+    // every source partition — it must be gone
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("embed_lsh_ann: multiprobe queries broadcast; corpus joined without pre-shuffle") {
+    val df = SparkEntry.queries("embed_lsh_ann")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only hash exchange allowed is the post-join rerank window on
+    // query_id (candidate pairs, tiny); the corpus scan side must not
+    // shuffle before the bucket join
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    val belowJoin = plan.substring(joinIdx)
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      s"corpus shuffled before the bucket join:\n$plan")
+  }
+
   test("fanOut gates on scan parallelism: no-op on pre-split input") {
     val docs = sources.Tables.documents(spark, sfDir)
     val par = spark.sparkContext.defaultParallelism
