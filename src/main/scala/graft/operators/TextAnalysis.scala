@@ -108,6 +108,59 @@ object TextAnalysis {
           .otherwise(lit(0L)))
   }
 
+  /** Composite C4/Gopher-style document filter: the end-of-pipeline
+    * keep/drop decision with a named reject reason. Rules in priority
+    * order (the FIRST failing rule names the reason):
+    *   too_short      n_words < minWords
+    *   too_long       n_words > maxWords
+    *   word_length    mean word length outside [minWordLenBp,
+    *                  maxWordLenBp] (basis points of chars/word —
+    *                  gibberish or char-soup both fail this)
+    *   low_stopword   stopword share < minStopwordBp (non-linguistic
+    *                  content: code, tables, boilerplate)
+    *   repetitive     duplicate word-3-gram share > maxDupBp
+    *
+    * One pass, one projection, zero joins/shuffles: every signal is
+    * computed from a single `toks` split per row (all codegen'd
+    * builtins), so at 100 TB this is scan-speed — the filter decision
+    * costs no more than reading the corpus. Integer-exact outputs. */
+  def qualityFilter(docs: DataFrame, textCol: String, idCol: String,
+                    minWords: Int = 20, maxWords: Int = 1000000,
+                    minWordLenBp: Int = 30000, maxWordLenBp: Int = 60000,
+                    minStopwordBp: Int = 2000, maxDupBp: Int = 500): DataFrame = {
+    val grams = expr(
+      """CASE WHEN size(toks) < 3 THEN array()
+        |ELSE transform(sequence(0, size(toks) - 3),
+        |  i -> concat_ws(' ', slice(toks, i + 1, 3))) END""".stripMargin)
+    val stopSet = Stopwords.map(w => s"'$w'").mkString(", ")
+    val signals = docs
+      .select(col(idCol), length(col(textCol)).as("n_chars"),
+        split(col(textCol), " ").as("toks"))
+      .select(col(idCol), col("n_chars"), size(col("toks")).as("n_words"),
+        expr(s"size(filter(toks, t -> t IN ($stopSet)))").as("n_stopwords"),
+        grams.as("grams"))
+      .select(col(idCol),
+        col("n_words"),
+        floor(lit(10000.0) * (col("n_chars") - col("n_words") + 1) / col("n_words"))
+          .cast("long").as("word_len_bp"),
+        floor(lit(10000.0) * col("n_stopwords") / col("n_words"))
+          .cast("long").as("stopword_bp"),
+        when(size(col("grams")) > 0,
+          floor(lit(10000.0) * (size(col("grams")) - size(array_distinct(col("grams"))))
+            / size(col("grams"))).cast("long"))
+          .otherwise(lit(0L)).as("dup_bp"))
+    val reason =
+      when(col("n_words") < minWords, lit("too_short"))
+        .when(col("n_words") > maxWords, lit("too_long"))
+        .when(col("word_len_bp") < minWordLenBp ||
+          col("word_len_bp") > maxWordLenBp, lit("word_length"))
+        .when(col("stopword_bp") < minStopwordBp, lit("low_stopword"))
+        .when(col("dup_bp") > maxDupBp, lit("repetitive"))
+        .otherwise(lit(null).cast("string"))
+    signals.withColumn("reason", reason)
+      .withColumn("keep", col("reason").isNull)
+  }
+
   /** Whitespace normalization: collapse runs, trim. */
   def normalizeWhitespace(text: Column): Column =
     trim(regexp_replace(text, " +", " "))

@@ -353,6 +353,15 @@ object PipelineQueries {
           (col("pos") + 1).cast("int").as("rn"))
     },
 
+    // C23 — composite C4/Gopher-style keep/drop filter: one scan-speed
+    // projection emits the quality signals, the decision, and the
+    // first-failing-rule reject reason. Thresholds chosen to exercise
+    // every rule on the synthetic corpus (docs span 10-99 words,
+    // stopword 833-8181 bp, dup 0-714 bp).
+    "quality_filter" -> { (s, d) =>
+      TextAnalysis.qualityFilter(Tables.documents(s, d), "text", "doc_id")
+    },
+
     // C14 — corpus-wide top-20 word bigrams (explode + count + top-k;
     // TakeOrderedAndProject, ties broken on the bigram itself).
     "ngram_topk" -> { (s, d) =>
@@ -587,6 +596,38 @@ object PipelineQueries {
       |  FROM tk)
       |SELECT bigram, count(*) AS n FROM bg GROUP BY 1
       |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "quality_filter" -> s"""
+      |WITH s AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |         len(string_split(text, ' ')) AS n_words,
+      |         len(list_filter(string_split(text, ' '),
+      |             t -> t IN (${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop,
+      |         list_transform(range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+      |           i -> string_split(text, ' ')[i+1] || ' ' ||
+      |                string_split(text, ' ')[i+2] || ' ' ||
+      |                string_split(text, ' ')[i+3]) AS g
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, n_words,
+      |         CAST(floor(10000.0 * (n_chars - n_words + 1) / n_words) AS BIGINT) AS word_len_bp,
+      |         CAST(floor(10000.0 * n_stop / n_words) AS BIGINT) AS stopword_bp,
+      |         CASE WHEN len(g) > 0
+      |              THEN CAST(floor(10000.0 * (len(g) - len(list_distinct(g))) / len(g)) AS BIGINT)
+      |              ELSE 0 END AS dup_bp
+      |  FROM s),
+      |r AS (
+      |  SELECT *,
+      |         CASE WHEN n_words < 20 THEN 'too_short'
+      |              WHEN n_words > 1000000 THEN 'too_long'
+      |              WHEN word_len_bp < 30000 OR word_len_bp > 60000 THEN 'word_length'
+      |              WHEN stopword_bp < 2000 THEN 'low_stopword'
+      |              WHEN dup_bp > 500 THEN 'repetitive'
+      |              ELSE NULL END AS reason
+      |  FROM m)
+      |SELECT doc_id, n_words, word_len_bp, stopword_bp, dup_bp, reason,
+      |       reason IS NULL AS keep
+      |FROM r""".stripMargin,
 
     "repetition_score" -> """
       |SELECT doc_id, n_grams, n_distinct,

@@ -213,6 +213,25 @@ class DedupSpec extends SparkTestBase {
       "no checkpoint scan in plan")
   }
 
+  test("qualityFilter: first failing rule names the reason; clean docs keep") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "too short"), // < 20 words
+      (2L, ("the a " * 30).trim), // repetitive 3-grams, stopwords fine, word len 2.5 → word_length fires first
+      (3L, "the quick brown fox jumps over a lazy dog while many other animals watch the scene unfold quietly near a stream today ok"),
+      (4L, (1 to 25).map(i => s"zzzzword$i").mkString(" "))) // no stopwords
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .qualityFilter(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(r.fieldIndex("keep")), r.getString(r.fieldIndex("reason"))))
+      .toMap
+    assert(got(1L) == ((false, "too_short")))
+    assert(got(2L)._1 == false)
+    assert(got(3L) == ((true, null)))
+    assert(got(4L)._1 == false && got(4L)._2 != null)
+  }
+
   test("simhash signature is stable and has 64-bit spread") {
     val sigs = Dedup.simhashSignature(corpus(), "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
