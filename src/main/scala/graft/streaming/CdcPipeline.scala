@@ -33,13 +33,18 @@ object CdcPipeline {
   case class Enriched(key: Long, eventTimeMs: Long, payload: String, enrichPayload: String)
 
   /** Keyed state: latest enrichment image, rows waiting for it, and
-    * the newest delete-tombstone time. The tombstone time must persist
-    * (not just clear `latest`): a late image OLDER than the delete
-    * would otherwise resurrect a deleted key within the pipeline's
-    * out-of-orderness window. */
-  case class EnrichState(latest: Option[(Long, String)],
+    * the newest delete tombstone. The tombstone must persist (not just
+    * clear `latest`): a late image OLDER than the delete would
+    * otherwise resurrect a deleted key within the pipeline's
+    * out-of-orderness window. Image and tombstone each carry their
+    * wire (op_ts, seq) so recency comparisons use the SAME total order
+    * as the batch twin (`Cdc.latestImage` sorts by (op_ts, seq)) even
+    * when records at one op timestamp arrive in different
+    * micro-batches. */
+  case class EnrichState(latest: Option[(Long, Int, String)],
                          buffered: List[(Long, String)],
-                         deleteTs: Long = Long.MinValue)
+                         deleteTs: Long = Long.MinValue,
+                         deleteSeq: Int = Int.MinValue)
 
   /** The pruned envelope read schema (only the fields the pipeline
     * consumes — from_json skips converting the rest). */
@@ -115,8 +120,11 @@ object CdcPipeline {
       .flatMapGroupsWithState[EnrichState, Enriched](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, rows: Iterator[Change], state: GroupState[EnrichState]) =>
-          var st = state.getOption.getOrElse(EnrichState(None, Nil, Long.MinValue))
+          var st = state.getOption.getOrElse(EnrichState(None, Nil))
           val out = scala.collection.mutable.ListBuffer[Enriched]()
+          // the batch twin's total order over CDC records
+          def le(aTs: Long, aSeq: Int, bTs: Long, bSeq: Int): Boolean =
+            aTs < bTs || (aTs == bTs && aSeq <= bSeq)
           // Process in event-time order within the batch for
           // deterministic latest-wins semantics. Any total order over
           // the key's batch slice requires materializing it (a one-pass
@@ -142,16 +150,21 @@ object CdcPipeline {
                 // CDC delete tombstone: drop the image so later stream
                 // rows buffer until a new one lands — mirrors the batch
                 // twin (Cdc.latestImage drops deleted keys). The
-                // tombstone TIME persists so an out-of-order image
-                // older than the delete cannot resurrect the key.
-                if (st.latest.forall(_._1 <= c.eventTimeMs)) st = st.copy(latest = None)
-                if (c.eventTimeMs > st.deleteTs) st = st.copy(deleteTs = c.eventTimeMs)
-              } else if (c.eventTimeMs >= st.deleteTs &&
-                st.latest.forall(_._1 <= c.eventTimeMs)) {
-                // image applies only if at-or-after the newest delete
-                // (image wins a delete/image tie, matching the batch
-                // twin's seq ordering where the later record wins)
-                st = st.copy(latest = Some((c.eventTimeMs, c.payload)))
+                // tombstone (op_ts, seq) persists so an out-of-order
+                // image older than the delete cannot resurrect the key
+                // even when it arrives in a later micro-batch.
+                if (st.latest.forall { case (ts, sq, _) =>
+                  le(ts, sq, c.eventTimeMs, c.seq) }) st = st.copy(latest = None)
+                if (!le(c.eventTimeMs, c.seq, st.deleteTs, st.deleteSeq))
+                  st = st.copy(deleteTs = c.eventTimeMs, deleteSeq = c.seq)
+              } else if (le(st.deleteTs, st.deleteSeq, c.eventTimeMs, c.seq) &&
+                st.latest.forall { case (ts, sq, _) =>
+                  le(ts, sq, c.eventTimeMs, c.seq) }) {
+                // image applies only if at-or-after the newest delete in
+                // (op_ts, seq) order (image wins an exact delete/image
+                // tie, matching the batch twin where the later record
+                // of a transaction wins)
+                st = st.copy(latest = Some((c.eventTimeMs, c.seq, c.payload)))
                 if (st.buffered.nonEmpty) {
                   st.buffered.reverse.foreach { case (t, p) =>
                     out += Enriched(key, t, p, c.payload)
@@ -160,7 +173,7 @@ object CdcPipeline {
                 }
               }
             } else st.latest match {
-              case Some((_, ep)) => out += Enriched(key, c.eventTimeMs, c.payload, ep)
+              case Some((_, _, ep)) => out += Enriched(key, c.eventTimeMs, c.payload, ep)
               case None =>
                 // buffered is newest-first; cap drops the oldest
                 st = st.copy(buffered =

@@ -144,6 +144,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("(op_ts, seq) order holds ACROSS micro-batches, matching the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = CdcPipeline.enrichLatest(input.toDS())
+      .writeStream.format("memory").queryName("xbatch")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: the transaction's LAST record (t2, seq 2) arrives first
+      input.addData(Change(1L, t(2), "dim-new", isEnrichment = true, seq = 2))
+      q.processAllAvailable()
+      // batch 2: the SAME-timestamp earlier record (t2, seq 1) — must
+      // NOT replace the newer image, exactly as (op_ts, seq) sorting
+      // in Cdc.latestImage would resolve it
+      input.addData(Change(1L, t(2), "dim-old", isEnrichment = true, seq = 1))
+      q.processAllAvailable()
+      input.addData(Change(1L, t(3), "order-a", isEnrichment = false))
+      q.processAllAvailable()
+      assert(spark.table("xbatch").as[Enriched].collect()
+        .map(e => (e.payload, e.enrichPayload)).toSet
+        == Set(("order-a", "dim-new")))
+      // key 2: delete is the transaction's last word (t2, seq 2); the
+      // same-ts seq-1 image arriving a batch LATER must stay dead
+      input.addData(Change(2L, t(2), "kill", isEnrichment = true, manip = "D", seq = 2))
+      q.processAllAvailable()
+      input.addData(Change(2L, t(2), "stale", isEnrichment = true, seq = 1))
+      q.processAllAvailable()
+      input.addData(Change(2L, t(3), "order-b", isEnrichment = false))
+      q.processAllAvailable()
+      assert(spark.table("xbatch").as[Enriched].collect()
+        .map(e => (e.payload, e.enrichPayload)).toSet
+        == Set(("order-a", "dim-new")))
+    } finally q.stop()
+  }
+
   test("KafkaCdc: record projection + envelope decode round-trips the wire shape") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
