@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{Fingerprint64, MinHashSig, ParseSqdataTs}
+import graft.functions.{Fingerprint64, MinHashSig, ParseSqdataTs, ReservoirSample, TopK}
 
 /** SparkSessionExtensions hook: injects graft's native functions into
   * the session's FunctionRegistry so they're available to pure-SQL
@@ -33,6 +33,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       exprs => MinHashSig(exprs.head,
+        exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("reservoir_sample"),
+      new ExpressionInfo(classOf[ReservoirSample].getName, "reservoir_sample"),
+      exprs => ReservoirSample(exprs.head,
+        exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopK].getName, "top_k"),
+      exprs => TopK(exprs.head,
         exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
   }
 }

@@ -5,6 +5,23 @@ import org.apache.spark.sql.functions._
 /** Native expressions vs independent reimplementations. */
 class ExpressionSpec extends SparkTestBase {
 
+  test("pure-SQL surface: every graft function resolves and computes") {
+    // the session is built withExtensions(new GraftExtensions) — all
+    // five native functions must be callable from SQL alone, including
+    // the two TypedImperativeAggregates
+    val r = spark.sql(
+      """SELECT top_k(id, 3) AS t, reservoir_sample(id, 5) AS s,
+        |       max(fingerprint64(CAST(id AS STRING))) AS fp
+        |FROM range(10)""".stripMargin).collect()(0)
+    assert(r.getSeq[Long](0) == Seq(9L, 8L, 7L))
+    val sample = r.getSeq[Long](1)
+    assert(sample.size == 5 && sample.toSet.subsetOf((0L until 10L).toSet))
+    val sig = spark.sql(
+      "SELECT minhash_sig(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)), 8) AS m")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == 8)
+  }
+
   private def parse(s: String): java.sql.Timestamp =
     spark.sql(s"SELECT parse_sqdata_ts('$s') AS t").collect()(0)
       .getTimestamp(0)
