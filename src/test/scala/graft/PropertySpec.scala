@@ -26,6 +26,35 @@ class PropertySpec extends SparkTestBase {
     for ((s, inst) <- digits) assert(got(s) == inst, s"digits=$s")
   }
 
+  test("hot-bucket guard preserves clustering when hot buckets are exact copies") {
+    // The guard's semantic guarantee: when a hot bucket consists of
+    // exact duplicates (the realistic trigger — mirrored crawl pages),
+    // star pairing changes the PAIR SET but not the connected
+    // components the dedup decision consumes. Random distinct docs +
+    // one doc duplicated 300× with maxBucket=50; compare clusterPairs
+    // output guarded vs unguarded.
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new Random(7)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(): String = Seq.fill(30)(words(rnd.nextInt(words.size))).mkString(" ")
+    val distinctDocs = (0L until 60L).map(i => (i, s"distinct ${doc()} $i"))
+    val hotPage = "the one mirrored boilerplate page body " + doc()
+    val copies = (100L until 400L).map(i => (i, hotPage))
+    val docs = (distinctDocs ++ copies).toDF("doc_id", "text")
+    def clustersOf(maxBucket: Int): Map[Long, Long] =
+      Dedup.clusterPairs(
+          Dedup.minhashLsh(docs, "text", "doc_id", minBp = 8000, maxBucket = maxBucket),
+          "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val guarded = clustersOf(maxBucket = 50)
+    val unguarded = clustersOf(maxBucket = Int.MaxValue)
+    assert(guarded == unguarded)
+    // and the duplicated page collapsed to one canonical
+    assert((100L until 400L).forall(i => guarded.get(i).contains(100L)))
+  }
+
   test("asof join equals the nested-loop definition on random data") {
     import spark.implicits._
     val rnd = new Random(7)

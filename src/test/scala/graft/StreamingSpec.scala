@@ -609,6 +609,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("pipeline operators compose onto streams: quality filter on a doc stream") {
+    // the C-operators are plain projections/aggregations, so the SAME
+    // library calls run on a readStream frame — here the scan-speed
+    // qualityFilter curates documents as they arrive
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.qualityFilter(
+        input.toDS().toDF("doc_id", "text"), "text", "doc_id")
+      .writeStream.format("memory").queryName("stream_quality")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, "too short"),
+        (2L, "the quick brown fox jumps over a lazy dog while many other " +
+          "animals watch the scene unfold quietly near a stream today ok"))
+      q.processAllAvailable()
+      val got = spark.table("stream_quality").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+      assert(got == Map(1L -> false, 2L -> true))
+    } finally q.stop()
+  }
+
   test("windowedTotals drops data later than the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
