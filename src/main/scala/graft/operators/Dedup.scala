@@ -171,6 +171,54 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard_bp")
   }
 
+  /** Incremental near-dup detection: a NEW batch of documents (a crawl
+    * increment) against a persisted corpus signature table — the shape
+    * every production run after the first takes at 100 TB. Candidates
+    * are (new × corpus) + (new × new) band-bucket matches; the corpus
+    * is NEVER self-joined, so a daily increment costs O(increment),
+    * not O(corpus).
+    *
+    * Both inputs are (id, hs, sig) frames (see
+    * [[withMinHashSignatures]]; id spaces must be disjoint). Returns
+    * (new_id, match_id, jaccard_bp) with exact-on-shingle-set verify;
+    * for new×new pairs new_id < match_id. The corpus side applies the
+    * same hot-bucket guard as [[minhashLshFromSignatures]]: a bucket
+    * wider than `maxBucket` is represented by its min-id doc only. */
+  def minhashLshIncremental(newSigs: DataFrame, corpusSigs: DataFrame,
+                            bands: Int = 16, minBp: Int = 5000,
+                            numPerm: Int = 64, maxBucket: Int = 1000): DataFrame = {
+    val nb = minhashBuckets(newSigs, bands, numPerm)
+    val cb = minhashBuckets(corpusSigs, bands, numPerm)
+    val byBucket = Window.partitionBy(col("band"), col("bh"))
+    val cbGuarded = cb
+      .withColumn("w", count(lit(1)).over(byBucket))
+      .withColumn("rep", min(col("id")).over(byBucket))
+      .filter(col("w") <= maxBucket || col("id") === col("rep"))
+      .select("id", "band", "bh")
+    val crossPairs = nb.as("x").join(cbGuarded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.id").as("new_id"), col("y.id").as("match_id"))
+    // the increment itself is bounded → plain all-pairs banding within it
+    val newPairs = nb.as("x").join(nb.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("new_id"), col("y.id").as("match_id"))
+    val cands = crossPairs.unionByName(newPairs).distinct()
+    val newSets = newSigs.select(col("id").as("new_id"), col("hs").as("hs_a"))
+    val allSets = corpusSigs.select(col("id"), col("hs"))
+      .unionByName(newSigs.select(col("id"), col("hs")))
+      .select(col("id").as("match_id"), col("hs").as("hs_b"))
+    cands
+      .join(newSets, "new_id")
+      .join(allSets, "match_id")
+      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard_bp",
+        floor(lit(10000.0) * col("common") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("common"))).cast("long"))
+      .filter(col("jaccard_bp") >= minBp)
+      .select("new_id", "match_id", "jaccard_bp")
+  }
+
   /** 64-bit SimHash over whitespace-token hashes: bit i of the
     * signature is the sign of the sum over tokens of ±1 on that bit
     * of the token hash. Token hashes are computed once per doc.

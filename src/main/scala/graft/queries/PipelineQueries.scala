@@ -168,6 +168,23 @@ object PipelineQueries {
         "doc_a", "doc_b")
     },
 
+    // C24 — incremental near-dup: the perturbed docs play the crawl
+    // increment, the base docs the persisted corpus — candidates are
+    // increment×corpus + increment×increment, the corpus is never
+    // self-joined. Oracle = the exact pair set restricted to pairs
+    // touching the increment (LSH recall 1.0 on this corpus).
+    "dedup_incremental" -> { (s, d) =>
+      val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val incr = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substring(text, 1, char_length(text) - 7)").as("text"))
+      Dedup.minhashLshIncremental(
+        Dedup.withMinHashSignatures(incr, "text", "doc_id"),
+        Dedup.withMinHashSignatures(base, "text", "doc_id"),
+        minBp = 8000)
+    },
+
     // C5 — brute-force cosine top-10 (rows + SimilaritySpec).
     "embed_cosine_topk" -> { (s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), embQueries(s, d),
@@ -411,6 +428,17 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> s"""WITH $CorpusBody,
       |$VerifiedPairsBody
       |SELECT doc_a, doc_b, jaccard_bp FROM vpairs""".stripMargin,
+
+    // The exact pair set over base+increment, restricted to pairs that
+    // touch the increment (ids >= 1e6), re-oriented (new_id, match_id).
+    // vpairs has doc_a < doc_b and increment ids exceed all base ids,
+    // so doc_b >= 1e6 selects exactly the increment-touching pairs.
+    "dedup_incremental" -> s"""WITH $CorpusBody,
+      |$VerifiedPairsBody
+      |SELECT CASE WHEN doc_a >= 1000000 THEN doc_a ELSE doc_b END AS new_id,
+      |       CASE WHEN doc_a >= 1000000 THEN doc_b ELSE doc_a END AS match_id,
+      |       jaccard_bp
+      |FROM vpairs WHERE doc_b >= 1000000""".stripMargin,
 
     // Connected components over the same verified pair set, as a
     // recursive min-reachability closure (components are small, so the

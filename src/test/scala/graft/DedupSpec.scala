@@ -213,6 +213,41 @@ class DedupSpec extends SparkTestBase {
       "no checkpoint scan in plan")
   }
 
+  test("incremental dedup equals the full pair set restricted to new docs") {
+    // split the standard corpus: base docs are the persisted corpus,
+    // perturbed docs are the increment
+    val base = corpus().filter(col("doc_id") < 1000)
+    val incr = corpus().filter(col("doc_id") >= 1000)
+    val got = Dedup.minhashLshIncremental(
+        Dedup.withMinHashSignatures(incr, "text", "doc_id"),
+        Dedup.withMinHashSignatures(base, "text", "doc_id"), minBp = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Dedup.minhashLsh(corpus(), "text", "doc_id", minBp = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = full.collect {
+      case (a, b, bp) if a >= 1000 && b >= 1000 => (math.min(a, b), math.max(a, b), bp)
+      case (a, b, bp) if a >= 1000 => (a, b, bp)
+      case (a, b, bp) if b >= 1000 => (b, a, bp)
+    }
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("incremental dedup with a hot corpus bucket matches via the rep only") {
+    import spark.implicits._
+    val page = "the same mirrored page body served from many many hosts worldwide"
+    val base = spark.range(0, 2000).select(col("id").as("doc_id"), lit(page).as("text"))
+    val incr = Seq((50000L, page), (50001L, "something wholly unrelated to anything"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLshIncremental(
+        Dedup.withMinHashSignatures(incr, "text", "doc_id"),
+        Dedup.withMinHashSignatures(base, "text", "doc_id"),
+        minBp = 8000, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the new copy pairs with the hot bucket's representative (doc 0)
+    // only — O(1) candidates instead of 2000
+    assert(got == Set((50000L, 0L)))
+  }
+
   test("qualityFilter: first failing rule names the reason; clean docs keep") {
     import spark.implicits._
     val docs = Seq(
