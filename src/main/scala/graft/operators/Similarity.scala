@@ -114,6 +114,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** Ingest-time bucket assignment: persist the corpus
+    * `partitionBy("bucket")` (parquet/lake) and every later query
+    * batch prunes its scan to the probed buckets — see
+    * [[lshTopKBucketed]]. */
+  def withLshBucket(df: DataFrame, vecCol: String,
+                    numPlanes: Int = 8, dim: Int = 64): DataFrame =
+    df.withColumn("bucket", lshBucket(col(vecCol), hyperplanes(numPlanes, dim)))
+
+  /** ANN probe against a PRE-BUCKETED corpus (a frame carrying the
+    * [[withLshBucket]] `bucket` column, typically read back from a
+    * bucket-partitioned store). The probed bucket set is computed from
+    * the query batch (bounded by contract — it is broadcast) and
+    * pushed as an `isin` filter, so a partitioned store scans ONLY the
+    * matching bucket directories: probe cost is O(matched buckets),
+    * not O(corpus). Results are identical to [[lshTopK]] at the same
+    * (numPlanes, dim, multiprobe) — SimilaritySpec asserts both the
+    * equality and the pruned file set. */
+  def lshTopKBucketed(bucketed: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      numPlanes: Int = 8, dim: Int = 64,
+                      multiprobe: Int = 0): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val probeMasks: Seq[Long] = (0 to multiprobe).flatMap(nFlips =>
+      (0 until numPlanes).combinations(nFlips)
+        .map(_.foldLeft(0L)((m, p) => m | (1L << p))).toSeq)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"),
+      lshBucket(col(vecCol), planes).as("bucket0"))
+      .withColumn("bucket", explode(array(probeMasks.map(m =>
+        col("bucket0").bitwiseXOR(lit(m))): _*)))
+      .drop("bucket0")
+    // the query batch is small by contract; its bucket set is smaller —
+    // this collect is the partition-pruning predicate, not data motion
+    val probed = q.select("bucket").distinct().collect().map(_.getLong(0))
+    val c = bucketed.filter(col("bucket").isin(probed: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"), col("bucket"))
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
   /** Symmetric int8 quantization: per-vector scale = 127/max|v|,
     * q_i = round(v_i * scale). Shrinks a float32 embedding store 4×
     * (≈ the difference between spilling and fitting in executor

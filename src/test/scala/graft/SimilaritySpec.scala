@@ -116,6 +116,45 @@ class SimilaritySpec extends SparkTestBase {
     assert(plain == mp0 && plain.nonEmpty)
   }
 
+  test("bucketed ANN: partition-pruned probe equals lshTopK; only probed dirs read") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 2)
+    // ingest: bucket + write partitioned by bucket (the 100 TB layout)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_buckets").toString
+    graft.operators.Similarity.withLshBucket(emb, "embedding", numPlanes = 4)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val bucketed = spark.read.parquet(dir)
+    val probe = graft.operators.Similarity.lshTopKBucketed(
+      bucketed, queries, "vec_id", "embedding", k = 10,
+      numPlanes = 4, multiprobe = 1)
+    val got = probe.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val direct = graft.operators.Similarity.lshTopK(
+        emb, queries, "vec_id", "embedding", k = 10,
+        numPlanes = 4, multiprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == direct && got.nonEmpty)
+    // the probe must READ only the probed bucket partitions of the
+    // store: 2 query buckets × (identity + 4 single flips) ≤ 10 of the
+    // 16 dirs. Dataset.inputFiles ignores pruning (it lists the whole
+    // relation), so assert on the physical scan's selected partitions.
+    val probedDirs = graft.operators.Similarity.withLshBucket(
+        queries, "embedding", numPlanes = 4)
+      .select("bucket").distinct().collect().map(_.getLong(0)).toSet
+      .flatMap((b: Long) => (0 until 4).map(p => b ^ (1L << p)).toSet + b)
+    val filtered = bucketed.filter(col("bucket").isin(probedDirs.toSeq: _*))
+    val scan = filtered.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no file scan in plan"))
+    val selected = scan.selectedPartitions.toPartitionArray
+      .map(_.urlEncodedPath).toSet
+    assert(selected.nonEmpty &&
+      selected.forall(f => probedDirs.exists(b => f.contains(s"bucket=$b/"))),
+      s"read $selected, probed $probedDirs")
+    val allParts = spark.read.parquet(dir).select("bucket").distinct().count()
+    assert(scan.selectedPartitions.partitionCount < allParts,
+      "no partition pruning happened")
+  }
+
   test("quantizeInt8: |q| <= 127, max hits 127, reconstruction within half-step") {
     val got = Similarity.quantizeInt8(
       sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
