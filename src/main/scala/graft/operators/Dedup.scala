@@ -253,9 +253,15 @@ object Dedup {
     * rounds at any corpus size, and lineage is truncated every 5
     * rounds so even adversarial long-chain components keep bounded
     * plan depth. The driver only checks a per-round convergence
-    * COUNT, never collects data. */
+    * COUNT, never collects data.
+    *
+    * `reliableCheckpoint = true` switches the periodic lineage
+    * truncation from `localCheckpoint` (executor-local blocks — fine
+    * for plan-depth control, lost with an executor) to `checkpoint`
+    * (written to `spark.sparkContext.setCheckpointDir`, survives
+    * executor loss — the right mode for long cluster runs). */
   def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
-                   maxIter: Int = 20): DataFrame = {
+                   maxIter: Int = 20, reliableCheckpoint: Boolean = false): DataFrame = {
     // undirected edges + self-loops keep isolated propagation stable
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -286,8 +292,10 @@ object Dedup {
       // dir get durability too via spark.checkpoint; local blocks are
       // enough for plan-depth control).
       val next =
-        if (iter % 5 == 0) nextPlan.localCheckpoint()
-        else nextPlan.cache()
+        if (iter % 5 == 0) {
+          if (reliableCheckpoint) nextPlan.checkpoint()
+          else nextPlan.localCheckpoint()
+        } else nextPlan.cache()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
       labels.unpersist()

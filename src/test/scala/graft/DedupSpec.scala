@@ -213,6 +213,17 @@ class DedupSpec extends SparkTestBase {
       "no checkpoint scan in plan")
   }
 
+  test("clusterPairs reliable-checkpoint mode produces identical clusters") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_dir").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = (0L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val reliable = Dedup.clusterPairs(pairs, "doc_a", "doc_b",
+        maxIter = 30, reliableCheckpoint = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable.size == 21 && reliable.values.forall(_ == 0L))
+  }
+
   test("incremental dedup equals the full pair set restricted to new docs") {
     // split the standard corpus: base docs are the persisted corpus,
     // perturbed docs are the increment
