@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** Integration: the operators composed as an actual curation pipeline
+  * — quality filter → exact dedup → near-dup clustering → benchmark
+  * decontamination → train/val/test split — the end-to-end flow a
+  * training-data user runs. Each stage is the library call a 100 TB
+  * deployment would make; the assertions are the invariants that flow
+  * must preserve. */
+class CurationSpec extends SparkTestBase {
+
+  test("curation pipeline: filter → dedup → decontaminate → split invariants") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val total = docs.count()
+
+    // 1. quality filter (keep decision + reasons)
+    val quality = TextAnalysis.qualityFilter(docs, "text", "doc_id").cache()
+    val kept = quality.filter(col("keep")).select("doc_id")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept <= total)
+    // every rejection carries a reason; every keep carries none
+    assert(quality.filter(!col("keep") && col("reason").isNull).count() == 0)
+    assert(quality.filter(col("keep") && col("reason").isNotNull).count() == 0)
+
+    val corpus = docs.join(kept, "doc_id").cache()
+
+    // 2. exact dedup (content-hash survivors)
+    val exactSurvivors = Dedup.exact(corpus, "text", "doc_id")
+    val nExact = exactSurvivors.count()
+    assert(nExact > 0 && nExact <= nKept)
+
+    // 3. near-dup clustering: keep each cluster's canonical only
+    val pairs = Dedup.minhashLsh(corpus, "text", "doc_id", minBp = 8000)
+    val clusters = Dedup.clusterPairs(pairs, "doc_a", "doc_b")
+    val nonCanonical = clusters.filter(col("doc_id") =!= col("canonical_id"))
+      .select("doc_id")
+    val afterNearDup = exactSurvivors
+      .join(nonCanonical.withColumnRenamed("doc_id", "nd"),
+        col("doc_id") === col("nd"), "left_anti")
+    val nNearDup = afterNearDup.count()
+    assert(nNearDup <= nExact)
+
+    // 4. decontamination against a held-out probe slice
+    val survivors = corpus.join(afterNearDup.select("doc_id"), "doc_id")
+    val probe = docs.filter(col("doc_id") % 97 === 0)
+    val contaminated = Dedup.contaminatedDocs(survivors, probe, "text", "doc_id", n = 8)
+    val clean = survivors.join(
+      contaminated.select(col("doc_id").as("bad")),
+      col("doc_id") === col("bad"), "left_anti")
+    val nClean = clean.count()
+    assert(nClean <= nNearDup)
+    // the probe docs themselves (still in the corpus) must be flagged
+    val probeSurvivors = survivors.join(probe.select("doc_id"), "doc_id").count()
+    if (probeSurvivors > 0)
+      assert(contaminated.count() >= probeSurvivors)
+
+    // 5. deterministic split partitions the final corpus
+    val bucket = (col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(100)
+    val split = clean.select(col("doc_id"),
+      when(bucket < 80, lit("train")).when(bucket < 90, lit("val"))
+        .otherwise(lit("test")).as("split")).cache()
+    val bySplit = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == nClean)
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // rerun → identical assignment (no RNG anywhere in the flow)
+    val again = clean.select(col("doc_id"),
+      when(bucket < 80, lit("train")).when(bucket < 90, lit("val"))
+        .otherwise(lit("test")).as("split"))
+    assert(split.exceptAll(again).count() == 0)
+
+    quality.unpersist(); corpus.unpersist(); split.unpersist()
+  }
+}
