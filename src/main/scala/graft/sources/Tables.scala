@@ -41,6 +41,9 @@ object Tables {
     * that already arrives split. Use ONLY ahead of CPU-heavy decode
     * paths — cheap scans should keep their exchange-free plan. */
   def fanOut(df: DataFrame): DataFrame = {
+    // a streaming frame has no static partition count (df.rdd would
+    // throw); micro-batch parallelism comes from the source config
+    if (df.isStreaming) return df
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     // physical-plan partition count of the input as it would execute
     // (no job is run; rdd construction only plans)
