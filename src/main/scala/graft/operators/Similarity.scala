@@ -161,6 +161,39 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** Embedding-cosine NEAR-DUP PAIRS: all (a < b) with cosine >=
+    * `minCos` — the embedding-space sibling of the MinHash/SimHash
+    * text dedup paths, for catching paraphrase/translation near-dups
+    * that shingle hashing misses.
+    *
+    * Blocking is hyperplane-LSH, symmetric-pair form: one side's
+    * bucket is exploded over all XOR masks of popcount <= `maxFlips`,
+    * so a pair lands in the equi-join iff its buckets differ in at
+    * most `maxFlips` planes — each qualifying pair matches on EXACTLY
+    * one mask (the XOR of its buckets), so no dedup pass is needed.
+    * One shuffle on the bucket key, candidates ∝ bucket occupancy ×
+    * (1+planes+...) — never all-pairs; recall < 1 by construction
+    * (pairs differing in more planes are missed), precision exact
+    * (every emitted cosine is recomputed). numPlanes scales with the
+    * corpus exactly as in [[lshTopK]]. */
+  def embedCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                       minCos: Double, numPlanes: Int = 8, dim: Int = 64,
+                       maxFlips: Int = 2): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val masks: Seq[Long] = (0 to maxFlips).flatMap(nFlips =>
+      (0 until numPlanes).combinations(nFlips)
+        .map(_.foldLeft(0L)((m, p) => m | (1L << p))).toSeq)
+    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("n"), lshBucket(col(vecCol), planes).as("bucket"))
+    val exploded = b.withColumn("jb", explode(array(masks.map(m =>
+      col("bucket").bitwiseXOR(lit(m))): _*)))
+    exploded.as("x").join(b.as("y"),
+        col("x.jb") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("vec_a"), col("y.id").as("vec_b"),
+        (dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n"))).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Symmetric int8 quantization: per-vector scale = 127/max|v|,
     * q_i = round(v_i * scale). Shrinks a float32 embedding store 4×
     * (≈ the difference between spilling and fitting in executor

@@ -185,6 +185,24 @@ object PipelineQueries {
         minBp = 8000)
     },
 
+    // C25 — embedding-cosine near-dup pairs (the embedding-space
+    // sibling of C3/C4): LSH-blocked symmetric pair join (one side's
+    // bucket exploded over <=2-flip masks), exact cosine verify.
+    // Near-dup pairs provably exist via deterministically perturbed
+    // copies (first 8 dims +0.01 on unit-norm vectors → cos ≈ 0.9996); both engines compute
+    // the same float perturbation, buckets, and cosine fold, so the
+    // oracle is exact including LSH recall.
+    "dedup_embed_cosine" -> { (s, d) =>
+      val base = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding"))
+      val pert = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> " +
+            "IF(i < 8, CAST(CAST(x AS DOUBLE) + 0.01D AS FLOAT), x))").as("embedding"))
+      Similarity.embedCosinePairs(base.unionByName(pert), "vec_id", "embedding",
+        minCos = 0.98, numPlanes = 8, maxFlips = 2)
+    },
+
     // C5 — brute-force cosine top-10 (rows + SimilaritySpec).
     "embed_cosine_topk" -> { (s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), embQueries(s, d),
@@ -511,6 +529,32 @@ object PipelineQueries {
       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
       |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s)
       |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 10""".stripMargin
+    },
+
+    // Mirrors embedCosinePairs(numPlanes=8, maxFlips=2): the exploded
+    // XOR-mask equi-join equals a hamming<=2 bucket join; plane
+    // literals, the float perturbation, and the cosine fold are all
+    // replicated bit-exactly.
+    "dedup_embed_cosine" -> {
+      val planes = Similarity.hyperplanes(8, 64)
+      s"""
+      |WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+      |pert AS (
+      |  SELECT vec_id + 10000 AS vec_id,
+      |         list_transform(range(1, len(embedding) + 1),
+      |           i -> CASE WHEN i <= 8
+      |                     THEN CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) + 0.01 AS REAL)
+      |                     ELSE embedding[CAST(i AS INT)] END) AS embedding
+      |  FROM base WHERE vec_id % 10 = 0),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+      |c AS (SELECT vec_id, embedding,
+      |             ${lshBucketSql("embedding", planes)} AS bucket FROM u),
+      |p AS (
+      |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+      |         ${cosSql("x.embedding", "y.embedding")} AS cos
+      |  FROM c x JOIN c y
+      |    ON bit_count(xor(x.bucket, y.bucket)) <= 2 AND x.vec_id < y.vec_id)
+      |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.98""".stripMargin
     },
 
     "embed_stats" -> s"""

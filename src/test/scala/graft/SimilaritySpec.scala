@@ -155,6 +155,36 @@ class SimilaritySpec extends SparkTestBase {
       "no partition pruning happened")
   }
 
+  test("embedCosinePairs: exact precision, planted near-dups recovered") {
+    import spark.implicits._
+    val emb = sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val pert = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "IF(i < 8, CAST(CAST(x AS DOUBLE) + 0.01D AS FLOAT), x))").as("embedding"))
+    val all = emb.unionByName(pert)
+    val localAll = all.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosL(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = graft.operators.Similarity.embedCosinePairs(
+        all, "vec_id", "embedding", minCos = 0.98, numPlanes = 8, maxFlips = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact: every emitted pair truly >= 0.98
+    for ((a, b) <- got)
+      assert(cosL(localAll(a), localAll(b)) >= 0.98, s"false positive ($a,$b)")
+    // recall: nearly all planted (orig, orig+10000) pairs found
+    val planted = localAll.keys.filter(_ >= 10000L).map(p => (p - 10000L, p)).toSet
+    val found = planted.count(got.contains)
+    assert(planted.nonEmpty && found >= planted.size * 8 / 10,
+      s"found $found of ${planted.size} planted pairs")
+  }
+
   test("quantizeInt8: |q| <= 127, max hits 127, reconstruction within half-step") {
     val got = Similarity.quantizeInt8(
       sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
