@@ -55,6 +55,55 @@ object Multimodal {
     }
   }
 
+  /** Resize: metadata-exact, payload resampled by a deterministic
+    * byte stride. STUB for the pixel path — a real implementation
+    * resamples in pixel space via the per-partition codec instance —
+    * but the Spark-side contract (row in → row out, new dims, payload
+    * size ∝ pixel ratio, per-partition batch shape) is the real,
+    * tested part. */
+  def resize(media: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        if (rec.payload.isEmpty) MediaRecord(rec.doc_id, rec.format,
+          rec.payload, targetW, targetH)
+        else {
+          val ratio = (targetW.toLong * targetH).toDouble /
+            math.max(rec.width.toLong * rec.height, 1L)
+          val newLen = math.max(1,
+            math.min(rec.payload.length.toLong,
+              math.round(rec.payload.length * ratio)).toInt)
+          val out = new Array[Byte](newLen)
+          var i = 0
+          while (i < newLen) {
+            out(i) = rec.payload(((i.toLong * rec.payload.length) / newLen).toInt)
+            i += 1
+          }
+          MediaRecord(rec.doc_id, rec.format, out, targetW, targetH)
+        }
+      }
+    }
+  }
+
+  /** Per-media content features: a 16-bin byte histogram (high nibble
+    * of each payload byte). Unlike the codec stubs this is a REAL
+    * deterministic feature — and its plumbing (fixed-dimension vector
+    * per row, per-partition amortized setup, integer-exact output) is
+    * exactly the shape a neural featurizer plugs into. */
+  case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
+                           hist: Array[Long])
+
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val h = new Array[Long](16)
+        rec.payload.foreach(b => h((b & 0xFF) >> 4) += 1L)
+        MediaFeatures(rec.doc_id, rec.format, rec.payload.length.toLong, h)
+      }
+    }
+  }
+
   /** One sampled frame. */
   case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 

@@ -388,6 +388,18 @@ object PipelineQueries {
           (col("pos") + 1).cast("int").as("rn"))
     },
 
+    // C26 — multimodal feature extraction: per-partition featurizer →
+    // fixed-dimension integer-exact vector per media row (16-bin
+    // high-nibble byte histogram — a real content feature; the hist
+    // lands as 16 scalar columns so the driver compare stays
+    // array-free). Oracle recomputes the nibbles from hex(encode()).
+    "multimodal_features" -> { (s, d) =>
+      val feats = Multimodal.extractFeatures(
+        Multimodal.synthesize(Tables.documents(s, d))).toDF()
+      feats.select(Seq(col("doc_id"), col("format"), col("n_bytes")) ++
+        (0 until 16).map(i => col("hist")(i).as(s"b$i")): _*)
+    },
+
     // C23 — composite C4/Gopher-style keep/drop filter: one scan-speed
     // projection emits the quality signals, the decision, and the
     // first-failing-rule reject reason. Thresholds chosen to exercise
@@ -744,6 +756,24 @@ object PipelineQueries {
       |         row_number() OVER (PARTITION BY source
       |            ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
       |  FROM documents) WHERE rn <= 50""".stripMargin,
+
+    "multimodal_features" -> {
+      val bins = (0 until 16).map { d =>
+        val c = "0123456789ABCDEF"(d)
+        s"""CAST(len(list_filter(range(0, n),
+           |  i -> substr(hx, CAST(2*i+1 AS INT), 1) = '$c')) AS BIGINT) AS b$d"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""
+      |WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |                  octet_length(encode(text)) AS n FROM documents)
+      |SELECT doc_id,
+      |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+      |            ELSE 'wav' END AS format,
+      |       CAST(n AS BIGINT) AS n_bytes,
+      |$bins
+      |FROM b""".stripMargin
+    },
 
     "multimodal_meta" -> """
       |SELECT doc_id,
