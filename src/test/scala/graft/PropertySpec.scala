@@ -55,6 +55,42 @@ class PropertySpec extends SparkTestBase {
     assert((100L until 400L).forall(i => guarded.get(i).contains(100L)))
   }
 
+  test("embedCosinePairs equals the blocking definition exactly") {
+    // the operator's contract is crisp: emit (a<b, cos) iff the pair's
+    // buckets differ in <= maxFlips planes AND cos >= minCos — both
+    // sides deterministic, so Scala can recompute the EXACT expected
+    // set (blocking semantics, not just precision/recall bounds)
+    import graft.operators.Similarity
+    val emb = sources.Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val local = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val planes = Similarity.hyperplanes(6, 64)
+    def bucket(v: Array[Float]): Long =
+      planes.zipWithIndex.map { case (p, i) =>
+        val d = v.indices.foldLeft(0.0)((acc, j) => acc + v(j).toDouble * p(j))
+        if (d > 0) 1L << i else 0L
+      }.sum
+    def cosL(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val minCos = 0.2 // random unit vectors: enough pairs to be non-trivial
+    val got = Similarity.embedCosinePairs(emb, "vec_id", "embedding",
+        minCos = minCos, numPlanes = 6, maxFlips = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = local.keys.toSeq.sorted
+    val expect = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(bucket(local(a)) ^ bucket(local(b))) <= 2
+      if cosL(local(a), local(b)) >= minCos
+    } yield (a, b)).toSet
+    assert(got == expect && got.nonEmpty, s"got ${got.size}, expect ${expect.size}")
+  }
+
   test("asof join equals the nested-loop definition on random data") {
     import spark.implicits._
     val rnd = new Random(7)
