@@ -47,7 +47,11 @@ object Bench {
     val spread = results.map { case (k, r) =>
       s""""$k":[${r.head},${r(1)},${r.last}]""" }.mkString("{", ",", "}")
     val total = results.map(_._2(1)).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    // a crashed query must be LOUD in the artifact, not a silent -1
+    // dropped from the total
+    val failed = results.collect { case (k, r) if r(1) < 0 => s""""$k"""" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

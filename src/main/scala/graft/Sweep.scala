@@ -32,7 +32,9 @@ object Sweep {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
     val keys = Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-      "source_mix_sample", "embed_lsh_ann", "dedup_exact")
+      "source_mix_sample", "embed_lsh_ann", "dedup_exact",
+      "quality_filter", "dedup_incremental", "dedup_embed_cosine",
+      "multimodal_features")
     for (k <- keys) {
       val fn = SparkEntry.queries(k)
       def run(d: String) = {
