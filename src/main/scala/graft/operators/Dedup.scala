@@ -307,6 +307,47 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Cross-document duplicated-LINE removal (boilerplate scrub) — the
+    * line-granular dedup pass of RefinedWeb/CCNet-style curation: a
+    * line recurring across more than `maxDocs` DISTINCT documents
+    * (cookie banners, nav text, footers) is boilerplate, not content,
+    * and is stripped from every document; the surviving lines keep
+    * their original order.
+    *
+    * Input: `docs(idCol, linesCol: array<string>)` — the caller owns
+    * segmentation (real corpora split on newline; the driver query
+    * derives fixed-width pseudo-lines). Output: (idCol, text_clean,
+    * n_kept); documents whose every line was boilerplate drop out.
+    *
+    * Scale posture (100 TB): the document-frequency aggregation groups
+    * on `xxhash64(line)`, so that shuffle moves (8-byte hash, id),
+    * never line text — the [[exact]] trick at line granularity. The
+    * boilerplate set is structurally bounded: at most
+    * totalLines/maxDocs hashes can exceed document frequency maxDocs,
+    * and real boilerplate sets are far smaller — the anti-join build
+    * side is a post-aggregation frame AQE broadcasts when small.
+    * Reassembly shuffles the kept text once, grouped by doc id — that
+    * shuffle IS the output and cannot be elided. A 64-bit collision
+    * (~1e-9 at billions of distinct lines) can at worst strip an
+    * innocent line that shares a hash with boilerplate. */
+  def stripCommonLines(docs: DataFrame, linesCol: String, idCol: String,
+                       maxDocs: Int): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("id"), posexplode(col(linesCol)).as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val boiler = lines.groupBy(col("lh"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") > maxDocs)
+      .select("lh")
+    lines.join(boiler, Seq("lh"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("text_clean"))
+      .select(col("id").as(idCol), col("text_clean"), col("n_kept"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * word-`n`-gram with a held-out probe set (eval/benchmark texts),
     * the standard guard against train/test leakage.

@@ -161,6 +161,94 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** Deterministic IVF seed centroids: the `nCentroids` corpus vectors
+    * ranked first under a multiplicative hash of their id (uniform,
+    * RNG-free, engine-reproducible — the same hash-order idiom as
+    * `dataset_split`). Seed-sampled centroids are the classic
+    * train-free IVF baseline; a k-means refinement would drop in here
+    * unchanged (the probe path only needs SOME fixed centroid set),
+    * but its float-accumulation order is engine-specific, so the
+    * reproducible seed form is what the oracle adjudicates.
+    * `orderBy().limit()` plans as TakeOrderedAndProject — a
+    * distributed top-K, not a global sort. The collect is bounded by
+    * `nCentroids` (centroid tables always fit in memory — every real
+    * IVF broadcasts them). */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                   nCentroids: Int): Array[(Long, Array[Float])] =
+    emb.select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      .orderBy(((col("cid") * lit(2654435761L)) % lit(1000000007L)).asc, col("cid").asc)
+      .limit(nCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** The dot-product left fold of [[dot]] replicated driver-side:
+    * float×float multiply (one IEEE rounding), then accumulation in
+    * double — bit-identical to the Spark and DuckDB folds, so centroid
+    * norms embedded as literals match norms either engine computes. */
+  private def centNorm(cv: Array[Float]): Double =
+    math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + (x * x).toDouble))
+
+  /** (score, -cid) structs per centroid: score = dot(vec, c)/|c| =
+    * |vec|·cos — a positive per-vector factor |vec| doesn't change the
+    * argmax, so the vector's own norm is never computed here. Centroid
+    * literals stay FLOAT so the multiply rounds exactly like the
+    * corpus-side fold. */
+  private def centScored(vec: Column, cents: Seq[(Long, Array[Float])]): Seq[Column] =
+    cents.map { case (cid, cv) =>
+      struct((dot(vec, array(cv.toSeq.map(lit(_)): _*)) / lit(centNorm(cv))).as("s"),
+        lit(-cid).as("nc"))
+    }
+
+  /** Inverted-list id for a vector: the centroid maximizing
+    * dot(vec, c)/|c| (ties → smallest cid). A pure projection — the
+    * corpus is assigned in its scan, no join, no shuffle. */
+  def ivfListId(vec: Column, cents: Seq[(Long, Array[Float])]): Column =
+    -array_max(array(centScored(vec, cents): _*)).getField("nc")
+
+  /** The `nProbe` nearest inverted lists for a query vector, best
+    * first (ties → smallest cid). */
+  def ivfProbeLists(vec: Column, cents: Seq[(Long, Array[Float])], nProbe: Int): Column =
+    transform(
+      slice(reverse(array_sort(array(centScored(vec, cents): _*))), 1, nProbe),
+      x => -x.getField("nc"))
+
+  /** IVF(-flat) ANN — the coarse-quantizer sibling of [[lshTopK]]:
+    * the corpus is partitioned into `nCentroids` inverted lists by
+    * nearest centroid; each query probes its `nProbe` nearest lists
+    * and reranks by exact cosine. Recall < 1 by construction (a true
+    * neighbor assigned to an unprobed list is missed); verified
+    * against [[bruteForceTopK]] in SimilaritySpec.
+    *
+    * Scale posture: list assignment is a PROJECTION inside the corpus
+    * scan (centroids ride along as literals — nCentroids of them, the
+    * broadcast-table regime every production IVF uses), the query side
+    * is exploded ×nProbe then broadcast, and the corpus is scanned
+    * once with zero shuffle. Persisting the assigned corpus
+    * `partitionBy("list_id")` (see [[withLshBucket]] — same store
+    * pattern) turns later probes into partition-pruned scans of
+    * nProbe/nCentroids of the data. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids,
+      s"nProbe ($nProbe) must be in [1, nCentroids=$nCentroids]")
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCentroids).toSeq
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"),
+      ivfListId(col(vecCol), cents).as("list_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"),
+      explode(ivfProbeLists(col(vecCol), cents, nProbe)).as("list_id")))
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(q, "list_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
   /** Embedding-cosine NEAR-DUP PAIRS: all (a < b) with cosine >=
     * `minCos` — the embedding-space sibling of the MinHash/SimHash
     * text dedup paths, for catching paraphrase/translation near-dups

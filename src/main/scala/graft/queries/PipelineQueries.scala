@@ -409,6 +409,38 @@ object PipelineQueries {
       TextAnalysis.qualityFilter(Tables.documents(s, d), "text", "doc_id")
     },
 
+    // C27 — cross-document duplicated-line removal (boilerplate
+    // scrub). The synthetic docs are single-line, so pseudo-lines are
+    // derived deterministically (8-word chunks) and boilerplate is
+    // injected (a cookie-banner line on every 3rd doc, a newsletter
+    // line on every 7th — both recur across ≫50 docs, so both strip);
+    // natural chunks from the word-soup corpus stay below the
+    // document-frequency cap. The oracle mirrors the chunking, the
+    // injection, and the strip by line text (Spark groups the DF count
+    // on xxhash64(line) — identical barring a 64-bit collision).
+    "line_dedup" -> { (s, d) =>
+      val withLines = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), expr(
+          """concat(
+            |  IF(doc_id % 3 = 0, array('Accept all cookies to continue'), array()),
+            |  transform(sequence(0, (size(w) - 1) div 8),
+            |            i -> array_join(slice(w, i * 8 + 1, 8), ' ')),
+            |  IF(doc_id % 7 = 0, array('Subscribe to our newsletter today'), array())
+            |)""".stripMargin).as("lines"))
+      Dedup.stripCommonLines(withLines, "lines", "doc_id", maxDocs = 50)
+    },
+
+    // C28 — IVF(-flat) ANN: the coarse-quantizer scale path beside the
+    // hyperplane-LSH one (C6). 16 deterministic seed centroids, 2
+    // probed lists per query, exact-cosine rerank. The oracle
+    // re-derives the same centroid set, list assignment, probe set,
+    // and cosine fold in SQL, so it is exact including IVF recall.
+    "embed_ivf_ann" -> { (s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), embQueries(s, d),
+        "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 2)
+    },
+
     // C14 — corpus-wide top-20 word bigrams (explode + count + top-k;
     // TakeOrderedAndProject, ties broken on the bigram itself).
     "ngram_topk" -> { (s, d) =>
@@ -774,6 +806,60 @@ object PipelineQueries {
       |$bins
       |FROM b""".stripMargin
     },
+
+    "line_dedup" -> """
+      |WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |ls AS (
+      |  SELECT doc_id,
+      |         (CASE WHEN doc_id % 3 = 0 THEN ['Accept all cookies to continue']
+      |               ELSE [] END ||
+      |          list_transform(range(0, (len(w) - 1) // 8 + 1),
+      |            i -> array_to_string(w[CAST(i * 8 + 1 AS INT):CAST(i * 8 + 8 AS INT)], ' ')) ||
+      |          CASE WHEN doc_id % 7 = 0 THEN ['Subscribe to our newsletter today']
+      |               ELSE [] END) AS lines
+      |  FROM w),
+      |lp AS (
+      |  SELECT doc_id, CAST(u['pos'] AS BIGINT) AS pos, CAST(u['line'] AS VARCHAR) AS line
+      |  FROM (SELECT doc_id, unnest(list_transform(range(0, len(lines)),
+      |               i -> {'pos': i, 'line': lines[CAST(i + 1 AS INT)]})) AS u
+      |        FROM ls)),
+      |boiler AS (SELECT line FROM lp GROUP BY line HAVING count(DISTINCT doc_id) > 50),
+      |kept AS (SELECT * FROM lp WHERE line NOT IN (SELECT line FROM boiler))
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+      |       count(*) AS n_kept
+      |FROM kept GROUP BY doc_id""".stripMargin,
+
+    // Mirrors ivfTopK(nCentroids=16, nProbe=2, k=10): same hash-order
+    // centroid seed set, same dot/|c| assignment score (ties → cid),
+    // same probe lists, same cosine fold → exact including recall.
+    "embed_ivf_ann" -> s"""
+      |WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cv,
+      |         sqrt(${dotSql("embedding", "embedding")}) AS cn
+      |  FROM embeddings
+      |  ORDER BY (vec_id * 2654435761) % 1000000007 ASC, vec_id ASC LIMIT 16),
+      |assign AS (
+      |  SELECT vec_id AS neighbor_id, embedding AS cvv, cid AS list_id FROM (
+      |    SELECT e.vec_id, e.embedding, cent.cid,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY ${dotSql("e.embedding", "cent.cv")} / cent.cn DESC,
+      |                      cent.cid ASC) AS r
+      |    FROM embeddings e CROSS JOIN cent) WHERE r = 1),
+      |qp AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, cid AS list_id FROM (
+      |    SELECT q.vec_id, q.embedding, cent.cid,
+      |           row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY ${dotSql("q.embedding", "cent.cv")} / cent.cn DESC,
+      |                      cent.cid ASC) AS r
+      |    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+      |    CROSS JOIN cent) WHERE r <= 2),
+      |s AS (
+      |  SELECT query_id, neighbor_id, ${cosSql("qv", "cvv")} AS cos
+      |  FROM assign JOIN qp USING (list_id)
+      |  WHERE neighbor_id <> query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s)
+      |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 10""".stripMargin,
 
     "multimodal_meta" -> """
       |SELECT doc_id,

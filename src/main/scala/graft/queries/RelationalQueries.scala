@@ -73,6 +73,29 @@ object RelationalQueries {
         .agg(sum(revenue).cast("double").as("revenue"))
     },
 
+    // B24 — TPC-H Q7-style bilateral trade volume: supplier nation ×
+    // customer nation × ship year. Nation joins in twice under two
+    // roles — both broadcast (dim-scale); the fact chain
+    // lineitem⋈orders⋈customer⋈supplier shuffles on its keys with AQE.
+    // supp < cust keeps one row per unordered nation pair.
+    "q7_nation_volume" -> { (s, d) =>
+      val n1 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") < col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // B4 — global top-K: TakeOrderedAndProject keeps K per partition
     // then merges on the driver — no full sort, no single-node shuffle.
     "topn_orders" -> { (s, d) =>
@@ -248,6 +271,19 @@ object RelationalQueries {
         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       GROUP BY 1""",
+
+    "q7_nation_volume" -> s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(sum($Rev) AS DOUBLE) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name < n2.n_name
+      GROUP BY 1, 2, 3""",
 
     "topn_orders" -> """
       SELECT o_orderkey AS order_key,

@@ -278,6 +278,41 @@ class DedupSpec extends SparkTestBase {
     assert(got(4L)._1 == false && got(4L)._2 != null)
   }
 
+  test("stripCommonLines strips boilerplate, keeps order, drops emptied docs") {
+    import spark.implicits._
+    // 'BOILER' recurs in 5 distinct docs (> maxDocs = 3) → stripped
+    // everywhere; doc 6 is all boilerplate → drops out entirely
+    val docs = Seq(
+      (1L, Seq("alpha one", "BOILER", "beta two")),
+      (2L, Seq("BOILER", "gamma three")),
+      (3L, Seq("delta four", "BOILER")),
+      (4L, Seq("BOILER", "epsilon five", "zeta six")),
+      (5L, Seq("eta seven")),
+      (6L, Seq("BOILER"))).toDF("doc_id", "lines")
+    val got = Dedup.stripCommonLines(docs, "lines", "doc_id", maxDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> (("alpha one\nbeta two", 2L)),
+      2L -> (("gamma three", 1L)),
+      3L -> (("delta four", 1L)),
+      4L -> (("epsilon five\nzeta six", 2L)),
+      5L -> (("eta seven", 1L))))
+  }
+
+  test("stripCommonLines counts document frequency, not occurrences") {
+    import spark.implicits._
+    // 'dup line' appears 3 times but in only 2 DISTINCT docs — at
+    // maxDocs = 2 that is not boilerplate, and within-doc repeats stay
+    val docs = Seq(
+      (1L, Seq("dup line", "dup line", "x")),
+      (2L, Seq("dup line", "y")),
+      (3L, Seq("z"))).toDF("doc_id", "lines")
+    val got = Dedup.stripCommonLines(docs, "lines", "doc_id", maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "dup line\ndup line\nx")
+    assert(got(2L) == "dup line\ny")
+  }
+
   test("simhash signature is stable and has 64-bit spread") {
     val sigs = Dedup.simhashSignature(corpus(), "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -200,6 +200,46 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ivfTopK: probing every list equals brute force; nProbe=2 recall is useful") {
+    import org.apache.spark.sql.functions.col
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 8)
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+    val bf = ranked(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10))
+    // nProbe = nCentroids → every inverted list probed → the candidate
+    // set is the whole corpus and ranks must match brute force exactly
+    val full = ranked(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCentroids = 8, nProbe = 8))
+    assert(full == bf)
+    val part = ranked(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCentroids = 16, nProbe = 2))
+    val recalls = bf.toSeq.map { case (q, ids) =>
+      part.getOrElse(q, Seq.empty).toSet.intersect(ids.toSet).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 2/16 of the lists probed; random embeddings make near-neighbor
+    // structure weak, so the floor is modest — the exactness property
+    // above is the semantic check, this guards against a broken probe
+    assert(mean >= 0.2, s"mean recall $mean")
+    // partial-probe results are a correctly-ranked sub-ranking of bf
+    for ((q, ids) <- part; (id, i) <- ids.zipWithIndex) {
+      val bfRank = bf(q).indexOf(id)
+      if (bfRank >= 0)
+        assert(bf(q).take(bfRank).toSet.intersect(ids.take(i).toSet).size <= i)
+    }
+  }
+
+  test("ivf corpus side is assignment-in-scan + broadcast probe join (no corpus shuffle)") {
+    import org.apache.spark.sql.functions.col
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 8)
+    val plan = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
   test("labelStats centroids match Scala aggregation") {
     val labels = sources.Tables.embeddings(spark, sfDir)
       .select("vec_id", "label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
