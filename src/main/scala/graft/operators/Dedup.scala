@@ -71,6 +71,34 @@ object Dedup {
       withMinHashSignatures(docs, textCol, idCol, k, numPerm),
       bands, minBp, numPerm, maxBucket)
 
+  /** Near-CONTAINMENT pairs: (a, b) where the smaller shingle set is
+    * mostly inside the larger — containment_bp = 10000·|A∩B|/min(|A|,|B|).
+    * Catches the quote/excerpt/aggregation dups Jaccard MISSES: a
+    * 100-word excerpt inside a 10k-word page has Jaccard ≈ 0.01 but
+    * containment ≈ 1.0. Exact formulation (same candidate equi-join on
+    * shingle hashes as [[ngramJaccardPairs]]); intended for bounded
+    * corpora / verification — at open-corpus scale, generate candidates
+    * with [[minhashLsh]] banding (a contained excerpt still collides on
+    * bands whose rows hash from its shingles) and verify containment on
+    * the persisted `hs` sets exactly as here. */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       k: Int, minBp: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.shingleHashes(textCol, k)).as("g"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .withColumn("containment_bp",
+        floor(lit(10000.0) * col("common") / least(col("n_a"), col("n_b"))).cast("long"))
+      .filter(col("containment_bp") >= minBp)
+      .select("doc_a", "doc_b", "common", "n_a", "n_b", "containment_bp")
+  }
+
   /** One-pass signature computation: (id, hs, sig). At 100 TB this is
     * the INGEST-time step: `sig` is `numPerm * 8` bytes per doc
     * regardless of document size; `hs` (the distinct shingle-hash set,

@@ -249,6 +249,40 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** Ingest-time inverted-list assignment: persist the corpus
+    * `partitionBy("list_id")` and later probes scan only the probed
+    * list directories — the IVF twin of [[withLshBucket]]. */
+  def withIvfLists(df: DataFrame, vecCol: String,
+                   cents: Seq[(Long, Array[Float])]): DataFrame =
+    df.withColumn("list_id", ivfListId(col(vecCol), cents))
+
+  /** IVF probe against a PRE-ASSIGNED corpus (a frame carrying the
+    * [[withIvfLists]] `list_id` column, typically read back from a
+    * list-partitioned store). The probed list set comes from the
+    * bounded query batch and is pushed as an `isin` partition filter,
+    * so a partitioned store reads only nProbe-worth of directories per
+    * query batch — probe cost is O(probed lists), not O(corpus).
+    * Results are identical to [[ivfTopK]] at the same (cents, nProbe). */
+  def ivfTopKBucketed(assigned: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      cents: Seq[(Long, Array[Float])], nProbe: Int = 2): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"),
+      explode(ivfProbeLists(col(vecCol), cents, nProbe)).as("list_id"))
+    val probed = q.select("list_id").distinct().collect().map(_.getLong(0))
+    val c = assigned.filter(col("list_id").isin(probed: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"), col("list_id"))
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), "list_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
   /** Embedding-cosine NEAR-DUP PAIRS: all (a < b) with cosine >=
     * `minCos` — the embedding-space sibling of the MinHash/SimHash
     * text dedup paths, for catching paraphrase/translation near-dups

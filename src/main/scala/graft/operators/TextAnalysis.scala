@@ -172,4 +172,23 @@ object TextAnalysis {
     regexp_replace(
       regexp_replace(text, "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
       "[0-9]{7,}", "<NUM>")
+
+  /** HTML → text extraction: drop script/style blocks WITH their
+    * contents, strip remaining tags, decode the common entities,
+    * collapse whitespace. The raw-crawl → clean-text front of a
+    * curation pipeline; regex-subset only (no DOM) so it is
+    * scan-speed, engine-portable, and good enough for boilerplate-free
+    * body text — a structure-aware extractor (readability scoring,
+    * link-density pruning) would slot in at the same column position.
+    * `(?s)` lets `.` span newlines inside script/style blocks. */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    // &amp; decodes LAST, else "&amp;lt;" would double-decode to "<"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
+    normalizeWhitespace(decoded)
+  }
 }

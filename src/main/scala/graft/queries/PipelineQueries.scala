@@ -409,6 +409,41 @@ object PipelineQueries {
       TextAnalysis.qualityFilter(Tables.documents(s, d), "text", "doc_id")
     },
 
+    // C29 — near-containment pairs: every 10th base doc contributes an
+    // 80-char excerpt (chars 11–90, id + 3e6). An excerpt is ~1/4 of
+    // its page, so Jaccard sits far below any dedup threshold — but
+    // containment w.r.t. the smaller shingle set is ~10000 bp. The
+    // quote/excerpt dup class the Jaccard paths miss by construction.
+    "dedup_containment" -> { (s, d) =>
+      val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val snip = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          expr("substring(text, 11, 80)").as("text"))
+      Dedup.containmentPairs(base.unionByName(snip), "text", "doc_id",
+        k = 5, minBp = 9000)
+    },
+
+    // C30 — HTML → text extraction over deterministically synthesized
+    // raw-crawl pages: title/heading survive, body text survives,
+    // script/style blocks vanish WITH contents, entities decode,
+    // whitespace collapses. The front door of a crawl curation
+    // pipeline; scan-speed regex subset (see TextAnalysis.stripHtml).
+    "text_extract_html" -> { (s, d) =>
+      val raw = Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>body { color: #000; }</style></head><body><h1>Doc "),
+        col("doc_id"), lit("</h1><p>"), col("text"),
+        lit("</p><script>var x = 1 &amp;&amp; 2;</script>"),
+        when(col("doc_id") % 4 === 0,
+          lit("<div class=\"footer\">Terms &amp; conditions &lt;apply&gt;</div>"))
+          .otherwise(lit("")),
+        lit("</body></html>")).as("html"))
+      raw.select(col("doc_id"),
+        TextAnalysis.stripHtml(col("html")).as("text_extracted"),
+        length(col("html")).as("n_raw"))
+    },
+
     // C27 — cross-document duplicated-line removal (boilerplate
     // scrub). The synthetic docs are single-line, so pseudo-lines are
     // derived deterministically (8-word chunks) and boilerplate is
@@ -806,6 +841,57 @@ object PipelineQueries {
       |$bins
       |FROM b""".stripMargin
     },
+
+    "dedup_containment" -> """
+      |WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, substr(text, 11, 80)
+      |  FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(0, greatest(length(text) - 4, 0)),
+      |                                         i -> substr(text, i + 1, 5))) AS g
+      |    FROM corpus)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+      |  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, common, sa.n AS n_a, sb.n AS n_b,
+      |       CAST(floor(10000.0 * common / least(sa.n, sb.n)) AS BIGINT) AS containment_bp
+      |FROM pairs
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE floor(10000.0 * common / least(sa.n, sb.n)) >= 9000""".stripMargin,
+
+    "text_extract_html" -> """
+      |WITH raw AS (
+      |  SELECT doc_id,
+      |         '<html><head><title>Doc ' || doc_id ||
+      |         '</title><style>body { color: #000; }</style></head><body><h1>Doc ' ||
+      |         doc_id || '</h1><p>' || text ||
+      |         '</p><script>var x = 1 &amp;&amp; 2;</script>' ||
+      |         CASE WHEN doc_id % 4 = 0
+      |              THEN '<div class="footer">Terms &amp; conditions &lt;apply&gt;</div>'
+      |              ELSE '' END ||
+      |         '</body></html>' AS html
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, html,
+      |              regexp_replace(html,
+      |                '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t
+      |       FROM raw),
+      |s2 AS (SELECT doc_id, html, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
+      |s3 AS (SELECT doc_id, html,
+      |              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |                regexp_replace(regexp_replace(t,
+      |                  '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+      |                  '&#39;', CAST(chr(39) AS VARCHAR), 'g'), '&nbsp;', ' ', 'g'),
+      |                  '&amp;', '&', 'g') AS t
+      |       FROM s2)
+      |SELECT doc_id, trim(regexp_replace(t, ' +', ' ', 'g')) AS text_extracted,
+      |       length(html) AS n_raw
+      |FROM s3""".stripMargin,
 
     "line_dedup" -> """
       |WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

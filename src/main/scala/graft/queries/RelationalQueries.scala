@@ -96,6 +96,22 @@ object RelationalQueries {
           count(lit(1)).as("n_lines"))
     },
 
+    // B25 — distribution window functions: quartile bucketing +
+    // relative rank in one window pass (single shuffle on the
+    // partition key; unique (price, key) sort order makes every rank
+    // function deterministic). percent_rank/cume_dist are integer
+    // ratios evaluated in double — bit-exact on any engine.
+    "window_ntile" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("order_key"),
+        col("o_orderstatus").as("status"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    },
+
     // B4 — global top-K: TakeOrderedAndProject keeps K per partition
     // then merges on the driver — no full sort, no single-node shuffle.
     "topn_orders" -> { (s, d) =>
@@ -284,6 +300,15 @@ object RelationalQueries {
                     JOIN nation n2 ON c_nationkey = n2.n_nationkey
       WHERE n1.n_name < n2.n_name
       GROUP BY 1, 2, 3""",
+
+    "window_ntile" -> """
+      SELECT o_orderkey AS order_key, o_orderstatus AS status,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice ASC, o_orderkey ASC)""",
 
     "topn_orders" -> """
       SELECT o_orderkey AS order_key,

@@ -32,6 +32,23 @@ object Sinks {
                schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC round-trip — the other columnar lake format Spark ships
+    * natively; same pushdown/pruning machinery as parquet (predicate
+    * pushdown + column pruning reach the ORC reader). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Raw text: one row per line — the ingest shape of undelimited
+    * crawl dumps (each line a document/record to parse downstream). */
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
+
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** Partitioned parquet: directory per partition-column value. */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)

@@ -278,6 +278,42 @@ class DedupSpec extends SparkTestBase {
     assert(got(4L)._1 == false && got(4L)._2 != null)
   }
 
+  test("containmentPairs flags excerpts that Jaccard misses") {
+    import spark.implicits._
+    val big = ("the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet field past the old barn toward the river " +
+      "bank where tall reeds sway gently under the afternoon sun all day")
+    val excerpt = big.substring(10, 60)
+    val docs = Seq((1L, big), (2L, excerpt),
+      (3L, "completely unrelated text body with nothing shared at all"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "text", "doc_id", k = 5, minBp = 9000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    // excerpt's shingles are a subset of the page's → containment 10000
+    assert(cont.keySet == Set((1L, 2L)))
+    assert(cont((1L, 2L)) == 10000L)
+    // ...but the same pair is invisible to Jaccard at dedup thresholds
+    assert(Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 5, minBp = 8000)
+      .collect().isEmpty)
+  }
+
+  test("stripHtml: tags stripped, script/style gone with contents, entities decoded") {
+    import spark.implicits._
+    val html = "<html><head><style>p { x: 1; }</style></head><body>" +
+      "<h1>Title</h1><p>Body &amp; more &lt;text&gt;</p>" +
+      "<script>if (a &amp;&amp; b) { run(); }</script>" +
+      "<div>tail</div></body></html>"
+    val got = Seq(html).toDF("h")
+      .select(graft.operators.TextAnalysis.stripHtml(col("h")).as("t"))
+      .as[String].head()
+    assert(got == "Title Body & more <text> tail")
+    // &amp;lt; must decode to &lt;, not double-decode to <
+    val tricky = Seq("<p>a &amp;lt; b</p>").toDF("h")
+      .select(graft.operators.TextAnalysis.stripHtml(col("h")).as("t"))
+      .as[String].head()
+    assert(tricky == "a &lt; b")
+  }
+
   test("stripCommonLines strips boilerplate, keeps order, drops emptied docs") {
     import spark.implicits._
     // 'BOILER' recurs in 5 distinct docs (> maxDocs = 3) → stripped

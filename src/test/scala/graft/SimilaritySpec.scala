@@ -240,6 +240,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("IVF bucketed store: pruned probe equals ivfTopK; only probed lists read") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 2)
+    val cents = graft.operators.Similarity
+      .ivfCentroids(emb, "vec_id", "embedding", 8).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_lists").toString
+    graft.operators.Similarity.withIvfLists(emb, "embedding", cents)
+      .write.mode("overwrite").partitionBy("list_id").parquet(dir)
+    val assigned = spark.read.parquet(dir)
+    val got = graft.operators.Similarity.ivfTopKBucketed(
+        assigned, queries, "vec_id", "embedding", k = 10, cents, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val direct = graft.operators.Similarity.ivfTopK(
+        emb, queries, "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == direct && got.nonEmpty)
+    // ≤ 2 queries × 2 probed lists of the 8 — the scan must prune
+    val probed = queries
+      .select(graft.operators.Similarity
+        .ivfProbeLists(col("embedding"), cents, 2).as("ls"))
+      .selectExpr("explode(ls) AS l").distinct().collect().map(_.getLong(0)).toSet
+    val filtered = assigned.filter(col("list_id").isin(probed.toSeq: _*))
+    val scan = filtered.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no file scan in plan"))
+    val selected = scan.selectedPartitions.toPartitionArray
+      .map(_.urlEncodedPath).toSet
+    assert(selected.nonEmpty &&
+      selected.forall(f => probed.exists(l => f.contains(s"list_id=$l/"))),
+      s"read $selected, probed $probed")
+    val allParts = spark.read.parquet(dir).select("list_id").distinct().count()
+    assert(scan.selectedPartitions.partitionCount < allParts,
+      "no partition pruning happened")
+  }
+
   test("labelStats centroids match Scala aggregation") {
     val labels = sources.Tables.embeddings(spark, sfDir)
       .select("vec_id", "label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap

@@ -31,6 +31,27 @@ class SourcesSpec extends SparkTestBase {
       region.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("ORC round-trip preserves values; filter pushes into the ORC scan") {
+    val orders = Tables.orders(spark, sfDir)
+    val path = tmp("orc")
+    Sinks.writeOrc(orders, path)
+    val back = Sinks.readOrc(spark, path)
+    assert(back.orderBy("o_orderkey").collect().toSeq ==
+      orders.orderBy("o_orderkey").collect().toSeq)
+    val plan = back.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus)"), plan)
+  }
+
+  test("text round-trip: one row per line") {
+    import spark.implicits._
+    val path = tmp("text")
+    val lines = Seq("first line", "second line", "third").toDF("value")
+    Sinks.writeText(lines, path)
+    assert(Sinks.readText(spark, path).as[String].collect().toSet ==
+      Set("first line", "second line", "third"))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val path = tmp("part")
     Sinks.writePartitioned(
