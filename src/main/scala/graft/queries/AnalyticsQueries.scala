@@ -123,6 +123,67 @@ object AnalyticsQueries {
       """)
     },
 
+    // B26 — behavioral funnel (view → click → purchase, strictly
+    // ordered timestamps): earliest qualifying step per user, depth
+    // reached. Three filtered min-aggregations chained by
+    // user_id-keyed joins — every shuffle is on user_id, so a real
+    // cluster resolves the whole funnel in one partitioning (AQE
+    // reuses the exchange); no window sort over the event log.
+    "funnel_steps" -> { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+            + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("depth"))
+    },
+
+    // B27 — cohort retention: users bucketed by first-activity week,
+    // counted per (cohort, weeks-since) cell over their distinct
+    // active weeks. Integer-exact (counts + day arithmetic).
+    "cohort_retention" -> { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val first = e.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = e
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      active.join(first, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(to_date(col("week")), to_date(col("cohort_week"))) / 7)
+            .cast("long").as("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // B28 — outlier detection without floating-point order dependence:
+    // per-type mean and variance from EXACT decimal sums (Σv, Σv² at
+    // scale 12), final-cast to double, and the 2σ test algebraized to
+    // (v−μ)² > 4·(E[v²]−μ²) so no sqrt is needed — every double op is
+    // correctly rounded from exact inputs, so any engine flags the
+    // identical event set. Stats side is 5 rows → broadcast join.
+    "outlier_events" -> { (s, d) =>
+      val dec6 = (c: Column) => c.cast(DecimalType(18, 6))
+      val e = Tables.events(s, d)
+      val stats = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(dec6(col("value"))).cast("double").as("s1"),
+        sum(dec6(col("value")) * dec6(col("value"))).cast("double").as("s2"))
+        .select(col("event_type"), (col("s1") / col("n")).as("mu"),
+          (col("s2") / col("n")).as("ex2"))
+      e.join(broadcast(stats), "event_type")
+        .filter((col("value") - col("mu")) * (col("value") - col("mu")) >
+          lit(4.0) * (col("ex2") - col("mu") * col("mu")))
+        .select(col("event_id"), col("event_type"), col("value"))
+    },
+
     // B19 — histogram: fixed-width value bins per event type.
     "value_histogram" -> { (s, d) =>
       Tables.events(s, d)
@@ -132,6 +193,44 @@ object AnalyticsQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "funnel_steps" -> """
+      WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t_click
+             FROM events e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase
+             FROM events e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1)
+      SELECT s1.user_id, t_view, t_click, t_purchase,
+             1 + CAST(t_click IS NOT NULL AS INT)
+               + CAST(t_purchase IS NOT NULL AS INT) AS depth
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
+
+    "cohort_retention" -> """
+      WITH first AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY 1),
+      active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+      SELECT cohort_week,
+             CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(week AS DATE)) // 7
+                  AS BIGINT) AS weeks_since,
+             count(DISTINCT user_id) AS n_users
+      FROM active JOIN first USING (user_id)
+      GROUP BY 1, 2""",
+
+    "outlier_events" -> """
+      WITH stats AS (
+        SELECT event_type,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu,
+               CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                    AS DOUBLE) / count(*) AS ex2
+        FROM events GROUP BY 1)
+      SELECT event_id, e.event_type, value
+      FROM events e JOIN stats USING (event_type)
+      WHERE (value - mu) * (value - mu) > 4.0 * (ex2 - mu * mu)""",
+
     "cube_agg" -> """
       SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
