@@ -27,6 +27,16 @@ object Sweep {
         .reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite")
         .parquet(s"$big/embeddings.parquet")
+      // events: shift user_id too, so the duplicated log keeps the
+      // per-user structure (10× users, same events-per-user) — the
+      // realistic growth axis for funnel/cohort/transition queries
+      val ev = spark.read.parquet(s"$base/events.parquet")
+      (0 until 10).map(i => ev
+          .withColumn("event_id", col("event_id") + lit(i * n))
+          .withColumn("user_id", col("user_id") + lit(i * n)))
+        .reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$big/events.parquet")
     }
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
@@ -34,7 +44,11 @@ object Sweep {
     val keys = Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
       "source_mix_sample", "embed_lsh_ann", "dedup_exact",
       "quality_filter", "dedup_incremental", "dedup_embed_cosine",
-      "multimodal_features")
+      "multimodal_features",
+      // r4 additions
+      "line_dedup", "embed_ivf_ann", "dedup_containment",
+      "text_extract_html", "funnel_steps", "cohort_retention",
+      "outlier_events", "event_transitions")
     for (k <- keys) {
       val fn = SparkEntry.queries(k)
       def run(d: String) = {

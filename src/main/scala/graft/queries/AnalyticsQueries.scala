@@ -184,6 +184,21 @@ object AnalyticsQueries {
         .select(col("event_id"), col("event_type"), col("value"))
     },
 
+    // B29 — event-transition counts (the Markov-chain view of the
+    // event log): successor per user via one lead() window — single
+    // shuffle on user_id, per-user sort — then a tiny (type, type)
+    // count aggregation. Deterministic: (ts, event_id) is unique.
+    "event_transitions" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // B19 — histogram: fixed-width value bins per event type.
     "value_histogram" -> { (s, d) =>
       Tables.events(s, d)
@@ -230,6 +245,15 @@ object AnalyticsQueries {
       SELECT event_id, e.event_type, value
       FROM events e JOIN stats USING (event_type)
       WHERE (value - mu) * (value - mu) > 4.0 * (ex2 - mu * mu)""",
+
+    "event_transitions" -> """
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS next_type
+        FROM events)
+      SELECT event_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2""",
 
     "cube_agg" -> """
       SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,

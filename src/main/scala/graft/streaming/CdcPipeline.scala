@@ -112,6 +112,73 @@ object CdcPipeline {
     * store shards by key across executors and per-key state must stay
     * O(1). The reference's ListState has no such bound; this is the
     * production-hardened form. */
+  /** The per-key, per-micro-batch state fold shared by BOTH streaming
+    * engines ([[enrichLatest]] on flatMapGroupsWithState,
+    * [[TwsEnrichment.enrichLatestTws]] on transformWithState) — one
+    * definition, so the two operators cannot drift semantically.
+    *
+    * Processes the key's batch slice in a total, DETERMINISTIC order:
+    * event time, then side, then the wire transaction-row seq, then
+    * deletes before images — so a delete+reinsert sharing
+    * sv_op_timestamp in one micro-batch resolves by seq (the batch
+    * twin's (op_ts, seq) order), and when seq is absent too, the image
+    * is applied after the delete ("image wins the tie") regardless of
+    * shuffle arrival order. Any total order over the slice requires
+    * materializing it (a one-pass fold would tie output to shuffle
+    * arrival order); one ArrayBuffer + sortInPlace keeps that to a
+    * single allocation, and the slice is bounded by the micro-batch
+    * (maxOffsetsPerTrigger & co. in production), not stream history. */
+  private[streaming] def foldChanges(key: Long, rows: Iterator[Change],
+                                     initial: EnrichState, maxBuffered: Int)
+      : (EnrichState, Seq[Enriched]) = {
+    var st = initial
+    val out = scala.collection.mutable.ListBuffer[Enriched]()
+    // the batch twin's total order over CDC records
+    def le(aTs: Long, aSeq: Int, bTs: Long, bSeq: Int): Boolean =
+      aTs < bTs || (aTs == bTs && aSeq <= bSeq)
+    val batch = scala.collection.mutable.ArrayBuffer.empty[Change]
+    rows.foreach(batch += _)
+    batch.sortInPlaceBy(c =>
+      (c.eventTimeMs, c.isEnrichment, c.seq, if (c.manip == "D") 0 else 1))
+    batch.foreach { c =>
+      if (c.isEnrichment) {
+        if (c.manip == "D") {
+          // CDC delete tombstone: drop the image so later stream
+          // rows buffer until a new one lands — mirrors the batch
+          // twin (Cdc.latestImage drops deleted keys). The
+          // tombstone (op_ts, seq) persists so an out-of-order
+          // image older than the delete cannot resurrect the key
+          // even when it arrives in a later micro-batch.
+          if (st.latest.forall { case (ts, sq, _) =>
+            le(ts, sq, c.eventTimeMs, c.seq) }) st = st.copy(latest = None)
+          if (!le(c.eventTimeMs, c.seq, st.deleteTs, st.deleteSeq))
+            st = st.copy(deleteTs = c.eventTimeMs, deleteSeq = c.seq)
+        } else if (le(st.deleteTs, st.deleteSeq, c.eventTimeMs, c.seq) &&
+          st.latest.forall { case (ts, sq, _) =>
+            le(ts, sq, c.eventTimeMs, c.seq) }) {
+          // image applies only if at-or-after the newest delete in
+          // (op_ts, seq) order (image wins an exact delete/image
+          // tie, matching the batch twin where the later record
+          // of a transaction wins)
+          st = st.copy(latest = Some((c.eventTimeMs, c.seq, c.payload)))
+          if (st.buffered.nonEmpty) {
+            st.buffered.reverse.foreach { case (t, p) =>
+              out += Enriched(key, t, p, c.payload)
+            }
+            st = st.copy(buffered = Nil)
+          }
+        }
+      } else st.latest match {
+        case Some((_, _, ep)) => out += Enriched(key, c.eventTimeMs, c.payload, ep)
+        case None =>
+          // buffered is newest-first; cap drops the oldest
+          st = st.copy(buffered =
+            ((c.eventTimeMs, c.payload) :: st.buffered).take(maxBuffered))
+      }
+    }
+    (st, out.toList)
+  }
+
   def enrichLatest(changes: Dataset[Change],
                    maxBuffered: Int = 1000): Dataset[Enriched] = {
     import changes.sparkSession.implicits._
@@ -120,66 +187,8 @@ object CdcPipeline {
       .flatMapGroupsWithState[EnrichState, Enriched](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, rows: Iterator[Change], state: GroupState[EnrichState]) =>
-          var st = state.getOption.getOrElse(EnrichState(None, Nil))
-          val out = scala.collection.mutable.ListBuffer[Enriched]()
-          // the batch twin's total order over CDC records
-          def le(aTs: Long, aSeq: Int, bTs: Long, bSeq: Int): Boolean =
-            aTs < bTs || (aTs == bTs && aSeq <= bSeq)
-          // Process in event-time order within the batch for
-          // deterministic latest-wins semantics. Any total order over
-          // the key's batch slice requires materializing it (a one-pass
-          // fold would tie output to shuffle arrival order); one
-          // ArrayBuffer + sortInPlace keeps that to a single
-          // allocation, and the slice is bounded by the micro-batch
-          // (maxOffsetsPerTrigger & co. in production), not by stream
-          // history.
-          val batch = scala.collection.mutable.ArrayBuffer.empty[Change]
-          rows.foreach(batch += _)
-          // Total, DETERMINISTIC order: event time, then side, then the
-          // wire transaction-row seq, then deletes before images — so a
-          // delete+reinsert sharing sv_op_timestamp in one micro-batch
-          // resolves by seq (the batch twin's (op_ts, seq) order), and
-          // when seq is absent too, the image is applied after the
-          // delete ("image wins the tie") regardless of shuffle
-          // arrival order.
-          batch.sortInPlaceBy(c =>
-            (c.eventTimeMs, c.isEnrichment, c.seq, if (c.manip == "D") 0 else 1))
-          batch.foreach { c =>
-            if (c.isEnrichment) {
-              if (c.manip == "D") {
-                // CDC delete tombstone: drop the image so later stream
-                // rows buffer until a new one lands — mirrors the batch
-                // twin (Cdc.latestImage drops deleted keys). The
-                // tombstone (op_ts, seq) persists so an out-of-order
-                // image older than the delete cannot resurrect the key
-                // even when it arrives in a later micro-batch.
-                if (st.latest.forall { case (ts, sq, _) =>
-                  le(ts, sq, c.eventTimeMs, c.seq) }) st = st.copy(latest = None)
-                if (!le(c.eventTimeMs, c.seq, st.deleteTs, st.deleteSeq))
-                  st = st.copy(deleteTs = c.eventTimeMs, deleteSeq = c.seq)
-              } else if (le(st.deleteTs, st.deleteSeq, c.eventTimeMs, c.seq) &&
-                st.latest.forall { case (ts, sq, _) =>
-                  le(ts, sq, c.eventTimeMs, c.seq) }) {
-                // image applies only if at-or-after the newest delete in
-                // (op_ts, seq) order (image wins an exact delete/image
-                // tie, matching the batch twin where the later record
-                // of a transaction wins)
-                st = st.copy(latest = Some((c.eventTimeMs, c.seq, c.payload)))
-                if (st.buffered.nonEmpty) {
-                  st.buffered.reverse.foreach { case (t, p) =>
-                    out += Enriched(key, t, p, c.payload)
-                  }
-                  st = st.copy(buffered = Nil)
-                }
-              }
-            } else st.latest match {
-              case Some((_, _, ep)) => out += Enriched(key, c.eventTimeMs, c.payload, ep)
-              case None =>
-                // buffered is newest-first; cap drops the oldest
-                st = st.copy(buffered =
-                  ((c.eventTimeMs, c.payload) :: st.buffered).take(maxBuffered))
-            }
-          }
+          val (st, out) = foldChanges(key, rows,
+            state.getOption.getOrElse(EnrichState(None, Nil)), maxBuffered)
           state.update(st)
           out.iterator
       }

@@ -660,4 +660,66 @@ class StreamingSpec extends SparkTestBase {
       assert(rows("2024-01-01T00:00:00Z") == 2L)
     } finally q.stop()
   }
+
+  test("transformWithState enrichment matches the flatMapGroupsWithState twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // state partition count binds at query start; 32 RocksDB instances
+    // checkpointing per micro-batch is minutes of local-FS churn in a
+    // test — 2 partitions exercise identical semantics
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, "2")
+    val input = MemoryStream[Change]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws").toString
+    val q = graft.streaming.TwsEnrichment.enrichLatestTws(input.toDS())
+      .writeStream.format("memory").queryName("tws_enriched")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the same battery the flat twin's specs run: early-row
+      // buffering, latest-wins, delete+reinsert seq tiebreak
+      input.addData(Change(1L, t(0), "order-a", isEnrichment = false))
+      q.processAllAvailable()
+      assert(spark.table("tws_enriched").count() == 0)
+      input.addData(
+        Change(1L, t(1), "dim-v1", isEnrichment = true),
+        Change(1L, t(2), "dim-v2", isEnrichment = true))
+      q.processAllAvailable()
+      input.addData(Change(1L, t(3), "order-b", isEnrichment = false))
+      q.processAllAvailable()
+      input.addData(
+        Change(2L, t(2), "dim-a", isEnrichment = true, seq = 1),
+        Change(2L, t(2), "kill", isEnrichment = true, manip = "D", seq = 1),
+        Change(2L, t(2), "dim-b", isEnrichment = true, seq = 2))
+      q.processAllAvailable()
+      input.addData(Change(2L, t(3), "order-c", isEnrichment = false))
+      q.processAllAvailable()
+      // a tombstone in a LATER batch kills key 2; an out-of-order image
+      // older than the delete must NOT resurrect it
+      input.addData(
+        Change(2L, t(5), "kill2", isEnrichment = true, manip = "D"))
+      q.processAllAvailable()
+      input.addData(Change(2L, t(4), "stale-dim", isEnrichment = true))
+      q.processAllAvailable()
+      input.addData(Change(2L, t(6), "order-d", isEnrichment = false))
+      q.processAllAvailable()
+      val got = spark.table("tws_enriched").as[Enriched].collect()
+        .map(e => (e.payload, e.enrichPayload)).toSet
+      assert(got == Set(
+        ("order-a", "dim-v1"), ("order-b", "dim-v2"), ("order-c", "dim-b")))
+    } finally {
+      q.stop()
+      spark.conf.set(shufKey, prevShuf)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
