@@ -476,6 +476,34 @@ object PipelineQueries {
         "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 2)
     },
 
+    // C31 — per-domain crawl cap: extract the URL host (portable
+    // regexp — identical policy on any engine), then cap every domain
+    // at 20 docs chosen by multiplicative-hash order. The standard
+    // crawl-curation guard against single-site domination; SCALE FORM
+    // is the bounded-heap top_k (O(n log k), k encoded longs per
+    // domain over the shuffle, no per-domain sort) exactly as
+    // source_mix_sample. URLs are synthesized deterministically
+    // (docs have no URL column); 38 domains ensure every domain
+    // overflows the cap at sf >= 0.01.
+    "domain_cap" -> { (s, d) =>
+      GraftFunctions.register(s)
+      val url = concat(lit("https://site"), col("doc_id") % 37,
+        lit(".example.com/"), col("source"), lit("/"), col("doc_id"))
+      val host = regexp_extract(col("url"), "^https?://([^/]+)/", 1)
+      val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+      val enc = -(h * lit(1L << 33) + col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"))
+        .select(host.as("domain"), enc.as("v"))
+        .groupBy(col("domain"))
+        .agg(GraftFunctions.top_k(col("v"), 20).as("vs"),
+          count(lit(1)).as("n_docs"))
+        .select(col("domain"), col("n_docs"), posexplode(col("vs")).as(Seq("pos", "v")))
+        .select(col("domain"), col("n_docs"),
+          (-col("v") % lit(1L << 33)).as("doc_id"),
+          (col("pos") + 1).cast("int").as("rn"))
+    },
+
     // C14 — corpus-wide top-20 word bigrams (explode + count + top-k;
     // TakeOrderedAndProject, ties broken on the bigram itself).
     "ngram_topk" -> { (s, d) =>
@@ -892,6 +920,24 @@ object PipelineQueries {
       |SELECT doc_id, trim(regexp_replace(t, ' +', ' ', 'g')) AS text_extracted,
       |       length(html) AS n_raw
       |FROM s3""".stripMargin,
+
+    // Window-formulation mirror of the bounded-heap plan (same
+    // semantics, see source_mix_sample).
+    "domain_cap" -> """
+      |WITH u AS (
+      |  SELECT doc_id,
+      |         'https://site' || (doc_id % 37) || '.example.com/' || source ||
+      |         '/' || doc_id AS url
+      |  FROM documents),
+      |d AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)/', 1) AS domain
+      |      FROM u),
+      |c AS (SELECT domain, count(*) AS n_docs FROM d GROUP BY 1),
+      |r AS (SELECT doc_id, domain,
+      |             row_number() OVER (PARTITION BY domain
+      |                ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+      |      FROM d)
+      |SELECT r.domain, n_docs, doc_id, CAST(rn AS INT) AS rn
+      |FROM r JOIN c USING (domain) WHERE rn <= 20""".stripMargin,
 
     "line_dedup" -> """
       |WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -179,4 +179,60 @@ class PropertySpec extends SparkTestBase {
     // and none of the low-overlap cross pairs survive verification
     assert(!pairs.exists { case (a, b) => a < 100 && b >= 100 })
   }
+
+  test("stripCommonLines equals the brute-force definition on random corpora") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new Random(11)
+    // small line vocabulary → guaranteed cross-document repeats
+    val vocab = (0 until 12).map(i => s"line body number $i")
+    val docs = (0L until 40L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))))
+    val maxDocs = 8
+    val got = Dedup.stripCommonLines(docs.toDF("doc_id", "lines"),
+        "lines", "doc_id", maxDocs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // brute force: document frequency per line, strip, reassemble
+    val df = docs.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.size }
+    val expect = docs.flatMap { case (id, ls) =>
+      val kept = ls.filter(l => df(l) <= maxDocs)
+      if (kept.isEmpty) None
+      else Some(id -> ((kept.mkString("\n"), kept.size.toLong)))
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("containmentPairs equals the set-algebra definition on random docs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new Random(13)
+    val alphabet = "abcdefgh "
+    def doc(n: Int): String =
+      Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    // random docs + true excerpts of some of them
+    val base = (0L until 25L).map(i => (i, doc(60 + rnd.nextInt(60))))
+    val excerpts = base.filter(_._1 % 5 == 0).map { case (i, t) =>
+      (i + 1000L, t.substring(5, 5 + 30 + rnd.nextInt(15)))
+    }
+    val all = base ++ excerpts
+    val k = 5
+    def shingles(t: String): Set[String] =
+      if (t.length < k) Set.empty
+      else (0 to t.length - k).map(i => t.substring(i, i + k)).toSet
+    val minBp = 7000
+    val got = Dedup.containmentPairs(all.toDF("doc_id", "text"),
+        "text", "doc_id", k, minBp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    val expect = (for {
+      (a, ta) <- all; (b, tb) <- all if a < b
+      sa = shingles(ta); sb = shingles(tb)
+      common = sa.intersect(sb).size if sa.nonEmpty && sb.nonEmpty
+      bp = math.floor(10000.0 * common / math.min(sa.size, sb.size)).toLong
+      if bp >= minBp
+    } yield (a, b) -> bp).toMap
+    assert(got == expect)
+    // every planted excerpt is found against its source
+    assert(excerpts.forall { case (eid, _) => got.contains((eid - 1000L, eid)) })
+  }
 }
