@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 
 import graft.functions.{Fingerprint64, MinHashSig, ParseSqdataTs, ReservoirSample, TopK}
 
@@ -30,6 +30,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "top_k", exprs => TopK(exprs.head,
         exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+    // Spark's internal bloom-membership predicate (the one runtime
+    // row-level filtering plans), surfaced so a driver-built
+    // util.sketch.BloomFilter literal can prefilter a scan
+    reg.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => BloomFilterMightContain(exprs.head, exprs(1)), "built-in")
   }
 
   /** `yyyyMMddHHmmss[f...]` digit string → timestamp (ref DateParser). */
@@ -53,4 +59,12 @@ object GraftFunctions {
     * O(n log k) / k-state replacement for sort-based window ranking. */
   def top_k(c: Column, k: Int): Column =
     call_function("top_k", c, org.apache.spark.sql.functions.lit(k))
+
+  /** Membership test of a bigint column against a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` (Spark's internal
+    * `BloomFilterMightContain` predicate). False positives at the
+    * filter's fpp; never false negatives. */
+  def bloom_might_contain(bloomBytes: Array[Byte], c: Column): Column =
+    call_function("bloom_might_contain",
+      org.apache.spark.sql.functions.lit(bloomBytes), c)
 }

@@ -388,21 +388,53 @@ object Dedup {
     * `fingerprint64` hashes, 8 bytes each; a 64-bit collision
     * (~1e-9 at millions of grams) can at worst over-flag one doc —
     * the conservative direction for decontamination. */
+  /** (id, g) distinct word-`n`-gram fingerprints per doc. Tokens are
+    * projected ONCE per doc: a split() inside the transform lambda is
+    * not hoisted by Catalyst (O(words²) otherwise). */
+  private def gramHashes(df: DataFrame, textCol: String, idCol: String,
+                         n: Int): DataFrame = df
+    .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+    .select(col("id"), explode(expr(
+      s"""CASE WHEN size(toks) < $n THEN array()
+         |ELSE array_distinct(transform(sequence(0, size(toks) - $n),
+         |  i -> fingerprint64(concat_ws(' ', slice(toks, i + 1, $n))))) END"""
+        .stripMargin)).as("g"))
+
   def contaminatedDocs(corpus: DataFrame, probe: DataFrame,
                        textCol: String, idCol: String, n: Int = 8): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
-    // tokens projected ONCE per doc: a split() inside the transform
-    // lambda is not hoisted by Catalyst (O(words²) otherwise)
-    def gramHashes(df: DataFrame) = df
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
-      .select(col("id"), explode(expr(
-        s"""CASE WHEN size(toks) < $n THEN array()
-           |ELSE array_distinct(transform(sequence(0, size(toks) - $n),
-           |  i -> fingerprint64(concat_ws(' ', slice(toks, i + 1, $n))))) END"""
-          .stripMargin)).as("g"))
-    val probeGrams = broadcast(gramHashes(probe).select("g").distinct())
-    gramHashes(corpus)
+    val probeGrams = broadcast(
+      gramHashes(probe, textCol, idCol, n).select("g").distinct())
+    gramHashes(corpus, textCol, idCol, n)
       .join(probeGrams, "g")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** [[contaminatedDocs]] with the probe-gram set compressed into a
+    * Bloom filter — the memory-bounded form for LARGE probe suites.
+    * The exact path broadcasts every distinct probe gram hash (8 bytes
+    * each — fine for benchmark suites, heavy once the "probe" is, say,
+    * an entire eval corpus re-scraped at 10⁹ grams ≈ 8 GB per
+    * executor); the Bloom form is ~1.2 bytes/gram at fpp=0.01
+    * regardless, and the membership test is Spark's own
+    * `BloomFilterMightContain` predicate inside the scan, so the
+    * corpus side still sees zero shuffle before the per-doc count.
+    * Trade-off (documented contract, asserted in DedupSpec): hits are
+    * a SUPERSET of the exact path's per-doc hits — false positives at
+    * fpp can over-flag, never under-flag, which is the conservative
+    * direction for decontamination. */
+  def contaminatedDocsBloom(corpus: DataFrame, probe: DataFrame,
+                            textCol: String, idCol: String, n: Int = 8,
+                            fpp: Double = 0.01): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val probeGrams = gramHashes(probe, textCol, idCol, n).select("g").distinct()
+    val nGrams = math.max(1L, probeGrams.count())
+    val bf = probeGrams.stat.bloomFilter("g", nGrams, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    gramHashes(corpus, textCol, idCol, n)
+      .filter(graft.GraftFunctions.bloom_might_contain(bos.toByteArray, col("g")))
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }

@@ -349,6 +349,29 @@ class DedupSpec extends SparkTestBase {
     assert(got(2L) == "dup line\ny")
   }
 
+  test("bloom decontamination: superset of exact hits, no false negatives") {
+    import spark.implicits._
+    val probe = Seq((9001L, "held out benchmark question about spark " +
+      "partitioning strategies and shuffle behavior at scale today"))
+      .toDF("doc_id", "text")
+    val leaked = "prefix words " + "held out benchmark question about spark " +
+      "partitioning strategies and shuffle behavior at scale today"
+    val docs = (Seq((1L, leaked)) ++ (2L to 40L).map(i =>
+      (i, s"clean document number $i with enough words to form several " +
+        s"eight grams of ordinary unrelated content body text here")))
+      .toDF("doc_id", "text")
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = hits(Dedup.contaminatedDocs(docs, probe, "text", "doc_id"))
+    val bloom = hits(Dedup.contaminatedDocsBloom(docs, probe, "text", "doc_id"))
+    // every exact hit present with at-least-equal count (no false negatives)
+    for ((id, nv) <- exact)
+      assert(bloom.getOrElse(id, 0L) >= nv, s"doc $id lost hits in bloom path")
+    assert(exact.contains(1L) && !exact.contains(2L))
+    // tiny probe + fpp 0.01 → false-positive docs are the exception
+    assert(bloom.keySet.size <= exact.keySet.size + 4)
+  }
+
   test("simhash signature is stable and has 64-bit spread") {
     val sigs = Dedup.simhashSignature(corpus(), "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

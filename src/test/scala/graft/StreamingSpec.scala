@@ -722,4 +722,58 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("TWS native TTL: an expired enrichment image no longer joins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, "2")
+    val input = MemoryStream[Change]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ttl").toString
+    // ProcessingTime mode (required for TTL) schedules continuous
+    // batches — poll the sink instead of processAllAvailable
+    val q = graft.streaming.TwsEnrichment.enrichLatestTws(input.toDS(),
+        ttl = Some(java.time.Duration.ofSeconds(5)))
+      .writeStream.format("memory").queryName("tws_ttl")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def waitUntil(cond: => Boolean, ms: Long = 30000): Boolean = {
+      val t0 = System.currentTimeMillis()
+      while (!cond && System.currentTimeMillis() - t0 < ms) Thread.sleep(200)
+      cond
+    }
+    try {
+      // enrichment lands, then a stream row WITHIN the TTL → joins
+      input.addData(Change(1L, t(0), "dim-v1", isEnrichment = true))
+      input.addData(Change(1L, t(1), "order-a", isEnrichment = false))
+      assert(waitUntil(spark.table("tws_ttl").count() == 1),
+        "in-TTL row failed to join")
+      // let the image EXPIRE (TTL is checked at state read), then a
+      // stream row → buffers instead of joining the dead image
+      Thread.sleep(7000)
+      input.addData(Change(1L, t(2), "order-b", isEnrichment = false))
+      Thread.sleep(3000) // several batches; output must NOT grow
+      assert(spark.table("tws_ttl").count() == 1,
+        "expired enrichment image still joined")
+      // a fresh image revives the key and flushes the buffered row
+      input.addData(Change(1L, t(3), "dim-v2", isEnrichment = true))
+      assert(waitUntil(spark.table("tws_ttl").count() == 2),
+        "buffered row not flushed by the fresh image")
+      val got = spark.table("tws_ttl").as[Enriched].collect()
+        .map(e => (e.payload, e.enrichPayload)).toSet
+      assert(got == Set(("order-a", "dim-v1"), ("order-b", "dim-v2")))
+    } finally {
+      q.stop()
+      spark.conf.set(shufKey, prevShuf)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
