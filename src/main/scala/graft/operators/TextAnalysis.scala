@@ -174,21 +174,30 @@ object TextAnalysis {
       "[0-9]{7,}", "<NUM>")
 
   /** HTML → text extraction: drop script/style blocks WITH their
-    * contents, strip remaining tags, decode the common entities,
-    * collapse whitespace. The raw-crawl → clean-text front of a
-    * curation pipeline; regex-subset only (no DOM) so it is
-    * scan-speed, engine-portable, and good enough for boilerplate-free
-    * body text — a structure-aware extractor (readability scoring,
-    * link-density pruning) would slot in at the same column position.
-    * `(?s)` lets `.` span newlines inside script/style blocks. */
+    * contents, turn block-level boundaries (`</p> </div> </h1> </li>
+    * </tr> <br>` …) into NEWLINES so the page's line structure
+    * survives extraction (what [[graft.operators.Dedup.stripCommonLines]]
+    * consumes to scrub shared chrome), strip remaining tags, decode
+    * the common entities, collapse whitespace within lines. The
+    * raw-crawl → clean-text front of a curation pipeline;
+    * regex-subset only (no DOM) so it is scan-speed and
+    * engine-portable — a structure-aware extractor (readability
+    * scoring, link-density pruning) would slot in at the same column
+    * position. `(?s)` lets `.` span newlines inside script/style
+    * blocks. */
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(html,
       "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
-    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val blockBreaks = regexp_replace(noBlocks,
+      "(?i)</(p|div|h[1-6]|li|tr|ul|ol|table)>|<br[^>]*>", "\n")
+    val noTags = regexp_replace(blockBreaks, "<[^>]*>", " ")
     // &amp; decodes LAST, else "&amp;lt;" would double-decode to "<"
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
-    normalizeWhitespace(decoded)
+    // collapse spaces within lines, then line-break runs, then edges
+    val sp = regexp_replace(decoded, "[ \t]+", " ")
+    val nl = regexp_replace(regexp_replace(sp, " ?\n ?", "\n"), "\n+", "\n")
+    regexp_replace(nl, "^[\n ]+|[\n ]+$", "")
   }
 }

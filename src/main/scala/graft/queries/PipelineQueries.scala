@@ -909,17 +909,29 @@ object PipelineQueries {
       |              regexp_replace(html,
       |                '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t
       |       FROM raw),
-      |s2 AS (SELECT doc_id, html, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
+      |sb AS (SELECT doc_id, html,
+      |              regexp_replace(t,
+      |                '(?i)</(p|div|h[1-6]|li|tr|ul|ol|table)>|<br[^>]*>',
+      |                chr(10), 'g') AS t
+      |       FROM s1),
+      |s2 AS (SELECT doc_id, html, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM sb),
       |s3 AS (SELECT doc_id, html,
       |              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |                regexp_replace(regexp_replace(t,
       |                  '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
       |                  '&#39;', CAST(chr(39) AS VARCHAR), 'g'), '&nbsp;', ' ', 'g'),
       |                  '&amp;', '&', 'g') AS t
-      |       FROM s2)
-      |SELECT doc_id, trim(regexp_replace(t, ' +', ' ', 'g')) AS text_extracted,
+      |       FROM s2),
+      |s4 AS (SELECT doc_id, html,
+      |              regexp_replace(regexp_replace(regexp_replace(t,
+      |                '[ \t]+', ' ', 'g'),
+      |                ' ?\n ?', chr(10), 'g'),
+      |                '\n+', chr(10), 'g') AS t
+      |       FROM s3)
+      |SELECT doc_id,
+      |       regexp_replace(t, '^[\n ]+|[\n ]+$', '', 'g') AS text_extracted,
       |       length(html) AS n_raw
-      |FROM s3""".stripMargin,
+      |FROM s4""".stripMargin,
 
     // Window-formulation mirror of the bounded-heap plan (same
     // semantics, see source_mix_sample).

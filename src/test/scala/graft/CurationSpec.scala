@@ -75,4 +75,32 @@ class CurationSpec extends SparkTestBase {
 
     quality.unpersist(); corpus.unpersist(); split.unpersist()
   }
+
+  test("crawl front-end: HTML extract → cross-doc line dedup strips shared chrome") {
+    // every page shares nav + footer chrome around a unique body —
+    // the shape raw crawl HTML actually has. Extraction must keep the
+    // line structure, line dedup must remove exactly the chrome.
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val total = docs.count()
+    val raw = docs.select(col("doc_id"), concat(
+      lit("<html><body><div class=\"nav\">Home | About | Contact</div><p>"),
+      col("text"),
+      lit("</p><div class=\"footer\">Copyright &amp; Example Co</div></body></html>"))
+      .as("html"))
+    val extracted = raw.select(col("doc_id"),
+      TextAnalysis.stripHtml(col("html")).as("text"))
+    assert(extracted.filter(col("text").contains("Home | About | Contact"))
+      .count() == total)
+    val withLines = extracted
+      .select(col("doc_id"), split(col("text"), "\n").as("lines"))
+    val cleaned = Dedup.stripCommonLines(withLines, "lines", "doc_id", maxDocs = 50)
+    assert(cleaned.count() == total)
+    assert(cleaned.filter(col("text_clean").contains("Home | About")).count() == 0)
+    assert(cleaned.filter(col("text_clean").contains("Copyright & Example"))
+      .count() == 0)
+    // ...and the body text came through the whole front-end EXACTLY
+    val restored = cleaned.join(docs, "doc_id")
+      .filter(col("text_clean") === col("text")).count()
+    assert(restored == total)
+  }
 }

@@ -306,7 +306,9 @@ class DedupSpec extends SparkTestBase {
     val got = Seq(html).toDF("h")
       .select(graft.operators.TextAnalysis.stripHtml(col("h")).as("t"))
       .as[String].head()
-    assert(got == "Title Body & more <text> tail")
+    // block closings become line breaks so page line structure
+    // survives for downstream line-level dedup
+    assert(got == "Title\nBody & more <text>\ntail")
     // &amp;lt; must decode to &lt;, not double-decode to <
     val tricky = Seq("<p>a &amp;lt; b</p>").toDF("h")
       .select(graft.operators.TextAnalysis.stripHtml(col("h")).as("t"))
