@@ -112,6 +112,42 @@ object RelationalQueries {
         cume_dist().over(w).as("cume"))
     },
 
+    // B30 — fuzzy entity matching: probe names (every 97th customer,
+    // one character dropped — a typo'd lookup list) matched against
+    // the customer table within Levenshtein distance 2. The probe
+    // side is bounded by contract → broadcast; the big side is ONE
+    // scan with zero shuffle (decontaminate's pattern for entity
+    // resolution). levenshtein() is the standard DP — identical
+    // integers on any engine. At open-corpus scale both sides get a
+    // blocking key first (length band + prefix/phonetic bucket); the
+    // verify-by-distance stage is unchanged.
+    "fuzzy_match" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val probe = broadcast(c.filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("probe_key"),
+          concat(substring(col("c_name"), 1, 9),
+            expr("substring(c_name, 11)")).as("probe_name")))
+      c.select(col("c_custkey").as("match_key"), col("c_name").as("match_name"))
+        .crossJoin(probe)
+        .withColumn("dist", levenshtein(col("match_name"), col("probe_name")))
+        .filter(col("dist") <= 2)
+        .select(col("probe_key"), col("probe_name"), col("match_key"),
+          col("match_name"), col("dist").cast("int").as("dist"))
+    },
+
+    // B31 — time-hierarchy ROLLUP: revenue totals at
+    // year → quarter → month grain plus the grand total, one Expand
+    // pass over lineitem (the calendar sibling of rollup_agg's
+    // categorical hierarchy).
+    "time_rollup" -> { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      l.rollup(year(col("l_shipdate")).cast("long").as("y"),
+          quarter(col("l_shipdate")).cast("long").as("q"),
+          month(col("l_shipdate")).cast("long").as("m"))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // B4 — global top-K: TakeOrderedAndProject keeps K per partition
     // then merges on the driver — no full sort, no single-node shuffle.
     "topn_orders" -> { (s, d) =>
@@ -309,6 +345,26 @@ object RelationalQueries {
       FROM orders
       WINDOW w AS (PARTITION BY o_orderstatus
                    ORDER BY o_totalprice ASC, o_orderkey ASC)""",
+
+    "fuzzy_match" -> """
+      WITH probe AS (
+        SELECT c_custkey AS probe_key,
+               substr(c_name, 1, 9) || substr(c_name, 11) AS probe_name
+        FROM customer WHERE c_custkey % 97 = 0)
+      SELECT probe_key, probe_name, c_custkey AS match_key,
+             c_name AS match_name,
+             CAST(levenshtein(c_name, probe_name) AS INT) AS dist
+      FROM customer CROSS JOIN probe
+      WHERE levenshtein(c_name, probe_name) <= 2""",
+
+    "time_rollup" -> s"""
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+             CAST(quarter(l_shipdate) AS BIGINT) AS q,
+             CAST(month(l_shipdate) AS BIGINT) AS m,
+             CAST(sum($Rev) AS DOUBLE) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      GROUP BY ROLLUP (year(l_shipdate), quarter(l_shipdate), month(l_shipdate))""",
 
     "topn_orders" -> """
       SELECT o_orderkey AS order_key,

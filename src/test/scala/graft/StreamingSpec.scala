@@ -661,6 +661,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("observed metrics ride the streaming progress events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = CdcPipeline.observed(CdcPipeline.enrichLatest(input.toDS()))
+      .writeStream.format("memory").queryName("observed_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Change(1L, t(0), "dim-v1", isEnrichment = true),
+        Change(1L, t(1), "order-a", isEnrichment = false),
+        Change(2L, t(2), "dim-x", isEnrichment = true))
+      q.processAllAvailable()
+      input.addData(
+        Change(1L, t(3), "order-b", isEnrichment = false),
+        Change(2L, t(4), "order-c", isEnrichment = false))
+      q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("cdc_enriched")))
+      // engine-computed per-batch metrics must reconcile with the sink
+      assert(metrics.map(_.getAs[Long]("n_rows")).sum ==
+        spark.table("observed_out").count())
+      assert(metrics.map(_.getAs[Long]("max_event_ms")).max == t(4))
+    } finally q.stop()
+  }
+
   test("transformWithState enrichment matches the flatMapGroupsWithState twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
