@@ -83,6 +83,8 @@ object Dedup {
     * the persisted `hs` sets exactly as here. */
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
                        k: Int, minBp: Int): DataFrame = {
+    require(k >= 1 && minBp >= 0 && minBp <= 10000,
+      s"k ($k) must be >= 1 and minBp ($minBp) in [0, 10000]")
     val sh = docs.select(col(idCol).as("id"),
       explode(TextFunctions.shingleHashes(textCol, k)).as("g"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
@@ -360,6 +362,7 @@ object Dedup {
     * innocent line that shares a hash with boilerplate. */
   def stripCommonLines(docs: DataFrame, linesCol: String, idCol: String,
                        maxDocs: Int): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs ($maxDocs) must be >= 1 — at 0 every line is boilerplate")
     val lines = docs
       .select(col(idCol).as("id"), posexplode(col(linesCol)).as(Seq("pos", "line")))
       .withColumn("lh", xxhash64(col("line")))

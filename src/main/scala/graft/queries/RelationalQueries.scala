@@ -127,10 +127,16 @@ object RelationalQueries {
         .select(col("c_custkey").as("probe_key"),
           concat(substring(col("c_name"), 1, 9),
             expr("substring(c_name, 11)")).as("probe_name")))
-      c.select(col("c_custkey").as("match_key"), col("c_name").as("match_name"))
+      // threshold-capped levenshtein: the DP abandons a pair the
+      // moment its distance exceeds 2 (returns -1) — O(threshold·len)
+      // per pair instead of O(len²); fanOut parallelizes the
+      // nested-loop over the corpus's single-row-group local file
+      Tables.fanOut(
+          c.select(col("c_custkey").as("match_key"), col("c_name").as("match_name")))
         .crossJoin(probe)
-        .withColumn("dist", levenshtein(col("match_name"), col("probe_name")))
-        .filter(col("dist") <= 2)
+        .withColumn("dist",
+          levenshtein(col("match_name"), col("probe_name"), 2))
+        .filter(col("dist") >= 0 && col("dist") <= 2)
         .select(col("probe_key"), col("probe_name"), col("match_key"),
           col("match_name"), col("dist").cast("int").as("dist"))
     },
@@ -140,7 +146,9 @@ object RelationalQueries {
     // pass over lineitem (the calendar sibling of rollup_agg's
     // categorical hierarchy).
     "time_rollup" -> { (s, d) =>
-      val l = Tables.lineitem(s, d)
+      // the 4× Expand + decimal partial agg is CPU-bound — fan out the
+      // single-row-group local scan so it runs on every core
+      val l = Tables.fanOut(Tables.lineitem(s, d))
       l.rollup(year(col("l_shipdate")).cast("long").as("y"),
           quarter(col("l_shipdate")).cast("long").as("q"),
           month(col("l_shipdate")).cast("long").as("m"))

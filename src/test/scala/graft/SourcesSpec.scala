@@ -52,6 +52,43 @@ class SourcesSpec extends SparkTestBase {
       Set("first line", "second line", "third"))
   }
 
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    import spark.implicits._
+    val path = tmp("evolve")
+    // batch 1 writes (id, a); a later ingest adds column b
+    Seq((1L, "x")).toDF("id", "a").write.parquet(path + "/p=1")
+    Seq((2L, "y", 10L)).toDF("id", "a", "b").write.parquet(path + "/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.toSet == Set("id", "a", "b", "p"))
+    val rows = merged.select("id", "b").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // old files surface the new column as null, not an error
+    assert(rows == Map(1L -> None, 2L -> Some(10L)))
+  }
+
+  test("malformed CSV rows route to the corrupt-record column, not a crash") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val path = tmp("corrupt") // raw lines, written as text
+    Seq("1,alpha", "2,beta", "not-a-number,gamma").toDF("value")
+      .coalesce(1).write.text(path)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("_corrupt_record", StringType)))
+    val read = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path).cache()
+    // a CDC/crawl ingest cannot die on one bad row: good rows parse,
+    // the bad one lands intact in the corrupt column for the DLQ
+    assert(read.filter(col("_corrupt_record").isNull).count() == 2)
+    val bad = read.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").as[String].collect()
+    assert(bad.toSeq == Seq("not-a-number,gamma"))
+    read.unpersist()
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val path = tmp("part")
     Sinks.writePartitioned(
