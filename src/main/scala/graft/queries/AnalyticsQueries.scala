@@ -199,6 +199,24 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // B32 — sessionization with MATERIALIZED session ids: every event
+    // tagged (session_id, position) per user under a 30-minute
+    // inactivity gap — the per-event twin of A7's session AGGREGATES
+    // (downstream per-session work needs the id on the event, not
+    // just the window totals). One shuffle on user_id; both window
+    // passes share the (user_id | ts, event_id) sort.
+    "sessionize" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("ts").cast("long") -
+            lag(col("ts"), 1).over(byUser).cast("long") > 1800L)
+            .as("gap"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          sum(when(col("gap"), 1L).otherwise(0L)).over(byUser).as("session_id"))
+    },
+
     // B19 — histogram: fixed-width value bins per event type.
     "value_histogram" -> { (s, d) =>
       Tables.events(s, d)
@@ -254,6 +272,20 @@ object AnalyticsQueries {
         FROM events)
       SELECT event_type, next_type, count(*) AS n
       FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2""",
+
+    "sessionize" -> """
+      WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN date_diff('second',
+                      lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC),
+                      ts) > 1800 THEN 1 ELSE 0 END AS gap
+        FROM events)
+      SELECT event_id, user_id, ts,
+             CAST(sum(gap) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS BIGINT)
+               AS session_id
+      FROM g""",
 
     "cube_agg" -> """
       SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,

@@ -661,6 +661,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming facts enrich against a static dim table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // the OTHER enrichment shape: dimension is a static lake table
+    // (broadcast per micro-batch), not a second stream — no state at
+    // all, the right tool when the dim is slow-changing
+    val nation = sources.Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("key"), col("n_name"))
+    val input = MemoryStream[(Long, Double)] // (nationkey, amount)
+    val q = input.toDF().toDF("key", "amount")
+      .join(nation, "key")
+      .writeStream.format("memory").queryName("stream_static")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((0L, 10.0), (1L, 20.0), (999L, 5.0)) // 999 has no dim row
+      q.processAllAvailable()
+      val got = spark.table("stream_static")
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(got.keySet == Set(0L, 1L)) // inner join drops the miss
+      assert(got.values.forall(_.nonEmpty))
+    } finally q.stop()
+  }
+
   test("observed metrics ride the streaming progress events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
