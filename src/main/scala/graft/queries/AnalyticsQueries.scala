@@ -217,6 +217,41 @@ object AnalyticsQueries {
           sum(when(col("gap"), 1L).otherwise(0L)).over(byUser).as("session_id"))
     },
 
+    // B33 — grouped correlation/covariance WITHOUT float-order
+    // nondeterminism: the five moments (Σx, Σy, Σxy, Σx², Σy²)
+    // accumulate as exact decimals (order-independent), final-cast to
+    // double, and corr/covar derive from those in pure double
+    // arithmetic — any engine produces bit-identical statistics
+    // (the same trick outlier_events uses, extended to second-order
+    // cross moments). One partial-agg shuffle, no second pass.
+    "grouped_corr" -> { (s, d) =>
+      // integer-scaled observations (quantity is integral; price has
+      // exactly 2 decimals → cents), moments summed as DECIMAL(38,0)
+      // (HUGEINT on the oracle side) so they stay EXACT at any row
+      // count, then every statistic derives in pure double arithmetic
+      // from identical exact inputs — bit-identical on any engine.
+      // corr is scale-invariant; covar divides the cents back out.
+      val xq = col("l_quantity").cast("long")
+      val yc = (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")
+      val d38 = (c: Column) => sum(c.cast(DecimalType(38, 0))).cast("double")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), xq.as("xq"), yc.as("yc"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          d38(col("xq")).as("sx"),
+          d38(col("yc")).as("sy"),
+          d38(col("xq") * col("yc")).as("sxy"),
+          d38(col("xq") * col("xq")).as("sxx"),
+          d38(col("yc") * col("yc")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n") / lit(100.0))
+            .as("covar_pop"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+              (col("syy") - col("sy") * col("sy") / col("n")))).as("corr"))
+    },
+
     // B19 — histogram: fixed-width value bins per event type.
     "value_histogram" -> { (s, d) =>
       Tables.events(s, d)
@@ -286,6 +321,26 @@ object AnalyticsQueries {
                                  ORDER BY ts ASC, event_id ASC) AS BIGINT)
                AS session_id
       FROM g""",
+
+    "grouped_corr" -> """
+      WITH o AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS xq,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        FROM lineitem),
+      a AS (
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(xq AS HUGEINT)) AS DOUBLE) AS sx,
+          CAST(sum(CAST(yc AS HUGEINT)) AS DOUBLE) AS sy,
+          CAST(sum(CAST(xq AS HUGEINT) * CAST(yc AS HUGEINT)) AS DOUBLE) AS sxy,
+          CAST(sum(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(yc AS HUGEINT) * CAST(yc AS HUGEINT)) AS DOUBLE) AS syy
+        FROM o GROUP BY 1)
+      SELECT l_returnflag, n,
+             (sxy - sx * sy / n) / n / 100.0 AS covar_pop,
+             (sxy - sx * sy / n) /
+             sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr
+      FROM a""",
 
     "cube_agg" -> """
       SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,

@@ -567,6 +567,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("TWS checkpoint recovery: typed state variables survive a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, "2")
+    val base = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+    val input = MemoryStream[Change]
+    def start() = graft.streaming.TwsEnrichment.enrichLatestTws(input.toDS()).toDF()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append).start()
+    var q = start()
+    try {
+      // image + an early (buffered) row for another key, then restart
+      input.addData(
+        Change(1L, t(0), "dim-v1", isEnrichment = true),
+        Change(2L, t(1), "order-early", isEnrichment = false))
+      q.processAllAvailable()
+      q.stop()
+      q = start()
+      // after recovery: key 1's RESTORED image joins; key 2's RESTORED
+      // buffer flushes when its enrichment finally lands
+      input.addData(
+        Change(1L, t(5), "order-a", isEnrichment = false),
+        Change(2L, t(6), "dim-v2", isEnrichment = true))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/out").as[Enriched].collect()
+        .map(e => (e.payload, e.enrichPayload)).toSet
+      assert(got == Set(("order-a", "dim-v1"), ("order-early", "dim-v2")),
+        got.toString)
+    } finally {
+      q.stop()
+      spark.conf.set(shufKey, prevShuf)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("foreachBatch sink: per-batch latest-image upsert to parquet") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
