@@ -37,6 +37,18 @@ object Sweep {
         .reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite")
         .parquet(s"$big/events.parquet")
+      // lineitem/customer for the self-contained relational ops
+      // (grouped_corr, time_rollup, fuzzy_match join nothing else)
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      (0 until 10).map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * n)))
+        .reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$big/lineitem.parquet")
+      val cu = spark.read.parquet(s"$base/customer.parquet")
+      (0 until 10).map(i => cu.withColumn("c_custkey", col("c_custkey") + lit(i * n)))
+        .reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$big/customer.parquet")
     }
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
@@ -48,7 +60,9 @@ object Sweep {
       // r4 additions
       "line_dedup", "embed_ivf_ann", "dedup_containment",
       "text_extract_html", "funnel_steps", "cohort_retention",
-      "outlier_events", "event_transitions")
+      "outlier_events", "event_transitions",
+      "sessionize", "grouped_corr", "time_rollup", "fuzzy_match",
+      "domain_cap")
     for (k <- keys) {
       val fn = SparkEntry.queries(k)
       def run(d: String) = {

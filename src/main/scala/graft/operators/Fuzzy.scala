@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fuzzy (edit-distance) joins that scale: symmetric-delete blocking
+  * (the SymSpell scheme) + threshold-capped Levenshtein verify.
+  *
+  * Property (symmetric deletes): if ed(s, p) <= k then s and p share
+  * at least one variant obtainable by deleting <= k characters from
+  * each — a substitution deletes the edited position from BOTH
+  * strings, an insert/delete deletes one character from ONE. So an
+  * equi-join on deletion-variant fingerprints is a RECALL-1 candidate
+  * generator, and the exact verify keeps precision 1. No cross join
+  * anywhere: a naive probe × corpus nested loop is quadratic the
+  * moment both sides grow (the 10× sweep measured 47× on exactly that
+  * shape); this join's cost is (rows × variants) keys per side —
+  * constant per row (1 + L + L·(L−1) raw variants at k=2, distinct'd)
+  * — plus candidates ∝ genuinely-similar pairs.
+  *
+  * Variants join as `fingerprint64` hashes (8 bytes each), never
+  * variant text; a 64-bit collision can only ADD a candidate, which
+  * the exact verify rejects — output is unaffected.
+  */
+object Fuzzy {
+
+  /** SQL for the distinct fingerprint64 set of the 0..k-deletion
+    * neighborhood of string column `c` (k in {1, 2}); builtin HOFs
+    * only, so the whole expansion stays in codegen. */
+  private def variantSql(c: String, k: Int): String = {
+    require(k == 1 || k == 2, s"deletion blocking supports k in {1, 2}, got $k")
+    def del(s: String, i: String): String =
+      s"transform(sequence(1, char_length($s)), $i -> " +
+        s"concat(substring($s, 1, $i - 1), substring($s, $i + 1, 2147483647)))"
+    val layers =
+      if (k == 1) s"concat(array($c), ${del(c, "i")})"
+      else s"concat(array($c), ${del(c, "i")}, " +
+        s"flatten(transform(${del(c, "i")}, t -> ${del("t", "j")})))"
+    s"array_distinct(transform($layers, v -> fingerprint64(v)))"
+  }
+
+  /** All (probe_id, probe_text, match_id, match_text, dist) with
+    * ed <= maxDist. Neither side is assumed small — both explode to
+    * deletion-variant fingerprints and meet in ONE equi-join on the
+    * 8-byte key; verification is the early-exit threshold-capped
+    * Levenshtein. */
+  def editDistanceJoin(corpus: DataFrame, cId: String, cText: String,
+                       probe: DataFrame, pId: String, pText: String,
+                       maxDist: Int = 2): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val ck = corpus
+      .select(col(cId).as("match_id"), col(cText).as("match_text"))
+      .withColumn("dk", explode(expr(variantSql("match_text", maxDist))))
+    val pk = probe
+      .select(col(pId).as("probe_id"), col(pText).as("probe_text"))
+      .withColumn("dk", explode(expr(variantSql("probe_text", maxDist))))
+    ck.join(pk, "dk")
+      .select("probe_id", "probe_text", "match_id", "match_text")
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("match_text"), col("probe_text"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+}

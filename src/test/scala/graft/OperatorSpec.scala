@@ -174,4 +174,34 @@ class OperatorSpec extends SparkTestBase {
     // doc 3 contains only the first, doc 2 none
     assert(got == Map(1L -> 2L, 3L -> 1L))
   }
+
+  test("editDistanceJoin equals the naive cross join (recall 1, precision 1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = sources.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // typo'd probes: one deletion, one substitution, one insertion
+    val probe = corpus.filter(col("id") % 50 === 0).select(col("id"), col("name"))
+      .withColumn("pn", when(col("id") % 3 === 0,
+          concat(substring(col("name"), 1, 9), expr("substring(name, 11)")))
+        .when(col("id") % 3 === 1,
+          concat(substring(col("name"), 1, 12), lit("X"),
+            expr("substring(name, 14)")))
+        .otherwise(concat(substring(col("name"), 1, 5), lit("Z"),
+          expr("substring(name, 6)"))))
+      .select(col("id").as("pid"), col("pn"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val blocked = pairs(graft.operators.Fuzzy.editDistanceJoin(
+        corpus, "id", "name", probe, "pid", "pn", maxDist = 2)
+      .select(col("probe_id"), col("match_id"), col("dist").cast("int")))
+    val naive = pairs(corpus.crossJoin(probe)
+      .withColumn("d", levenshtein(col("name"), col("pn")))
+      .filter(col("d") <= 2)
+      .select(col("pid"), col("id"), col("d").cast("int")))
+    assert(blocked == naive && blocked.nonEmpty)
+    // every typo'd probe recovers its source row
+    val sources_ = probe.select("pid").as[Long].collect().toSet
+    assert(sources_.forall(p => blocked.contains((p, p))))
+  }
 }
