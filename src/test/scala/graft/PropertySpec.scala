@@ -180,6 +180,47 @@ class PropertySpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => a < 100 && b >= 100 })
   }
 
+  test("editDistanceJoin equals naive edit-distance join on random strings") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    val alpha = "abcde"
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    // corpus of random 6-12 char strings over a SMALL alphabet (so
+    // near pairs arise naturally), plus probes that are random edits
+    // (delete / substitute / insert) of corpus rows
+    val corpus = (0L until 120L).map(i => (i, word(6 + rnd.nextInt(7))))
+    val probes = corpus.filter(_._1 % 4 == 0).map { case (i, w) =>
+      val pos = rnd.nextInt(w.length)
+      val p = rnd.nextInt(3) match {
+        case 0 => w.substring(0, pos) + w.substring(math.min(pos + 1, w.length))
+        case 1 => w.substring(0, pos) + alpha(rnd.nextInt(alpha.length)) +
+          w.substring(math.min(pos + 1, w.length))
+        case _ => w.substring(0, pos) + alpha(rnd.nextInt(alpha.length)) +
+          w.substring(pos)
+      }
+      (i + 10000L, p)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val got = graft.operators.Fuzzy.editDistanceJoin(
+        corpus.toDF("id", "s"), "id", "s",
+        probes.toDF("id", "s"), "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(4)).toMap
+    val expect = (for {
+      (pid, p) <- probes; (cid, c) <- corpus
+      d = lev(c, p) if d <= 2
+    } yield (pid, cid) -> d).toMap
+    assert(got == expect)
+    assert(expect.nonEmpty)
+  }
+
   test("stripCommonLines equals the brute-force definition on random corpora") {
     import spark.implicits._
     import graft.operators.Dedup
