@@ -44,8 +44,19 @@ object Sweep {
         .reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite")
         .parquet(s"$big/lineitem.parquet")
+      // customer: shift the key AND tag the name with a per-copy
+      // 3-letter suffix (pairwise edit distance 3 > the fuzzy_match
+      // threshold of 2), so fuzzy matches stay WITHIN a copy — probe
+      // count and per-probe matches each grow 10×, output ~10×. With
+      // identical names across copies every probe would match all 10
+      // copies and the sweep would measure the duplication artifact
+      // (~100× candidates), not realistic growth.
       val cu = spark.read.parquet(s"$base/customer.parquet")
-      (0 until 10).map(i => cu.withColumn("c_custkey", col("c_custkey") + lit(i * n)))
+      (0 until 10).map { i =>
+        val tag = ("" + ('A' + i).toChar) * 3
+        cu.withColumn("c_custkey", col("c_custkey") + lit(i * n))
+          .withColumn("c_name", concat(col("c_name"), lit(" " + tag)))
+      }
         .reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite")
         .parquet(s"$big/customer.parquet")

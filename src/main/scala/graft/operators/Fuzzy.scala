@@ -43,7 +43,16 @@ object Fuzzy {
     * ed <= maxDist. Neither side is assumed small — both explode to
     * deletion-variant fingerprints and meet in ONE equi-join on the
     * 8-byte key; verification is the early-exit threshold-capped
-    * Levenshtein. */
+    * Levenshtein.
+    *
+    * SET semantics over (probe_id, probe_text, match_id, match_text):
+    * the `.distinct()` that collapses the many variant keys a pair can
+    * meet on also collapses genuinely duplicated input rows (same id
+    * AND text repeated on a side) to one output pair. Entity-matching
+    * inputs are keyed, so a repeated (id, text) is the same entity
+    * stated twice — one pair out is the useful answer. Callers that
+    * need bag multiplicity should pre-tag rows with a uniquifier
+    * column and include it in the id. */
   def editDistanceJoin(corpus: DataFrame, cId: String, cText: String,
                        probe: DataFrame, pId: String, pText: String,
                        maxDist: Int = 2): DataFrame = {

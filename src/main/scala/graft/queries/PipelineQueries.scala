@@ -483,8 +483,8 @@ object PipelineQueries {
     // is the bounded-heap top_k (O(n log k), k encoded longs per
     // domain over the shuffle, no per-domain sort) exactly as
     // source_mix_sample. URLs are synthesized deterministically
-    // (docs have no URL column); 38 domains ensure every domain
-    // overflows the cap at sf >= 0.01.
+    // (docs have no URL column); 37 domains (doc_id % 37 → site0..
+    // site36) ensure every domain overflows the cap at sf >= 0.01.
     "domain_cap" -> { (s, d) =>
       GraftFunctions.register(s)
       val url = concat(lit("https://site"), col("doc_id") % 37,

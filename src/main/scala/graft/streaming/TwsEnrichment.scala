@@ -42,8 +42,14 @@ object TwsEnrichment {
         Encoders.product[(Long, Int, String)], conf)
       buffered = getHandle.getListState("buffered",
         Encoders.product[(Long, String)], conf)
+      // The tombstone is deliberately EXEMPT from the TTL: if it aged
+      // out with the image, a stale out-of-order enrichment row
+      // arriving after expiry would resurrect a deleted key — the
+      // exact hazard the guard exists to prevent. A tombstone is 16
+      // bytes/key, so keeping it forever costs keyspace × 16 B, not
+      // rate × payload like the image/buffer states the TTL bounds.
       tombstone = getHandle.getValueState("tombstone",
-        Encoders.product[(Long, Int)], conf)
+        Encoders.product[(Long, Int)], TTLConfig.NONE)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[Change],
@@ -73,8 +79,10 @@ object TwsEnrichment {
   }
 
   /** [[CdcPipeline.enrichLatest]] on the transformWithState engine.
-    * `ttl` bounds per-key state lifetime (processing-time; None =
-    * keep forever, the flatMapGroupsWithState behavior).
+    * `ttl` bounds per-key image/buffer state lifetime (processing-
+    * time; None = keep forever, the flatMapGroupsWithState behavior).
+    * The delete tombstone is TTL-exempt in both modes, so the
+    * resurrection guard holds unconditionally.
     *
     * TimeMode is ProcessingTime ONLY when a TTL is requested: under
     * ProcessingTime the engine keeps scheduling micro-batches with no
