@@ -29,7 +29,8 @@ import graft.streaming.CdcPipeline.{Change, Enriched, EnrichState}
 object TwsEnrichment {
 
   /** The processor: three typed state variables per key. */
-  class LatestEnrichProcessor(maxBuffered: Int, ttl: Option[Duration])
+  class LatestEnrichProcessor(maxBuffered: Int, ttl: Option[Duration],
+                              tombstoneTtl: Option[Duration] = None)
       extends StatefulProcessor[Long, Change, Enriched] {
 
     @transient private var latest: ValueState[(Long, Int, String)] = _
@@ -42,14 +43,21 @@ object TwsEnrichment {
         Encoders.product[(Long, Int, String)], conf)
       buffered = getHandle.getListState("buffered",
         Encoders.product[(Long, String)], conf)
-      // The tombstone is deliberately EXEMPT from the TTL: if it aged
+      // The tombstone is by default EXEMPT from the TTL: if it aged
       // out with the image, a stale out-of-order enrichment row
       // arriving after expiry would resurrect a deleted key — the
       // exact hazard the guard exists to prevent. A tombstone is 16
       // bytes/key, so keeping it forever costs keyspace × 16 B, not
       // rate × payload like the image/buffer states the TTL bounds.
+      // For keyspaces with high delete churn where even 16 B × the
+      // count of ever-deleted keys is too much, `tombstoneTtl` is the
+      // escape hatch: a MUCH longer expiry (recommended ≥ 3× the image
+      // TTL) that bounds tombstone state at rate × tombstoneTtl while
+      // keeping the resurrection guard airtight for any enrichment row
+      // less stale than the window.
       tombstone = getHandle.getValueState("tombstone",
-        Encoders.product[(Long, Int)], TTLConfig.NONE)
+        Encoders.product[(Long, Int)],
+        tombstoneTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
     }
 
     override def handleInputRows(key: Long, rows: Iterator[Change],
@@ -81,8 +89,24 @@ object TwsEnrichment {
   /** [[CdcPipeline.enrichLatest]] on the transformWithState engine.
     * `ttl` bounds per-key image/buffer state lifetime (processing-
     * time; None = keep forever, the flatMapGroupsWithState behavior).
-    * The delete tombstone is TTL-exempt in both modes, so the
-    * resurrection guard holds unconditionally.
+    * The delete tombstone is TTL-exempt by default, so the
+    * resurrection guard holds unconditionally; `tombstoneTtl` is an
+    * optional escape hatch for keyspaces with high delete churn —
+    * set it MUCH longer than `ttl` (≥ 3×) and tombstone state becomes
+    * delete-rate × tombstoneTtl instead of ever-deleted-keyspace ×
+    * 16 B, at the cost that an enrichment row staler than the window
+    * could in principle resurrect a key (inside the window the guard
+    * is unchanged).
+    *
+    * CHECKPOINT COMPATIBILITY: a state variable's TTL-ness is part of
+    * its value ENCODING (TTL-enabled values carry an expiration
+    * timestamp). The tombstone state was TTL'd alongside the image
+    * before 2025-11 (commit b2ca4dc) and is NONE-by-default since;
+    * likewise flipping `tombstoneTtl` (or `ttl`) between None and Some
+    * changes the encoding. Restarting a query across any such change
+    * fails transformWithState state-schema/metadata validation rather
+    * than silently misreading state — use a FRESH checkpoint directory
+    * when changing TTL configuration.
     *
     * TimeMode is ProcessingTime ONLY when a TTL is requested: under
     * ProcessingTime the engine keeps scheduling micro-batches with no
@@ -92,12 +116,15 @@ object TwsEnrichment {
     * time semantics to advance — TimeMode.None gives the ordinary
     * data-driven batching. */
   def enrichLatestTws(changes: Dataset[Change], maxBuffered: Int = 1000,
-                      ttl: Option[Duration] = None): Dataset[Enriched] = {
+                      ttl: Option[Duration] = None,
+                      tombstoneTtl: Option[Duration] = None): Dataset[Enriched] = {
     import changes.sparkSession.implicits._
-    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    val mode = if (ttl.isDefined || tombstoneTtl.isDefined)
+      TimeMode.ProcessingTime() else TimeMode.None()
     changes
       .groupByKey(_.key)
-      .transformWithState(new LatestEnrichProcessor(maxBuffered, ttl),
+      .transformWithState(
+        new LatestEnrichProcessor(maxBuffered, ttl, tombstoneTtl),
         mode, OutputMode.Append())
   }
 }

@@ -872,4 +872,63 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("TWS tombstone TTL escape hatch: stale image inside the window " +
+      "still cannot resurrect a deleted key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, "2")
+    val input = MemoryStream[Change]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_tomb").toString
+    // the recommended configuration: tombstone window = 3× image TTL
+    val q = graft.streaming.TwsEnrichment.enrichLatestTws(input.toDS(),
+        ttl = Some(java.time.Duration.ofSeconds(5)),
+        tombstoneTtl = Some(java.time.Duration.ofSeconds(15)))
+      .writeStream.format("memory").queryName("tws_tomb")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def waitUntil(cond: => Boolean, ms: Long = 30000): Boolean = {
+      val t0 = System.currentTimeMillis()
+      while (!cond && System.currentTimeMillis() - t0 < ms) Thread.sleep(200)
+      cond
+    }
+    try {
+      // live image joins normally
+      input.addData(Change(1L, t(0), "dim-v1", isEnrichment = true))
+      input.addData(Change(1L, t(1), "order-a", isEnrichment = false))
+      assert(waitUntil(spark.table("tws_tomb").count() == 1),
+        "live image failed to join")
+      // delete the key, then replay a STALE image (op_ts older than the
+      // delete) well inside the 15 s tombstone window — the guard must
+      // hold even though the tombstone now carries a TTL
+      input.addData(Change(1L, t(2), "kill", isEnrichment = true, manip = "D"))
+      Thread.sleep(1500) // let the delete batch commit
+      input.addData(Change(1L, t(1), "stale-dim", isEnrichment = true))
+      Thread.sleep(1500)
+      input.addData(Change(1L, t(3), "order-b", isEnrichment = false))
+      Thread.sleep(3000) // several batches; the row must buffer, not join
+      assert(spark.table("tws_tomb").count() == 1,
+        "stale image inside the tombstone window resurrected a deleted key")
+      // a genuinely NEWER image revives the key and flushes the buffer
+      input.addData(Change(1L, t(4), "dim-v2", isEnrichment = true))
+      assert(waitUntil(spark.table("tws_tomb").count() == 2),
+        "buffered row not flushed by the fresh image")
+      val got = spark.table("tws_tomb").as[Enriched].collect()
+        .map(e => (e.payload, e.enrichPayload)).toSet
+      assert(got == Set(("order-a", "dim-v1"), ("order-b", "dim-v2")))
+    } finally {
+      q.stop()
+      spark.conf.set(shufKey, prevShuf)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
