@@ -212,6 +212,73 @@ object Similarity {
       slice(reverse(array_sort(array(centScored(vec, cents): _*))), 1, nProbe),
       x => -x.getField("nc"))
 
+  /** Centroid table as a (broadcastable) DataFrame: (cid, ccv, ccn).
+    * `ccv` stays FLOAT and `ccn` is the driver-side [[centNorm]], so
+    * every score computed against this table is bit-identical to the
+    * literal-embedding path. */
+  def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+                  cents: Seq[(Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (cid, cv) => (cid, cv.toSeq, centNorm(cv)) }
+      .toDF("cid", "ccv", "ccn")
+  }
+
+  /** Broadcast-join inverted-list ASSIGNMENT: corpus ×
+    * broadcast(centroids), per-row argmax of (score, -cid) via a
+    * map-side-combined `max(struct)` — the expanded rows for a corpus
+    * row collapse to one before the shuffle, so exactly one corpus
+    * pass is shuffled (by id, to regroup). Scores are bit-identical to
+    * [[ivfListId]]; the one extra shuffle is the price of keeping a
+    * 2¹²–2¹⁴-centroid table OUT of the serialized plan (the literal
+    * form bloats every task's expression tree at that size). Output:
+    * (neighbor_id, cv, cn, list_id). */
+  private def ivfAssignBroadcast(corpus: DataFrame, idCol: String, vecCol: String,
+                                 cents: Seq[(Long, Array[Float])]): DataFrame = {
+    val cdf = broadcast(centroidsDf(corpus.sparkSession, cents))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
+      .crossJoin(cdf)
+      .withColumn("sc", struct((dot(col("cv"), col("ccv")) / col("ccn")).as("s"),
+        (-col("cid")).as("nc")))
+      .groupBy(col("neighbor_id"))
+      .agg(first(col("cv")).as("cv"), first(col("cn")).as("cn"),
+        max(col("sc")).as("best"))
+      .withColumn("list_id", -col("best").getField("nc"))
+      .drop("best")
+  }
+
+  /** Broadcast-join PROBE-LIST computation for the (small, by
+    * contract) query side: queries × broadcast(centroids), top-nProbe
+    * lists per query via sort_array over the collected (score, -cid)
+    * structs — the same (s desc, cid asc) order [[ivfProbeLists]]
+    * produces. Output: (query_id, qv, qn, list_id) — already exploded
+    * ×nProbe. */
+  private def ivfProbeBroadcast(queries: DataFrame, idCol: String, vecCol: String,
+                                cents: Seq[(Long, Array[Float])],
+                                nProbe: Int): DataFrame = {
+    val cdf = broadcast(centroidsDf(queries.sparkSession, cents))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      .crossJoin(cdf)
+      .withColumn("sc", struct((dot(col("qv"), col("ccv")) / col("ccn")).as("s"),
+        (-col("cid")).as("nc")))
+      .groupBy(col("query_id"))
+      .agg(first(col("qv")).as("qv"), first(col("qn")).as("qn"),
+        sort_array(collect_list(col("sc")), asc = false).as("scored"))
+      .withColumn("list_id",
+        explode(transform(slice(col("scored"), 1, nProbe), x => -x.getField("nc"))))
+      .drop("scored")
+  }
+
+  /** Above this many centroids, [[ivfTopK]] / [[ivfTopKBucketed]]
+    * switch from embedding the centroid table as expression literals
+    * (zero-shuffle projection, but the plan carries nCentroids × dim
+    * literal nodes into every task and codegen) to a broadcast join
+    * (the table ships once per executor as a broadcast relation; the
+    * assignment regroup costs one corpus shuffle). 128×64 floats ≈
+    * 32 KB of literals is where the plan-bloat curve starts to matter. */
+  val CentroidLiteralMax = 128
+
   /** IVF(-flat) ANN — the coarse-quantizer sibling of [[lshTopK]]:
     * the corpus is partitioned into `nCentroids` inverted lists by
     * nearest centroid; each query probes its `nProbe` nearest lists
@@ -219,29 +286,40 @@ object Similarity {
     * neighbor assigned to an unprobed list is missed); verified
     * against [[bruteForceTopK]] in SimilaritySpec.
     *
-    * Scale posture: list assignment is a PROJECTION inside the corpus
-    * scan (centroids ride along as literals — nCentroids of them, the
-    * broadcast-table regime every production IVF uses), the query side
-    * is exploded ×nProbe then broadcast, and the corpus is scanned
-    * once with zero shuffle. Persisting the assigned corpus
+    * Scale posture, two regimes (same output bit-for-bit, asserted in
+    * SimilaritySpec): at ≤ `centroidLiteralMax` centroids, list
+    * assignment is a PROJECTION inside the corpus scan (centroids ride
+    * along as literals — zero shuffle); above it, centroids ship as a
+    * broadcast relation and assignment is a broadcast join + map-side-
+    * combined argmax (one corpus shuffle, but the serialized plan
+    * stays O(1) in nCentroids — the regime every production IVF with
+    * thousands of centroids needs). The query side is exploded ×nProbe
+    * then broadcast either way. Persisting the assigned corpus
     * `partitionBy("list_id")` (see [[withLshBucket]] — same store
     * pattern) turns later probes into partition-pruned scans of
     * nProbe/nCentroids of the data. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+              nCentroids: Int = 16, nProbe: Int = 2,
+              centroidLiteralMax: Int = CentroidLiteralMax): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids,
       s"nProbe ($nProbe) must be in [1, nCentroids=$nCentroids]")
     val cents = ivfCentroids(corpus, idCol, vecCol, nCentroids).toSeq
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"),
-      ivfListId(col(vecCol), cents).as("list_id"))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"),
-      explode(ivfProbeLists(col(vecCol), cents, nProbe)).as("list_id")))
+    val (c, q) =
+      if (cents.size <= centroidLiteralMax) {
+        (corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+          norm(col(vecCol)).as("cn"),
+          ivfListId(col(vecCol), cents).as("list_id")),
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          norm(col(vecCol)).as("qn"),
+          explode(ivfProbeLists(col(vecCol), cents, nProbe)).as("list_id")))
+      } else {
+        (ivfAssignBroadcast(corpus, idCol, vecCol, cents),
+         ivfProbeBroadcast(queries, idCol, vecCol, cents, nProbe))
+      }
     val byScore = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(q, "list_id")
+    c.join(broadcast(q), "list_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rn", row_number().over(byScore))
@@ -251,10 +329,29 @@ object Similarity {
 
   /** Ingest-time inverted-list assignment: persist the corpus
     * `partitionBy("list_id")` and later probes scan only the probed
-    * list directories — the IVF twin of [[withLshBucket]]. */
+    * list directories — the IVF twin of [[withLshBucket]]. Above
+    * `centroidLiteralMax` centroids the assignment runs as a
+    * broadcast join (see [[ivfTopK]]): a transient row id keys the
+    * per-row argmax regroup so duplicate rows survive, and is dropped
+    * before return. */
   def withIvfLists(df: DataFrame, vecCol: String,
-                   cents: Seq[(Long, Array[Float])]): DataFrame =
-    df.withColumn("list_id", ivfListId(col(vecCol), cents))
+                   cents: Seq[(Long, Array[Float])],
+                   centroidLiteralMax: Int = CentroidLiteralMax): DataFrame =
+    if (cents.size <= centroidLiteralMax)
+      df.withColumn("list_id", ivfListId(col(vecCol), cents))
+    else {
+      val cdf = broadcast(centroidsDf(df.sparkSession, cents))
+      val cols = df.columns
+      df.withColumn("__rid", monotonically_increasing_id())
+        .crossJoin(cdf)
+        .withColumn("sc", struct((dot(col(vecCol), col("ccv")) / col("ccn")).as("s"),
+          (-col("cid")).as("nc")))
+        .groupBy(col("__rid"))
+        .agg(cols.map(c => first(col(c)).as(c)).head,
+          cols.map(c => first(col(c)).as(c)).tail :+ max(col("sc")).as("best"): _*)
+        .withColumn("list_id", -col("best").getField("nc"))
+        .drop("best", "__rid")
+    }
 
   /** IVF probe against a PRE-ASSIGNED corpus (a frame carrying the
     * [[withIvfLists]] `list_id` column, typically read back from a
@@ -265,10 +362,14 @@ object Similarity {
     * Results are identical to [[ivfTopK]] at the same (cents, nProbe). */
   def ivfTopKBucketed(assigned: DataFrame, queries: DataFrame,
                       idCol: String, vecCol: String, k: Int,
-                      cents: Seq[(Long, Array[Float])], nProbe: Int = 2): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"),
-      explode(ivfProbeLists(col(vecCol), cents, nProbe)).as("list_id"))
+                      cents: Seq[(Long, Array[Float])], nProbe: Int = 2,
+                      centroidLiteralMax: Int = CentroidLiteralMax): DataFrame = {
+    val q =
+      if (cents.size <= centroidLiteralMax)
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          norm(col(vecCol)).as("qn"),
+          explode(ivfProbeLists(col(vecCol), cents, nProbe)).as("list_id"))
+      else ivfProbeBroadcast(queries, idCol, vecCol, cents, nProbe)
     val probed = q.select("list_id").distinct().collect().map(_.getLong(0))
     val c = assigned.filter(col("list_id").isin(probed: _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),

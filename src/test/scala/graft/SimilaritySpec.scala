@@ -240,6 +240,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("IVF broadcast-centroid path is bit-identical to the literal path (nCentroids=64)") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // same (corpus, queries, centroids); centroidLiteralMax forces the path
+    val viaLiterals = rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCentroids = 64, nProbe = 4, centroidLiteralMax = 64))
+    val viaBroadcast = rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCentroids = 64, nProbe = 4, centroidLiteralMax = 0))
+    // Set equality over raw doubles — the scores must be BIT-identical,
+    // not approximately equal: both paths do float multiply + double
+    // accumulate in the same order against the same float centroids
+    assert(viaBroadcast == viaLiterals && viaLiterals.nonEmpty)
+    // ingest-time assignment: same list for every row under both paths
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 64).toSeq
+    def assigned(max: Int) =
+      Similarity.withIvfLists(emb, "embedding", cents, centroidLiteralMax = max)
+        .select("vec_id", "list_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(assigned(64) == assigned(0))
+    // and the broadcast plan carries the table as a broadcast exchange,
+    // not as expression literals
+    val bcPlan = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCentroids = 64, nProbe = 4, centroidLiteralMax = 0)
+      .queryExecution.executedPlan.toString
+    assert(bcPlan.contains("BroadcastNestedLoopJoin") ||
+      bcPlan.contains("BroadcastExchange"))
+  }
+
   test("IVF bucketed store: pruned probe equals ivfTopK; only probed lists read") {
     val emb = sources.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 2)
