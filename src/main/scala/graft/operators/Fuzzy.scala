@@ -45,6 +45,18 @@ object Fuzzy {
     * 8-byte key; verification is the early-exit threshold-capped
     * Levenshtein.
     *
+    * CONTRACT: keys are ENTITY-LENGTH strings — names, codes, titles —
+    * enforced at `maxKeyLen` chars (default 64). The deletion
+    * neighborhood is 1 + L + L·(L−1) variants per row at k=2: ~4k
+    * keys at L=64 is the designed blocking cost, but a document-length
+    * L=10⁴ key would explode to 10⁸ variants per ROW and turn the scan
+    * into a blowup, so a too-long key fails fast (`raise_error` inside
+    * the scan — the first offending row aborts the job with its
+    * length) rather than degrading. For near-dup detection on
+    * document-length text use the MinHash/SimHash paths in
+    * [[graft.operators.Dedup]] — edit distance is the wrong metric
+    * there anyway.
+    *
     * SET semantics over (probe_id, probe_text, match_id, match_text):
     * the `.distinct()` that collapses the many variant keys a pair can
     * meet on also collapses genuinely duplicated input rows (same id
@@ -55,13 +67,25 @@ object Fuzzy {
     * column and include it in the id. */
   def editDistanceJoin(corpus: DataFrame, cId: String, cText: String,
                        probe: DataFrame, pId: String, pText: String,
-                       maxDist: Int = 2): DataFrame = {
+                       maxDist: Int = 2, maxKeyLen: Int = 64): DataFrame = {
+    require(maxKeyLen >= 1, s"maxKeyLen must be positive, got $maxKeyLen")
     graft.GraftFunctions.register(corpus.sparkSession)
+    // fail-fast length guard, evaluated in the scan before the variant
+    // expansion: branches coerce to string, so a compliant row passes
+    // its key through unchanged and an offending row raises
+    def guarded(c: String): org.apache.spark.sql.Column =
+      when(char_length(col(c)) <= maxKeyLen, col(c))
+        .otherwise(raise_error(concat(
+          lit(s"Fuzzy.editDistanceJoin: key in '$c' exceeds maxKeyLen=$maxKeyLen " +
+            "chars (got length "),
+          char_length(col(c)).cast("string"),
+          lit("); edit-distance blocking is for entity-length keys — " +
+            "use Dedup's MinHash/SimHash for document-length text"))))
     val ck = corpus
-      .select(col(cId).as("match_id"), col(cText).as("match_text"))
+      .select(col(cId).as("match_id"), guarded(cText).as("match_text"))
       .withColumn("dk", explode(expr(variantSql("match_text", maxDist))))
     val pk = probe
-      .select(col(pId).as("probe_id"), col(pText).as("probe_text"))
+      .select(col(pId).as("probe_id"), guarded(pText).as("probe_text"))
       .withColumn("dk", explode(expr(variantSql("probe_text", maxDist))))
     ck.join(pk, "dk")
       .select("probe_id", "probe_text", "match_id", "match_text")

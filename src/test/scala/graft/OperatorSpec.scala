@@ -204,4 +204,30 @@ class OperatorSpec extends SparkTestBase {
     val sources_ = probe.select("pid").as[Long].collect().toSet
     assert(sources_.forall(p => blocked.contains((p, p))))
   }
+
+  test("editDistanceJoin rejects document-length keys (maxKeyLen guard)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ok = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("id", "name")
+    // a "document" smuggled in as a key: 10k chars — the k=2 deletion
+    // neighborhood would be ~10^8 variants for this one row
+    val doc = Seq((3L, "x" * 10000)).toDF("id", "name")
+    val e = intercept[Exception] {
+      graft.operators.Fuzzy.editDistanceJoin(
+        ok.union(doc), "id", "name", ok, "id", "name").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("maxKeyLen")),
+      s"guard did not fire: $e")
+    // compliant keys at the boundary still join; the cap is adjustable
+    val at64 = Seq((7L, "a" * 64)).toDF("id", "name")
+    assert(graft.operators.Fuzzy.editDistanceJoin(
+      at64, "id", "name", at64, "id", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq == Seq((7L, 7L)))
+    val long = Seq((9L, "b" * 100)).toDF("id", "name")
+    assert(graft.operators.Fuzzy.editDistanceJoin(
+      long, "id", "name", long, "id", "name", maxKeyLen = 128).collect()
+      .nonEmpty)
+  }
 }
