@@ -3,8 +3,8 @@ package graft.streaming
 import java.time.Duration
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
-  TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.streaming.CdcPipeline.{Change, Enriched, EnrichState}
 
@@ -126,5 +126,112 @@ object TwsEnrichment {
       .transformWithState(
         new LatestEnrichProcessor(maxBuffered, ttl, tombstoneTtl),
         mode, OutputMode.Append())
+  }
+
+  /** [[LatestEnrichProcessor]] plus a BUFFER TIMEOUT on processor
+    * TIMERS (`registerTimer`/`handleExpiredTimer` — the part of the
+    * transformWithState API that TTL cannot express, because TTL
+    * silently drops state while a timeout must EMIT): a stream row
+    * that has waited longer than `bufferTimeoutMs` for its enrichment
+    * image is released as a DEAD LETTER — emitted with a null
+    * `enrichPayload` — instead of sitting in state forever. The
+    * downstream splits on `enrichPayload IS NULL` (results vs DLQ),
+    * the same routing contract as
+    * [[CdcPipeline.decodeEnvelopeWithDeadLetter]].
+    *
+    * Each buffered row carries the processing time it was buffered at;
+    * one timer per key tracks the OLDEST buffered row's deadline
+    * (re-armed as the buffer drains), so timer state is O(1) per key
+    * and a fire dead-letters exactly the rows past their own deadline.
+    * A row dead-lettered is gone from the buffer — a late image does
+    * not re-emit it (at-most-once per stream row, matching the
+    * buffered-flush path). */
+  class LatestEnrichTimeoutProcessor(maxBuffered: Int, bufferTimeoutMs: Long,
+                                     ttl: Option[Duration])
+      extends StatefulProcessor[Long, Change, Enriched] {
+
+    @transient private var latest: ValueState[(Long, Int, String)] = _
+    // (bufferedAtMs, eventTimeMs, payload) — newest-first, like the
+    // shared fold's buffer
+    @transient private var buffered: ListState[(Long, Long, String)] = _
+    @transient private var tombstone: ValueState[(Long, Int)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val conf = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+      latest = getHandle.getValueState("latest",
+        Encoders.product[(Long, Int, String)], conf)
+      buffered = getHandle.getListState("buffered",
+        Encoders.product[(Long, Long, String)], conf)
+      tombstone = getHandle.getValueState("tombstone",
+        Encoders.product[(Long, Int)], TTLConfig.NONE)
+    }
+
+    /** One timer per key: the oldest buffered row's deadline. */
+    private def syncTimer(entries: List[(Long, Long, String)]): Unit = {
+      val want = if (entries.isEmpty) None
+        else Some(entries.map(_._1).min + bufferTimeoutMs)
+      val have = getHandle.listTimers().toList
+      have.filterNot(want.contains).foreach(getHandle.deleteTimer)
+      want.filterNot(have.contains).foreach(getHandle.registerTimer)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Change],
+                                 tv: TimerValues): Iterator[Enriched] = {
+      val now = tv.getCurrentProcessingTimeInMs()
+      val old = if (buffered.exists()) buffered.get().toList else Nil
+      val st0 = EnrichState(
+        if (latest.exists()) Some(latest.get()) else None,
+        old.map(e => (e._2, e._3)),
+        if (tombstone.exists()) tombstone.get()._1 else Long.MinValue,
+        if (tombstone.exists()) tombstone.get()._2 else Int.MinValue)
+      val (st, out) = CdcPipeline.foldChanges(key, rows, st0, maxBuffered)
+      // re-attach buffer ages: an entry surviving from the previous
+      // batch keeps its deadline (first match consumes it, so repeated
+      // identical rows age conservatively); a new entry ages from now
+      val pool = scala.collection.mutable.ListBuffer.empty[(Long, Long, String)]
+      pool ++= old
+      val timed = st.buffered.map { case (t, p) =>
+        pool.indexWhere(e => e._2 == t && e._3 == p) match {
+          case -1 => (now, t, p)
+          case i => pool.remove(i)
+        }
+      }
+      st.latest match {
+        case Some(l) => latest.update(l)
+        case None => if (latest.exists()) latest.clear()
+      }
+      if (timed.isEmpty) buffered.clear() else buffered.put(timed.toArray)
+      if ((st.deleteTs, st.deleteSeq) != ((st0.deleteTs, st0.deleteSeq)))
+        tombstone.update((st.deleteTs, st.deleteSeq))
+      syncTimer(timed)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Enriched] = {
+      val now = tv.getCurrentProcessingTimeInMs()
+      val entries = if (buffered.exists()) buffered.get().toList else Nil
+      val (dead, keep) = entries.partition(_._1 + bufferTimeoutMs <= now)
+      if (keep.isEmpty) buffered.clear() else buffered.put(keep.toArray)
+      syncTimer(keep)
+      // buffer is newest-first; dead letters emit oldest-first
+      dead.reverse.map(e => Enriched(key, e._2, e._3, null)).iterator
+    }
+  }
+
+  /** [[enrichLatestTws]] with the buffer-timeout dead-letter semantic.
+    * Always TimeMode.ProcessingTime (timers require it), so under a
+    * test harness the query never quiesces — poll the sink. Dead
+    * letters carry `enrichPayload = null`. */
+  def enrichLatestTwsWithTimeout(changes: Dataset[Change],
+                                 bufferTimeout: Duration,
+                                 maxBuffered: Int = 1000,
+                                 ttl: Option[Duration] = None): Dataset[Enriched] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.key)
+      .transformWithState(
+        new LatestEnrichTimeoutProcessor(maxBuffered, bufferTimeout.toMillis, ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 }

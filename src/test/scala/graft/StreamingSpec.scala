@@ -873,6 +873,64 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("TWS timers: an orphan buffered row dead-letters after the buffer timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, "2")
+    val input = MemoryStream[Change]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_timer").toString
+    val q = graft.streaming.TwsEnrichment.enrichLatestTwsWithTimeout(input.toDS(),
+        bufferTimeout = java.time.Duration.ofSeconds(3))
+      .writeStream.format("memory").queryName("tws_timer")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def waitUntil(cond: => Boolean, ms: Long = 30000): Boolean = {
+      val t0 = System.currentTimeMillis()
+      while (!cond && System.currentTimeMillis() - t0 < ms) Thread.sleep(200)
+      cond
+    }
+    def rows() = spark.table("tws_timer").as[Enriched].collect()
+      .map(e => (e.payload, Option(e.enrichPayload))).toSet
+    try {
+      // key 1's image never arrives (orphan); key 2's lands promptly
+      input.addData(
+        Change(1L, t(0), "orphan-order", isEnrichment = false),
+        Change(2L, t(0), "covered-order", isEnrichment = false))
+      input.addData(Change(2L, t(1), "dim-b", isEnrichment = true))
+      assert(waitUntil(rows().contains(("covered-order", Some("dim-b")))),
+        "promptly-covered row failed to join")
+      // the orphan must emit UNENRICHED on timer fire (~3 s), not wait
+      // forever; the covered row must not dead-letter alongside it
+      assert(waitUntil(rows().contains(("orphan-order", None))),
+        "orphan buffered row never dead-lettered")
+      assert(rows().size == 2, s"unexpected extra output: ${rows()}")
+      // a LATE image cannot re-emit the dead-lettered row — it serves
+      // only rows arriving after it
+      input.addData(Change(1L, t(2), "dim-a-late", isEnrichment = true))
+      input.addData(Change(1L, t(3), "order-after", isEnrichment = false))
+      assert(waitUntil(rows().contains(("order-after", Some("dim-a-late")))),
+        "post-image row failed to join")
+      Thread.sleep(2000)
+      assert(rows() == Set(
+        ("covered-order", Some("dim-b")), ("orphan-order", None),
+        ("order-after", Some("dim-a-late"))),
+        s"dead-lettered row re-emitted or lost: ${rows()}")
+    } finally {
+      q.stop()
+      spark.conf.set(shufKey, prevShuf)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("TWS tombstone TTL escape hatch: stale image inside the window " +
       "still cannot resurrect a deleted key") {
     import spark.implicits._
