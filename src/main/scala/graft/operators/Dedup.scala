@@ -124,7 +124,7 @@ object Dedup {
     * agree with `numPerm` — slice() past the end would silently yield
     * short/empty bands (wrong band hashes, silent recall loss), so a
     * persisted-signature / parameter mismatch fails loudly instead. */
-  private def minhashBuckets(sigs: DataFrame, bands: Int, numPerm: Int): DataFrame = {
+  private[graft] def minhashBuckets(sigs: DataFrame, bands: Int, numPerm: Int): DataFrame = {
     val rowsPerBand = numPerm / bands
     val checked = sigs.withColumn("sig", expr(
       s"""CASE WHEN size(sig) = $numPerm THEN sig

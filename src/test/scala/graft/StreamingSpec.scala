@@ -873,6 +873,70 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("TWS streaming near-dup dedup matches the batch MinHash-LSH result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, "2")
+    // planted near-dups: (1,2) inside batch one, (2,6) across the
+    // micro-batch boundary, (3,7) across it too; 4,5,8 are singletons
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again today",
+      2L -> "the quick brown fox jumps over the lazy cat again and again today",
+      3L -> "structured streaming keeps state in rocksdb across micro batches forever",
+      4L -> "completely different text about parquet files and column pruning at scale",
+      5L -> "yet another unrelated document discussing broadcast joins and shuffles",
+      6L -> "the quick brown fox jumps over the lazy dog again and again tonight",
+      7L -> "structured streaming keeps state in rocksdb across micro batches mostly",
+      8L -> "final unique entry mentioning watermarks and windowed aggregations only")
+    val docsDf = docs.toDF("doc_id", "text")
+    // batch oracle over the full set
+    val batchSigs = graft.operators.Dedup
+      .withMinHashSignatures(docsDf, "text", "doc_id")
+    val want = graft.operators.Dedup.minhashLshFromSignatures(batchSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.exists(p => p._1 == 1L && p._2 == 2L), "planted dup (1,2) missing")
+    assert(want.exists(p => p._1 == 2L && p._2 == 6L) ||
+      want.exists(p => p._1 == 1L && p._2 == 6L), "cross-batch dup missing")
+    // streaming twin: same signatures as a projection on the stream,
+    // per-bucket TWS membership, exact verify vs the signature store
+    val input = MemoryStream[(Long, String)]
+    val streamSigs = graft.operators.Dedup
+      .withMinHashSignatures(input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    val result = graft.streaming.TwsDedup.verifiedPairs(
+      graft.streaming.TwsDedup.candidatePairs(streamSigs),
+      batchSigs.select("id", "hs"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_dedup").toString
+    val q = result.writeStream.format("memory").queryName("tws_dedup")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docs.take(4): _*)
+      q.processAllAvailable()
+      val afterFirst = spark.table("tws_dedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(afterFirst.contains(want.find(p => p._1 == 1L && p._2 == 2L).get),
+        "in-batch dup not found after first micro-batch")
+      input.addData(docs.drop(4): _*)
+      q.processAllAvailable()
+      val got = spark.table("tws_dedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"streaming $got != batch $want")
+    } finally {
+      q.stop()
+      spark.conf.set(shufKey, prevShuf)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("TWS timers: an orphan buffered row dead-letters after the buffer timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
