@@ -212,6 +212,30 @@ class StreamingSpec extends SparkTestBase {
     assert(r0.getString(1).contains("\"manip\""))
   }
 
+  test("KafkaCdc: without the connector jar, the path fails at format " +
+      "resolution, not in graft glue") {
+    import org.apache.spark.sql.types._
+    // the sandbox ships no spark-sql-kafka jar: every graft-side step
+    // (option blocks, projections, decode wiring) must construct fine,
+    // with the ONLY failure being Spark's data-source lookup for
+    // "kafka" — i.e. the untested surface is exactly the connector,
+    // nothing of ours. With the jar on the classpath this builder
+    // would return a streaming frame (covered by the round-trip test
+    // above via a kafka-shaped batch frame).
+    val afterImage = StructType(Seq(StructField("SalesOrderId", LongType)))
+    val e = intercept[Exception] {
+      graft.streaming.KafkaCdc.readEnvelopes(spark,
+        graft.streaming.KafkaCdc.Conf("localhost:9092"),
+        "precisely_orders", afterImage)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.toLowerCase.contains("kafka") &&
+        (m.contains("Failed to find") || m.contains("DATA_SOURCE_NOT_FOUND"))),
+      s"expected connector-resolution failure, got: $e")
+  }
+
   test("decode dead-letter: malformed envelopes route to the DLQ with raw payload") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
