@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+import graft.sources.Tables
+
+/** C32–C35 — training-set assembly on top of the curation stack:
+  * sequence packing into fixed token-capacity chunks, tokenizer-vocab
+  * coverage, embedding k-means, and SemDeDup semantic dedup.
+  */
+object TrainingQueries {
+
+  /** Tokens per packed training chunk (a context-window stand-in). */
+  private val PackCapacity = 2048.0
+
+  /** Packing shards per source — the unit of pack-order locality. */
+  private val Shards = 32L
+
+  /** Cumulative-coverage vocab cutoff, as a rational (19/20 = 95%). */
+  private val CovNum = 19L
+  private val CovDen = 20L
+
+  private val K = 8
+  private val Passes = 2
+  private val Tau = 0.98
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C32 — sequence packing: assemble documents into fixed
+    // token-capacity training chunks (capacity 2048), the standard
+    // pre-training assembly step. Docs are packed in doc_id order
+    // WITHIN (source, shard) — shard is a multiplicative hash of the
+    // id — and a doc whose cumulative start crosses a capacity
+    // boundary opens the next chunk (spillover packing: chunks may
+    // overflow by at most one doc, none start above the boundary).
+    // SCALE FORM: packing is shard-local, so the only window sort is
+    // per (source, shard) — corpus-size / (sources × 32) rows each,
+    // embarrassingly parallel, no global sort. Real pipelines pack
+    // within shards for exactly this reason (pack order across shards
+    // carries no signal). Integer/IEEE-exact throughout.
+    "seq_pack" -> { (s, d) =>
+      val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"),
+          ((col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(Shards))
+            .as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")).cast("double") / lit(PackCapacity))
+            .cast("long").as("chunk_id"))
+    },
+
+    // C33 — tokenizer-vocab construction: the smallest
+    // frequency-ranked word vocabulary whose cumulative share of
+    // token occurrences reaches 95% (the crossing word is included).
+    // The keep test is pure integer arithmetic:
+    // coverage-before-this-word < 95%  ⇔  (cum − n)·20 < total·19.
+    // SCALE FORM: the corpus-sized work is the word count (partial
+    // agg, one shuffle keyed by word); the global rank window then
+    // runs over the VOCAB, which is corpus-independent in the tail
+    // (add a min-count floor upstream to bound crawl-garbage tokens
+    // — the window input is never corpus-sized).
+    "vocab_coverage" -> { (s, d) =>
+      val counts = Tables.fanOut(Tables.documents(s, d))
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total"))
+      val byFreq = Window.orderBy(col("n").desc, col("word").asc)
+      counts.crossJoin(broadcast(tot))
+        .withColumn("rank", row_number().over(byFreq).cast("long"))
+        .withColumn("cum", sum(col("n"))
+          .over(byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter((col("cum") - col("n")) * lit(CovDen) < col("total") * lit(CovNum))
+        .select(col("word"), col("n"), col("rank"))
+    },
+
+    // C34 — Lloyd's k-means over the embedding table (k=8, two
+    // assignment passes, deterministic seeds): per-vector final
+    // cluster and distance. Engine-exact by the Clustering.scala
+    // contract (sequential-fold distances, integer-micro centroid
+    // update), so the oracle replays both passes value-for-value.
+    "kmeans_embed" -> { (s, d) =>
+      Clustering.kmeans(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = K, passes = Passes)
+        .select(col("vec_id"), col("cluster"),
+          floor(sqrt(col("d")) * lit(10000.0)).cast("long").as("dist_bp"))
+    },
+
+    // C35 — SemDeDup: semantic near-dup removal blocked by k-means
+    // clusters — within-cluster pairs with cosine >= 0.98 drop the
+    // larger vec_id. The embedding-space twin of dedup_minhash_lsh
+    // with k-means (not LSH) as the blocker, per the SemDeDup paper.
+    // Near-dups provably exist via the same deterministic
+    // perturbation as dedup_embed_cosine (first 8 dims +0.01 →
+    // cos ≈ 0.9996, and the copy lands in its original's cluster).
+    "semdedup" -> { (s, d) =>
+      Clustering.semDedup(semCorpus(s, d), "vec_id", "embedding",
+        k = K, passes = Passes, tau = Tau)
+    })
+
+  /** Base slice ∪ perturbed copies (the dedup_embed_cosine corpus). */
+  private def semCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"))
+    val pert = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "IF(i < 8, CAST(CAST(x AS DOUBLE) + 0.01D AS FLOAT), x))").as("embedding"))
+    base.unionByName(pert)
+  }
+
+  /** DuckDB twin of [[Clustering.distSq]]: per-element squared
+    * difference (REAL widens to DOUBLE exactly), sequential left fold
+    * — bit-identical doubles (same convention as dotSql). */
+  private def distSqSql(v: String, c: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($v)+1), i -> " +
+      s"(CAST($v[CAST(i AS INT)] AS DOUBLE) - $c[CAST(i AS INT)]) * " +
+      s"(CAST($v[CAST(i AS INT)] AS DOUBLE) - $c[CAST(i AS INT)]))), " +
+      s"(acc, x) -> acc + x)"
+
+  /** DuckDB twin of [[graft.operators.Similarity.dot]] /
+    * [[graft.operators.Similarity.cosine]] (same text as
+    * PipelineQueries.dotSql — the shared float-fold convention). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a)+1), i -> CAST($a[CAST(i AS INT)] * $b[CAST(i AS INT)] AS DOUBLE))), " +
+      s"(acc, v) -> acc + v)"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** One k-means assignment pass as SQL: nearest `cents` centroid per
+    * vector, ties to the lowest cluster id. */
+  private def assignSql(src: String, cents: String): String =
+    s"""(SELECT vec_id, embedding, cluster, d FROM (
+       |  SELECT vec_id, embedding, cluster, d,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |  FROM (SELECT e.vec_id, e.embedding, c.cluster,
+       |               ${distSqSql("e.embedding", "c.centroid")} AS d
+       |        FROM $src e CROSS JOIN $cents c))
+       | WHERE rn = 1)""".stripMargin
+
+  /** CTE chain replaying [[Clustering.kmeans]] (k=8, passes=2) over
+    * `src`: seed → assign → integer-micro centroid update → assign. */
+  private def kmeansBody(src: String): String =
+    s"""init AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+       |  FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $K)),
+       |a1 AS ${assignSql(src, "init")},
+       |u1 AS (
+       |  SELECT cluster, list(CAST(sm AS DOUBLE) / (1000000.0 * n) ORDER BY pos) AS centroid
+       |  FROM (
+       |    SELECT cluster, CAST(u['pos'] AS BIGINT) AS pos,
+       |           CAST(sum(CAST(floor(CAST(u['val'] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sm,
+       |           count(*) AS n
+       |    FROM (SELECT cluster, unnest(list_transform(range(0, len(embedding)),
+       |                  i -> {'pos': i, 'val': embedding[CAST(i+1 AS INT)]})) AS u
+       |          FROM a1)
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |cents1 AS (
+       |  SELECT i.cluster, coalesce(u.centroid, i.centroid) AS centroid
+       |  FROM init i LEFT JOIN u1 u ON i.cluster = u.cluster),
+       |a2 AS ${assignSql(src, "cents1")}""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "seq_pack" -> """
+      |SELECT doc_id, source, shard, n_tokens,
+      |       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS chunk_id
+      |FROM (
+      |  SELECT doc_id, source, shard, n_tokens,
+      |         sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM (SELECT doc_id, source,
+      |               (doc_id * 2654435761) % 1000000007 % 32 AS shard,
+      |               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |        FROM documents))""".stripMargin,
+
+    "vocab_coverage" -> """
+      |WITH counts AS (
+      |  SELECT word, count(*) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) > 0
+      |  GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+      |r AS (
+      |  SELECT word, n,
+      |         row_number() OVER (ORDER BY n DESC, word) AS rank,
+      |         sum(n) OVER (ORDER BY n DESC, word
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM counts)
+      |SELECT word, n, rank FROM r, t
+      |WHERE (cum - n) * 20 < total * 19""".stripMargin,
+
+    "kmeans_embed" -> s"""
+      |WITH ${kmeansBody("embeddings")}
+      |SELECT vec_id, cluster,
+      |       CAST(floor(sqrt(d) * 10000.0) AS BIGINT) AS dist_bp
+      |FROM a2""".stripMargin,
+
+    // Same corpus CTEs as dedup_embed_cosine's oracle (base slice +
+    // bit-exact float perturbation), then the k-means replay over it.
+    "semdedup" -> s"""
+      |WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+      |pert AS (
+      |  SELECT vec_id + 10000 AS vec_id,
+      |         list_transform(range(1, len(embedding) + 1),
+      |           i -> CASE WHEN i <= 8
+      |                     THEN CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) + 0.01 AS REAL)
+      |                     ELSE embedding[CAST(i AS INT)] END) AS embedding
+      |  FROM base WHERE vec_id % 10 = 0),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+      |${kmeansBody("u")}
+      |SELECT DISTINCT y.vec_id, y.cluster
+      |FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      |WHERE ${cosSql("x.embedding", "y.embedding")} >= $Tau""".stripMargin)
+}

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+
+/** TrainingQueries (C32–C35) against plain-Scala naive references:
+  * the k-means contract is verified value-for-value (bit-exact
+  * doubles), packing and vocab against independent recomputation. */
+class TrainingSpec extends SparkTestBase {
+
+  private def vecs(): Seq[(Long, Array[Float])] =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+
+  /** Mirrors Clustering.kmeans exactly: sequential-fold distances,
+    * integer-micro centroid update, ties to lowest cluster. */
+  private def naiveKmeans(vs: Seq[(Long, Array[Float])], k: Int, passes: Int)
+      : Map[Long, (Long, Double)] = {
+    var cents: Seq[(Long, Array[Double])] =
+      vs.sortBy(_._1).take(k).zipWithIndex
+        .map { case ((_, v), i) => (i.toLong, v.map(_.toDouble)) }
+    var assign: Map[Long, (Long, Double)] = Map.empty
+    for (pass <- 1 to passes) {
+      assign = vs.map { case (id, v) =>
+        val best = cents.map { case (c, ct) =>
+          var acc = 0.0d
+          var i = 0
+          while (i < v.length) {
+            val d = v(i).toDouble - ct(i); acc += d * d; i += 1
+          }
+          (acc, c)
+        }.min // (d, cluster) lexicographic = the engine tie-break
+        id -> (best._2, best._1)
+      }.toMap
+      if (pass < passes) {
+        val byC = vs.groupBy(v => assign(v._1)._1)
+        cents = cents.map { case (c, prev) =>
+          byC.get(c) match {
+            case Some(members) =>
+              val dim = members.head._2.length
+              val sums = new Array[Long](dim)
+              members.foreach { case (_, v) =>
+                var i = 0
+                while (i < dim) {
+                  sums(i) += math.floor(v(i).toDouble * 1e6).toLong; i += 1
+                }
+              }
+              (c, Array.tabulate(dim)(i => sums(i).toDouble / (1e6 * members.size)))
+            case None => (c, prev)
+          }
+        }
+      }
+    }
+    assign
+  }
+
+  test("kmeans matches the naive Lloyd reference bit-exactly") {
+    val vs = vecs()
+    val expect = naiveKmeans(vs, k = 8, passes = 2)
+    val got = Clustering.kmeans(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "vec_id", "embedding", k = 8, passes = 2)
+      .select("vec_id", "cluster", "d").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.size === vs.size)
+    // every assignment AND distance identical (== on doubles, not ~=)
+    got.foreach { case (id, (c, d)) =>
+      assert((c, d) === expect(id), s"vec $id")
+    }
+    // sanity: more than one cluster is actually populated
+    assert(got.values.map(_._1).toSet.size > 1)
+  }
+
+  test("kmeans assignment pass shuffles nothing") {
+    val assigned = Clustering.kmeans(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      "vec_id", "embedding", k = 8, passes = 1)
+    // passes=1 is pure assignment: scan + project, no Exchange at all
+    assert(!assigned.queryExecution.executedPlan.toString.contains("Exchange"),
+      "assignment must be a narrow projection over the scan")
+  }
+
+  test("semDedup equals the naive within-cluster pair computation") {
+    val vs = vecs()
+    val assign = naiveKmeans(vs, k = 8, passes = 2)
+    val byId = vs.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      // float multiply per element, then double fold — Similarity.dot
+      def dot(x: Array[Float], y: Array[Float]): Double = {
+        var acc = 0.0d
+        var i = 0
+        while (i < x.length) { acc += (x(i) * y(i)).toDouble; i += 1 }
+        acc
+      }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val ids = vs.map(_._1).sorted
+    val expect = (for {
+      a <- ids; b <- ids
+      if a < b && assign(a)._1 == assign(b)._1
+      if cos(byId(a), byId(b)) >= 0.9 // relaxed tau to get real pairs
+    } yield (b, assign(b)._1)).toSet
+    val got = Clustering.semDedup(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "vec_id", "embedding", k = 8, passes = 2, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expect)
+  }
+
+  test("seq_pack matches naive shard-local packing, no chunk starts past its boundary") {
+    val got = SparkEntry.queries("seq_pack")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.size === docs.length)
+    val naive = docs.map { case (id, src, text) =>
+      (id, src, (id * 2654435761L) % 1000000007L % 32L,
+        text.split(" ", -1).length.toLong)
+    }
+    naive.groupBy(t => (t._2, t._3)).foreach { case ((src, shard), grp) =>
+      var cum = 0L
+      grp.sortBy(_._1).foreach { case (id, _, _, tok) =>
+        val chunk = math.floor(cum.toDouble / 2048.0).toLong
+        cum += tok
+        assert(got(id) === ((src, shard, tok, chunk)), s"doc $id")
+        // packing invariant: a chunk's first token index is below the
+        // boundary the chunk id names
+        assert((cum - tok) < (chunk + 1) * 2048)
+      }
+    }
+  }
+
+  test("vocab_coverage is the minimal 95% frequency-ranked prefix") {
+    val rows = SparkEntry.queries("vocab_coverage")(spark, sfDir)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val counts = docs.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }
+    val total = counts.values.sum
+    // ranks contiguous from 1
+    assert(rows.map(_._3).toSeq === (1L to rows.length))
+    // counts correct for every kept word
+    rows.foreach { case (w, n, _) => assert(counts(w) === n, w) }
+    // frequency-ranked: nothing excluded outranks anything kept
+    val keptMin = rows.map(_._2).min
+    val excluded = counts.keySet -- rows.map(_._1).toSet
+    if (excluded.nonEmpty)
+      assert(excluded.map(counts).max <= keptMin)
+    // coverage: the kept prefix reaches 95%, dropping its last word
+    // falls below (minimality) — integer arithmetic, no floats
+    val cum = rows.map(_._2).sum
+    assert(cum * 20 >= total * 19)
+    assert((cum - rows.last._2) * 20 < total * 19)
+  }
+}
