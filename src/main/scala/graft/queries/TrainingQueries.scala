@@ -61,21 +61,25 @@ object TrainingQueries {
     // The keep test is pure integer arithmetic:
     // coverage-before-this-word < 95%  ⇔  (cum − n)·20 < total·19.
     // SCALE FORM: the corpus-sized work is the word count (partial
-    // agg, one shuffle keyed by word); the global rank window then
-    // runs over the VOCAB, which is corpus-independent in the tail
-    // (add a min-count floor upstream to bound crawl-garbage tokens
-    // — the window input is never corpus-sized).
+    // agg, one shuffle keyed by word) and the corpus is scanned ONCE
+    // — the grand total is a second frame over the same rank window,
+    // not a separate aggregation branch (which would re-run the
+    // whole word count). The window runs over the VOCAB, which is
+    // corpus-independent in the tail (add a min-count floor upstream
+    // to bound crawl-garbage tokens — the window input is never
+    // corpus-sized).
     "vocab_coverage" -> { (s, d) =>
       val counts = Tables.fanOut(Tables.documents(s, d))
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      val tot = counts.agg(sum(col("n")).as("total"))
       val byFreq = Window.orderBy(col("n").desc, col("word").asc)
-      counts.crossJoin(broadcast(tot))
+      counts
         .withColumn("rank", row_number().over(byFreq).cast("long"))
         .withColumn("cum", sum(col("n"))
           .over(byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("n"))
+          .over(byFreq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .filter((col("cum") - col("n")) * lit(CovDen) < col("total") * lit(CovNum))
         .select(col("word"), col("n"), col("rank"))
     },
