@@ -73,6 +73,27 @@ class TrainingSpec extends SparkTestBase {
     assert(got.values.map(_._1).toSet.size > 1)
   }
 
+  test("kmeans equals the naive reference on random vectors (varied n, dim, k)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for ((n, dim, k, passes) <- Seq((40, 3, 4, 3), (100, 8, 7, 2), (9, 5, 9, 2))) {
+      // k == n in the last case: every vector is near a seed; also
+      // exercises empty-cluster carry-over (some seeds lose all
+      // members after the first update)
+      val vs = (0 until n).map(i =>
+        (i.toLong, Array.fill(dim)((rnd.nextInt(2000) - 1000) / 997.0f)))
+      val df = vs.toDF("vec_id", "embedding")
+      val got = Clustering.kmeans(df, "vec_id", "embedding", k, passes)
+        .select("vec_id", "cluster", "d").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      val expect = naiveKmeans(vs, k, passes)
+      assert(got.size === n, s"case ($n,$dim,$k,$passes)")
+      got.foreach { case (id, cd) =>
+        assert(cd === expect(id), s"case ($n,$dim,$k,$passes) vec $id")
+      }
+    }
+  }
+
   test("kmeans assignment pass shuffles nothing") {
     val assigned = Clustering.kmeans(
       spark.read.parquet(s"$sfDir/embeddings.parquet"),
