@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.operators.Clustering
 import graft.sources.Tables
 
-/** C32–C35 — training-set assembly on top of the curation stack:
+/** C32–C38 — training-set assembly on top of the curation stack:
   * sequence packing into fixed token-capacity chunks, tokenizer-vocab
-  * coverage, embedding k-means, and SemDeDup semantic dedup.
+  * coverage, embedding k-means, SemDeDup semantic dedup, one-pass
+  * table profiling, sliding-window document chunking, and
+  * temperature-weighted source mixing.
   */
 object TrainingQueries {
 
@@ -94,6 +96,81 @@ object TrainingQueries {
           k = K, passes = Passes)
         .select(col("vec_id"), col("cluster"),
           floor(sqrt(col("d")) * lit(10000.0)).cast("long").as("dist_bp"))
+    },
+
+    // C36 — one-pass table profiling (the data-quality preflight):
+    // per-column null and exact-distinct counts plus the row count,
+    // one aggregation over one scan. Exact count_distinct costs one
+    // Expand (row ×ncols before the shuffle) — the price of an
+    // oracle-checkable profile; at 100 TB swap in
+    // approx_count_distinct and the Expand disappears (same plan
+    // shape, sketch merge instead).
+    "table_profile" -> { (s, d) =>
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"))) :+
+        count(lit(1)).as("n_rows")
+      Tables.documents(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"),
+            col(s"${c}__nulls").as("n_nulls"),
+            col(s"${c}__distinct").as("n_distinct"),
+            col("n_rows").as("n_rows"))): _*)).as("p"))
+        .select(col("p.col_name"), col("p.n_nulls"),
+          col("p.n_distinct"), col("p.n_rows"))
+    },
+
+    // C37 — sliding-window document chunking (window 48 tokens,
+    // stride 32 → 16-token overlap; sized to the synthetic docs so
+    // multi-chunk splits actually occur): the context-length splitting
+    // step for embedding/indexing pipelines. Chunk count is a pure
+    // integer formula, so the explode is sequence(0, n_chunks-1) —
+    // scan-speed fan-out, no shuffle at all; token offsets, not
+    // substrings, so the output stays narrow (the consumer slices).
+    "doc_chunk" -> { (s, d) =>
+      val w = 48L
+      val st = 32L
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("n_chunks",
+          when(col("n_tokens") <= w, lit(1L))
+            .otherwise(ceil((col("n_tokens") - lit(w)).cast("double") / lit(st.toDouble))
+              .cast("long") + lit(1L)))
+        .select(col("doc_id"), col("n_tokens"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * st).as("start_tok"),
+          least(col("chunk_idx") * st + w, col("n_tokens")).as("end_tok"))
+    },
+
+    // C38 — temperature-weighted source mixing (T=2): rebalance the
+    // source mix toward rare sources by sampling source i with
+    // keep-fraction ∝ sqrt(n_i)/n_i against a target budget — the
+    // standard multinomial-mixing step before training. Portable
+    // determinism: weights are integer-floored sqrt micro-units, the
+    // grand total is a window over the SOURCE table (sources ≪
+    // corpus; no second corpus scan), membership is the
+    // multiplicative-hash threshold — no RNG, any engine reproduces
+    // the sample row-for-row. Thresholds broadcast; one corpus scan.
+    "mix_temperature" -> { (s, d) =>
+      val target = 200.0
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val thr = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+        .withColumn("w",
+          floor(sqrt(col("n_src").cast("double")) * lit(1000000.0)).cast("long"))
+        .withColumn("w_tot", sum(col("w")).over(Window.partitionBy()))
+        .select(col("source"),
+          floor(least(lit(1.0),
+            lit(target) * col("w").cast("double") / col("w_tot").cast("double")
+              / col("n_src").cast("double")) * lit(1000000.0))
+            .cast("long").as("thr"))
+      docs.join(broadcast(thr), "source")
+        .filter((col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+          % lit(1000000L) < col("thr"))
+        .select(col("doc_id"), col("source"))
     },
 
     // C35 — SemDeDup: semantic near-dup removal blocked by k-means
@@ -204,6 +281,43 @@ object TrainingQueries {
       |  FROM counts)
       |SELECT word, n, rank FROM r, t
       |WHERE (cum - n) * 20 < total * 19""".stripMargin,
+
+    "table_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(count(*) AS BIGINT) AS n_rows
+           |FROM documents""".stripMargin)
+      .mkString("\n", "\nUNION ALL\n", ""),
+
+    "doc_chunk" -> """
+      |SELECT doc_id, chunk_idx, chunk_idx * 32 AS start_tok,
+      |       least(chunk_idx * 32 + 48, n_tokens) AS end_tok
+      |FROM (
+      |  SELECT doc_id, n_tokens, unnest(range(0, n_chunks)) AS chunk_idx
+      |  FROM (
+      |    SELECT doc_id, n_tokens,
+      |           CASE WHEN n_tokens <= 48 THEN 1
+      |                ELSE CAST(ceil(CAST(n_tokens - 48 AS DOUBLE) / 32.0) AS BIGINT) + 1
+      |           END AS n_chunks
+      |    FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |          FROM documents)))""".stripMargin,
+
+    "mix_temperature" -> """
+      |WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+      |w AS (SELECT source, n_src,
+      |             CAST(floor(sqrt(CAST(n_src AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+      |      FROM c),
+      |t AS (SELECT source, n_src, w, sum(w) OVER () AS w_tot FROM w),
+      |thr AS (SELECT source,
+      |               CAST(floor(least(1.0,
+      |                 200.0 * CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE)
+      |                   / CAST(n_src AS DOUBLE)) * 1000000.0) AS BIGINT) AS thr
+      |        FROM t)
+      |SELECT d.doc_id, d.source
+      |FROM documents d JOIN thr ON d.source = thr.source
+      |WHERE (d.doc_id * 2654435761) % 1000000007 % 1000000 < thr.thr""".stripMargin,
 
     "kmeans_embed" -> s"""
       |WITH ${kmeansBody("embeddings")}

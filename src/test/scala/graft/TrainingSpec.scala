@@ -155,6 +155,72 @@ class TrainingSpec extends SparkTestBase {
     }
   }
 
+  test("table_profile matches per-column naive counts") {
+    val rows = SparkEntry.queries("table_profile")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").collect()
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    assert(rows.keySet === cols.toSet)
+    cols.foreach { c =>
+      val vals = docs.map(r => r.get(r.fieldIndex(c)))
+      val expect = (vals.count(_ == null).toLong,
+        vals.filter(_ != null).distinct.length.toLong, docs.length.toLong)
+      assert(rows(c) === expect, c)
+    }
+  }
+
+  test("doc_chunk covers every token with the declared overlap") {
+    val chunks = SparkEntry.queries("doc_chunk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong).toMap
+    assert(chunks.keySet === toks.keySet)
+    chunks.foreach { case (id, cs) =>
+      val n = toks(id)
+      val sorted = cs.sortBy(_._2)
+      // indices contiguous from 0; offsets follow the stride formula
+      assert(sorted.map(_._2).toSeq === (0L until sorted.length))
+      sorted.foreach { case (_, idx, start, end) =>
+        assert(start === idx * 32)
+        assert(end === math.min(idx * 32 + 48, n))
+        assert(start < n) // no empty chunk
+      }
+      // full coverage: last chunk reaches the end, a further chunk
+      // would start at or past the end of the previous window
+      assert(sorted.last._4 === n)
+      if (sorted.length > 1) assert(sorted.last._3 < n)
+      assert(sorted.last._2 * 32 + 48 >= n)
+    }
+  }
+
+  test("mix_temperature keeps the hash-thresholded set and flattens the mix") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val w = bySrc.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble) * 1e6).toLong).toMap
+    val wTot = w.values.sum
+    val thr = w.map { case (s, wi) =>
+      s -> math.floor(math.min(1.0,
+        200.0 * wi.toDouble / wTot.toDouble / bySrc(s).toDouble) * 1e6).toLong
+    }
+    val expect = docs.filter { case (id, s) =>
+      (id * 2654435761L) % 1000000007L % 1000000L < thr(s)
+    }.toSet
+    val got = SparkEntry.queries("mix_temperature")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === expect)
+    // temperature flattening: rarer sources keep a HIGHER fraction
+    val fracs = got.groupBy(_._2).view.mapValues(_.size).toMap
+    val srcsBySize = bySrc.toSeq.sortBy(_._2)
+    for (Seq((rare, nr), (common, nc)) <- srcsBySize.sliding(2) if nr < nc)
+      assert(fracs.getOrElse(rare, 0).toDouble / nr >=
+        fracs.getOrElse(common, 0).toDouble / nc - 0.02)
+  }
+
   test("vocab_coverage is the minimal 95% frequency-ranked prefix") {
     val rows = SparkEntry.queries("vocab_coverage")(spark, sfDir)
       .orderBy(col("rank")).collect()
