@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.call_function
 
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 
-import graft.functions.{Fingerprint64, MinHashSig, ParseSqdataTs, ReservoirSample, TopK}
+import graft.functions.{Fingerprint64, MinHashSig, ParseSqdataTs, ReservoirSample, TopK, VecDistSq, VecDot}
 
 /** Registration + Column-API surface for graft's native Catalyst
   * expressions. Registration is idempotent; every `SparkEntry.queries`
@@ -30,6 +30,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "top_k", exprs => TopK(exprs.head,
         exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_dist_sq", exprs => VecDistSq(exprs.head, exprs(1)), "built-in")
     // Spark's internal bloom-membership predicate (the one runtime
     // row-level filtering plans), surfaced so a driver-built
     // util.sketch.BloomFilter literal can prefilter a scan
@@ -59,6 +63,16 @@ object GraftFunctions {
     * O(n log k) / k-state replacement for sort-based window ranking. */
   def top_k(c: Column, k: Int): Column =
     call_function("top_k", c, org.apache.spark.sql.functions.lit(k))
+
+  /** Codegen'd sequential-fold dot product over two float/double
+    * arrays — bit-identical to `aggregate(zip_with(a, b, _*_), 0d,
+    * _+_)` but a tight generated loop (see functions.VecFold). */
+  def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Codegen'd sequential-fold squared L2 distance (both elements
+    * widened to double). */
+  def vec_dist_sq(a: Column, b: Column): Column =
+    call_function("vec_dist_sq", a, b)
 
   /** Membership test of a bigint column against a serialized
     * `org.apache.spark.util.sketch.BloomFilter` (Spark's internal

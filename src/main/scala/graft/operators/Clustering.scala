@@ -32,10 +32,11 @@ object Clustering {
   /** Squared L2 distance between a float-array vector and a
     * double-array centroid: per-element squared difference (float
     * widens to double exactly), then a sequential left fold into a
-    * double accumulator. */
+    * double accumulator — the codegen'd native fold
+    * (graft.functions.VecDistSq), bit-identical to the
+    * `aggregate(zip_with(...))` formulation it replaced. */
   def distSq(v: Column, c: Column): Column =
-    aggregate(zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0d), (acc, d2) => acc + d2)
+    graft.GraftFunctions.vec_dist_sq(v, c)
 
   /** Nearest centroid of `vec` as `struct(d, cluster)` — `array_min`
     * over per-centroid structs: struct ordering is lexicographic, so

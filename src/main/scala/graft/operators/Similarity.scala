@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
-  * (`array<float>`), UDF-free: dot products via `zip_with` +
-  * `aggregate` stay in codegen.
+  * (`array<float>`), UDF-free: dot products are a native codegen'd
+  * Catalyst expression (graft.functions.VecDot — a tight generated
+  * loop, no per-element lambda dispatch).
   *
   * Scale posture: brute-force top-k is broadcast(queries) × one scan
   * of the corpus — embarrassingly parallel, zero shuffle of the
@@ -18,9 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sum of elementwise products as double (floats promote). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Sum of elementwise products as double (floats promote) — the
+    * codegen'd native fold (graft.functions.VecDot), bit-identical to
+    * the `aggregate(zip_with(...))` formulation it replaced but
+    * without per-element lambda dispatch. Requires
+    * [[graft.GraftFunctions.register]] on the session (GraftSession
+    * and all query entry points do this). */
+  def dot(a: Column, b: Column): Column = graft.GraftFunctions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -93,6 +93,56 @@ class ExpressionSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("vec_dot / vec_dist_sq equal the HOF formulations bit-exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val base = Seq.fill(200)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("a", "b")
+      .withColumn("bd", transform(col("b"), _.cast("double")))
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val hofDist =
+      aggregate(zip_with(col("a"), col("bd"),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0d), (acc, v) => acc + v)
+    val df = base.select(
+      GraftFunctions.vec_dot(col("a"), col("b")).as("n_ff"),
+      hofDot(col("a"), col("b")).as("h_ff"),
+      GraftFunctions.vec_dot(col("a"), col("bd")).as("n_fd"),
+      hofDot(col("a"), col("bd")).as("h_fd"),
+      GraftFunctions.vec_dist_sq(col("a"), col("bd")).as("n_ds"),
+      hofDist.as("h_ds"))
+    def check(rows: Array[org.apache.spark.sql.Row]): Unit = rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // float·float: exact bits
+      assert(r.getDouble(2) == r.getDouble(3)) // float·double
+      assert(r.getDouble(4) == r.getDouble(5)) // distSq
+    }
+    check(df.collect())
+    // and the interpreted eval path produces the same bits
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try check(df.collect())
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("vec_dot null-element and length-mismatch semantics match the HOFs") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq[Option[Float]](Some(1f), Some(2f)), Seq[Option[Float]](Some(3f), Some(4f))),
+      (Seq[Option[Float]](Some(1f), None), Seq[Option[Float]](Some(3f), Some(4f))),
+      (Seq[Option[Float]](Some(1f), Some(2f)), Seq[Option[Float]](Some(3f))),
+      (Seq[Option[Float]](), Seq[Option[Float]]()))
+      .toDF("a", "b")
+    val rows = df.select(
+      GraftFunctions.vec_dot(col("a"), col("b")).as("n"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0d), (acc, v) => acc + v).as("h")).collect()
+    rows.foreach(r => assert(r.isNullAt(0) === r.isNullAt(1), r.toString))
+    assert(rows.map(_.isNullAt(0)).toSeq === Seq(false, true, true, false))
+    assert(rows(0).getDouble(0) === (1f * 3f + 2f * 4f).toDouble)
+    assert(rows(3).getDouble(0) === 0.0)
+  }
+
   test("expressions agree between codegen and interpreted eval") {
     val df = sources.Tables.documents(spark, sfDir).limit(50)
       .select(GraftFunctions.fingerprint64(col("text")).as("fp"))
