@@ -414,6 +414,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Per-document duplicated-span measurement (the span-level twin of
+    * pairwise near-dup detection, after Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): for every doc, how
+    * many of its distinct word-`n`-grams also occur in at least one
+    * OTHER document. Output `(idCol, n_grams, n_dup, dup_bp)` where
+    * `dup_bp` = floor(10000·n_dup/n_grams) — the doc's cross-corpus
+    * duplication fraction in basis points, the signal span-trimming
+    * and duplication-aware sampling key on. Docs shorter than `n`
+    * tokens have no grams and are omitted (documented contract).
+    *
+    * Scale posture: grams travel as 8-byte `fingerprint64` hashes,
+    * never text — the document-frequency aggregation and the
+    * frequency→gram join both shuffle (hash, id) pairs only, and the
+    * per-doc rollup moves (id, two counters). Cross-doc occurrence is
+    * `df >= 2` over DISTINCT per-doc grams, so a gram repeated inside
+    * one doc does not self-flag. A 64-bit collision (~1e-9 at billions
+    * of grams) can at worst over-count one gram as duplicated — the
+    * conservative direction for a dedup signal. */
+  def dupGramStats(docs: DataFrame, textCol: String, idCol: String,
+                   n: Int = 6): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val grams = gramHashes(docs, textCol, idCol, n)
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(freq, "g")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_bp", expr("(n_dup * 10000) div n_grams"))
+  }
+
   /** [[contaminatedDocs]] with the probe-gram set compressed into a
     * Bloom filter — the memory-bounded form for LARGE probe suites.
     * The exact path broadcasts every distinct probe gram hash (8 bytes

@@ -161,6 +161,71 @@ object TextAnalysis {
       .withColumn("keep", col("reason").isNull)
   }
 
+  /** Inverted-index posting statistics: per token, the document
+    * frequency (distinct docs containing it), total term frequency,
+    * and the posting span (min/max doc id), for tokens with
+    * `df >= minDf`. The index-construction profile a retrieval or
+    * dedup pipeline builds before materializing posting lists — and
+    * the `df` side of TF-IDF.
+    *
+    * Scale posture: one corpus scan → explode → ONE aggregation
+    * shuffle keyed by token, with partial (map-side) aggregation of
+    * all four measures; `count_distinct(id)` runs as Spark's two-phase
+    * distinct aggregation, so the shuffle carries (token, id) pairs
+    * once, not text. Materializing the full posting LISTS is the same
+    * plan with `sort_array(collect_set(id))` in place of the counters
+    * — kept out of the default because posting payloads belong in the
+    * sink (bucketed by token), not the driver. */
+  def invertedIndex(docs: DataFrame, textCol: String, idCol: String,
+                    minDf: Long = 2L): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count_distinct(col("id")).as("df"),
+        count(lit(1)).as("tf"),
+        min(col("id")).as("first_doc"),
+        max(col("id")).as("last_doc"))
+      .filter(col("df") >= minDf)
+
+  /** Per-document top-`k` keyword extraction by a TF-IDF-style score,
+    * kept integer-exact so any engine reproduces it bit-for-bit:
+    * `score = (tf · 10⁶ · n_docs) div df` — the rational surrogate of
+    * tf·(N/df), monotone in the real TF-IDF ordering for fixed tf
+    * scaling. Ties break by term text, so top-k is total-ordered.
+    * Headroom: tf·10⁶·N stays under 2⁶³ up to ~10⁹ docs × tf 9000;
+    * beyond that drop the 10⁶ micro-scale (documented contract).
+    *
+    * Scale posture: the corpus is scanned ONCE — `df` is a count
+    * window over the (doc, term) tf table partitioned by term, not a
+    * second aggregation branch (a separate `tf.groupBy(term)` would
+    * make Spark recompute the whole scan+explode+tf subtree: plans
+    * are trees, common subplans are not shared). Three shuffles of
+    * the tf table (by (doc, term), by term, by doc for the rank), all
+    * moving counters, never text. The corpus row count joins in as a
+    * broadcast single-row frame (no driver collect; parquet count is
+    * metadata-cheap). The rank window partitions by DOC and Spark
+    * pushes `rank <= k` down as WindowGroupLimit, so the per-doc sort
+    * is top-k, embarrassingly parallel at any corpus size. */
+  def tfIdfTopK(docs: DataFrame, textCol: String, idCol: String,
+                k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", expr("tf * 1000000 * n_docs div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("term"), col("tf"),
+        col("score"), col("rank"))
+  }
+
   /** Whitespace normalization: collapse runs, trim. */
   def normalizeWhitespace(text: Column): Column =
     trim(regexp_replace(text, " +", " "))

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** §2.C39–C42 — corpus indexing and assembly-order operators on top
+  * of the curation stack: span-level duplication measurement,
+  * TF-IDF keyword extraction, inverted-index posting statistics, and
+  * the deterministic pre-training shuffle.
+  */
+object CorpusQueries {
+
+  /** Training-shuffle shard count. The parallelism/file-size knob: at
+    * 100 TB this is "output files" (millions, each ~1 GB), so every
+    * shard-local rank window sorts one file's worth of rows — here 16
+    * so each shard has enough rows to make the permutation visible. */
+  private val Shards = 16L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C39 — duplicated-span measurement (Lee et al. 2022): per doc,
+    // the fraction of its distinct word-6-grams shared with any OTHER
+    // doc, in basis points. Runs over the perturbed near-dup corpus
+    // (same construction as the dedup family) so duplicated spans
+    // provably exist: a truncated copy shares every 6-gram with its
+    // original except the trailing ones.
+    "dup_spans" -> { (s, d) =>
+      Dedup.dupGramStats(corpus(s, d), "text", "doc_id", n = 6)
+    },
+
+    // C40 — per-doc top-5 keyword extraction by integer-exact TF-IDF
+    // (score = tf·10⁶·N div df, ties by term) — the doc-side term
+    // weighting step for retrieval/clustering features.
+    "tfidf_topk" -> { (s, d) =>
+      TextAnalysis.tfIdfTopK(
+        Tables.fanOut(Tables.documents(s, d)), "text", "doc_id", k = 5)
+    },
+
+    // C41 — inverted-index posting statistics: per token with df ≥ 10,
+    // the document frequency, total term frequency, and posting span.
+    // The profile pass before materializing token-bucketed posting
+    // lists.
+    "inverted_index" -> { (s, d) =>
+      TextAnalysis.invertedIndex(
+        Tables.fanOut(Tables.documents(s, d)), "text", "doc_id", minDf = 10L)
+    },
+
+    // C42 — deterministic pre-training shuffle: every doc gets a
+    // multiplicative-hash ordering key; shard = key mod 16, position =
+    // rank within the shard by (key, doc_id). RNG-free, so any engine
+    // (and any re-run) reproduces the exact training order — the
+    // property epoch-resumable data loaders need. SCALE FORM: the only
+    // sort is per shard, and shard count is the file-size knob (a
+    // 100 TB run uses ~1 GB shards → millions of independent
+    // file-sized sorts, no global order anywhere).
+    "train_shuffle" -> { (s, d) =>
+      val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), (h % lit(Shards)).as("shard"), h.as("h"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    })
+
+  /** Near-dup corpus: mirrors [[PipelineQueries]]'s corpus exactly
+    * (bounded id slice ∪ truncated copies at +1e6) so C39's measured
+    * duplication has known ground truth. */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val pert = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, 1, char_length(text) - 7)").as("text"))
+    base.unionByName(pert)
+  }
+
+  private val CorpusCte =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 7)
+      |  FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    // The oracle groups grams as STRINGS where the engine groups
+    // 64-bit fingerprints — identical up to a ~1e-9 hash collision,
+    // the same convention as the dedup family's oracles.
+    "dup_spans" -> s"""$CorpusCte,
+      |g AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(0, greatest(len(w) - 5, 0)),
+      |             i -> array_to_string(list_slice(w, CAST(i + 1 AS INT),
+      |                                             CAST(i + 6 AS INT)), ' '))) AS g
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))),
+      |freq AS (SELECT g, count(*) AS df FROM g GROUP BY 1)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 10000
+      |            // count(*) AS BIGINT) AS dup_bp
+      |FROM g JOIN freq USING (g)
+      |GROUP BY 1""".stripMargin,
+
+    "tfidf_topk" -> """
+      |WITH tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  WHERE length(term) > 0
+      |  GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf,
+      |         CAST(tf.tf * 1000000 * n.n_docs // df.df AS BIGINT) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, score,
+      |         CAST(row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY score DESC, term) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "inverted_index" -> """
+      |SELECT token,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+      |       CAST(count(*) AS BIGINT) AS tf,
+      |       min(doc_id) AS first_doc,
+      |       max(doc_id) AS last_doc
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |      FROM documents)
+      |WHERE length(token) > 0
+      |GROUP BY 1
+      |HAVING count(DISTINCT doc_id) >= 10""".stripMargin,
+
+    "train_shuffle" -> """
+      |SELECT doc_id, shard,
+      |       CAST(row_number() OVER (PARTITION BY shard
+      |         ORDER BY h, doc_id) AS BIGINT) AS pos
+      |FROM (SELECT doc_id,
+      |             (doc_id * 2654435761) % 1000000007 % 16 AS shard,
+      |             (doc_id * 2654435761) % 1000000007 AS h
+      |      FROM documents)""".stripMargin)
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** CorpusQueries (C39–C42) against plain-Scala naive references:
+  * span-duplication counts, TF-IDF top-k, inverted-index postings,
+  * and the deterministic training-shuffle permutation. */
+class CorpusQueriesSpec extends SparkTestBase {
+
+  private def docs() = Tables.documents(spark, sfDir)
+    .select(col("doc_id"), col("text"))
+
+  private def collectDocs(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("dupGramStats matches naive per-doc duplicated-gram counts") {
+    val base = collectDocs(docs().filter(col("doc_id") < 200))
+    val corpus = base ++ base.filter(_._1 % 10 == 0)
+      .map { case (id, t) => (id + 1000000L, t.dropRight(7)) }
+
+    val grams: Map[Long, Set[String]] = corpus.map { case (id, t) =>
+      id -> t.split(" ", -1).sliding(6).filter(_.length == 6)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val dfCount: Map[String, Int] = grams.values.flatten.toSeq
+      .groupBy(identity).map { case (g, occ) => g -> occ.size }
+    val expected = grams.collect { case (id, gs) if gs.nonEmpty =>
+      val nDup = gs.count(dfCount(_) >= 2)
+      id -> (gs.size.toLong, nDup.toLong, nDup.toLong * 10000 / gs.size)
+    }
+
+    val sparkDf = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val got = Dedup.dupGramStats(sparkDf, "text", "doc_id", n = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected)
+    // the construction provably exercises the path: copies share
+    // nearly all grams with their originals
+    val copyBp = got.collect { case (id, (_, _, bp)) if id >= 1000000L => bp }
+    assert(copyBp.nonEmpty && copyBp.forall(_ >= 5000L))
+  }
+
+  test("tfIdfTopK matches naive integer TF-IDF ranking") {
+    val all = collectDocs(docs())
+    val n = all.size.toLong
+    val tf: Map[(Long, String), Long] = all
+      .flatMap { case (id, t) => t.split(" ", -1).filter(_.nonEmpty).map(id -> _) }
+      .groupBy(identity).map { case (k, occ) => k -> occ.size.toLong }
+    val dfm: Map[String, Long] = tf.keys.toSeq.groupBy(_._2)
+      .map { case (term, ks) => term -> ks.size.toLong }
+    val expected = tf.toSeq
+      .map { case ((id, term), f) => (id, term, f, f * 1000000L * n / dfm(term)) }
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy { case (_, term, _, score) => (-score, term) }
+          .zipWithIndex.take(5)
+          .map { case ((id, term, f, score), i) => (id, term, f, score, i + 1L) }
+      }.toSet
+
+    val got = TextAnalysis.tfIdfTopK(docs(), "text", "doc_id", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("invertedIndex matches naive posting statistics") {
+    val all = collectDocs(docs())
+    val postings = all
+      .flatMap { case (id, t) => t.split(" ", -1).filter(_.nonEmpty).map(_ -> id) }
+    val expected = postings.groupBy(_._1).collect {
+      case (tok, occ) if occ.map(_._2).distinct.size >= 10 =>
+        val ids = occ.map(_._2)
+        (tok, ids.distinct.size.toLong, ids.size.toLong, ids.min, ids.max)
+    }.toSet
+
+    val got = TextAnalysis.invertedIndex(docs(), "text", "doc_id", minDf = 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("train_shuffle is the deterministic per-shard hash permutation") {
+    val ids = docs().select("doc_id").collect().map(_.getLong(0)).toSeq
+    val expected = ids
+      .map(id => (id, id * 2654435761L % 1000000007L))
+      .groupBy { case (_, h) => h % 16 }
+      .flatMap { case (shard, rows) =>
+        rows.sortBy { case (id, h) => (h, id) }.zipWithIndex
+          .map { case ((id, _), i) => (id, shard, i + 1L) }
+      }.toSet
+
+    val q = SparkEntry.queries("train_shuffle")
+    val got = q(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // a permutation: every doc appears exactly once
+    assert(got.map(_._1) == ids.toSet && got.size == ids.size)
+    // re-running reproduces the identical order (RNG-free contract)
+    val again = q(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == got)
+  }
+}

@@ -140,6 +140,34 @@ class PlanSpec extends SparkTestBase {
       s"corpus shuffled before the bucket join:\n$plan")
   }
 
+  test("tfidf_topk: one corpus scan; df from a window, not a re-scan; top-k pushed as group limit") {
+    val plan = formatted(SparkEntry.queries("tfidf_topk")(spark, sfDir))
+    // exactly 2 parquet scans in the tree listing: the tf corpus scan
+    // + the metadata-only row count (ReadSchema: struct<>) — a
+    // groupBy-based df would re-run the whole scan+explode subtree
+    val scans = plan.linesIterator.count(_.matches(""".*\(\d+\) Scan parquet\s*$"""))
+    assert(scans == 2, s"expected 2 scans, got $scans in:\n$plan")
+    assert(plan.contains("ReadSchema: struct<>"), "count scan should read no columns")
+    // rank<=k runs as WindowGroupLimit (per-doc top-k, not full sort)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("dup_spans: gram frequency and per-doc rollup shuffle 8-byte hashes, never text") {
+    val plan = formatted(SparkEntry.queries("dup_spans")(spark, sfDir))
+    val shuffles = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(shuffles.nonEmpty)
+    assert(!shuffles.exists(_.contains("text")),
+      s"a shuffle carries document text:\n${shuffles.mkString("\n")}")
+  }
+
+  test("train_shuffle: single shard-keyed exchange, per-shard sort only") {
+    val plan = formatted(SparkEntry.queries("train_shuffle")(spark, sfDir))
+    assert(plan.linesIterator.count(_.contains("hashpartitioning")) == 1, plan)
+    assert(!plan.contains("rangepartitioning"), "no global sort expected:\n" + plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      "scan should read only doc_id")
+  }
+
   test("fanOut gates on scan parallelism: no-op on pre-split input") {
     val docs = sources.Tables.documents(spark, sfDir)
     val par = spark.sparkContext.defaultParallelism
