@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Dev-only 1×/10×/100× document-corpus sweep (not part of the
+  * library surface): duplicates sf0.1 `documents` 10× and 100× with
+  * shifted ids (5 000 → 50 000 → 500 000 docs) and times the
+  * FULL-TABLE operator family — the operators themselves, not the
+  * bounded-corpus query mirrors, so the dedup/index paths are
+  * measured against the whole scaled table.
+  *
+  * The 100× layout is deliberately hostile to LSH: ids shift but
+  * texts do not, so every document exists as 100 exact copies —
+  * every MinHash band bucket holds ≥100 colliding docs, which is
+  * precisely the crawl-mirror pathology the hot-bucket star-pairing
+  * guard exists for. A super-linear ratio here means the guard
+  * failed; ~linear means O(w) pairing held.
+  */
+object Sweep100 {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    val base = "/root/testdata/sf0.1"
+    val n = 5000000L
+
+    def build(mult: Int, dir: String): Unit = {
+      if (new java.io.File(s"$dir/documents.parquet").exists()) return
+      new java.io.File(dir).mkdirs()
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      (0 until mult).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * n)))
+        .reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    build(10, "/tmp/sweep_docs10x")
+    build(100, "/tmp/sweep_docs100x")
+
+    def docs(dir: String): DataFrame =
+      spark.read.parquet(s"$dir/documents.parquet")
+
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "dup_gram_stats" -> (d => Dedup.dupGramStats(d, "text", "doc_id", n = 6)),
+      "tfidf_topk" -> (d => TextAnalysis.tfIdfTopK(d, "text", "doc_id", k = 5)),
+      "inverted_index" -> (d => TextAnalysis.invertedIndex(d, "text", "doc_id", minDf = 10L)),
+      // maxBucket = 50 < the 100-copy multiplicity: the default (1000)
+      // admits all-pairs inside every 100-copy bucket, and the verify
+      // join's shingle-array payload on ~25M genuine pairs spilled
+      // >80 GB at 100× — the measured form of the hot-bucket cliff the
+      // star-pairing guard exists for. Guarded, pairs collapse to O(w)
+      // per bucket and the component stays connected for clusterPairs.
+      "minhash_lsh" -> (d => Dedup.minhashLsh(d, "text", "doc_id",
+        minBp = 8000, maxBucket = 50)),
+      "simhash_pairs" -> (d => Dedup.simhashPairs(d, "text", "doc_id")),
+      "exact_dedup" -> (d => Dedup.exact(d, "text", "doc_id")),
+      "quality_filter" -> (d => TextAnalysis.qualityFilter(d, "text", "doc_id")),
+      "lang_id" -> (d => TextAnalysis.langId(d, "text", "doc_id")))
+
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    val selected =
+      if (args.isEmpty) ops else ops.filter(o => args.contains(o._1))
+    for ((name, op) <- selected) {
+      def run(dir: String): Double = {
+        try op(docs(dir)).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          println(s"$name $dir FAILED: ${e.getMessage}"); return -1 }
+        Seq.fill(3)(time(
+          op(docs(dir)).write.format("noop").mode("overwrite").save())).sorted.apply(1)
+      }
+      val t1 = run(base)
+      val t10 = run("/tmp/sweep_docs10x")
+      val t100 = run("/tmp/sweep_docs100x")
+      println(f"SWEEP100 $name%-16s 1x=$t1%7.2fs 10x=$t10%7.2fs 100x=$t100%8.2fs " +
+        f"r10=${t10 / t1}%5.2f r100=${t100 / t1}%6.2f")
+    }
+    spark.stop()
+  }
+}

@@ -165,7 +165,18 @@ object Dedup {
     * recall — a non-rep pair similar to each other but not to the rep,
     * co-bucketed ONLY in hot buckets — is logged per run via
     * [[hotBucketStats]]. Below the cap the output is identical to the
-    * unguarded all-pairs form. */
+    * unguarded all-pairs form.
+    *
+    * SIZE `maxBucket` BELOW the expected duplicate multiplicity: the
+    * verify join carries both shingle-hash arrays per candidate, so
+    * all-pairs inside w-wide buckets costs O(w²·|hs|) bytes of shuffle
+    * even when every pair is a genuine dup. Measured (Sweep100, 500k
+    * docs where every text exists as 100 copies): the default cap
+    * (1000) never triggers at w=100, ~25M verified pairs spill >80 GB
+    * and the job dies on disk; maxBucket=50 collapses the same corpus
+    * to O(w) star pairs per bucket. Mirror-heavy corpora should run
+    * [[hotBucketStats]] first and set the cap under the observed
+    * multiplicity. */
   def minhashLshFromSignatures(sigs: DataFrame, bands: Int = 16,
                                minBp: Int = 5000, numPerm: Int = 64,
                                maxBucket: Int = 1000): DataFrame = {

@@ -196,14 +196,19 @@ object TextAnalysis {
     * Headroom: tf·10⁶·N stays under 2⁶³ up to ~10⁹ docs × tf 9000;
     * beyond that drop the 10⁶ micro-scale (documented contract).
     *
-    * Scale posture: the corpus is scanned ONCE — `df` is a count
-    * window over the (doc, term) tf table partitioned by term, not a
-    * second aggregation branch (a separate `tf.groupBy(term)` would
-    * make Spark recompute the whole scan+explode+tf subtree: plans
-    * are trees, common subplans are not shared). Three shuffles of
-    * the tf table (by (doc, term), by term, by doc for the rank), all
-    * moving counters, never text. The corpus row count joins in as a
-    * broadcast single-row frame (no driver collect; parquet count is
+    * Scale posture: `df` is a term-keyed re-aggregation OF the tf
+    * table — partial-agg'd map-side, so the term shuffle moves at
+    * most (distinct terms per partition) counters — then joins back
+    * BROADCAST (vocab ≪ corpus), so the tf side is never reshuffled
+    * by term. Deliberately NOT a `count().over(partitionBy(term))`
+    * window: that formulation saves re-reading the tf subtree but
+    * sorts the whole tf table partitioned by TERM, and term
+    * frequencies are Zipf — the hottest term's partition is a single
+    * task holding ~df("the") rows, a parallelism collapse at corpus
+    * scale. AQE's exchange-stage reuse serves the tf shuffle to both
+    * branches, so the scan+explode runs once anyway (asserted in
+    * PlanSpec). The corpus row count joins in as a broadcast
+    * single-row frame (no driver collect; parquet count is
     * metadata-cheap). The rank window partitions by DOC and Spark
     * pushes `rank <= k` down as WindowGroupLimit, so the per-doc sort
     * is top-k, embarrassingly parallel at any corpus size. */
@@ -214,10 +219,11 @@ object TextAnalysis {
         explode(split(col(textCol), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("score").desc, col("term").asc)
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    tf.join(broadcast(df), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", expr("tf * 1000000 * n_docs div df"))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -140,16 +140,24 @@ class PlanSpec extends SparkTestBase {
       s"corpus shuffled before the bucket join:\n$plan")
   }
 
-  test("tfidf_topk: one corpus scan; df from a window, not a re-scan; top-k pushed as group limit") {
-    val plan = formatted(SparkEntry.queries("tfidf_topk")(spark, sfDir))
-    // exactly 2 parquet scans in the tree listing: the tf corpus scan
-    // + the metadata-only row count (ReadSchema: struct<>) — a
-    // groupBy-based df would re-run the whole scan+explode subtree
-    val scans = plan.linesIterator.count(_.matches(""".*\(\d+\) Scan parquet\s*$"""))
-    assert(scans == 2, s"expected 2 scans, got $scans in:\n$plan")
-    assert(plan.contains("ReadSchema: struct<>"), "count scan should read no columns")
+  test("tfidf_topk: df joins broadcast (no tf reshuffle by Zipf-skewed term); tf exchange reused") {
+    val q = SparkEntry.queries("tfidf_topk")(spark, sfDir)
+    val plan = formatted(q)
+    // vocab-sized df broadcasts — the corpus-sized tf table is never
+    // hash-partitioned by term (Zipf: the hottest term's partition
+    // would be a single giant task)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
     // rank<=k runs as WindowGroupLimit (per-doc top-k, not full sort)
     assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("ReadSchema: struct<>"), "count scan should read no columns")
+    // AQE serves the (id, term) tf shuffle to both the tf branch and
+    // the df re-aggregation from one materialized stage — the
+    // scan+explode subtree runs once despite appearing twice
+    q.collect()
+    val executed = q.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") ||
+      executed.contains("ReusedShuffle"), executed)
   }
 
   test("dup_spans: gram frequency and per-doc rollup shuffle 8-byte hashes, never text") {
