@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Similarity, TextAnalysis}
 
 /** Dev-only 1×/10×/100× document-corpus sweep (not part of the
   * library surface): duplicates sf0.1 `documents` 10× and 100× with
@@ -61,15 +61,58 @@ object Sweep100 {
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
+    def buildEmb(mult: Int, dir: String): Unit = {
+      if (new java.io.File(s"$dir/embeddings.parquet").exists()) return
+      new java.io.File(dir).mkdirs()
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until mult).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * n)))
+        .reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    buildEmb(10, "/tmp/sweep_docs10x")
+    buildEmb(100, "/tmp/sweep_docs100x")
+
+    def emb(dir: String): DataFrame =
+      spark.read.parquet(s"$dir/embeddings.parquet")
+    // fixed query batch (8 vectors from the 1× slice): the corpus is
+    // the scaled side, as in production (probe batches don't grow
+    // with the index)
+    val queryBatch = spark.read.parquet(s"$base/embeddings.parquet")
+      .filter(col("vec_id") < 8).select("vec_id", "embedding").cache()
+    queryBatch.count()
+
+    // SemDeDup is deliberately absent: its blocking is the k-means
+    // cluster, and 100 exact copies of a vector always share a
+    // cluster, so within-cluster all-pairs is quadratic in the
+    // multiplicity BY SEMANTICS — the pipeline order (CurationSpec)
+    // runs exact dedup first, which collapses the mirrors before any
+    // pairwise stage.
+    val embOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "kmeans_k8" -> (e => Clustering.kmeans(e, "vec_id", "embedding",
+        k = 8, passes = 2)),
+      "brute_topk" -> (e => Similarity.bruteForceTopK(e, queryBatch,
+        "vec_id", "embedding", k = 10)),
+      "lsh_ann" -> (e => Similarity.lshTopK(e, queryBatch,
+        "vec_id", "embedding", k = 10, numPlanes = 8, dim = 64, multiprobe = 1)),
+      // 64 centroids ≤ CentroidLiteralMax exercises the literal path;
+      // pass centroidLiteralMax = 16 to force the broadcast-join path
+      // a production 2¹²-centroid index takes
+      "ivf_ann" -> (e => Similarity.ivfTopK(e, queryBatch,
+        "vec_id", "embedding", k = 10, nCentroids = 64, nProbe = 2,
+        centroidLiteralMax = 16)))
+
+    val all: Seq[(String, DataFrame => DataFrame, String => DataFrame)] =
+      ops.map { case (k, f) => (k, f, (d: String) => docs(d)) } ++
+        embOps.map { case (k, f) => (k, f, (d: String) => emb(d)) }
     val selected =
-      if (args.isEmpty) ops else ops.filter(o => args.contains(o._1))
-    for ((name, op) <- selected) {
+      if (args.isEmpty) all else all.filter(o => args.contains(o._1))
+    for ((name, op, load) <- selected) {
       def run(dir: String): Double = {
-        try op(docs(dir)).write.format("noop").mode("overwrite").save()
+        try op(load(dir)).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           println(s"$name $dir FAILED: ${e.getMessage}"); return -1 }
         Seq.fill(3)(time(
-          op(docs(dir)).write.format("noop").mode("overwrite").save())).sorted.apply(1)
+          op(load(dir)).write.format("noop").mode("overwrite").save())).sorted.apply(1)
       }
       val t1 = run(base)
       val t10 = run("/tmp/sweep_docs10x")
