@@ -276,4 +276,72 @@ class PropertySpec extends SparkTestBase {
     // every planted excerpt is found against its source
     assert(excerpts.forall { case (eid, _) => got.contains((eid - 1000L, eid)) })
   }
+
+  test("dupGramStats equals the set-algebra definition on random corpora") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new Random(29)
+    val words = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    def doc(nTokens: Int): String =
+      Seq.fill(nTokens)(words(rnd.nextInt(words.size))).mkString(" ")
+    // random docs of varied length INCLUDING sub-n docs (the omission
+    // contract), plus exact copies (guaranteed full duplication)
+    val n = 4
+    val base = (0L until 40L).map(i => (i, doc(2 + rnd.nextInt(12))))
+    val copies = base.filter(_._1 % 8 == 0).map { case (i, t) => (i + 500L, t) }
+    val all = base ++ copies
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < n) Set.empty
+      else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val gs = all.map { case (i, t) => i -> grams(t) }
+    val freq = gs.flatMap(_._2).groupBy(identity).map { case (g, o) => g -> o.size }
+    val expect = gs.collect { case (i, g) if g.nonEmpty =>
+      val dup = g.count(freq(_) >= 2)
+      i -> (g.size.toLong, dup.toLong, dup.toLong * 10000 / g.size)
+    }.toMap
+    val got = Dedup.dupGramStats(all.toDF("doc_id", "text"), "text", "doc_id", n)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect)
+    // sub-n docs are omitted, everything else present
+    assert(got.keySet == gs.filter(_._2.nonEmpty).map(_._1).toSet)
+    // every exact copy (and its source) is fully duplicated
+    assert(copies.forall { case (cid, _) =>
+      got(cid)._3 == 10000L && got(cid - 500L)._3 == 10000L })
+  }
+
+  test("tfIdfTopK equals the naive ranking on random corpora") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val rnd = new Random(31)
+    val words = Seq("red", "blue", "green", "gold", "iron", "clay", "salt", "wood",
+      "rare1", "rare2", "rare3")
+    def doc(): String = {
+      // skew: common words everywhere, rare words in few docs
+      val nTok = 5 + rnd.nextInt(20)
+      Seq.fill(nTok)(words(math.min(rnd.nextInt(words.size),
+        rnd.nextInt(words.size)))).mkString(" ")
+    }
+    val all = (0L until 50L).map(i => (i, doc()))
+    val k = 3
+    val nDocs = all.size.toLong
+    val tf = all.flatMap { case (i, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).map(w => (i, w)) }
+      .groupBy(identity).map { case (key, o) => key -> o.size.toLong }
+    val df = tf.keys.toSeq.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val expect = tf.toSeq
+      .map { case ((i, w), f) => (i, w, f, f * 1000000L * nDocs / df(w)) }
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy { case (_, w, _, s) => (-s, w) }.take(k).zipWithIndex
+          .map { case ((i, w, f, s), r) => (i, w, f, s, r + 1L) }
+      }.toSet
+    val got = TextAnalysis.tfIdfTopK(all.toDF("doc_id", "text"),
+        "text", "doc_id", k)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expect)
+  }
 }
