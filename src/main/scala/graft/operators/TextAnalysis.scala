@@ -188,6 +188,25 @@ object TextAnalysis {
         max(col("id")).as("last_doc"))
       .filter(col("df") >= minDf)
 
+  /** Merge posting-stat deltas — outputs of [[invertedIndex]]
+    * (minDf = 1) over DISJOINT document batches — into corpus-level
+    * stats. An append-only document stream never repeats a
+    * (doc, token) pair across micro-batches, so `df` and `tf` are
+    * additive and the posting span is min/max: the merge is exact,
+    * not approximate. This is the streaming/incremental form of
+    * index maintenance: `foreachBatch` writes
+    * `invertedIndex(batch, minDf = 1)` as a delta partition, and
+    * compaction (or query time) applies this merge — one vocab-keyed
+    * aggregation over delta rows, never a re-scan of the corpus.
+    * Apply any `minDf` threshold AFTER merging (a token can cross
+    * the threshold only in aggregate). StreamingSpec asserts the
+    * streamed merge equals the batch index. */
+  def mergePostingStats(deltas: DataFrame): DataFrame =
+    deltas.groupBy(col("token"))
+      .agg(sum(col("df")).as("df"), sum(col("tf")).as("tf"),
+        min(col("first_doc")).as("first_doc"),
+        max(col("last_doc")).as("last_doc"))
+
   /** Per-document top-`k` keyword extraction by a TF-IDF-style score,
     * kept integer-exact so any engine reproduces it bit-for-bit:
     * `score = (tf · 10⁶ · n_docs) div df` — the rational surrogate of

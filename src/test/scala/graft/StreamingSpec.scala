@@ -1077,4 +1077,44 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("streaming inverted index: per-batch posting deltas merge to the batch result") {
+    // the incremental index-maintenance contract (TextAnalysis
+    // .mergePostingStats): an append-only doc stream never repeats a
+    // (doc, token) pair across micro-batches, so per-batch
+    // invertedIndex(minDf=1) deltas are exactly additive
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val d = TextAnalysis.invertedIndex(batch, "text", "doc_id", minDf = 1L)
+          .collect()
+        deltas.synchronized { deltas ++= d }
+        ()
+      }.start()
+    try {
+      // three uneven append batches
+      docs.grouped(docs.size / 3 + 1).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val schema = TextAnalysis.invertedIndex(
+        graft.sources.Tables.documents(spark, sfDir), "text", "doc_id").schema
+      val merged = TextAnalysis.mergePostingStats(
+          spark.createDataFrame(spark.sparkContext.parallelize(deltas.toSeq), schema))
+        .filter(org.apache.spark.sql.functions.col("df") >= 10)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val batchResult = TextAnalysis.invertedIndex(
+          graft.sources.Tables.documents(spark, sfDir), "text", "doc_id", minDf = 10L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(merged == batchResult)
+    } finally q.stop()
+  }
 }
