@@ -455,6 +455,59 @@ object Dedup {
       .withColumn("dup_bp", expr("(n_dup * 10000) div n_grams"))
   }
 
+  /** (id, pos, g) — EVERY word-`n`-gram occurrence with its token
+    * position (not deduplicated: positions matter for span work). */
+  private def gramPositions(df: DataFrame, textCol: String, idCol: String,
+                            n: Int): DataFrame = df
+    .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+    .select(col("id"), explode(expr(
+      s"""CASE WHEN size(toks) < $n THEN array()
+         |ELSE transform(sequence(0, size(toks) - $n),
+         |  i -> struct(CAST(i AS BIGINT) AS pos,
+         |              fingerprint64(concat_ws(' ', slice(toks, i + 1, $n))) AS g)) END"""
+        .stripMargin)).as("pg"))
+    .select(col("id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+
+  /** The ACTION half of [[dupGramStats]] (Lee et al. 2022 span
+    * trimming): per document, the MERGED token-index intervals
+    * covered by cross-doc duplicated word-`n`-grams — a duplicated
+    * gram at position p covers [p, p+n−1]; overlapping AND adjacent
+    * covers union into maximal spans (contiguous duplicated coverage
+    * is one span). Output
+    * `(idCol, span_start, span_end, span_tokens)` (inclusive token
+    * indices); the consumer drops or keeps those token ranges —
+    * offsets, not substrings, same contract as doc_chunk. Docs with
+    * no duplicated gram emit nothing.
+    *
+    * Scale posture: document frequency rides the same 8-byte
+    * fingerprint aggregation as [[dupGramStats]] (distinct per doc
+    * before counting, so within-doc repeats don't self-flag); the
+    * positions side joins df on the hash; interval merging is
+    * gaps-and-islands under a per-DOC window (running max-end, island
+    * id = running count of gaps) — sort input is the doc's own dup
+    * positions, embarrassingly parallel across docs at any corpus
+    * size. */
+  def dupSpanIntervals(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int = 6): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val gpos = gramPositions(docs, textCol, idCol, n)
+    val freq = gpos.select(col("id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val iv = gpos.join(freq.filter(col("df") >= 2), "g")
+      .select(col("id"), col("pos").as("s"), (col("pos") + lit(n - 1)).as("e"))
+    val w = Window.partitionBy(col("id")).orderBy(col("s"))
+    iv.withColumn("pmax",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1L).otherwise(0L))
+      .withColumn("gid", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id").as(idCol), col("gid"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .drop("gid")
+  }
+
   /** [[contaminatedDocs]] with the probe-gram set compressed into a
     * Bloom filter — the memory-bounded form for LARGE probe suites.
     * The exact path broadcasts every distinct probe gram hash (8 bytes

@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, TextAnalysis}
 import graft.sources.Tables
 
-/** §2.C39–C42 — corpus indexing and assembly-order operators on top
-  * of the curation stack: span-level duplication measurement,
-  * TF-IDF keyword extraction, inverted-index posting statistics, and
-  * the deterministic pre-training shuffle.
+/** §2.C39–C43 — corpus indexing and assembly-order operators on top
+  * of the curation stack: span-level duplication measurement and the
+  * trimming intervals it feeds, TF-IDF keyword extraction,
+  * inverted-index posting statistics, and the deterministic
+  * pre-training shuffle.
   */
 object CorpusQueries {
 
@@ -47,6 +48,14 @@ object CorpusQueries {
     "inverted_index" -> { (s, d) =>
       TextAnalysis.invertedIndex(
         Tables.fanOut(Tables.documents(s, d)), "text", "doc_id", minDf = 10L)
+    },
+
+    // C43 — duplicated-span INTERVALS (the action half of C39): per
+    // doc, the merged token ranges covered by cross-doc duplicated
+    // 6-grams — what span-level trimming actually removes. Offsets,
+    // not substrings.
+    "dup_span_intervals" -> { (s, d) =>
+      Dedup.dupSpanIntervals(corpus(s, d), "text", "doc_id", n = 6)
     },
 
     // C42 — deterministic pre-training shuffle: every doc gets a
@@ -107,6 +116,36 @@ object CorpusQueries {
       |            // count(*) AS BIGINT) AS dup_bp
       |FROM g JOIN freq USING (g)
       |GROUP BY 1""".stripMargin,
+
+    "dup_span_intervals" -> s"""$CorpusCte,
+      |gpos AS (
+      |  SELECT doc_id, CAST(u['pos'] AS BIGINT) AS pos, u['g'] AS g FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(0, greatest(len(w) - 5, 0)),
+      |             i -> {'pos': i,
+      |                   'g': array_to_string(list_slice(w, CAST(i + 1 AS INT),
+      |                                                   CAST(i + 6 AS INT)), ' ')})) AS u
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))),
+      |freq AS (
+      |  SELECT g, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, g FROM gpos) GROUP BY 1),
+      |iv AS (
+      |  SELECT doc_id, pos AS s, pos + 5 AS e
+      |  FROM gpos JOIN freq USING (g) WHERE df >= 2),
+      |m AS (
+      |  SELECT doc_id, s, e,
+      |         max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv),
+      |grp AS (
+      |  SELECT doc_id, s, e,
+      |         CAST(sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY s
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gid
+      |  FROM m)
+      |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+      |       max(e) - min(s) + 1 AS span_tokens
+      |FROM grp GROUP BY doc_id, gid""".stripMargin,
 
     "tfidf_topk" -> """
       |WITH tf AS (

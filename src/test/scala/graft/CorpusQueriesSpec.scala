@@ -43,6 +43,44 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(copyBp.nonEmpty && copyBp.forall(_ >= 5000L))
   }
 
+  test("dupSpanIntervals matches naive interval union; copies are one full-cover span") {
+    val base = collectDocs(docs().filter(col("doc_id") < 200))
+    val corpus = base ++ base.filter(_._1 % 10 == 0)
+      .map { case (id, t) => (id + 1000000L, t.dropRight(7)) }
+    val n = 6
+
+    val gramPos: Map[Long, Seq[(Int, String)]] = corpus.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      id -> (if (w.length < n) Seq.empty
+             else (0 to w.length - n).map(i => i -> w.slice(i, i + n).mkString(" ")))
+    }.toMap
+    val docsPerGram = gramPos.toSeq
+      .flatMap { case (id, ps) => ps.map(_._2).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, o) => g -> o.size }
+    val expected = gramPos.toSeq.flatMap { case (id, ps) =>
+      val ivs = ps.collect { case (p, g) if docsPerGram(g) >= 2 =>
+        (p.toLong, (p + n - 1).toLong) }.sortBy(_._1)
+      val merged = ivs.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, (s, e)) => acc match {
+          case (ms, me) :: rest if s <= me + 1 => (ms, math.max(me, e)) :: rest
+          case _ => (s, e) :: acc
+        }
+      }
+      merged.map { case (s, e) => (id, s, e, e - s + 1) }
+    }.toSet
+
+    val sparkDf = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val got = Dedup.dupSpanIntervals(sparkDf, "text", "doc_id", n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // a truncated copy's duplicated coverage is one maximal span from
+    // token 0 (it shares every gram with its original up to the tail)
+    val copyIds = corpus.map(_._1).filter(_ >= 1000000L).toSet
+    val byDoc = got.groupBy(_._1)
+    assert(copyIds.forall(id => byDoc(id).exists(_._2 == 0L)))
+  }
+
   test("tfIdfTopK matches naive integer TF-IDF ranking") {
     val all = collectDocs(docs())
     val n = all.size.toLong
