@@ -43,6 +43,7 @@ object Sweep100 {
 
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       "dup_gram_stats" -> (d => Dedup.dupGramStats(d, "text", "doc_id", n = 6)),
+      "dup_span_intervals" -> (d => Dedup.dupSpanIntervals(d, "text", "doc_id", n = 6)),
       "tfidf_topk" -> (d => TextAnalysis.tfIdfTopK(d, "text", "doc_id", k = 5)),
       "inverted_index" -> (d => TextAnalysis.invertedIndex(d, "text", "doc_id", minDf = 10L)),
       // maxBucket = 50 < the 100-copy multiplicity: the default (1000)
