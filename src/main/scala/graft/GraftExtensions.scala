@@ -44,5 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopK].getName, "top_k"),
       exprs => TopK(exprs.head,
         exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[graft.functions.VecDot].getName, "vec_dot"),
+      exprs => graft.functions.VecDot(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_dist_sq"),
+      new ExpressionInfo(classOf[graft.functions.VecDistSq].getName, "vec_dist_sq"),
+      exprs => graft.functions.VecDistSq(exprs.head, exprs(1))))
   }
 }

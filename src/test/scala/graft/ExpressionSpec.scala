@@ -20,6 +20,14 @@ class ExpressionSpec extends SparkTestBase {
       "SELECT minhash_sig(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)), 8) AS m")
       .collect()(0).getSeq[Long](0)
     assert(sig.length == 8)
+    // the vector folds resolve from SQL too (same extension hook)
+    val v = spark.sql(
+      """SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |       vec_dist_sq(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                   array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS q"""
+        .stripMargin).collect()(0)
+    assert(v.getDouble(0) == 11.0 && v.getDouble(1) == 8.0)
   }
 
   private def parse(s: String): java.sql.Timestamp =
