@@ -260,6 +260,37 @@ object Dedup {
       .select("new_id", "match_id", "jaccard_bp")
   }
 
+  /** Apply [[dupSpanIntervals]] output back to the corpus: drop every
+    * token covered by a duplicated span and reassemble the remainder —
+    * the Lee-et-al trimming action itself. Left join, so documents
+    * with no duplicated span pass through verbatim; a fully-covered
+    * document yields the empty string (downstream length filters drop
+    * it). Output `(idCol, textCol, n_dropped_tokens)`.
+    *
+    * Scale posture: intervals collapse to ONE array per doc
+    * (`collect_list` after the interval merge — per-doc cardinality
+    * is spans-per-doc, bounded by tokens/n), the join is id-keyed,
+    * and the token filter is a HOF projection in the scan — no
+    * per-token shuffle. */
+  def trimSpans(docs: DataFrame, intervals: DataFrame,
+                textCol: String, idCol: String): DataFrame = {
+    val spans = intervals.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs.select(col(idCol), col(textCol))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col(textCol), coalesce(col("spans"),
+        expr("CAST(array() AS ARRAY<STRUCT<span_start: BIGINT, span_end: BIGINT>>)"))
+        .as("spans"))
+      .select(col(idCol),
+        expr(s"""concat_ws(' ', filter(split($textCol, ' '),
+           |  (t, i) -> NOT exists(spans,
+           |    sp -> i >= sp.span_start AND i <= sp.span_end)))"""
+          .stripMargin).as(textCol),
+        expr(s"""aggregate(spans, CAST(0 AS BIGINT),
+           |  (acc, sp) -> acc + sp.span_end - sp.span_start + 1)"""
+          .stripMargin).as("n_dropped_tokens"))
+  }
+
   /** 64-bit SimHash over whitespace-token hashes: bit i of the
     * signature is the sign of the sum over tokens of ±1 on that bit
     * of the token hash. Token hashes are computed once per doc.

@@ -81,6 +81,34 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(copyIds.forall(id => byDoc(id).exists(_._2 == 0L)))
   }
 
+  test("trimSpans drops exactly the interval-covered tokens; span-free docs pass verbatim") {
+    val base = collectDocs(docs().filter(col("doc_id") < 200))
+    val corpus = base ++ base.filter(_._1 % 10 == 0)
+      .map { case (id, t) => (id + 1000000L, t.dropRight(7)) }
+    val sparkDf = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val intervals = Dedup.dupSpanIntervals(sparkDf, "text", "doc_id", n = 6)
+    val spans: Map[Long, Seq[(Long, Long)]] = intervals.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(r => (r._2, r._3)).toSeq }
+
+    val expected = corpus.map { case (id, t) =>
+      val sp = spans.getOrElse(id, Seq.empty)
+      val kept = t.split(" ", -1).zipWithIndex.collect {
+        case (tok, i) if !sp.exists(s => i >= s._1 && i <= s._2) => tok
+      }
+      (id, kept.mkString(" "), sp.map(s => s._2 - s._1 + 1).sum)
+    }.toSet
+
+    val got = Dedup.trimSpans(sparkDf, intervals, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // docs without any duplicated span came through byte-identical
+    val untouched = corpus.filter { case (id, _) => !spans.contains(id) }
+    assert(untouched.nonEmpty)
+    val gotMap = got.map(r => r._1 -> r._2).toMap
+    assert(untouched.forall { case (id, t) => gotMap(id) == t })
+  }
+
   test("tfIdfTopK matches naive integer TF-IDF ranking") {
     val all = collectDocs(docs())
     val n = all.size.toLong
