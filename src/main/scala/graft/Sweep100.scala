@@ -102,18 +102,50 @@ object Sweep100 {
         "vec_id", "embedding", k = 10, nCentroids = 64, nProbe = 2,
         centroidLiteralMax = 16)))
 
-    val all: Seq[(String, DataFrame => DataFrame, String => DataFrame)] =
-      ops.map { case (k, f) => (k, f, (d: String) => docs(d)) } ++
-        embOps.map { case (k, f) => (k, f, (d: String) => emb(d)) }
+    // Persisted signature store per layout — the production shape:
+    // signatures are computed at INGEST, so steady-state dedup cost
+    // is the probe, not the signing. Built once per dir.
+    def sigsOf(dir: String): DataFrame = {
+      val path = s"$dir/sigs.parquet"
+      if (!new java.io.File(path).exists())
+        Dedup.withMinHashSignatures(docs(dir), "text", "doc_id")
+          .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    // fixed 5 000-doc increment (the 1× corpus re-signed at a disjoint
+    // id range): a daily crawl batch probing an ever-bigger corpus
+    val incrementSigs = Dedup.withMinHashSignatures(
+      spark.read.parquet(s"$base/documents.parquet")
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L)),
+      "text", "doc_id").cache()
+    incrementSigs.count()
+
+    val dirOps: Seq[(String, String => DataFrame)] = Seq(
+      // full connected-component clustering of the guarded pair set:
+      // star pairing makes every mirror component diameter ≤ 2, so
+      // label propagation converges in a round regardless of corpus
+      "cluster_dedup" -> (dir => Dedup.clusterPairs(
+        Dedup.minhashLsh(docs(dir), "text", "doc_id",
+          minBp = 8000, maxBucket = 50), "doc_a", "doc_b")),
+      // increment × corpus dedup against the PERSISTED signature
+      // store — the O(increment) claim as a measurement: the corpus
+      // is never self-joined, only band-bucket-matched
+      "minhash_incr" -> (dir => Dedup.minhashLshIncremental(
+        incrementSigs, sigsOf(dir), minBp = 8000, maxBucket = 50)))
+
+    val all: Seq[(String, String => DataFrame)] =
+      ops.map { case (k, f) => (k, (d: String) => f(docs(d))) } ++
+        embOps.map { case (k, f) => (k, (d: String) => f(emb(d))) } ++
+        dirOps
     val selected =
       if (args.isEmpty) all else all.filter(o => args.contains(o._1))
-    for ((name, op, load) <- selected) {
+    for ((name, op) <- selected) {
       def run(dir: String): Double = {
-        try op(load(dir)).write.format("noop").mode("overwrite").save()
+        try op(dir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           println(s"$name $dir FAILED: ${e.getMessage}"); return -1 }
         Seq.fill(3)(time(
-          op(load(dir)).write.format("noop").mode("overwrite").save())).sorted.apply(1)
+          op(dir).write.format("noop").mode("overwrite").save())).sorted.apply(1)
       }
       val t1 = run(base)
       val t10 = run("/tmp/sweep_docs10x")
