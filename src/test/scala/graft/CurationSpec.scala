@@ -44,8 +44,25 @@ class CurationSpec extends SparkTestBase {
     val nNearDup = afterNearDup.count()
     assert(nNearDup <= nExact)
 
+    // 3b. span-level trim of the remaining cross-doc duplication:
+    // doc-level near-dup removal keeps one doc per cluster, but
+    // boilerplate SPANS shared across different kept docs remain —
+    // trim them, and only them
+    val keptDocs = corpus.join(afterNearDup.select("doc_id"), "doc_id")
+    val spans = Dedup.dupSpanIntervals(keptDocs, "text", "doc_id", n = 6)
+    val trimmed = Dedup.trimSpans(keptDocs, spans, "text", "doc_id").cache()
+    assert(trimmed.count() == nNearDup) // trim never drops documents
+    // dropped tokens are exactly the span totals, docs without spans
+    // are untouched
+    val spanTotals = spans.groupBy("doc_id")
+      .agg(sum(col("span_tokens")).as("tot")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    trimmed.select("doc_id", "n_dropped_tokens").collect().foreach { r =>
+      assert(r.getLong(1) == spanTotals.getOrElse(r.getLong(0), 0L))
+    }
+
     // 4. decontamination against a held-out probe slice
-    val survivors = corpus.join(afterNearDup.select("doc_id"), "doc_id")
+    val survivors = keptDocs
     val probe = docs.filter(col("doc_id") % 97 === 0)
     val contaminated = Dedup.contaminatedDocs(survivors, probe, "text", "doc_id", n = 8)
     val clean = survivors.join(
@@ -74,6 +91,7 @@ class CurationSpec extends SparkTestBase {
     assert(split.exceptAll(again).count() == 0)
 
     quality.unpersist(); corpus.unpersist(); split.unpersist()
+    trimmed.unpersist()
   }
 
   test("crawl front-end: HTML extract → cross-doc line dedup strips shared chrome") {
