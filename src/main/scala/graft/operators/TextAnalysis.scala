@@ -188,6 +188,41 @@ object TextAnalysis {
         max(col("id")).as("last_doc"))
       .filter(col("df") >= minDf)
 
+  /** Per-document unigram RARITY score — the integer-exact surrogate
+    * of the CCNet/KenLM unigram-perplexity quality proxy: each token
+    * scores its corpus frequency RANK (1 = most common), a document
+    * scores the mean rank of its tokens in milli-units
+    * (`sum(rank)·1000 div n_tokens`). Rank is monotone in −log p(w),
+    * so the ordering matches the perplexity signal without a single
+    * float: high mean rank = rare vocabulary (gibberish, boilerplate
+    * IDs), low = stopword soup — both tails are what quality filters
+    * cut. Ties rank by word text; unseen words cannot occur (the
+    * vocabulary IS the corpus).
+    *
+    * Scale posture: one corpus-wide word count (partial-agg'd, one
+    * shuffle keyed by word) ranked by a vocab-sized window (same
+    * contract as vocab_coverage — the window input is the VOCAB, never
+    * the corpus; floor rare tokens upstream to bound crawl garbage),
+    * then one more corpus scan joining tokens to the BROADCAST rank
+    * table and rolling up per doc. At open-web scale broadcast the
+    * head of the vocabulary and give the tail a single default rank —
+    * rank resolution in the tail carries no filtering signal. */
+  def rarityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val ranked = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n").desc, col("word").asc)).cast("long"))
+      .select("word", "rank")
+    words.join(broadcast(ranked), "word")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("rank")).as("rank_sum"))
+      .withColumn("mean_rank_milli", expr("rank_sum * 1000 div n_tokens"))
+      .drop("rank_sum")
+  }
+
   /** Merge posting-stat deltas — outputs of [[invertedIndex]]
     * (minDf = 1) over DISJOINT document batches — into corpus-level
     * stats. An append-only document stream never repeats a

@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, TextAnalysis}
 import graft.sources.Tables
 
-/** §2.C39–C43 — corpus indexing and assembly-order operators on top
+/** §2.C39–C44 — corpus indexing and assembly-order operators on top
   * of the curation stack: span-level duplication measurement and the
   * trimming intervals it feeds, TF-IDF keyword extraction,
-  * inverted-index posting statistics, and the deterministic
-  * pre-training shuffle.
+  * inverted-index posting statistics, unigram rarity scoring, and
+  * the deterministic pre-training shuffle.
   */
 object CorpusQueries {
 
@@ -56,6 +56,15 @@ object CorpusQueries {
     // not substrings.
     "dup_span_intervals" -> { (s, d) =>
       Dedup.dupSpanIntervals(corpus(s, d), "text", "doc_id", n = 6)
+    },
+
+    // C44 — unigram rarity score: integer-exact surrogate of the
+    // unigram-perplexity quality proxy (mean corpus-frequency rank of
+    // the doc's tokens, milli-units) — rank is monotone in −log p(w),
+    // so the filtering order matches perplexity with zero floats.
+    "rarity_score" -> { (s, d) =>
+      TextAnalysis.rarityScore(
+        Tables.fanOut(Tables.documents(s, d)), "text", "doc_id")
     },
 
     // C42 — deterministic pre-training shuffle: every doc gets a
@@ -178,6 +187,22 @@ object CorpusQueries {
       |WHERE length(token) > 0
       |GROUP BY 1
       |HAVING count(DISTINCT doc_id) >= 10""".stripMargin,
+
+    "rarity_score" -> """
+      |WITH words AS (
+      |  SELECT doc_id, word
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE length(word) > 0),
+      |ranked AS (
+      |  SELECT word,
+      |         CAST(row_number() OVER (ORDER BY count(*) DESC, word) AS BIGINT) AS rank
+      |  FROM words GROUP BY word)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(rank) * 1000 // count(*) AS BIGINT) AS mean_rank_milli
+      |FROM words JOIN ranked USING (word)
+      |GROUP BY 1""".stripMargin,
 
     "train_shuffle" -> """
       |SELECT doc_id, shard,

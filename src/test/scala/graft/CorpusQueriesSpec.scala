@@ -132,6 +132,24 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("rarityScore matches the naive mean-frequency-rank computation") {
+    val all = collectDocs(docs())
+    val tokens = all.flatMap { case (id, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).map(id -> _) }
+    val rank: Map[String, Long] = tokens.map(_._2)
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (w, n) => (-n, w) }
+      .zipWithIndex.map { case ((w, _), i) => w -> (i + 1L) }.toMap
+    val expected = tokens.groupBy(_._1).map { case (id, ts) =>
+      val n = ts.size.toLong
+      val s = ts.map(t => rank(t._2)).sum
+      id -> (n, s * 1000 / n)
+    }
+    val got = TextAnalysis.rarityScore(docs(), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
   test("invertedIndex matches naive posting statistics") {
     val all = collectDocs(docs())
     val postings = all
