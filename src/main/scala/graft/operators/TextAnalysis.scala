@@ -199,26 +199,32 @@ object TextAnalysis {
     * cut. Ties rank by word text; unseen words cannot occur (the
     * vocabulary IS the corpus).
     *
-    * Scale posture: one corpus-wide word count (partial-agg'd, one
-    * shuffle keyed by word) ranked by a vocab-sized window (same
-    * contract as vocab_coverage — the window input is the VOCAB, never
-    * the corpus; floor rare tokens upstream to bound crawl garbage),
-    * then one more corpus scan joining tokens to the BROADCAST rank
-    * table and rolling up per doc. At open-web scale broadcast the
-    * head of the vocabulary and give the tail a single default rank —
-    * rank resolution in the tail carries no filtering signal. */
+    * Scale posture: BOTH branches grow from the (doc, word) tf
+    * aggregation, so AQE's exchange-stage reuse runs the
+    * scan+explode+tf subtree ONCE (asserted in PlanSpec): corpus
+    * frequency is `sum(tf)` re-aggregated by word (map-side partial,
+    * vocab-sized shuffle), ranked by a vocab-sized window (same
+    * contract as vocab_coverage — the window input is the VOCAB,
+    * never the corpus; floor rare tokens upstream to bound crawl
+    * garbage), and the doc rollup is `sum(tf·rank)` after joining the
+    * BROADCAST rank table back onto tf. At open-web scale broadcast
+    * the head of the vocabulary and give the tail a single default
+    * rank — rank resolution in the tail carries no filtering
+    * signal. */
   def rarityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = docs.select(col(idCol).as("id"),
+    val tf = docs.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
-    val ranked = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .groupBy(col("id"), col("word")).agg(count(lit(1)).as("tf"))
+    val ranked = tf.groupBy(col("word")).agg(sum(col("tf")).as("n"))
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("n").desc, col("word").asc)).cast("long"))
       .select("word", "rank")
-    words.join(broadcast(ranked), "word")
+    tf.join(broadcast(ranked), "word")
       .groupBy(col("id").as(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("rank")).as("rank_sum"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("rank")).as("rank_sum"))
       .withColumn("mean_rank_milli", expr("rank_sum * 1000 div n_tokens"))
       .drop("rank_sum")
   }

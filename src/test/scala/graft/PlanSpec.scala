@@ -160,6 +160,17 @@ class PlanSpec extends SparkTestBase {
       executed.contains("ReusedShuffle"), executed)
   }
 
+  test("rarity_score: rank table broadcasts; tf exchange reused across branches") {
+    val q = SparkEntry.queries("rarity_score")(spark, sfDir)
+    val plan = formatted(q)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    q.collect()
+    val executed = q.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") ||
+      executed.contains("ReusedShuffle"), executed)
+  }
+
   test("dup_spans: gram frequency and per-doc rollup shuffle 8-byte hashes, never text") {
     val plan = formatted(SparkEntry.queries("dup_spans")(spark, sfDir))
     val shuffles = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
