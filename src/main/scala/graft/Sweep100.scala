@@ -137,21 +137,31 @@ object Sweep100 {
       ops.map { case (k, f) => (k, (d: String) => f(docs(d))) } ++
         embOps.map { case (k, f) => (k, (d: String) => f(emb(d))) } ++
         dirOps
+    // opt-in fourth decade: "+1000x" in args adds a 5M-doc point,
+    // timed ONCE after warm-up (order-of-magnitude ratio, not median)
+    val with1000x = args.contains("+1000x")
+    if (with1000x) build(1000, "/tmp/sweep_docs1000x")
+    val opArgs = args.filterNot(_ == "+1000x")
     val selected =
-      if (args.isEmpty) all else all.filter(o => args.contains(o._1))
+      if (opArgs.isEmpty) all else all.filter(o => opArgs.contains(o._1))
     for ((name, op) <- selected) {
-      def run(dir: String): Double = {
+      def run(dir: String, passes: Int = 3): Double = {
         try op(dir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           println(s"$name $dir FAILED: ${e.getMessage}"); return -1 }
-        Seq.fill(3)(time(
-          op(dir).write.format("noop").mode("overwrite").save())).sorted.apply(1)
+        Seq.fill(passes)(time(
+          op(dir).write.format("noop").mode("overwrite").save()))
+          .sorted.apply(passes / 2)
       }
       val t1 = run(base)
       val t10 = run("/tmp/sweep_docs10x")
       val t100 = run("/tmp/sweep_docs100x")
+      val tail = if (with1000x) {
+        val t1000 = run("/tmp/sweep_docs1000x", passes = 1)
+        f" 1000x=$t1000%9.2fs r1000=${t1000 / t1}%7.2f"
+      } else ""
       println(f"SWEEP100 $name%-16s 1x=$t1%7.2fs 10x=$t10%7.2fs 100x=$t100%8.2fs " +
-        f"r10=${t10 / t1}%5.2f r100=${t100 / t1}%6.2f")
+        f"r10=${t10 / t1}%5.2f r100=${t100 / t1}%6.2f" + tail)
     }
     spark.stop()
   }
