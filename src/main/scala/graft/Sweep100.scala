@@ -46,14 +46,14 @@ object Sweep100 {
       "dup_span_intervals" -> (d => Dedup.dupSpanIntervals(d, "text", "doc_id", n = 6)),
       "tfidf_topk" -> (d => TextAnalysis.tfIdfTopK(d, "text", "doc_id", k = 5)),
       "inverted_index" -> (d => TextAnalysis.invertedIndex(d, "text", "doc_id", minDf = 10L)),
-      // maxBucket = 50 < the 100-copy multiplicity: the default (1000)
-      // admits all-pairs inside every 100-copy bucket, and the verify
-      // join's shingle-array payload on ~25M genuine pairs spilled
-      // >80 GB at 100× — the measured form of the hot-bucket cliff the
-      // star-pairing guard exists for. Guarded, pairs collapse to O(w)
-      // per bucket and the component stays connected for clusterPairs.
+      // DEFAULT maxBucket — the r8 structural test: pre-r8, 100-copy
+      // mirrors put all-pairs verification (shingle arrays per pair)
+      // through ~25M candidates and spilled >80 GB at the default cap;
+      // the exact-content collapse now runs LSH + verify over 5 000
+      // distinct contents and re-expands bare id pairs, so the default
+      // cap must survive the 100× mirror corpus.
       "minhash_lsh" -> (d => Dedup.minhashLsh(d, "text", "doc_id",
-        minBp = 8000, maxBucket = 50)),
+        minBp = 8000)),
       "simhash_pairs" -> (d => Dedup.simhashPairs(d, "text", "doc_id")),
       "exact_dedup" -> (d => Dedup.exact(d, "text", "doc_id")),
       "quality_filter" -> (d => TextAnalysis.qualityFilter(d, "text", "doc_id")),
@@ -106,7 +106,9 @@ object Sweep100 {
     // signatures are computed at INGEST, so steady-state dedup cost
     // is the probe, not the signing. Built once per dir.
     def sigsOf(dir: String): DataFrame = {
-      val path = s"$dir/sigs.parquet"
+      // derived artifact lives under /tmp keyed by layout — never
+      // inside the (possibly shared, read-only-by-convention) input dir
+      val path = s"/tmp/sweep_sigs_${dir.replaceAll("[^A-Za-z0-9]", "_")}.parquet"
       if (!new java.io.File(path).exists())
         Dedup.withMinHashSignatures(docs(dir), "text", "doc_id")
           .write.mode("overwrite").parquet(path)
@@ -129,9 +131,11 @@ object Sweep100 {
           minBp = 8000, maxBucket = 50), "doc_a", "doc_b")),
       // increment × corpus dedup against the PERSISTED signature
       // store — the O(increment) claim as a measurement: the corpus
-      // is never self-joined, only band-bucket-matched
+      // is never self-joined, only band-bucket-matched. Default cap:
+      // the exact-content collapse keeps mirror multiplicity out of
+      // the bucket join and the verify payload.
       "minhash_incr" -> (dir => Dedup.minhashLshIncremental(
-        incrementSigs, sigsOf(dir), minBp = 8000, maxBucket = 50)))
+        incrementSigs, sigsOf(dir), minBp = 8000)))
 
     val all: Seq[(String, String => DataFrame)] =
       ops.map { case (k, f) => (k, (d: String) => f(docs(d))) } ++

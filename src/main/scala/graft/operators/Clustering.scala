@@ -110,6 +110,45 @@ object Clustering {
     assigned
   }
 
+  /** Within-cluster candidate pairs for [[semDedup]], with the
+    * hot-cluster guard applied — exposed separately so the guard's
+    * pair-count bound is directly assertable (TrainingSpec).
+    *
+    * Guard: exact copies always co-cluster, so an unguarded
+    * within-cluster all-pairs join is quadratic in mirror
+    * multiplicity BY SEMANTICS — the same shape the minhash family's
+    * hot-bucket guard covers. A cluster with w members yields w²/2
+    * pairs below `maxCluster` and switches to star pairing against
+    * the cluster's min-id representative above it: O(w) pairs, and
+    * exact copies still drop (cosine 1.0 against the rep). The traded
+    * recall — a non-rep pair similar to each other but not to the rep
+    * — only exists in clusters that exceeded the cap; run exact dedup
+    * first (the CurationSpec pipeline order) and the cap never
+    * triggers on mirrors at all. */
+  private[graft] def semDedupPairs(assigned: DataFrame, idCol: String,
+                                   vecCol: String, maxCluster: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCluster = Window.partitionBy(col("cluster"))
+    val aw = assigned
+      .withColumn("__w", count(lit(1)).over(byCluster))
+      .withColumn("__rep", min(col(idCol)).over(byCluster))
+    val small = aw.filter(col("__w") <= maxCluster)
+    val smallPairs = small
+      .select(col("cluster"), col(idCol).as("__id_a"), col(vecCol).as("__va"))
+      .join(small.select(col("cluster"), col(idCol).as("__id_b"),
+        col(vecCol).as("__vb")), Seq("cluster"))
+      .filter(col("__id_a") < col("__id_b"))
+    // one row per hot cluster → the rep side is tiny (AQE broadcasts)
+    val hot = aw.filter(col("__w") > maxCluster)
+    val hotPairs = hot.filter(col(idCol) =!= col("__rep"))
+      .select(col("cluster"), col(idCol).as("__id_b"), col(vecCol).as("__vb"))
+      .join(hot.filter(col(idCol) === col("__rep"))
+        .select(col("cluster"), col(idCol).as("__id_a"), col(vecCol).as("__va")),
+        Seq("cluster"))
+    smallPairs.select("cluster", "__id_a", "__id_b", "__va", "__vb")
+      .unionByName(hotPairs.select("cluster", "__id_a", "__id_b", "__va", "__vb"))
+  }
+
   /** SemDeDup: duplicates are detected only WITHIN a k-means cluster
     * — the paper's blocking step that turns an O(n²) corpus self-join
     * into k joins of cluster-sized blocks. For each within-cluster
@@ -119,16 +158,17 @@ object Clustering {
     *
     * Scale: the pair join shuffles the corpus once, keyed by cluster;
     * with a production k (~n/160) each block is ~160 vectors, so the
-    * within-block quadratic term is a constant. Cross-cluster
-    * near-dups are out of contract — that miss rate is the trade the
-    * paper measures and accepts. */
+    * within-block quadratic term is a constant — and clusters that
+    * exceed `maxCluster` (mirrored content, degenerate centroids)
+    * fall back to star pairing (see [[semDedupPairs]]), so no cluster
+    * can detonate the pair join. Cross-cluster near-dups are out of
+    * contract — that miss rate is the trade the paper measures and
+    * accepts. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
-               k: Int, passes: Int, tau: Double): DataFrame = {
+               k: Int, passes: Int, tau: Double,
+               maxCluster: Int = 1000): DataFrame = {
     val a = kmeans(emb, idCol, vecCol, k, passes)
-    val x = a.select(col("cluster"), col(idCol).as("__id_a"), col(vecCol).as("__va"))
-    val y = a.select(col("cluster"), col(idCol).as("__id_b"), col(vecCol).as("__vb"))
-    x.join(y, Seq("cluster"))
-      .filter(col("__id_a") < col("__id_b"))
+    semDedupPairs(a, idCol, vecCol, maxCluster)
       .filter(Similarity.cosine(col("__va"), col("__vb")) >= tau)
       .select(col("__id_b").as(idCol), col("cluster"))
       .distinct()

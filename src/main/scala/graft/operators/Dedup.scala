@@ -150,38 +150,67 @@ object Dedup {
       .agg(count(lit(1)).as("w"))
       .filter(col("w") > maxBucket)
 
-  /** Banded LSH candidates + exact-on-signature-set verification from
-    * a precomputed (id, hs, sig) frame (see
-    * [[withMinHashSignatures]]).
-    *
-    * Hot-bucket guard: a (band, band_hash) bucket with w members
-    * yields w²/2 candidate pairs under the all-pairs self-join — and
-    * real crawl corpora have buckets with 10⁵ exact copies of one
-    * page, i.e. ~5×10⁹ pairs from a single bucket. Buckets wider than
-    * `maxBucket` therefore switch to star pairing: every member pairs
-    * with the bucket's min-id representative only — O(w) candidates
-    * that keep the component connected for [[clusterPairs]] (exact
-    * copies all verify at jaccard 10000 against the rep). The traded
-    * recall — a non-rep pair similar to each other but not to the rep,
-    * co-bucketed ONLY in hot buckets — is logged per run via
-    * [[hotBucketStats]]. Below the cap the output is identical to the
-    * unguarded all-pairs form.
-    *
-    * SIZE `maxBucket` BELOW the expected duplicate multiplicity: the
-    * verify join carries both shingle-hash arrays per candidate, so
-    * all-pairs inside w-wide buckets costs O(w²·|hs|) bytes of shuffle
-    * even when every pair is a genuine dup. Measured (Sweep100, 500k
-    * docs where every text exists as 100 copies): the default cap
-    * (1000) never triggers at w=100, ~25M verified pairs spill >80 GB
-    * and the job dies on disk; maxBucket=50 collapses the same corpus
-    * to O(w) star pairs per bucket. Mirror-heavy corpora should run
-    * [[hotBucketStats]] first and set the cap under the observed
-    * multiplicity. */
-  def minhashLshFromSignatures(sigs: DataFrame, bands: Int = 16,
-                               minBp: Int = 5000, numPerm: Int = 64,
-                               maxBucket: Int = 1000): DataFrame = {
-    require(numPerm % bands == 0 && numPerm > 0,
-      s"numPerm ($numPerm) must be a positive multiple of bands ($bands)")
+  /** Exact-content collapse of a (id, hs, sig) frame: content key
+    * `sk = xxhash64(hs)`, one `groupBy(sk)` whose partial (map-side)
+    * aggregation collapses identical-content copies BEFORE the
+    * shuffle — on a mirror-heavy corpus the shuffle moves one
+    * (hs, sig) payload per DISTINCT content, not per copy. Returns
+    * `(sk, id, hs, sig, w)`: the min-id representative's payload plus
+    * the group width. A 64-bit collision (~1e-9 at billions of
+    * distinct contents) merges two groups — at worst mislabeling one
+    * pair's jaccard as 10000, the same documented convention as
+    * [[exact]]. */
+  private def sigGroups(keyed: DataFrame): DataFrame =
+    keyed.groupBy(col("sk"))
+      .agg(min(struct(col("id"), col("hs"), col("sig"))).as("r"),
+        count(lit(1)).as("w"))
+      .select(col("sk"), col("r.id").as("id"), col("r.hs").as("hs"),
+        col("r.sig").as("sig"), col("w"))
+
+  /** Expand representative-level verified pairs back to member-level
+    * pairs as BARE id pairs (no signature payload ever rides on a
+    * pair):
+    *  - within a content group every member pairs at jaccard exactly
+    *    10000 (identical shingle sets); groups wider than `maxBucket`
+    *    fall back to star pairing against the min-id rep — O(w)
+    *    output that keeps the component connected for
+    *    [[clusterPairs]];
+    *  - a cross-group rep pair inherits its jaccard for every member
+    *    combination (members share their rep's shingle set exactly);
+    *    groups wider than `maxBucket` contribute their rep only.
+    * `members` = (sk, id) per doc; `meta` = (sk, rep, w) per group. */
+  private def expandGroupPairs(repPairs: DataFrame, members: DataFrame,
+                               meta: DataFrame, minBp: Int,
+                               maxBucket: Int): DataFrame = {
+    val mw = members.join(meta, "sk")
+    val small = mw.filter(col("w") <= maxBucket).select("sk", "id")
+    val withinSmall = small.as("x").join(small.as("y"),
+        col("x.sk") === col("y.sk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+    val withinHot = mw.filter(col("w") > maxBucket && col("id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("id").as("doc_b"))
+    val within = withinSmall.unionByName(withinHot)
+      .withColumn("jaccard_bp", lit(10000L))
+      .filter(lit(10000L) >= lit(minBp.toLong))
+    val exp = mw.filter(col("w") <= maxBucket || col("id") === col("rep"))
+      .select(col("rep"), col("id"))
+    // expansion can interleave id ranges across groups → normalize
+    // orientation; groups are disjoint so ea ≠ eb always.
+    val cross = repPairs
+      .join(exp.select(col("rep").as("doc_a"), col("id").as("ea")), "doc_a")
+      .join(exp.select(col("rep").as("doc_b"), col("id").as("eb")), "doc_b")
+      .select(least(col("ea"), col("eb")).as("doc_a"),
+        greatest(col("ea"), col("eb")).as("doc_b"), col("jaccard_bp"))
+    within.select("doc_a", "doc_b", "jaccard_bp").unionByName(cross)
+  }
+
+  /** Rep-level banded LSH candidates + exact-on-signature-set verify
+    * — the inner engine of [[minhashLshFromSignatures]], run AFTER
+    * exact-content collapse, so `sigs` here holds one row per
+    * distinct content and the verify join's array payload is
+    * O(distinct near-dup pairs), never O(copy pairs). */
+  private def verifiedRepPairs(sigs: DataFrame, bands: Int, minBp: Int,
+                               numPerm: Int, maxBucket: Int): DataFrame = {
     val buckets = minhashBuckets(sigs, bands, numPerm)
     // Bucket width + min-id rep in ONE window shuffle on the bucket key
     // (both functions share the window spec → a single Window operator).
@@ -212,6 +241,55 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard_bp")
   }
 
+  /** Banded LSH candidates + exact-on-signature-set verification from
+    * a precomputed (id, hs, sig) frame (see
+    * [[withMinHashSignatures]]).
+    *
+    * STRUCTURE (the mirror-proof form): exact-duplicate contents are
+    * collapsed FIRST ([[sigGroups]] — identical `hs` ⇒ identical
+    * signature ⇒ identical band hashes, so copies carry zero extra
+    * LSH information), the bucket/pair/verify machinery runs over one
+    * representative per distinct content, and member-level pairs are
+    * re-expanded as bare id pairs ([[expandGroupPairs]]). A corpus
+    * where one page exists as 10⁵ crawl mirrors therefore costs the
+    * LSH + verify stages exactly one row, and the only
+    * multiplicity-quadratic term left is the OUTPUT pair set itself
+    * (24-byte rows — and capped: see below). Measured (Sweep100, 500k
+    * docs where every text exists as 100 exact copies): the pre-r8
+    * per-copy form spilled >80 GB in the verify join at the default
+    * cap; this form runs the same corpus at the default cap with the
+    * verify join seeing 5 000 distinct contents.
+    *
+    * Hot guard, now purely a PAIR-COUNT knob: a (band, band_hash)
+    * bucket with w distinct contents still yields w²/2 rep pairs, and
+    * a content group with w copies yields w²/2 output pairs — both
+    * switch to star pairing against their min-id rep above
+    * `maxBucket` (O(w) pairs that keep components connected for
+    * [[clusterPairs]]; exact copies verify at jaccard 10000 against
+    * the rep by construction). Below the cap the output is identical
+    * to the unguarded all-pairs form; the traded recall in hot
+    * BUCKETS (a non-rep pair of distinct contents co-bucketed only
+    * there) is logged per run via [[hotBucketStats]].
+    *
+    * Input contract: `hs` non-empty per row (what
+    * [[withMinHashSignatures]] emits — it drops empty shingle sets).
+    * The collapse reads `sigs` twice (groups + membership); with a
+    * persisted signature store — the production shape — both reads
+    * are column-pruned parquet scans. */
+  def minhashLshFromSignatures(sigs: DataFrame, bands: Int = 16,
+                               minBp: Int = 5000, numPerm: Int = 64,
+                               maxBucket: Int = 1000): DataFrame = {
+    require(numPerm % bands == 0 && numPerm > 0,
+      s"numPerm ($numPerm) must be a positive multiple of bands ($bands)")
+    val keyed = sigs.select(col("id"), col("hs"), col("sig"),
+      xxhash64(col("hs")).as("sk"))
+    val groups = sigGroups(keyed)
+    val repPairs = verifiedRepPairs(
+      groups.select("id", "hs", "sig"), bands, minBp, numPerm, maxBucket)
+    expandGroupPairs(repPairs, keyed.select("sk", "id"),
+      groups.select(col("sk"), col("id").as("rep"), col("w")), minBp, maxBucket)
+  }
+
   /** Incremental near-dup detection: a NEW batch of documents (a crawl
     * increment) against a persisted corpus signature table — the shape
     * every production run after the first takes at 100 TB. Candidates
@@ -228,36 +306,82 @@ object Dedup {
   def minhashLshIncremental(newSigs: DataFrame, corpusSigs: DataFrame,
                             bands: Int = 16, minBp: Int = 5000,
                             numPerm: Int = 64, maxBucket: Int = 1000): DataFrame = {
-    val nb = minhashBuckets(newSigs, bands, numPerm)
-    val cb = minhashBuckets(corpusSigs, bands, numPerm)
+    // Same exact-content collapse as [[minhashLshFromSignatures]], per
+    // side: LSH and verify run over distinct contents only, so mirror
+    // multiplicity (in the corpus OR the increment) never rides the
+    // bucket join or carries signature arrays per pair.
+    val nKeyed = newSigs.select(col("id"), col("hs"), col("sig"),
+      xxhash64(col("hs")).as("sk"))
+    val cKeyed = corpusSigs.select(col("id"), col("hs"), col("sig"),
+      xxhash64(col("hs")).as("sk"))
+    val nGroups = sigGroups(nKeyed)
+    val cGroups = sigGroups(cKeyed)
+    val nb = minhashBuckets(nGroups.select("id", "hs", "sig"), bands, numPerm)
+    val cb = minhashBuckets(cGroups.select("id", "hs", "sig"), bands, numPerm)
     val byBucket = Window.partitionBy(col("band"), col("bh"))
     val cbGuarded = cb
       .withColumn("w", count(lit(1)).over(byBucket))
       .withColumn("rep", min(col("id")).over(byBucket))
       .filter(col("w") <= maxBucket || col("id") === col("rep"))
       .select("id", "band", "bh")
-    val crossPairs = nb.as("x").join(cbGuarded.as("y"),
+    val crossCands = nb.as("x").join(cbGuarded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.id").as("new_id"), col("y.id").as("match_id"))
-    // the increment itself is bounded → plain all-pairs banding within it
-    val newPairs = nb.as("x").join(nb.as("y"),
+    // the increment's distinct contents are bounded → plain all-pairs
+    // banding within it
+    val newCands = nb.as("x").join(nb.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("new_id"), col("y.id").as("match_id"))
-    val cands = crossPairs.unionByName(newPairs).distinct()
-    val newSets = newSigs.select(col("id").as("new_id"), col("hs").as("hs_a"))
-    val allSets = corpusSigs.select(col("id"), col("hs"))
-      .unionByName(newSigs.select(col("id"), col("hs")))
+    val cands = crossCands.unionByName(newCands).distinct()
+    val newRepSets = nGroups.select(col("id").as("new_id"), col("hs").as("hs_a"))
+    val allRepSets = cGroups.select(col("id"), col("hs"))
+      .unionByName(nGroups.select(col("id"), col("hs")))
       .select(col("id").as("match_id"), col("hs").as("hs_b"))
-    cands
-      .join(newSets, "new_id")
-      .join(allSets, "match_id")
+    val repVerified = cands
+      .join(newRepSets, "new_id")
+      .join(allRepSets, "match_id")
       .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard_bp",
         floor(lit(10000.0) * col("common") /
           (size(col("hs_a")) + size(col("hs_b")) - col("common"))).cast("long"))
       .filter(col("jaccard_bp") >= minBp)
       .select("new_id", "match_id", "jaccard_bp")
+    // Expansion back to member pairs (bare ids, guard = rep-only /
+    // star above maxBucket). Within-increment exact copies pair at
+    // jaccard 10000, oriented new_id < match_id (rep = min id).
+    val nMw = nKeyed.select(col("sk"), col("id"))
+      .join(nGroups.select(col("sk"), col("id").as("rep"), col("w")), "sk")
+    val nSmall = nMw.filter(col("w") <= maxBucket).select("sk", "id")
+    val withinNew = nSmall.as("x").join(nSmall.as("y"),
+        col("x.sk") === col("y.sk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("new_id"), col("y.id").as("match_id"))
+      .unionByName(nMw.filter(col("w") > maxBucket && col("id") =!= col("rep"))
+        .select(col("rep").as("new_id"), col("id").as("match_id")))
+      .withColumn("jaccard_bp", lit(10000L))
+      .filter(lit(10000L) >= lit(minBp.toLong))
+    val nExp = nMw.filter(col("w") <= maxBucket || col("id") === col("rep"))
+      .select(col("rep"), col("id"))
+    val cMw = cKeyed.select(col("sk"), col("id"))
+      .join(cGroups.select(col("sk"), col("id").as("rep"), col("w")), "sk")
+    val cExp = cMw.filter(col("w") <= maxBucket || col("id") === col("rep"))
+      .select(col("rep"), col("id"))
+    // match side may be a corpus rep (keep new→corpus orientation) or
+    // a new-side rep (normalize to new_id < match_id, the orientation
+    // the per-member banding would have produced); id spaces are
+    // disjoint so the flag survives the union.
+    val mExp = cExp.select(col("rep").as("match_id"), col("id").as("eb"),
+        lit(false).as("nn"))
+      .unionByName(nExp.select(col("rep").as("match_id"), col("id").as("eb"),
+        lit(true).as("nn")))
+    val cross = repVerified
+      .join(nExp.select(col("rep").as("new_id"), col("id").as("ea")), "new_id")
+      .join(mExp, "match_id")
+      .select(
+        when(col("nn"), least(col("ea"), col("eb"))).otherwise(col("ea")).as("new_id"),
+        when(col("nn"), greatest(col("ea"), col("eb"))).otherwise(col("eb")).as("match_id"),
+        col("jaccard_bp"))
+    withinNew.select("new_id", "match_id", "jaccard_bp").unionByName(cross)
   }
 
   /** Apply [[dupSpanIntervals]] output back to the corpus: drop every

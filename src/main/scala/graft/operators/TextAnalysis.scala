@@ -203,30 +203,107 @@ object TextAnalysis {
     * aggregation, so AQE's exchange-stage reuse runs the
     * scan+explode+tf subtree ONCE (asserted in PlanSpec): corpus
     * frequency is `sum(tf)` re-aggregated by word (map-side partial,
-    * vocab-sized shuffle), ranked by a vocab-sized window (same
-    * contract as vocab_coverage — the window input is the VOCAB,
-    * never the corpus; floor rare tokens upstream to bound crawl
-    * garbage), and the doc rollup is `sum(tf·rank)` after joining the
-    * BROADCAST rank table back onto tf. At open-web scale broadcast
-    * the head of the vocabulary and give the tail a single default
-    * rank — rank resolution in the tail carries no filtering
-    * signal. */
-  def rarityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    * vocab-sized shuffle), ranked by a vocab-sized window, and the
+    * doc rollup is `sum(tf·rank)` after joining the BROADCAST rank
+    * table back onto tf. At open-web scale set `minCount` > 1: only
+    * the vocabulary HEAD (corpus count >= minCount) enters the rank
+    * window and broadcasts — input bounded by tokens/minCount no
+    * matter how many hapax/garbage tokens the crawl holds — and every
+    * tail word shares the default rank head_size + 1 (rank resolution
+    * in the tail carries no filtering signal; the default keeps
+    * mean_rank monotone). */
+  def rarityScore(docs: DataFrame, textCol: String, idCol: String,
+                  minCount: Long = 1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("id"), col("word")).agg(count(lit(1)).as("tf"))
-    val ranked = tf.groupBy(col("word")).agg(sum(col("tf")).as("n"))
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(col("n").desc, col("word").asc)).cast("long"))
-      .select("word", "rank")
-    tf.join(broadcast(ranked), "word")
-      .groupBy(col("id").as(idCol))
-      .agg(sum(col("tf")).as("n_tokens"),
-        sum(col("tf") * col("rank")).as("rank_sum"))
-      .withColumn("mean_rank_milli", expr("rank_sum * 1000 div n_tokens"))
-      .drop("rank_sum")
+    val vocab = tf.groupBy(col("word")).agg(sum(col("tf")).as("n"))
+    val byFreq = Window.orderBy(col("n").desc, col("word").asc)
+    if (minCount <= 1L) {
+      val ranked = vocab
+        .withColumn("rank", row_number().over(byFreq).cast("long"))
+        .select("word", "rank")
+      tf.join(broadcast(ranked), "word")
+        .groupBy(col("id").as(idCol))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * col("rank")).as("rank_sum"))
+        .withColumn("mean_rank_milli", expr("rank_sum * 1000 div n_tokens"))
+        .drop("rank_sum")
+    } else {
+      // Open-web form: only the HEAD of the vocabulary (corpus count
+      // >= minCount) enters the rank window — the window input is
+      // bounded by corpus_tokens/minCount regardless of how many
+      // hapax/garbage tokens the crawl holds. Every tail word shares
+      // the single default rank head_size + 1: rank resolution in the
+      // tail carries no filtering signal (all tails read "rare"), and
+      // the default keeps mean_rank monotone — a doc of tail tokens
+      // still outranks any head-vocabulary doc.
+      val head = vocab.filter(col("n") >= minCount)
+        .withColumn("rank", row_number().over(byFreq).cast("long"))
+        .select("word", "rank")
+      val defaultRank = head.agg(
+        (coalesce(max(col("rank")), lit(0L)) + lit(1L)).as("default_rank"))
+      tf.join(broadcast(head), Seq("word"), "left")
+        .crossJoin(broadcast(defaultRank))
+        .withColumn("rank", coalesce(col("rank"), col("default_rank")))
+        .groupBy(col("id").as(idCol))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * col("rank")).as("rank_sum"))
+        .withColumn("mean_rank_milli", expr("rank_sum * 1000 div n_tokens"))
+        .drop("rank_sum")
+    }
+  }
+
+  /** Tokenizer-vocabulary coverage: the smallest frequency-ranked word
+    * vocabulary whose cumulative share of token occurrences reaches
+    * `covNum/covDen` (the crossing word included) — the keep test is
+    * pure integer arithmetic:
+    * coverage-before-this-word < covNum/covDen ⇔
+    * (cum − n)·covDen < total·covNum.
+    *
+    * Scale posture: the corpus-sized work is the word count (partial
+    * agg, one shuffle keyed by word) and the corpus is scanned ONCE.
+    * At `minCount` = 1 the grand total is a second frame over the same
+    * rank window (no separate aggregation branch); with a floor, only
+    * the head (count >= minCount) enters the rank window — input
+    * bounded by corpus_tokens/minCount — while the grand total still
+    * counts EVERY occurrence (coverage is of the corpus, not the
+    * head) via a broadcast single-row re-aggregation of the same
+    * word-count frame (AQE reuses the count exchange across the
+    * branches). If the floored head cannot reach the target share,
+    * the whole head is returned — the signal a caller needs to lower
+    * the floor. */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    covNum: Long, covDen: Long,
+                    minCount: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(covNum >= 0 && covDen > 0 && covNum <= covDen,
+      s"coverage target $covNum/$covDen must be a fraction in [0, 1]")
+    val counts = docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val byFreq = Window.orderBy(col("n").desc, col("word").asc)
+    if (minCount <= 1L) {
+      counts
+        .withColumn("rank", row_number().over(byFreq).cast("long"))
+        .withColumn("cum", sum(col("n"))
+          .over(byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("n"))
+          .over(byFreq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter((col("cum") - col("n")) * lit(covDen) < col("total") * lit(covNum))
+        .select(col("word"), col("n"), col("rank"))
+    } else {
+      val total = counts.agg(sum(col("n")).as("total"))
+      counts.filter(col("n") >= minCount)
+        .withColumn("rank", row_number().over(byFreq).cast("long"))
+        .withColumn("cum", sum(col("n"))
+          .over(byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(total))
+        .filter((col("cum") - col("n")) * lit(covDen) < col("total") * lit(covNum))
+        .select(col("word"), col("n"), col("rank"))
+    }
   }
 
   /** Merge posting-stat deltas — outputs of [[invertedIndex]]

@@ -22,7 +22,7 @@ object PipelineQueries {
       .select(col("doc_id"), col("text"))
     val pert = base.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
-        expr("substring(text, 1, char_length(text) - 7)").as("text"))
+        expr("substring(text, 1, greatest(char_length(text) - 7, 0))").as("text"))
     base.unionByName(pert)
   }
 
@@ -30,7 +30,7 @@ object PipelineQueries {
     """corpus AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id < 200
       |  UNION ALL
-      |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 7)
+      |  SELECT doc_id + 1000000, substr(text, 1, greatest(length(text) - 7, 0))
       |  FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0
       |)""".stripMargin
   private val CorpusCte = "WITH " + CorpusBody
@@ -178,7 +178,7 @@ object PipelineQueries {
         .select(col("doc_id"), col("text"))
       val incr = base.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
-          expr("substring(text, 1, char_length(text) - 7)").as("text"))
+          expr("substring(text, 1, greatest(char_length(text) - 7, 0))").as("text"))
       Dedup.minhashLshIncremental(
         Dedup.withMinHashSignatures(incr, "text", "doc_id"),
         Dedup.withMinHashSignatures(base, "text", "doc_id"),

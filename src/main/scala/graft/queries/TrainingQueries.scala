@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.Clustering
+import graft.operators.{Clustering, TextAnalysis}
 import graft.sources.Tables
 
 /** C32–C38 — training-set assembly on top of the curation stack:
@@ -59,31 +59,14 @@ object TrainingQueries {
 
     // C33 — tokenizer-vocab construction: the smallest
     // frequency-ranked word vocabulary whose cumulative share of
-    // token occurrences reaches 95% (the crossing word is included).
-    // The keep test is pure integer arithmetic:
-    // coverage-before-this-word < 95%  ⇔  (cum − n)·20 < total·19.
-    // SCALE FORM: the corpus-sized work is the word count (partial
-    // agg, one shuffle keyed by word) and the corpus is scanned ONCE
-    // — the grand total is a second frame over the same rank window,
-    // not a separate aggregation branch (which would re-run the
-    // whole word count). The window runs over the VOCAB, which is
-    // corpus-independent in the tail (add a min-count floor upstream
-    // to bound crawl-garbage tokens — the window input is never
-    // corpus-sized).
+    // token occurrences reaches 95% (the crossing word is included);
+    // TextAnalysis.vocabCoverage, integer-exact keep test. At
+    // open-web scale pass minCount > 1: only the head of the vocab
+    // enters the rank window (input bounded by tokens/minCount) while
+    // the total still counts every occurrence.
     "vocab_coverage" -> { (s, d) =>
-      val counts = Tables.fanOut(Tables.documents(s, d))
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-        .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      val byFreq = Window.orderBy(col("n").desc, col("word").asc)
-      counts
-        .withColumn("rank", row_number().over(byFreq).cast("long"))
-        .withColumn("cum", sum(col("n"))
-          .over(byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("total", sum(col("n"))
-          .over(byFreq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .filter((col("cum") - col("n")) * lit(CovDen) < col("total") * lit(CovNum))
-        .select(col("word"), col("n"), col("rank"))
+      TextAnalysis.vocabCoverage(Tables.fanOut(Tables.documents(s, d)),
+        "text", CovNum, CovDen)
     },
 
     // C34 — Lloyd's k-means over the embedding table (k=8, two

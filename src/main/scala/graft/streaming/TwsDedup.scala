@@ -57,17 +57,24 @@ object TwsDedup {
 
     override def handleInputRows(key: (Int, Long), rows: Iterator[BucketDoc],
                                  tv: TimerValues): Iterator[CandPair] = {
-      var mem = if (members.exists()) members.get().toList else Nil
+      // buffer + set twin of the stored list: O(1) membership probe and
+      // append, so a full bucket stays O(cap) per arrival even if the
+      // cap is raised (the list-scan form was an accidental O(n·cap))
+      val mem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      if (members.exists()) mem ++= members.get()
+      val seen = scala.collection.mutable.HashSet.from(mem)
       val out = scala.collection.mutable.ListBuffer.empty[CandPair]
       rows.map(_.id).toArray.sorted.foreach { id =>
-        if (!mem.contains(id)) { // at-least-once transport: redeliveries no-op
-          val peers = if (mem.size >= maxBucket) mem.take(1) else mem
+        if (!seen.contains(id)) { // at-least-once transport: redeliveries no-op
+          val peers: Iterable[Long] =
+            if (mem.size >= maxBucket) mem.headOption else mem
           peers.foreach { m =>
             out += CandPair(math.min(id, m), math.max(id, m))
           }
           if (mem.size < maxBucket) {
             members.appendValue(id)
-            mem = mem :+ id
+            mem += id
+            seen += id
           }
         }
       }

@@ -150,6 +150,56 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("rarityScore minCount floor: head ranked, tail shares the default rank") {
+    val all = collectDocs(docs())
+    val tokens = all.flatMap { case (id, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).map(id -> _) }
+    val counts = tokens.map(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // split the vocabulary mid-range so both head and tail are nonempty
+    val minCount = (counts.values.min + counts.values.max + 1) / 2
+    val head = counts.toSeq.filter(_._2 >= minCount)
+      .sortBy { case (w, n) => (-n, w) }
+      .zipWithIndex.map { case ((w, _), i) => w -> (i + 1L) }.toMap
+    val default = head.size + 1L
+    assert(head.nonEmpty && head.size < counts.size,
+      "corpus must have both head and tail words for this test to bite")
+    val expected = tokens.groupBy(_._1).map { case (id, ts) =>
+      val n = ts.size.toLong
+      val s = ts.map(t => head.getOrElse(t._2, default)).sum
+      id -> (n, s * 1000 / n)
+    }
+    val got = TextAnalysis.rarityScore(docs(), "text", "doc_id", minCount = minCount)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
+  test("vocabCoverage minCount floor: rank window sees only the head, total the corpus") {
+    val all = collectDocs(docs())
+    val counts = all.flatMap(_._2.split(" ", -1).filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum
+    def expectAt(minCount: Long): Set[(String, Long, Long)] = {
+      val ranked = counts.toSeq.filter(_._2 >= minCount)
+        .sortBy { case (w, n) => (-n, w) }
+        .zipWithIndex.map { case ((w, n), i) => (w, n, i + 1L) }
+      var cum = 0L
+      ranked.takeWhile { case (_, n, _) =>
+        val before = cum; cum += n; before * 20L < total * 19L
+      }.toSet
+    }
+    // floored: the 95% target is measured against the FULL corpus
+    // total, so the floored output is a prefix decided by true shares
+    val mc = (counts.values.min + counts.values.max + 1) / 2
+    val gotFloor = TextAnalysis.vocabCoverage(docs(), "text", 19L, 20L, minCount = mc)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotFloor == expectAt(mc))
+    // default equals the unfloored window form already pinned by the
+    // vocab_coverage oracle; cross-check against the naive model too
+    val gotDefault = TextAnalysis.vocabCoverage(docs(), "text", 19L, 20L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotDefault == expectAt(1L))
+  }
+
   test("invertedIndex matches naive posting statistics") {
     val all = collectDocs(docs())
     val postings = all

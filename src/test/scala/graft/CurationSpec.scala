@@ -61,8 +61,12 @@ class CurationSpec extends SparkTestBase {
       assert(r.getLong(1) == spanTotals.getOrElse(r.getLong(0), 0L))
     }
 
-    // 4. decontamination against a held-out probe slice
-    val survivors = keptDocs
+    // 4. decontamination against a held-out probe slice — run on the
+    // TRIMMED corpus: span trimming is a pipeline STAGE (what ships
+    // downstream is the trimmed text), not a side measurement. A
+    // probe doc that survived to here keeps every 8-gram outside its
+    // duplicated spans, so the probe overlap still flags it.
+    val survivors = trimmed.select(col("doc_id"), col("text"))
     val probe = docs.filter(col("doc_id") % 97 === 0)
     val contaminated = Dedup.contaminatedDocs(survivors, probe, "text", "doc_id", n = 8)
     val clean = survivors.join(

@@ -13,7 +13,7 @@ class DedupSpec extends SparkTestBase {
       .filter(col("doc_id") < 100).select("doc_id", "text")
     val pert = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000L).as("doc_id"),
-        expr("substring(text, 1, char_length(text) - 7)").as("text"))
+        expr("substring(text, 1, greatest(char_length(text) - 7, 0))").as("text"))
     docs.unionByName(pert)
   }
 

@@ -130,6 +130,37 @@ class TrainingSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("semDedup hot-cluster guard: mirrored vectors pair O(w), not w²/2") {
+    import spark.implicits._
+    // crawl-mirror shape: one embedding duplicated 2000× — exact copies
+    // ALWAYS co-cluster, so unguarded within-cluster pairing would be
+    // ~2×10⁶ pairs; the guard stars them against the min-id rep
+    val base = Seq.fill(8)(0.5f)
+    val emb = ((0L until 2000L).map(i => (i, base)) ++
+        Seq((5000L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+          (5001L, Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val assigned = Clustering.kmeans(emb, "vec_id", "embedding", k = 1, passes = 1)
+    val nPairs = Clustering.semDedupPairs(assigned, "vec_id", "embedding",
+      maxCluster = 100).count()
+    assert(nPairs == 2001L, s"star pairing should give w-1 pairs, got $nPairs")
+    val dropped = Clustering.semDedup(emb, "vec_id", "embedding",
+        k = 1, passes = 1, tau = 0.99, maxCluster = 100)
+      .collect().map(_.getLong(0)).toSet
+    // every non-rep copy drops (cosine 1.0 against the rep); the two
+    // distinct vectors survive (cosine ≈ 0.35)
+    assert(dropped == (1L until 2000L).toSet)
+    // below the cap the guard is a no-op: same corpus, cap above the
+    // cluster width (2002) vs uncapped — identical drop set, nonempty
+    val withCap = Clustering.semDedup(emb, "vec_id", "embedding",
+        k = 1, passes = 1, tau = 0.99, maxCluster = 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val noCap = Clustering.semDedup(emb, "vec_id", "embedding",
+        k = 1, passes = 1, tau = 0.99, maxCluster = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withCap == noCap && withCap.nonEmpty)
+  }
+
   test("seq_pack matches naive shard-local packing, no chunk starts past its boundary") {
     val got = SparkEntry.queries("seq_pack")(spark, sfDir).collect()
       .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
