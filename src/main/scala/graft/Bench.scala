@@ -36,12 +36,35 @@ object Bench {
     // one outlier in either direction, and the emitted per-query
     // [min, median, max] spread makes a loaded run self-diagnosing
     // (wide spread ⇒ distrust the total).
+    //
+    // Self-defense against host load (the r7 artifact recorded one
+    // query at [1.58, 41.68, 51.27] — min equal to steady state,
+    // median 26× it): a triple whose max/min spread exceeds
+    // MaxSpread AND whose absolute swing is past the noise floor is
+    // REJECTED and re-measured, up to MaxRetries; the best-spread
+    // attempt wins, so a persistently loaded host degrades to
+    // today's behavior (wide spread in the artifact) instead of
+    // silently publishing a contaminated median.
+    val MaxSpread = 5.0
+    val NoiseFloorSec = 1.0
+    val MaxRetries = 2
+    def contaminated(runs: Seq[Double]): Boolean =
+      runs.head > 0 && runs.last - runs.head > NoiseFloorSec &&
+        runs.last / runs.head > MaxSpread
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = try {
+      def once(): Seq[Double] = try {
         Seq.fill(3)(
           time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())).sorted
       } catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
-      name -> runs
+      var best = once()
+      var retries = 0
+      while (contaminated(best) && retries < MaxRetries) {
+        val again = once()
+        if (again.head >= 0 && again.last / again.head < best.last / best.head)
+          best = again
+        retries += 1
+      }
+      name -> best
     }
     val qs = results.map { case (k, r) => s""""$k":${r(1)}""" }.mkString("{", ",", "}")
     val spread = results.map { case (k, r) =>

@@ -580,6 +580,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Cross-SOURCE duplication profile: word-`n`-gram Jaccard between
+    * every pair of sources — the corpus-composition diagnostic run
+    * before mixing crawls (is C4 already inside this CommonCrawl
+    * snapshot? how much of source A is boilerplate shared with B?).
+    * Output `(src_a, src_b, common, n_a, n_b, jaccard_bp)` over
+    * DISTINCT per-source gram sets, src_a < src_b.
+    *
+    * Scale posture: grams travel as 8-byte `fingerprint64` hashes
+    * keyed by (source, hash) — the corpus shuffles constant bytes per
+    * gram, and the self-join fan-out per gram is bounded by the
+    * SOURCE count (tens, not corpus-sized), so the pair aggregation
+    * is source-pair-sized. The oracle-side convention is the dedup
+    * family's: DuckDB groups gram STRINGS where the engine groups
+    * 64-bit fingerprints (collision ~1e-9). */
+  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
+                    n: Int = 3): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val sg = gramHashes(docs, textCol, srcCol, n).distinct()
+    val sizes = sg.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    sg.as("x").join(sg.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("src_a"), col("y.id").as("src_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("id").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("id").as("src_b"), col("n").as("n_b")), "src_b")
+      .withColumn("jaccard_bp", expr("common * 10000 div (n_a + n_b - common)"))
+      .select("src_a", "src_b", "common", "n_a", "n_b", "jaccard_bp")
+  }
+
   /** Per-document duplicated-span measurement (the span-level twin of
     * pairwise near-dup detection, after Lee et al. 2022 "Deduplicating
     * Training Data Makes Language Models Better"): for every doc, how

@@ -1,27 +1,60 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Skew mitigation for shuffle joins on hot keys.
+/** Skew diagnostics and mitigation — the operational pair every
+  * 100 TB join plan needs: MEASURE the key distribution first
+  * ([[keySkew]]), then, where one key's weight would pin a shuffle
+  * partition to a single straggler task, join through a salt
+  * ([[saltedJoin]]) so the hot key spreads over `nSalts` tasks.
   *
   * AQE's skew-join split (on by default in GraftSession) handles most
   * skew at runtime by splitting oversized partitions. [[saltedJoin]]
   * is the explicit pre-AQE form for engines/paths AQE can't touch
   * (e.g. a skewed aggregation feeding a window, or a build side too
-  * large to split): the skewed side spreads each key over `nSalts`
-  * sub-keys, the other side replicates each row `nSalts` times, and
-  * the join runs on (key, salt) — a hot key's rows land on `nSalts`
-  * reducers instead of one.
-  *
-  * Cost: the replicated side's shuffle volume × nSalts — use for a
-  * small-ish replicated side and genuinely hot keys, else AQE alone
-  * is cheaper.
+  * large to split), and its cost model is visible: the replicated
+  * side's shuffle volume × nSalts — use for a small-ish replicated
+  * side and genuinely hot keys, else AQE alone is cheaper (and at dim
+  * sizes where nSalts× replication hurts, the dim belonged in a
+  * broadcast join instead).
   */
 object Skew {
 
+  /** Per-key occupancy profile of `df` keyed by `keyCol`: the top
+    * `topN` keys by row count with their corpus share in basis
+    * points, their multiple of the mean key weight in milli-units
+    * (`skew_x1000` = 1000 ⇒ exactly average; a key at 50 000 means a
+    * 50× straggler if it lands on one task), and the dense rank.
+    * The pre-join planning read: feed keys with `skew_x1000` over
+    * ~10–50× into [[saltedJoin]] or AQE skew handling.
+    *
+    * Scale posture: ONE map-side-combined aggregation shuffle keyed
+    * by the key (counters only); the totals ride a broadcast
+    * single-row re-aggregation of the same count frame (AQE reuses
+    * the exchange), and the top-N window input is the KEY frame, with
+    * `rank <= topN` pushed down as WindowGroupLimit — per-partition
+    * top-N then one bounded merge, never a full sort. */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN ($topN) must be >= 1")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("share_bp", expr("n * 10000 div total"))
+      .withColumn("skew_x1000", expr("n * 1000 * n_keys div total"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n").desc, col(keyCol).asc)).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col(keyCol), col("n"), col("share_bp"), col("skew_x1000"),
+        col("rank"))
+  }
+
   /** Inner equi-join `skewed ⋈ other` on `key`, salted `nSalts` ways.
-    * Result rows are identical to a plain inner join. */
+    * Result rows are identical to a plain inner join: each skewed-side
+    * row carries exactly one salt and the other side replicates across
+    * all salts, so every matching pair meets exactly once. */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
                  nSalts: Int): DataFrame = {
     // Deterministic spread: salt from a hash of the whole row (keyed

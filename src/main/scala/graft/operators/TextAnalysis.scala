@@ -369,6 +369,56 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** Top-`k` documents for a query term set by an integer-exact BM25
+    * surrogate — the retrieval-side rank the inverted index feeds.
+    * Per matched (doc, term):
+    * `tfc_micro = tf·2 200 000 div (tf·1000 + 300 + 900·dl_milli div 1000)`
+    * — exactly BM25's saturating tf component
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) at the standard k1 = 1.2,
+    * b = 0.75, scaled to micro-units with every division integral —
+    * and `idf_micro = (N − df + 1)·10⁶ div (df + 1)`, the rational
+    * (log-free: libm differs across engines) Robertson idf surrogate,
+    * monotone in the true idf so per-term orderings agree. Doc score
+    * = Σ tfc·idf div 10⁶; ties break by doc id. Headroom: idf ≤ 10⁶·N
+    * and tfc ≤ 2.2·10⁶, so the product stays under 2⁶³ to ~4×10⁹
+    * docs.
+    *
+    * Scale posture: the query-term filter lands INSIDE the token
+    * explode (only matching tokens survive the scan), so the tf
+    * aggregation shuffles query-matched (doc, term) counters only;
+    * df re-aggregates the tf frame (broadcast back — bounded by the
+    * query vocabulary); doc length and the corpus totals ride the
+    * full token count — one map-side-combined shuffle of per-doc
+    * counters plus a broadcast single-row frame. The final top-k
+    * window is global but its input is the MATCHED-doc score frame,
+    * with rank <= k pushed as WindowGroupLimit. */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               terms: Seq[String], k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty && k >= 1, "need at least one query term and k >= 1")
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+    val tf = toks.filter(col("term").isin(terms.distinct: _*))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(totals))
+      .withColumn("dl_milli", expr("dl * 1000000 div (n_tokens * 1000 div n_docs)"))
+      .withColumn("tfc_micro",
+        expr("tf * 2200000 div (tf * 1000 + 300 + (900 * dl_milli) div 1000)"))
+      .withColumn("idf_micro", expr("(n_docs - df + 1) * 1000000 div (df + 1)"))
+      .groupBy(col("id").as(idCol))
+      .agg(sum(expr("tfc_micro * idf_micro div 1000000")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col(idCol).asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Whitespace normalization: collapse runs, trim. */
   def normalizeWhitespace(text: Column): Column =
     trim(regexp_replace(text, " +", " "))

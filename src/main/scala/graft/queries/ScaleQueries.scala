@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Skew, TextAnalysis}
+import graft.sources.Tables
+
+/** §2.C45–C48 — retrieval ranking and the skew-diagnostic/mitigation
+  * pair: integer-exact BM25 top-k, per-key occupancy profiling, the
+  * salted equi-join (output-identical to the plain join — and the
+  * oracle IS the plain join), and the cross-source n-gram overlap
+  * profile.
+  */
+object ScaleQueries {
+
+  /** BM25 query-term set: fixed representative terms; the operator
+    * takes any. */
+  private val QueryTerms = Seq("join", "vector", "hash", "spark")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C45 — top-10 documents for a 4-term query by the integer-exact
+    // BM25 surrogate (k1 = 1.2, b = 0.75 scaled to micro-units,
+    // rational idf). The retrieval consumer of the inverted index.
+    "bm25_topk" -> { (s, d) =>
+      TextAnalysis.bm25TopK(Tables.fanOut(Tables.documents(s, d)),
+        "text", "doc_id", QueryTerms, k = 10)
+    },
+
+    // C46 — key-occupancy profile of orders by customer: top-20 keys
+    // with corpus share (bp) and multiple-of-mean weight (milli) —
+    // the measurement that decides salting/broadcast before a big
+    // join.
+    "key_skew_profile" -> { (s, d) =>
+      Skew.keySkew(Tables.orders(s, d), "o_custkey", topN = 20)
+    },
+
+    // C47 — salted equi-join of orders with customer (8 salts, salt
+    // from a whole-row hash): result-identical to the plain join,
+    // shuffle keyed (custkey, salt). The oracle is the PLAIN join —
+    // equality is the operator's contract.
+    "salted_join" -> { (s, d) =>
+      Skew.saltedJoin(Tables.orders(s, d),
+          Tables.customer(s, d).withColumnRenamed("c_custkey", "o_custkey"),
+          "o_custkey", nSalts = 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("c_nationkey"))
+    },
+
+    // C48 — cross-source word-3-gram Jaccard overlap: which corpus
+    // sources duplicate each other, before mixing them.
+    "source_overlap" -> { (s, d) =>
+      Dedup.sourceOverlap(Tables.fanOut(Tables.documents(s, d)),
+        "text", "source", n = 3)
+    })
+
+  private val TermList = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  val oracles: Map[String, String] = Map(
+
+    "bm25_topk" -> s"""WITH toks AS (
+      |  SELECT doc_id, t AS term FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  WHERE length(t) > 0),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |totals AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                  CAST(sum(dl) AS BIGINT) AS n_tokens FROM dl),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+      |       WHERE term IN $TermList GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |         CAST(sum((tf * 2200000 //
+      |                   (tf * 1000 + 300 +
+      |                    (900 * (dl * 1000000 //
+      |                            (n_tokens * 1000 // n_docs))) // 1000))
+      |                  * ((n_docs - df + 1) * 1000000 // (df + 1))
+      |                  // 1000000) AS BIGINT) AS score,
+      |         CAST(count(*) AS BIGINT) AS n_terms
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN totals
+      |  GROUP BY 1)
+      |SELECT doc_id, score, n_terms,
+      |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |FROM scored QUALIFY rank <= 10""".stripMargin,
+
+    "key_skew_profile" -> """WITH counts AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+      |             CAST(count(*) AS BIGINT) AS n_keys FROM counts)
+      |SELECT o_custkey, n,
+      |       n * 10000 // total AS share_bp,
+      |       n * 1000 * n_keys // total AS skew_x1000,
+      |       CAST(row_number() OVER (ORDER BY n DESC, o_custkey) AS BIGINT) AS rank
+      |FROM counts CROSS JOIN t QUALIFY rank <= 20""".stripMargin,
+
+    "salted_join" -> """SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_nationkey
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+
+    "source_overlap" -> """WITH sg AS (
+      |  SELECT DISTINCT source, g FROM (
+      |    SELECT source,
+      |           unnest(list_transform(range(0, greatest(len(w) - 2, 0)),
+      |             i -> array_to_string(list_slice(w, CAST(i + 1 AS INT),
+      |                                             CAST(i + 3 AS INT)), ' '))) AS g
+      |    FROM (SELECT source, string_split(text, ' ') AS w FROM documents))),
+      |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.source AS src_a, y.source AS src_b,
+      |         CAST(count(*) AS BIGINT) AS common
+      |  FROM sg x JOIN sg y ON x.g = y.g AND x.source < y.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, common, a.n AS n_a, b.n AS n_b,
+      |       common * 10000 // (a.n + b.n - common) AS jaccard_bp
+      |FROM pairs
+      |JOIN sizes a ON pairs.src_a = a.source
+      |JOIN sizes b ON pairs.src_b = b.source""".stripMargin)
+}

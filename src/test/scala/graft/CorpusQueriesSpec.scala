@@ -200,6 +200,58 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(gotDefault == expectAt(1L))
   }
 
+  test("bm25TopK matches the naive integer BM25 computation") {
+    val all = collectDocs(docs())
+    val terms = Seq("join", "vector", "hash", "spark")
+    val toks = all.map { case (id, t) => id -> t.split(" ", -1).filter(_.nonEmpty) }
+    val dl = toks.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val nDocs = dl.size.toLong
+    val avg = dl.values.sum * 1000 / nDocs
+    val tf = toks.flatMap { case (id, ts) =>
+      ts.filter(terms.contains).map(t => (id, t)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = tf.keys.toSeq.map(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val scored = tf.groupBy(_._1._1).map { case (id, m) =>
+      val s = m.map { case ((_, term), f) =>
+        val dlMilli = dl(id) * 1000000 / avg
+        val tfc = f * 2200000 / (f * 1000 + 300 + (900 * dlMilli) / 1000)
+        val idf = (nDocs - df(term) + 1) * 1000000 / (df(term) + 1)
+        tfc * idf / 1000000
+      }.sum
+      (id, s, m.size.toLong)
+    }
+    val expect = scored.toSeq.sortBy { case (id, s, _) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s, n), i) => (id, s, n, i + 1L) }.toSet
+    val got = TextAnalysis.bm25TopK(docs(), "text", "doc_id", terms, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("sourceOverlap matches naive per-source gram Jaccard") {
+    val rows = Tables.documents(spark, sfDir).select("source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val grams: Map[String, Set[String]] = rows.groupBy(_._1).view.mapValues(_
+      .flatMap { case (_, t) =>
+        val w = t.split(" ", -1)
+        if (w.length < 3) Seq.empty[String]
+        else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" "))
+      }.toSet).toMap
+    val srcs = grams.keys.toSeq.sorted
+    val expect = (for {
+      a <- srcs; b <- srcs if a < b
+      common = (grams(a) & grams(b)).size.toLong if common > 0
+    } yield {
+      val (na, nb) = (grams(a).size.toLong, grams(b).size.toLong)
+      (a, b, common, na, nb, common * 10000 / (na + nb - common))
+    }).toSet
+    val got = Dedup.sourceOverlap(Tables.documents(spark, sfDir), "text", "source", n = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("invertedIndex matches naive posting statistics") {
     val all = collectDocs(docs())
     val postings = all

@@ -94,6 +94,23 @@ class OperatorSpec extends SparkTestBase {
     assert(plan.contains("__salt"), plan)
   }
 
+  test("keySkew ranks hot keys with share and multiple-of-mean") {
+    import spark.implicits._
+    // 500 rows on one key, 100 on another, 50 singletons: 52 keys,
+    // 650 rows, mean weight 650/52 = 12.5
+    val rows = ((1 to 500).map(_ => 1000L) ++ (1 to 100).map(_ => 2000L) ++
+      (1L to 50L)).map(k => (k, "x")).toDF("k", "v")
+    val got = graft.operators.Skew.keySkew(rows, "k", topN = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val expect = Set(
+      (1000L, 500L, 500L * 10000 / 650, 500L * 1000 * 52 / 650, 1L),
+      (2000L, 100L, 100L * 10000 / 650, 100L * 1000 * 52 / 650, 2L),
+      (1L, 1L, 1L * 10000 / 650, 1L * 1000 * 52 / 650, 3L))
+    assert(got == expect, got.toString)
+  }
+
   test("enrichment join drops the enrichment's key copy from output") {
     import spark.implicits._
     val stream = Seq((1L, "o1"), (2L, "o2")).toDF("k", "payload")
