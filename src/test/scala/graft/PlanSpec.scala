@@ -187,6 +187,32 @@ class PlanSpec extends SparkTestBase {
       "scan should read only doc_id")
   }
 
+  test("bm25_topk: df broadcasts back; global top-k is take-ordered, not a full sort") {
+    val q = SparkEntry.queries("bm25_topk")(spark, sfDir)
+    val plan = formatted(q)
+    // df and the corpus totals join back as broadcasts — the tf side
+    // is never reshuffled by term
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // rank <= k rewrites to per-partition top-k: either the window
+    // group limit or (better) the LimitPushDownThroughWindow form,
+    // TakeOrderedAndProject — never a global rangepartitioned sort
+    assert(plan.contains("WindowGroupLimit") ||
+      plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
+  test("key_skew_profile: top-N take-ordered; count exchange feeds both branches") {
+    val q = SparkEntry.queries("key_skew_profile")(spark, sfDir)
+    val plan = formatted(q)
+    assert(plan.contains("WindowGroupLimit") ||
+      plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+    q.collect()
+    val executed = q.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") ||
+      executed.contains("ReusedShuffle"), executed)
+  }
+
   test("fanOut gates on scan parallelism: no-op on pre-split input") {
     val docs = sources.Tables.documents(spark, sfDir)
     val par = spark.sparkContext.defaultParallelism
