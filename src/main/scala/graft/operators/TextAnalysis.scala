@@ -348,9 +348,16 @@ object TextAnalysis {
     * single-row frame (no driver collect; parquet count is
     * metadata-cheap). The rank window partitions by DOC and Spark
     * pushes `rank <= k` down as WindowGroupLimit, so the per-doc sort
-    * is top-k, embarrassingly parallel at any corpus size. */
+    * is top-k, embarrassingly parallel at any corpus size.
+    *
+    * `broadcastDf = false` for open-web vocabularies: a df frame with
+    * billions of distinct terms exceeds any broadcast budget, so the
+    * join runs shuffled on the term key instead — AQE's skew-join
+    * split absorbs the Zipf head there (a JOIN has skew mitigation;
+    * the rejected term-partitioned WINDOW does not, which is why df
+    * is a join in the first place). */
   def tfIdfTopK(docs: DataFrame, textCol: String, idCol: String,
-                k: Int = 5): DataFrame = {
+                k: Int = 5, broadcastDf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("term"))
@@ -360,7 +367,7 @@ object TextAnalysis {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(broadcast(df), "term")
+    tf.join(if (broadcastDf) broadcast(df) else df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", expr("tf * 1000000 * n_docs div df"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -443,6 +450,51 @@ object TextAnalysis {
     * scoring, link-density pruning) would slot in at the same column
     * position. `(?s)` lets `.` span newlines inside script/style
     * blocks. */
+  /** Visible text of one HTML fragment: tags → spaces, the six core
+    * entities decoded (amp last), whitespace collapsed, trimmed. The
+    * per-line worker for [[extractMainContent]]. */
+  private def visibleText(l: Column): Column = {
+    val noTags = regexp_replace(l, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
+    trim(regexp_replace(decoded, "[ \t]+", " "))
+  }
+
+  /** Main-content extraction by LINK DENSITY — the readability/
+    * boilerpipe heuristic in the engine-portable regex subset, the
+    * production front-end between raw crawl HTML and every text
+    * operator downstream. The page is segmented into lines at
+    * block-level tag boundaries (script/style dropped whole, as
+    * [[stripHtml]]); each line keeps a line iff its anchor-text share
+    * of the visible text is at most `maxLinkBp` basis points — a nav
+    * bar or footer menu is ~100% anchor text and drops, a paragraph
+    * with an inline link keeps. Returns the kept lines' visible text
+    * joined with newlines (empty lines never count).
+    *
+    * Contract bounds (documented, spec-pinned): tag/entity handling
+    * is the same regex subset as [[stripHtml]]; density is measured
+    * in characters after entity decode; a DOM-aware extractor with
+    * text-block fusion is the richer upstream — this is the
+    * scan-speed, zero-dependency form, and it is one codegen'd
+    * projection per document (no shuffle, no UDF). */
+  def extractMainContent(html: Column, maxLinkBp: Int = 6600): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val blockBreaks = regexp_replace(noBlocks,
+      "(?i)</(p|div|h[1-6]|li|tr|ul|ol|table)>|<br[^>]*>", "\n")
+    val assessed = transform(split(blockBreaks, "\n"), l =>
+      struct(visibleText(l).as("v"),
+        visibleText(array_join(
+          regexp_extract_all(l, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " "))
+          .as("a")))
+    val kept = filter(assessed, s =>
+      length(s.getField("v")) > 0 &&
+        length(s.getField("a")) * lit(10000) <=
+          length(s.getField("v")) * lit(maxLinkBp))
+    array_join(transform(kept, _.getField("v")), "\n")
+  }
+
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(html,
       "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")

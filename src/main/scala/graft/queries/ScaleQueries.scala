@@ -53,7 +53,39 @@ object ScaleQueries {
     "source_overlap" -> { (s, d) =>
       Dedup.sourceOverlap(Tables.fanOut(Tables.documents(s, d)),
         "text", "source", n = 3)
+    },
+
+    // C49 — link-density main-content extraction (readability/
+    // boilerpipe heuristic): synthetic crawl pages wrap each doc in a
+    // nav bar, an inline link, and (every 3rd doc) a footer menu —
+    // the all-anchor lines must drop, the paragraph must survive.
+    "text_main_content" -> { (s, d) =>
+      val raw = Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("<html><body><div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div><p>"),
+        col("text"),
+        lit(" see <a href=\"/more\">more details here</a></p>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<ul><li><a href=\"/t\">Terms</a></li>" +
+            "<li><a href=\"/p\">Privacy</a></li></ul>"))
+          .otherwise(lit("")),
+        lit("</body></html>")).as("html"))
+      raw.select(col("doc_id"),
+        TextAnalysis.extractMainContent(col("html")).as("text_main"),
+        length(col("html")).as("n_raw"))
     })
+
+  /** DuckDB twin of TextAnalysis.visibleText over SQL fragment `x`:
+    * tags → spaces, the six entities decoded (amp last), whitespace
+    * collapsed, trimmed. */
+  private def sqlVisible(x: String): String =
+    s"""trim(regexp_replace(
+       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |  regexp_replace(regexp_replace(
+       |    regexp_replace($x, '<[^>]*>', ' ', 'g'),
+       |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+       |    '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+       |  '[ \t]+', ' ', 'g'))""".stripMargin
 
   private val TermList = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
 
@@ -114,5 +146,39 @@ object ScaleQueries {
       |       common * 10000 // (a.n + b.n - common) AS jaccard_bp
       |FROM pairs
       |JOIN sizes a ON pairs.src_a = a.source
-      |JOIN sizes b ON pairs.src_b = b.source""".stripMargin)
+      |JOIN sizes b ON pairs.src_b = b.source""".stripMargin,
+
+    "text_main_content" -> s"""WITH raw AS (
+      |  SELECT doc_id,
+      |         '<html><body><div class="nav"><a href="/">Home</a> ' ||
+      |         '<a href="/about">About</a> <a href="/contact">Contact</a></div><p>' ||
+      |         text || ' see <a href="/more">more details here</a></p>' ||
+      |         CASE WHEN doc_id % 3 = 0
+      |              THEN '<ul><li><a href="/t">Terms</a></li>' ||
+      |                   '<li><a href="/p">Privacy</a></li></ul>'
+      |              ELSE '' END ||
+      |         '</body></html>' AS html
+      |  FROM documents),
+      |seg AS (
+      |  SELECT doc_id, html, string_split(
+      |    regexp_replace(
+      |      regexp_replace(html,
+      |        '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+      |      '(?i)</(p|div|h[1-6]|li|tr|ul|ol|table)>|<br[^>]*>', chr(10), 'g'),
+      |    chr(10)) AS lines
+      |  FROM raw)
+      |SELECT doc_id,
+      |       array_to_string(
+      |         list_transform(
+      |           list_filter(
+      |             list_transform(lines, l -> {
+      |               'v': ${sqlVisible("l")},
+      |               'a': ${sqlVisible(
+                 "array_to_string(regexp_extract_all(l, '(?is)<a[^>]*>(.*?)</a>', 1), ' ')")}}),
+      |             s -> length(s['v']) > 0 AND
+      |                  length(s['a']) * 10000 <= length(s['v']) * 6600),
+      |           s -> s['v']),
+      |         chr(10)) AS text_main,
+      |       CAST(length(html) AS INT) AS n_raw
+      |FROM seg""".stripMargin)
 }

@@ -316,6 +316,37 @@ class DedupSpec extends SparkTestBase {
     assert(tricky == "a &lt; b")
   }
 
+  test("extractMainContent: all-anchor lines drop, content with inline links keeps") {
+    import spark.implicits._
+    val html = "<html><body>" +
+      "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a></div>" +
+      "<p>A real paragraph of content that mentions " +
+      "<a href=\"/x\">one link</a> among many words.</p>" +
+      "<script>nav.init(); // <a href=\"/fake\">not text</a></script>" +
+      "<div class=\"footer\"><a href=\"/t\">Terms &amp; Conditions</a></div>" +
+      "</body></html>"
+    val got = Seq(html).toDF("h")
+      .select(graft.operators.TextAnalysis.extractMainContent(col("h")).as("t"))
+      .as[String].head()
+    // nav (100% anchor) and footer (100% anchor, entity inside the
+    // anchor) drop; script never counts; the paragraph survives with
+    // its inline anchor text inlined
+    assert(got == "A real paragraph of content that mentions one link among many words.")
+    // a page of ONLY navigation extracts to empty — the downstream
+    // length filter's drop signal
+    val navOnly = Seq("<ul><li><a href=\"/1\">One</a></li><li><a href=\"/2\">Two</a></li></ul>")
+      .toDF("h")
+      .select(graft.operators.TextAnalysis.extractMainContent(col("h")).as("t"))
+      .as[String].head()
+    assert(navOnly == "")
+    // threshold is a knob: at maxLinkBp = 10000 nothing drops on density
+    val lax = Seq(html).toDF("h")
+      .select(graft.operators.TextAnalysis
+        .extractMainContent(col("h"), maxLinkBp = 10000).as("t"))
+      .as[String].head()
+    assert(lax.startsWith("Home About\n"), lax)
+  }
+
   test("stripCommonLines strips boilerplate, keeps order, drops emptied docs") {
     import spark.implicits._
     // 'BOILER' recurs in 5 distinct docs (> maxDocs = 3) → stripped

@@ -55,6 +55,39 @@ class PropertySpec extends SparkTestBase {
     assert((100L until 400L).forall(i => guarded.get(i).contains(100L)))
   }
 
+  test("minhash collapse: adding exact copies never changes pairs among originals") {
+    // The r8 structural property: exact-content collapse means mirror
+    // multiplicity contributes only copy pairs — the verified pair
+    // set RESTRICTED to the original ids is invariant under
+    // duplication (originals keep identical signatures, buckets, and
+    // rep-pair verdicts), and every original×its-own-mirror pair
+    // verifies at jaccard exactly 10000.
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new Random(11)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(): String = Seq.fill(40)(words(rnd.nextInt(words.size))).mkString(" ")
+    val base = (0L until 30L).map(i => (i, s"${doc()} marker$i"))
+    // near-dups of every third doc: drop the last 9 chars
+    val pert = base.filter(_._1 % 3 == 0)
+      .map { case (id, t) => (id + 500L, t.dropRight(9)) }
+    val originals = base ++ pert
+    val mirrored = originals ++ originals.flatMap { case (id, t) =>
+      (1 to 5).map(m => (id + 1000L * m, t)) }
+    def pairsOf(docs: Seq[(Long, String)]): Set[(Long, Long, Long)] =
+      Dedup.minhashLsh(docs.toDF("doc_id", "text"), "text", "doc_id", minBp = 5000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val p0 = pairsOf(originals)
+    val pm = pairsOf(mirrored)
+    assert(p0.nonEmpty, "expected near-dup pairs among the originals")
+    assert(pm.filter { case (a, b, _) => a < 1000 && b < 1000 } == p0)
+    // each original pairs with each of its five mirrors at exactly 10000
+    for ((id, _) <- originals; m <- 1 to 5)
+      assert(pm.contains((id, id + 1000L * m, 10000L)),
+        s"missing mirror pair ($id, ${id + 1000L * m})")
+  }
+
   test("embedCosinePairs equals the blocking definition exactly") {
     // the operator's contract is crisp: emit (a<b, cos) iff the pair's
     // buckets differ in <= maxFlips planes AND cos >= minCos — both
