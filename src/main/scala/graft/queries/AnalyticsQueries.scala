@@ -258,6 +258,34 @@ object AnalyticsQueries {
         .groupBy(col("event_type"),
           floor(col("value") / 50.0).cast("long").as("bin"))
         .agg(count(lit(1)).as("n"))
+    },
+
+    // B34 — EXACT distributed quartiles per event type, the
+    // equi-depth twin of value_histogram's equal-width bins. The
+    // scale-right plan: one map-side-combined count per DISTINCT
+    // (type, value) — the only corpus-sized stage — then the
+    // cumulative walk and the quantile pick run over the distinct
+    // value frame (bounded by value cardinality, not rows). qK is
+    // the smallest value whose cumulative count reaches ceil(K·n/4)
+    // (percentile_disc semantics — an ACTUAL data value, so the
+    // result is engine-exact with no float interpolation). A
+    // per-type row_number sort would pin each type onto one task;
+    // this form never sorts raw rows.
+    "equi_depth_quartiles" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("c"))
+      val byType = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      counts
+        .withColumn("cum", sum(col("c"))
+          .over(byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c"))
+          .over(byType.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") >= expr("(n + 3) div 4"), col("value"))).as("q25"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("value"))).as("q50"),
+          min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("value"))).as("q75"),
+          max(col("n")).as("n"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -422,5 +450,22 @@ object AnalyticsQueries {
 
     "value_histogram" -> """
       SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n
-      FROM events GROUP BY 1, 2""")
+      FROM events GROUP BY 1, 2""",
+
+    "equi_depth_quartiles" -> """
+      WITH counts AS (
+        SELECT event_type, value, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type, value, c,
+               CAST(sum(c) OVER (PARTITION BY event_type ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM counts)
+      SELECT event_type,
+             min(CASE WHEN cum >= (n + 3) // 4 THEN value END) AS q25,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN value END) AS q50,
+             min(CASE WHEN cum >= (3 * n + 3) // 4 THEN value END) AS q75,
+             max(n) AS n
+      FROM cum GROUP BY 1""")
 }

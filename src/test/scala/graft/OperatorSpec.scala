@@ -94,6 +94,22 @@ class OperatorSpec extends SparkTestBase {
     assert(plan.contains("__salt"), plan)
   }
 
+  test("equi_depth_quartiles equals the sorted-rank definition") {
+    val rows = sources.Tables.events(spark, sfDir).select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val expect = rows.groupBy(_._1).map { case (t, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length.toLong
+      def q(rank: Long) = sorted((rank - 1).toInt)
+      (t, q((n + 3) / 4), q((n + 1) / 2), q((3 * n + 3) / 4), n)
+    }.toSet
+    val got = SparkEntry.queries("equi_depth_quartiles")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("keySkew ranks hot keys with share and multiple-of-mean") {
     import spark.implicits._
     // 500 rows on one key, 100 on another, 50 singletons: 52 keys,
