@@ -458,9 +458,14 @@ object Dedup {
     * executor loss — the right mode for long cluster runs). */
   def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
                    maxIter: Int = 20, reliableCheckpoint: Boolean = false): DataFrame = {
-    // undirected edges + self-loops keep isolated propagation stable
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // undirected edges + self-loops keep isolated propagation stable.
+    // The pair plan is evaluated ONCE (cached one-orientation frame,
+    // mirrored from the cache) — the near-dup pair computation above
+    // this is the expensive subtree, and the naive two-subtree union
+    // would run it twice before the edge cache fills.
+    val oriented = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).cache()
+    val edges = oriented
+      .unionByName(oriented.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
     // init = identity labels with the FIRST propagation round fused in
     // (label = min(self, neighbors)): star/pair components — the common
@@ -499,6 +504,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    oriented.unpersist()
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }

@@ -213,12 +213,29 @@ object TextAnalysis {
     * in the tail carries no filtering signal; the default keeps
     * mean_rank monotone). */
   def rarityScore(docs: DataFrame, textCol: String, idCol: String,
-                  minCount: Long = 1L): DataFrame = {
+                  minCount: Long = 1L, n: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs.select(col(idCol).as("id"),
-        explode(split(col(textCol), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy(col("id"), col("word")).agg(count(lit(1)).as("tf"))
+    require(n >= 1, s"n ($n) must be >= 1")
+    // n > 1: the unit is the word n-GRAM (2 ≈ the KenLM-bigram
+    // surprisal proxy — sharper than unigram rarity on fluent-but-
+    // incoherent text, where every word is common but transitions are
+    // not). Grams stay STRINGS (the rank tie-break is by unit text,
+    // the contract any engine reproduces); at open-web scale the gram
+    // vocabulary needs the minCount floor even more than words do.
+    val units =
+      if (n == 1)
+        docs.select(col(idCol).as("id"),
+            explode(split(col(textCol), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+      else
+        docs.select(col(idCol).as("id"),
+            expr(s"filter(split($textCol, ' '), t -> length(t) > 0)").as("f"))
+          .select(col("id"), explode(expr(
+            s"""CASE WHEN size(f) < $n THEN array()
+               |ELSE transform(sequence(0, size(f) - $n),
+               |  i -> concat_ws(' ', slice(f, i + 1, $n))) END""".stripMargin))
+            .as("word"))
+    val tf = units.groupBy(col("id"), col("word")).agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy(col("word")).agg(sum(col("tf")).as("n"))
     val byFreq = Window.orderBy(col("n").desc, col("word").asc)
     if (minCount <= 1L) {

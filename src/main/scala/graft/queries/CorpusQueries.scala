@@ -67,6 +67,15 @@ object CorpusQueries {
         Tables.fanOut(Tables.documents(s, d)), "text", "doc_id")
     },
 
+    // C50 — bigram rarity: the 2-gram form of C44 (mean corpus
+    // frequency rank of the doc's word BIGRAMS) — the transition-level
+    // surprisal proxy that separates fluent-but-incoherent text
+    // (common words, rare transitions) from real prose.
+    "bigram_rarity" -> { (s, d) =>
+      TextAnalysis.rarityScore(
+        Tables.fanOut(Tables.documents(s, d)), "text", "doc_id", n = 2)
+    },
+
     // C42 — deterministic pre-training shuffle: every doc gets a
     // multiplicative-hash ordering key; shard = key mod 16, position =
     // rank within the shard by (key, doc_id). RNG-free, so any engine
@@ -202,6 +211,27 @@ object CorpusQueries {
       |       CAST(count(*) AS BIGINT) AS n_tokens,
       |       CAST(sum(rank) * 1000 // count(*) AS BIGINT) AS mean_rank_milli
       |FROM words JOIN ranked USING (word)
+      |GROUP BY 1""".stripMargin,
+
+    "bigram_rarity" -> """
+      |WITH f AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(text, ' '), t -> length(t) > 0) AS f
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(0, greatest(len(f) - 1, 0)),
+      |           i -> array_to_string(list_slice(f, CAST(i + 1 AS INT),
+      |                                           CAST(i + 2 AS INT)), ' '))) AS word
+      |  FROM f),
+      |ranked AS (
+      |  SELECT word,
+      |         CAST(row_number() OVER (ORDER BY count(*) DESC, word) AS BIGINT) AS rank
+      |  FROM grams GROUP BY word)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(rank) * 1000 // count(*) AS BIGINT) AS mean_rank_milli
+      |FROM grams JOIN ranked USING (word)
       |GROUP BY 1""".stripMargin,
 
     "train_shuffle" -> """
