@@ -142,6 +142,46 @@ object PipelineQueries {
       Dedup.exact(Tables.documents(s, d), "text", "doc_id")
     },
 
+    // C51 — CHUNK-level exact dedup: the packing-granularity pass
+    // real pipelines run between chunking (C37) and sequence packing
+    // (C32) — a duplicated chunk (shared boilerplate, a copied
+    // passage) survives doc-level dedup whenever its host documents
+    // differ elsewhere. Chunks use C37's window/stride (48/32);
+    // content travels as fingerprint64 of the chunk tokens (8 bytes —
+    // the Dedup.exact trick at chunk granularity, in-scan slice, no
+    // text shuffle); keep-one = min (doc_id, chunk_idx) per distinct
+    // content, n_copies the collapsed multiplicity. Runs over the
+    // perturbed corpus so cross-doc duplicate chunks provably exist
+    // (a truncated copy shares every chunk inside the common prefix).
+    "chunk_dedup" -> { (s, d) =>
+      GraftFunctions.register(s)
+      val w = 48L
+      val st = 32L
+      corpus(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_chunks",
+          when(col("n_tokens") <= w, lit(1L))
+            .otherwise(ceil((col("n_tokens") - lit(w)).cast("double") / lit(st.toDouble))
+              .cast("long") + lit(1L)))
+        .select(col("doc_id"), col("toks"), col("n_tokens"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * st).as("start_tok"),
+          least(col("chunk_idx") * st + w, col("n_tokens")).as("end_tok"),
+          expr(s"""fingerprint64(concat_ws(' ',
+             |  slice(toks, CAST(chunk_idx * $st + 1 AS INT),
+             |        CAST(least(chunk_idx * $st + $w, n_tokens)
+             |             - chunk_idx * $st AS INT))))""".stripMargin).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("chunk_idx"),
+            col("start_tok"), col("end_tok"))).as("r"),
+          count(lit(1)).as("n_copies"))
+        .select(col("r.doc_id").as("doc_id"), col("r.chunk_idx").as("chunk_idx"),
+          col("r.start_tok").as("start_tok"), col("r.end_tok").as("end_tok"),
+          col("n_copies"))
+    },
+
     // C2 — exact character-5-gram Jaccard near-dup pairs.
     "dedup_ngram_jaccard" -> { (s, d) =>
       Dedup.ngramJaccardPairs(corpus(s, d), "text", "doc_id", k = 5, minBp = 8000)
@@ -527,6 +567,31 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+
+    // Groups chunk STRINGS where the engine groups fingerprint64
+    // hashes — the dedup-family convention (collision ~1e-9).
+    "chunk_dedup" -> s"""$CorpusCte,
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      |m AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |             CASE WHEN len(toks) <= 48 THEN 1
+      |                  ELSE CAST(ceil(CAST(len(toks) - 48 AS DOUBLE) / 32.0) AS BIGINT) + 1
+      |             END AS n_chunks
+      |      FROM t),
+      |e AS (SELECT doc_id, toks, n_tokens,
+      |             unnest(range(0, n_chunks)) AS chunk_idx FROM m),
+      |c AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |             CAST(chunk_idx * 32 AS BIGINT) AS start_tok,
+      |             CAST(least(chunk_idx * 32 + 48, n_tokens) AS BIGINT) AS end_tok,
+      |             array_to_string(list_slice(toks, CAST(chunk_idx * 32 + 1 AS INT),
+      |               CAST(least(chunk_idx * 32 + 48, n_tokens) AS INT)), ' ') AS chunk
+      |      FROM e)
+      |SELECT doc_id, chunk_idx, start_tok, end_tok, n_copies FROM (
+      |  SELECT doc_id, chunk_idx, start_tok, end_tok,
+      |         row_number() OVER (PARTITION BY chunk
+      |           ORDER BY doc_id, chunk_idx) AS rn,
+      |         CAST(count(*) OVER (PARTITION BY chunk) AS BIGINT) AS n_copies
+      |  FROM c)
+      |WHERE rn = 1""".stripMargin,
 
     "dedup_ngram_jaccard" -> s"""$CorpusCte,
       |sh AS (

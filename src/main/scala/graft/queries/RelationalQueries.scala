@@ -73,6 +73,46 @@ object RelationalQueries {
         .agg(sum(revenue).cast("double").as("revenue"))
     },
 
+    // B35 — TPC-H Q10-style returned-item report: top-20 customers by
+    // revenue lost to returns in one year. Filters push into both
+    // fact scans (date on orders, returnflag on lineitem), nation
+    // broadcasts, the fact chain shuffles under AQE, and the global
+    // top-20 over the aggregated customer frame runs take-ordered
+    // (revenue is a cast from the exact decimal sum, so the rank
+    // order is engine-identical).
+    "q10_returns" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val n = broadcast(Tables.nation(s, d))
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+                  col("o_orderdate") < lit("1997-01-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("revenue").desc, col("c_custkey").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+    },
+
+    // B36 — TPC-H Q6-style forecast revenue: the pure scan-filter-agg
+    // whose entire predicate set (date range, discount band, quantity
+    // cap) pushes into the parquet scan — zero joins, one partial-agg
+    // shuffle of a single accumulator pair.
+    "q6_forecast" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+                col("l_shipdate") < lit("1997-01-01") &&
+                col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                col("l_quantity") < 24)
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+            .cast("double").as("forecast_revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
     // B24 — TPC-H Q7-style bilateral trade volume: supplier nation ×
     // customer nation × ship year. Nation joins in twice under two
     // roles — both broadcast (dim-scale); the fact chain
@@ -293,6 +333,30 @@ object RelationalQueries {
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracles: Map[String, String] = Map(
+    "q10_returns" -> s"""
+      WITH agg AS (
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(sum($Rev) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+                      JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY 1, 2, 3, 4)
+      SELECT c_custkey, c_name, c_acctbal, n_name, revenue,
+             CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rank
+      FROM agg QUALIFY rank <= 20""",
+
+    "q6_forecast" -> """
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS forecast_revenue,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+
     "q1_pricing" -> s"""
       SELECT l_returnflag, l_linestatus,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
