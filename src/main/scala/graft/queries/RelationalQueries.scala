@@ -113,6 +113,25 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     },
 
+    // B37 — TPC-H Q18-style large-volume orders: the group-filter
+    // SEMI-JOIN pattern — the HAVING-filtered per-order quantity
+    // aggregate IS the join build side (post-aggregation it is orders
+    // × one counter, and after the > threshold filter it is tiny, so
+    // AQE broadcasts it back against the fact chain).
+    "q18_big_orders" -> { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("total_qty"))
+    },
+
     // B24 — TPC-H Q7-style bilateral trade volume: supplier nation ×
     // customer nation × ship year. Nation joins in twice under two
     // roles — both broadcast (dim-scale); the fact chain
@@ -347,6 +366,15 @@ object RelationalQueries {
       SELECT c_custkey, c_name, c_acctbal, n_name, revenue,
              CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rank
       FROM agg QUALIFY rank <= 20""",
+
+    "q18_big_orders" -> """
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+      FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                 FROM lineitem GROUP BY 1
+                 HAVING sum(l_quantity) > 250) b
+             ON o_orderkey = b.l_orderkey""",
 
     "q6_forecast" -> """
       SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -213,6 +213,26 @@ class PlanSpec extends SparkTestBase {
       executed.contains("ReusedShuffle"), executed)
   }
 
+  test("q10_returns: global top-20 is take-ordered; filters push to both fact scans") {
+    val q = SparkEntry.queries("q10_returns")(spark, sfDir)
+    val plan = formatted(q)
+    assert(plan.contains("WindowGroupLimit") ||
+      plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+    // both pushed predicates reach their scans
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(l_returnflag,R)"), plan)
+  }
+
+  test("q18_big_orders: the HAVING-filtered aggregate broadcasts back") {
+    val q = SparkEntry.queries("q18_big_orders")(spark, sfDir)
+    q.collect()
+    // AQE sees the post-threshold aggregate is tiny and broadcasts it
+    // against the fact chain instead of shuffling the facts again
+    val executed = q.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin"), executed)
+  }
+
   test("fanOut gates on scan parallelism: no-op on pre-split input") {
     val docs = sources.Tables.documents(spark, sfDir)
     val par = spark.sparkContext.defaultParallelism
