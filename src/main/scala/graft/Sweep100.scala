@@ -57,7 +57,16 @@ object Sweep100 {
       "simhash_pairs" -> (d => Dedup.simhashPairs(d, "text", "doc_id")),
       "exact_dedup" -> (d => Dedup.exact(d, "text", "doc_id")),
       "quality_filter" -> (d => TextAnalysis.qualityFilter(d, "text", "doc_id")),
-      "lang_id" -> (d => TextAnalysis.langId(d, "text", "doc_id")))
+      "lang_id" -> (d => TextAnalysis.langId(d, "text", "doc_id")),
+      // r8 family. Mirrored ids shift but texts (and sources) do not,
+      // so the DISTINCT vocab / gram-set / chunk-content is constant
+      // across decades — these measure that the corpus-sized stages
+      // are the only ones that grow.
+      "bm25_topk" -> (d => TextAnalysis.bm25TopK(d, "text", "doc_id",
+        Seq("join", "vector", "hash", "spark"), k = 10)),
+      "bigram_rarity" -> (d => TextAnalysis.rarityScore(d, "text", "doc_id", n = 2)),
+      "source_overlap" -> (d => Dedup.sourceOverlap(d, "text", "source", n = 3)),
+      "key_skew" -> (d => graft.operators.Skew.keySkew(d, "source", topN = 20)))
 
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9

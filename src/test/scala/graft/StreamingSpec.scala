@@ -702,6 +702,54 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("TWS domain cap: first maxDocs per domain admit; micro-batch split is invariant") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, "2")
+    // 5 docs on a hot domain, 2 on a quiet one, ordered feed sliced
+    // mid-domain by the micro-batch boundary
+    val docs = Seq(("a.com", 1L), ("a.com", 2L), ("b.com", 3L),
+      ("a.com", 4L), ("a.com", 5L), ("b.com", 6L), ("a.com", 7L))
+    def run(split: Int, name: String): Map[(String, Long), Long] = {
+      val input = MemoryStream[(String, Long)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_domcap").toString
+      val q = graft.streaming.TwsDomainCap.admit(
+          input.toDF().toDF("domain", "doc_id"), "domain", "doc_id", maxDocs = 3)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(docs.take(split): _*)
+        q.processAllAvailable()
+        input.addData(docs.drop(split): _*)
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      } finally q.stop()
+    }
+    try {
+      val got = run(4, "domcap_a")
+      // a.com admits its first three ids by arrival (1,2,4 — id 5
+      // arrives in batch two after the cap), b.com is under cap
+      assert(got == Map(("a.com", 1L) -> 1L, ("a.com", 2L) -> 2L,
+        ("a.com", 4L) -> 3L, ("b.com", 3L) -> 1L, ("b.com", 6L) -> 2L), got.toString)
+      // the ordered feed sliced elsewhere admits the same set
+      assert(run(2, "domcap_b") == got)
+    } finally {
+      spark.conf.set(shufKey, prevShuf)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("windowedTotals drops data later than the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
