@@ -443,6 +443,33 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** URL canonicalization for crawl dedup — the normalization set
+    * (documented contract, applied in this order):
+    *  1. fragment dropped (`#…`);
+    *  2. tracking params removed (`utm_*`, `fbclid`, `gclid`) —
+    *     mid-query (with their trailing `&`, two passes so adjacent
+    *     tracking params both go) and tail (with their leading
+    *     `?`/`&`);
+    *  3. a dangling `?`/`&` left by removal dropped;
+    *  4. default ports stripped (`:80` for http, `:443` for https);
+    *  5. scheme+host lowercased (path and query stay case-sensitive).
+    * Pure regex-subset projection — scan-speed, engine-portable, the
+    * key `url_dedup` groups on. A DOM/IDN-aware canonicalizer is the
+    * richer upstream; this is the zero-dependency form. */
+  def normalizeUrl(url: Column): Column = {
+    val Track = "(utm_[^&=#]*|fbclid|gclid)"
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val mid1 = regexp_replace(noFrag, s"([?&])$Track=[^&#]*&", "$1")
+    val mid2 = regexp_replace(mid1, s"([?&])$Track=[^&#]*&", "$1")
+    val tail = regexp_replace(mid2, s"([?&])$Track=[^&#]*$$", "")
+    val clean = regexp_replace(tail, "[?&]$", "")
+    val port = regexp_replace(
+      regexp_replace(clean, "(?i)^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
+      "(?i)^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    val prefix = regexp_extract(port, "(?i)^(https?://[^/?#]*)", 1)
+    concat(lower(prefix), port.substr(length(prefix) + 1, length(port)))
+  }
+
   /** Whitespace normalization: collapse runs, trim. */
   def normalizeWhitespace(text: Column): Column =
     trim(regexp_replace(text, " +", " "))

@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Skew, TextAnalysis}
 import graft.sources.Tables
 
-/** §2.C45–C48 — retrieval ranking and the skew-diagnostic/mitigation
+/** §2.C45–C49, C52 — retrieval ranking, the skew-diagnostic/mitigation
   * pair: integer-exact BM25 top-k, per-key occupancy profiling, the
   * salted equi-join (output-identical to the plain join — and the
-  * oracle IS the plain join), and the cross-source n-gram overlap
-  * profile.
+  * oracle IS the plain join), the cross-source n-gram overlap
+  * profile, link-density main-content extraction, and
+  * URL-canonicalization dedup.
   */
 object ScaleQueries {
 
@@ -73,6 +74,29 @@ object ScaleQueries {
       raw.select(col("doc_id"),
         TextAnalysis.extractMainContent(col("html")).as("text_main"),
         length(col("html")).as("n_raw"))
+    },
+
+    // C52 — URL-canonicalization dedup: messy synthetic crawl URLs
+    // (mixed-case scheme/host, default :443 ports, utm tracking
+    // params, fragments) normalize to one canonical form per
+    // (source, page), then exact-dedup on it — the crawl-frontier
+    // dedup that runs BEFORE any content is fetched. Every
+    // normalization rule fires somewhere in the corpus (adjacent
+    // utm params exercise the two-pass removal).
+    "url_dedup" -> { (s, d) =>
+      val url = concat(
+        lit("HTTPS://WWW."), col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/page"), col("doc_id") % 5,
+        when(col("doc_id") % 2 === 0,
+          lit("?utm_source=feed&utm_medium=rss&ref=home"))
+          .otherwise(lit("?ref=home")),
+        when(col("doc_id") % 7 === 0, lit("#top")).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), TextAnalysis.normalizeUrl(col("url")).as("url_norm"))
+        .groupBy(col("url_norm"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
     })
 
   /** DuckDB twin of TextAnalysis.visibleText over SQL fragment `x`:
@@ -180,5 +204,35 @@ object ScaleQueries {
       |           s -> s['v']),
       |         chr(10)) AS text_main,
       |       CAST(length(html) AS INT) AS n_raw
-      |FROM seg""".stripMargin)
+      |FROM seg""".stripMargin,
+
+    "url_dedup" -> """WITH raw AS (
+      |  SELECT doc_id,
+      |         'HTTPS://WWW.' || source || '.Example.COM' ||
+      |         CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+      |         '/docs/page' || (doc_id % 5) ||
+      |         CASE WHEN doc_id % 2 = 0
+      |              THEN '?utm_source=feed&utm_medium=rss&ref=home'
+      |              ELSE '?ref=home' END ||
+      |         CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END AS url
+      |  FROM documents),
+      |n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM raw),
+      |n2 AS (SELECT doc_id, regexp_replace(u,
+      |         '([?&])(utm_[^&=#]*|fbclid|gclid)=[^&#]*&', '\1', 'g') AS u FROM n1),
+      |n3 AS (SELECT doc_id, regexp_replace(u,
+      |         '([?&])(utm_[^&=#]*|fbclid|gclid)=[^&#]*&', '\1', 'g') AS u FROM n2),
+      |n4 AS (SELECT doc_id, regexp_replace(u,
+      |         '([?&])(utm_[^&=#]*|fbclid|gclid)=[^&#]*$', '', 'g') AS u FROM n3),
+      |n5 AS (SELECT doc_id, regexp_replace(u, '[?&]$', '', 'g') AS u FROM n4),
+      |n6 AS (SELECT doc_id,
+      |         regexp_replace(
+      |           regexp_replace(u, '(?i)^(http://[^/:?#]+):80([/?#]|$)', '\1\2', 'g'),
+      |           '(?i)^(https://[^/:?#]+):443([/?#]|$)', '\1\2', 'g') AS u FROM n5),
+      |n7 AS (SELECT doc_id,
+      |         lower(regexp_extract(u, '(?i)^(https?://[^/?#]*)', 1)) ||
+      |         substr(u, length(regexp_extract(u, '(?i)^(https?://[^/?#]*)', 1)) + 1)
+      |           AS url_norm FROM n6)
+      |SELECT url_norm, CAST(min(doc_id) AS BIGINT) AS doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_variants
+      |FROM n7 GROUP BY 1""".stripMargin)
 }

@@ -252,6 +252,28 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("normalizeUrl: each normalization rule fires; clean URLs pass unchanged") {
+    import spark.implicits._
+    val cases = Seq(
+      // fragment + adjacent utm params + default https port + case
+      "HTTPS://WWW.Ex.COM:443/A/b?utm_source=x&utm_medium=y&ref=h#frag" ->
+        "https://www.ex.com/A/b?ref=h",
+      // tail tracking param leaves no dangling '?'
+      "http://ex.com/p?utm_campaign=z" -> "http://ex.com/p",
+      // gclid mid-query; http default port; path case preserved
+      "HTTP://Ex.Com:80/Path?gclid=1&q=2" -> "http://ex.com/Path?q=2",
+      // non-default port kept; non-tracking params kept in order
+      "https://ex.com:8443/p?b=2&a=1" -> "https://ex.com:8443/p?b=2&a=1",
+      // already clean → identity
+      "https://ex.com/docs" -> "https://ex.com/docs")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"),
+        graft.operators.TextAnalysis.normalizeUrl(col("url")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((in, want) <- cases)
+      assert(got(in) == want, s"$in -> ${got(in)} (wanted $want)")
+  }
+
   test("invertedIndex matches naive posting statistics") {
     val all = collectDocs(docs())
     val postings = all
