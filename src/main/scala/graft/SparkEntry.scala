@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.queries.{AnalyticsQueries, CdcQueries, CorpusQueries, PipelineQueries, RelationalQueries, ScaleQueries, TrainingQueries}
+import graft.queries.{AnalyticsQueries, CdcQueries, ClassicQueries, CorpusQueries, PipelineQueries, RelationalQueries, ScaleQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query keys follow SURVEY.md §2's inventory.
@@ -44,12 +44,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ RelationalQueries.queries ++
       AnalyticsQueries.queries ++ PipelineQueries.queries ++
-      TrainingQueries.queries ++ CorpusQueries.queries ++ ScaleQueries.queries
+      TrainingQueries.queries ++ CorpusQueries.queries ++ ScaleQueries.queries ++
+      ClassicQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ RelationalQueries.oracles ++
       AnalyticsQueries.oracles ++ PipelineQueries.oracles ++
-      TrainingQueries.oracles ++ CorpusQueries.oracles ++ ScaleQueries.oracles
+      TrainingQueries.oracles ++ CorpusQueries.oracles ++ ScaleQueries.oracles ++
+      ClassicQueries.oracles
 }

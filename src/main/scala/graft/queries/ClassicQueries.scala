@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** §2.B (B38–B45) — the remaining TPC-H-shaped classics expressible on
+  * the driver's tables (no partsupp / commitdate / shipmode columns
+  * exist, so Q2/4/11/12/15/16/20 have no faithful adaptation; with
+  * these eight the suite covers 15 of the 17 classics the schema can
+  * express: Q1,3,5,6,7,8,9,10,13,14,17,18,19,21,22).
+  *
+  * Every query follows the repo's decorrelation-by-hand doctrine: the
+  * correlated EXISTS / scalar-subquery forms the oracle SQL uses are
+  * re-expressed as aggregate-then-broadcast-join plans, which is the
+  * shape that scales — the aggregated build side is dims-or-groups
+  * sized, never fact sized, so AQE broadcasts it back against the fact
+  * chain instead of shuffling the fact table a second time.
+  * Money math is decimal-exact (QueryMath), ratios are double
+  * divisions of identical exact sums, so the DuckDB oracle hashes
+  * bit-identically (SURVEY §6).
+  */
+object ClassicQueries {
+
+  import QueryMath.{dec2, sumDbl2}
+  private def one = lit(1).cast(DecimalType(3, 2))
+  private def revenue =
+    dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B38 — TPC-H Q8-style market share: NATION_1's share of
+    // ECONOMY-part revenue sold into AMERICA, per order year. Both
+    // nation roles and the filtered region/part dims broadcast; the
+    // fact chain shuffles once per join key under AQE. The share is a
+    // double division of two exact decimal sums computed in the SAME
+    // aggregation pass (a conditional sum, not a second scan).
+    "q8_market_share" -> { (s, d) =>
+      val r = broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA"))
+      val nCust = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_nk"), col("n_regionkey").as("cn_rk")))
+      val nSupp = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_nk"), col("n_name").as("supp_nation")))
+      val p = broadcast(Tables.part(s, d)
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey")))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(nCust, col("c_nationkey") === col("cn_nk"))
+        .join(r, col("cn_rk") === col("r_regionkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(nSupp, col("s_nationkey") === col("sn_nk"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          coalesce(sum(when(col("supp_nation") === "NATION_1", revenue))
+            .cast("double"), lit(0.0)).as("nation_revenue"),
+          sum(revenue).cast("double").as("total_revenue"))
+        .withColumn("mkt_share", col("nation_revenue") / col("total_revenue"))
+    },
+
+    // B39 — TPC-H Q9-style profit by supplier nation × ship year for
+    // STANDARD parts. No partsupp exists, so supply cost is proxied as
+    // 10% of retail value — the plan shape (two broadcast dims against
+    // the fact scan, one agg shuffle) is the point. Both sums stay
+    // decimal-exact; the subtraction and /10 happen in double on the
+    // final values.
+    "q9_profit" -> { (s, d) =>
+      val nS = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_nk"), col("n_name").as("nation")))
+      val p = broadcast(Tables.part(s, d)
+        .filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_retailprice")))
+      Tables.lineitem(s, d)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(nS, col("s_nationkey") === col("sn_nk"))
+        .groupBy(col("nation"), year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(
+          (sum(revenue).cast("double") -
+            sum(dec2(col("p_retailprice")) * dec2(col("l_quantity")))
+              .cast("double") / 10.0).as("profit"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // B40 — TPC-H Q13-style customer order-count distribution: LEFT
+    // OUTER join so zero-order customers survive with c_count=0, then
+    // a second tiny aggregation over the per-customer counts. The
+    // status predicate lives in the join (pre-filtering the right
+    // side), not a post-filter that would drop the outer rows.
+    "q13_custdist" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") =!= "P"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // B41 — TPC-H Q14-style promo revenue share per month of 1997.
+    // The date range pushes into the lineitem scan, part broadcasts,
+    // and promo + total revenue come out of ONE conditional
+    // aggregation pass; the percentage is a double ratio of the two
+    // exact sums.
+    "q14_promo" -> { (s, d) =>
+      val p = broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_type")))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+                col("l_shipdate") < lit("1998-01-01"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(month(col("l_shipdate")).cast("long").as("o_month"))
+        .agg(
+          coalesce(sum(when(col("p_type") === "PROMO", revenue))
+            .cast("double"), lit(0.0)).as("promo_revenue"),
+          sum(revenue).cast("double").as("total_revenue"))
+        .withColumn("promo_share",
+          lit(100.0) * col("promo_revenue") / col("total_revenue"))
+    },
+
+    // B42 — TPC-H Q17-style small-quantity revenue: lineitems of one
+    // brand under 20% of their part's average quantity. The correlated
+    // scalar subquery is decorrelated by hand: per-part thresholds are
+    // a tiny aggregate (one row per brand part) broadcast back against
+    // the same filtered join — the fact table is never shuffled on a
+    // correlation key. The threshold is (exact-sum / count) * 0.2 so
+    // both engines compare against bit-identical doubles.
+    "q17_small_qty" -> { (s, d) =>
+      val p = broadcast(Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#23").select(col("p_partkey")))
+      val lp = Tables.lineitem(s, d)
+        .join(p, col("l_partkey") === col("p_partkey"))
+      val thresh = lp.groupBy(col("p_partkey").as("t_pk"))
+        .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)) * 0.2)
+          .as("qty_thresh"))
+      lp.join(broadcast(thresh), col("p_partkey") === col("t_pk"))
+        .filter(col("l_quantity") < col("qty_thresh"))
+        .agg((sumDbl2(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // B43 — TPC-H Q19-style bracket predicate: a disjunction of three
+    // (brand, size, quantity) envelopes evaluated as one scan — the
+    // whole OR collapses into the join filter, no union of three
+    // subqueries, no repeated scans.
+    "q19_brackets" -> { (s, d) =>
+      val p = broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      Tables.lineitem(s, d)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // B44 — TPC-H Q21-style sole-fault supplier: R-flagged lines in
+    // finished multi-supplier orders where this supplier is the ONLY
+    // one flagged. The double correlation (EXISTS another supplier /
+    // NOT EXISTS another flagged supplier) decorrelates into ONE
+    // per-order aggregate — distinct suppliers and distinct flagged
+    // suppliers counted in the same pass — joined back to the flagged
+    // lines. Two scans of lineitem total, zero correlated probes.
+    "q21_sole_fault" -> { (s, d) =>
+      val stats = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("st_ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("n_r_supps"))
+        .filter(col("n_supps") > 1 && col("n_r_supps") === 1)
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(stats, col("l_orderkey") === col("st_ok"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    },
+
+    // B45 — TPC-H Q22-style dormant high-balance customers: above the
+    // positive-balance average, no orders since 2000 (the synthetic
+    // data gives every customer *some* order, so "dormant" is
+    // recency-based — same NOT EXISTS shape, anti join with the date
+    // predicate pushed into the right-side scan). The global scalar
+    // (one row) broadcasts into the anti-joined customer frame — the
+    // guarded-crossJoin convention for scalar subqueries (bounded
+    // build side by construction).
+    "q22_dormant" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val thresh = c.filter(col("c_acctbal") > 0)
+        .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("bal_thresh"))
+      c.join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("2000-01-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(thresh))
+        .filter(col("c_acctbal") > col("bal_thresh"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("numcust"),
+          sumDbl2(col("c_acctbal")).as("totacctbal"))
+    })
+
+  private val Rev =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  val oracles: Map[String, String] = Map(
+    "q8_market_share" -> s"""
+      WITH a AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               coalesce(CAST(sum($Rev) FILTER (n2.n_name = 'NATION_1') AS DOUBLE), 0.0) AS nation_revenue,
+               CAST(sum($Rev) AS DOUBLE) AS total_revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             JOIN region ON n1.n_regionkey = r_regionkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             JOIN part ON l_partkey = p_partkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        GROUP BY 1)
+      SELECT o_year, nation_revenue, total_revenue,
+             nation_revenue / total_revenue AS mkt_share
+      FROM a""",
+
+    "q9_profit" -> s"""
+      SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+             CAST(sum($Rev) AS DOUBLE) -
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) *
+                        CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / 10.0 AS profit,
+             count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_type = 'STANDARD'
+      GROUP BY 1, 2""",
+
+    "q13_custdist" -> """
+      SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        GROUP BY 1)
+      GROUP BY 1""",
+
+    "q14_promo" -> s"""
+      WITH m AS (
+        SELECT CAST(month(l_shipdate) AS BIGINT) AS o_month,
+               coalesce(CAST(sum($Rev) FILTER (p_type = 'PROMO') AS DOUBLE), 0.0) AS promo_revenue,
+               CAST(sum($Rev) AS DOUBLE) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1)
+      SELECT o_month, promo_revenue, total_revenue,
+             100.0 * promo_revenue / total_revenue AS promo_share
+      FROM m""",
+
+    "q17_small_qty" -> """
+      WITH lp AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#23'),
+      t AS (
+        SELECT l_partkey AS t_pk,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 0.2 AS qty_thresh
+        FROM lp GROUP BY 1)
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+             count(*) AS n_lines
+      FROM lp JOIN t ON l_partkey = t_pk
+      WHERE l_quantity < qty_thresh""",
+
+    "q19_brackets" -> s"""
+      SELECT CAST(sum($Rev) AS DOUBLE) AS revenue, count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q21_sole_fault" -> """
+      SELECT s_name, count(*) AS numwait
+      FROM supplier, lineitem l1, orders
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY 1""",
+
+    "q22_dormant" -> """
+      SELECT c_mktsegment AS segment, count(*) AS numcust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                         FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c.c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY 1""")
+}

@@ -233,6 +233,45 @@ class PlanSpec extends SparkTestBase {
     assert(executed.contains("BroadcastHashJoin"), executed)
   }
 
+  test("q8_market_share: every dim role broadcasts — nations twice, region, part") {
+    val q = SparkEntry.queries("q8_market_share")(spark, sfDir)
+    q.collect()
+    val executed = q.queryExecution.executedPlan.toString
+    val nBroadcast = executed.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(nBroadcast >= 4, s"expected >=4 broadcast joins, got $nBroadcast:\n$executed")
+    // the share comes from ONE conditional aggregation pass, not a
+    // second scan branch: exactly one lineitem scan in the plan
+    val scans = formatted(q).linesIterator
+      .count(l => l.contains("Location") && l.contains("lineitem"))
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans")
+  }
+
+  test("q17_small_qty: per-part thresholds broadcast back (decorrelated scalar subquery)") {
+    val q = SparkEntry.queries("q17_small_qty")(spark, sfDir)
+    q.collect()
+    val executed = q.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin"), executed)
+    assert(!executed.contains("CartesianProduct"), executed)
+  }
+
+  test("q21_sole_fault: double correlation decorrelates — no nested-loop, one stats aggregate") {
+    val q = SparkEntry.queries("q21_sole_fault")(spark, sfDir)
+    q.collect()
+    val executed = q.queryExecution.executedPlan.toString
+    assert(!executed.contains("CartesianProduct") &&
+      !executed.contains("BroadcastNestedLoopJoin"), executed)
+    // the R-flag predicate pushes into the probe-side lineitem scan
+    val plan = formatted(q)
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan)
+  }
+
+  test("q22_dormant: recency anti join with the date pushed to the orders scan") {
+    val q = SparkEntry.queries("q22_dormant")(spark, sfDir)
+    val plan = formatted(q)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+  }
+
   test("fanOut gates on scan parallelism: no-op on pre-split input") {
     val docs = sources.Tables.documents(spark, sfDir)
     val par = spark.sparkContext.defaultParallelism
