@@ -586,6 +586,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** GRADED contamination: [[contaminatedDocs]] reports who leaked;
+    * this reports HOW MUCH — per corpus doc, the share of its distinct
+    * word-`n`-grams present in the benchmark probe set, in basis
+    * points (the GPT-3-appendix-style overlap fraction that drives
+    * "clean / partially-contaminated / drop" policy thresholds instead
+    * of a binary flag). Output `(id, n_grams, n_hits, contam_bp)` over
+    * every corpus doc with at least one gram — zero-hit docs appear
+    * with `contam_bp = 0`, which is what makes this a score, not a
+    * filter.
+    *
+    * Scale posture is the decontamination family's: the probe gram-hash
+    * set broadcasts (8 bytes per gram), the corpus side is ONE scan
+    * with a map-side left hash-join, and only (doc_id, two counters)
+    * cross the aggregation shuffle. The ratio is integer `div` so both
+    * engines floor identically. */
+  def contaminationScore(corpus: DataFrame, probe: DataFrame,
+                         textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val probeGrams = broadcast(
+      gramHashes(probe, textCol, idCol, n)
+        .select(col("g").as("pg")).distinct())
+    gramHashes(corpus, textCol, idCol, n)
+      .join(probeGrams, col("g") === col("pg"), "left_outer")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("pg")).as("n_hits"))
+      .withColumn("contam_bp", expr("n_hits * 10000 div n_grams"))
+  }
+
   /** Cross-SOURCE duplication profile: word-`n`-gram Jaccard between
     * every pair of sources — the corpus-composition diagnostic run
     * before mixing crawls (is C4 already inside this CommonCrawl

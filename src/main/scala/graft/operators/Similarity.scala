@@ -56,6 +56,34 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** k-NN majority-vote classification: each query vector takes the
+    * modal label of its `k` nearest corpus neighbors by cosine —
+    * the label-propagation / weak-supervision primitive (tag new
+    * documents from an embedded labeled seed set). Ties break
+    * deterministically: vote count desc, then smallest label.
+    *
+    * Scale posture: the neighbor search is [[bruteForceTopK]] (swap in
+    * [[lshTopK]]/[[ivfTopK]] per its scale guidance); the vote step
+    * joins the queries×k candidate frame — tiny by construction —
+    * BROADCAST against the corpus labels, so the corpus is never
+    * shuffled for the lookup, and the vote aggregation moves
+    * queries×labels counters at most. */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val topk = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val votes = corpus
+      .select(col(idCol).as("neighbor_id"), col(labelCol).cast("long").as("label"))
+      .join(broadcast(topk), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val byVotes = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("label").asc)
+    votes.withColumn("rn", row_number().over(byVotes))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("n_votes"))
+  }
+
   /** Deterministic random hyperplanes: `planes(p)(i)` ~ U(-1, 1)
     * derived from a splitmix-style integer hash — reproducible across
     * runs and engines. */

@@ -443,6 +443,55 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Top-`k` collocations by fixed-point PMI: word bigrams ranked by
+    * `pmi_micro = ((cnt_ab · n_tokens) div cnt_a) · 10⁶ div cnt_b` —
+    * integer-monotone in the true pointwise mutual information
+    * log(p(a,b) / (p(a)·p(b))) (log-free: libm differs across
+    * engines), with a `minCount` floor so hapax pairs can't saturate
+    * the top of the list. Ties break by bigram text. Headroom:
+    * cnt_ab·n_tokens stays under 2⁶³ to ~10⁹ occurrences of a pair in
+    * a ~10⁹-token corpus; shard the corpus before profiling past that.
+    *
+    * Scale posture: one token scan feeds BOTH count branches (AQE
+    * exchange reuse, the tfIdfTopK pattern); the bigram table is
+    * `minCount`-floored BEFORE joining the unigram counts, the joins
+    * run on the term keys (a JOIN gets AQE skew-split on the Zipf
+    * head; a term-partitioned window would not — same rationale as
+    * tfIdfTopK's df branch), and the global top-k is a rank window
+    * Spark executes as WindowGroupLimit — per-partition top-k then
+    * merge, no full sort. `broadcastUni = false` for open-web
+    * vocabularies (the unigram frame outgrows any broadcast budget;
+    * the shuffled join is the fallback, same knob as tfIdfTopK). */
+  def pmiTopK(docs: DataFrame, textCol: String, k: Int = 50,
+              minCount: Long = 5L, broadcastUni: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      expr(s"filter(split($textCol, ' '), t -> length(t) > 0)").as("f"))
+    val words = toks.select(explode(col("f")).as("word"))
+    val uni = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val total = uni.agg(sum(col("cnt")).as("n_tokens"))
+    val bi = toks.select(explode(expr(
+        """CASE WHEN size(f) < 2 THEN array()
+          |ELSE transform(sequence(0, size(f) - 2),
+          |  i -> struct(f[i] AS w1, f[i + 1] AS w2)) END""".stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt_ab"))
+      .filter(col("cnt_ab") >= minCount)
+    val u1 = uni.select(col("word").as("w1"), col("cnt").as("cnt_a"))
+    val u2 = uni.select(col("word").as("w2"), col("cnt").as("cnt_b"))
+    val byPmi = Window.orderBy(
+      col("pmi_micro").desc, col("w1").asc, col("w2").asc)
+    bi.join(if (broadcastUni) broadcast(u1) else u1, "w1")
+      .join(if (broadcastUni) broadcast(u2) else u2, "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_micro",
+        expr("(cnt_ab * n_tokens div cnt_a) * 1000000 div cnt_b"))
+      .withColumn("rank", row_number().over(byPmi).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("w1"), col("w2"), col("cnt_ab"), col("cnt_a"),
+        col("cnt_b"), col("pmi_micro"), col("rank"))
+  }
+
   /** URL canonicalization for crawl dedup — the normalization set
     * (documented contract, applied in this order):
     *  1. fragment dropped (`#…`);

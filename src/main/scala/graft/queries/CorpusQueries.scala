@@ -76,6 +76,16 @@ object CorpusQueries {
         Tables.fanOut(Tables.documents(s, d)), "text", "doc_id", n = 2)
     },
 
+    // C51 — top-50 collocations by fixed-point PMI (count-floored, so
+    // hapax pairs can't saturate the list): the phrase-mining /
+    // tokenizer-vocabulary signal — which adjacent word pairs behave
+    // as units. Integer-exact, log-free; one token scan feeds both
+    // count branches.
+    "pmi_topk" -> { (s, d) =>
+      TextAnalysis.pmiTopK(
+        Tables.fanOut(Tables.documents(s, d)), "text", k = 50, minCount = 5L)
+    },
+
     // C42 — deterministic pre-training shuffle: every doc gets a
     // multiplicative-hash ordering key; shard = key mod 16, position =
     // rank within the shard by (key, doc_id). RNG-free, so any engine
@@ -233,6 +243,34 @@ object CorpusQueries {
       |       CAST(sum(rank) * 1000 // count(*) AS BIGINT) AS mean_rank_milli
       |FROM grams JOIN ranked USING (word)
       |GROUP BY 1""".stripMargin,
+
+    "pmi_topk" -> """
+      |WITH f AS (
+      |  SELECT list_filter(string_split(text, ' '), t -> length(t) > 0) AS f
+      |  FROM documents),
+      |words AS (SELECT unnest(f) AS word FROM f),
+      |uni AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY 1),
+      |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens FROM uni),
+      |bi AS (
+      |  SELECT u['w1'] AS w1, u['w2'] AS w2, CAST(count(*) AS BIGINT) AS cnt_ab
+      |  FROM (
+      |    SELECT unnest(list_transform(range(0, greatest(len(f) - 1, 0)),
+      |      i -> {'w1': f[CAST(i + 1 AS INT)], 'w2': f[CAST(i + 2 AS INT)]})) AS u
+      |    FROM f)
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 5),
+      |scored AS (
+      |  SELECT w1, w2, cnt_ab, a.cnt AS cnt_a, b.cnt AS cnt_b,
+      |         CAST((cnt_ab * n_tokens // a.cnt) * 1000000 // b.cnt AS BIGINT) AS pmi_micro
+      |  FROM bi JOIN uni a ON bi.w1 = a.word
+      |          JOIN uni b ON bi.w2 = b.word
+      |          CROSS JOIN total),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (
+      |    ORDER BY pmi_micro DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT w1, w2, cnt_ab, cnt_a, cnt_b, pmi_micro, rank
+      |FROM ranked WHERE rank <= 50""".stripMargin,
 
     "train_shuffle" -> """
       |SELECT doc_id, shard,

@@ -249,6 +249,15 @@ object PipelineQueries {
         "vec_id", "embedding", k = 10)
     },
 
+    // C52 — k-NN label propagation: each query vector takes the modal
+    // label of its 10 nearest neighbors — weak supervision from an
+    // embedded labeled seed set (rows + the cosine convention of C5;
+    // vote counts and tie-breaks are pure integers).
+    "knn_classify" -> { (s, d) =>
+      Similarity.knnClassify(Tables.embeddings(s, d), embQueries(s, d),
+        "vec_id", "embedding", "label", k = 10)
+    },
+
     // C6 — random-hyperplane LSH ANN + rerank (rows + SimilaritySpec).
     "embed_lsh_ann" -> { (s, d) =>
       // The scale configuration: 8 planes → 256 buckets shrink the
@@ -396,6 +405,21 @@ object PipelineQueries {
       val corpus = docs.filter(col("doc_id") % 97 =!= 0)
         .select(col("doc_id"), col("text")).unionByName(leaked)
       Dedup.contaminatedDocs(corpus, probe, "text", "doc_id", n = 8)
+    },
+
+    // C51 — graded contamination: the overlap FRACTION behind C21's
+    // binary flag (same leak construction, so known-contaminated docs
+    // score high while the clean remainder scores 0) — the signal a
+    // threshold-based "drop / trim / keep" decontamination policy
+    // consumes.
+    "contam_overlap" -> { (s, d) =>
+      val docs = Tables.fanOut(Tables.documents(s, d))
+      val probe = docs.filter(col("doc_id") % 97 === 0)
+      val leaked = probe.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("leak prefix words then "), col("text")).as("text"))
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text")).unionByName(leaked)
+      Dedup.contaminationScore(corpus, probe, "text", "doc_id", n = 8)
     },
 
     // C22 — deterministic source-mix downsampling: cap every source at
@@ -681,6 +705,27 @@ object PipelineQueries {
       |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s)
       |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 10""".stripMargin,
 
+    // Same neighbor set as embed_cosine_topk (identical cosine fold +
+    // tie-breaks), then an integer majority vote over the neighbors'
+    // labels: count desc, smallest label wins.
+    "knn_classify" -> s"""
+      |WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+      |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s),
+      |v AS (
+      |  SELECT query_id, CAST(e.label AS BIGINT) AS label, count(*) AS n_votes
+      |  FROM r JOIN embeddings e ON r.neighbor_id = e.vec_id
+      |  WHERE rn <= 10
+      |  GROUP BY 1, 2),
+      |p AS (SELECT query_id, label, n_votes,
+      |             row_number() OVER (PARTITION BY query_id
+      |               ORDER BY n_votes DESC, label ASC) AS vrn FROM v)
+      |SELECT query_id, label AS pred_label, n_votes FROM p WHERE vrn = 1""".stripMargin,
+
     // Mirrors lshTopK(numPlanes = 8, multiprobe = 1): Spark explodes
     // the query bucket over XOR masks of popcount <= 1, which joins
     // exactly the corpus buckets within hamming 1 of the query bucket
@@ -908,6 +953,31 @@ object PipelineQueries {
       |  FROM probe)
       |SELECT cg.doc_id, count(*) AS n_hits
       |FROM cg JOIN pg USING (g)
+      |GROUP BY 1""".stripMargin,
+
+    // The graded twin: LEFT join so zero-hit docs keep contam_bp = 0;
+    // grams as STRINGS vs the engine's fingerprint64 (same convention).
+    "contam_overlap" -> """
+      |WITH probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, 'leak prefix words then ' || text FROM probe),
+      |cg AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(0, greatest(len(string_split(text, ' ')) - 7, 0)),
+      |    i -> array_to_string(string_split(text, ' ')[i+1:i+8], ' ')))) AS g
+      |  FROM corpus),
+      |pg AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |    range(0, greatest(len(string_split(text, ' ')) - 7, 0)),
+      |    i -> array_to_string(string_split(text, ' ')[i+1:i+8], ' ')))) AS g
+      |  FROM probe)
+      |SELECT cg.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(count(pg.g) AS BIGINT) AS n_hits,
+      |       CAST(count(pg.g) * 10000 // count(*) AS BIGINT) AS contam_bp
+      |FROM cg LEFT JOIN pg ON cg.g = pg.g
       |GROUP BY 1""".stripMargin,
 
     "source_mix_sample" -> """

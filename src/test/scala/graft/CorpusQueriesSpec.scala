@@ -132,6 +132,33 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("pmiTopK matches naive fixed-point PMI ranking") {
+    val all = collectDocs(docs())
+    val toks = all.map { case (_, t) => t.split(" ", -1).filter(_.nonEmpty).toSeq }
+    val uni: Map[String, Long] = toks.flatten
+      .groupBy(identity).map { case (w, occ) => w -> occ.size.toLong }
+    val nTokens = toks.map(_.size.toLong).sum
+    val bi: Map[(String, String), Long] = toks
+      .flatMap(ws => ws.zip(ws.drop(1)))
+      .groupBy(identity).map { case (p, occ) => p -> occ.size.toLong }
+    val expected = bi.toSeq
+      .filter { case (_, c) => c >= 5L }
+      .map { case ((a, b), c) =>
+        (a, b, c, uni(a), uni(b), c * nTokens / uni(a) * 1000000L / uni(b))
+      }
+      .sortBy { case (a, b, _, _, _, p) => (-p, a, b) }
+      .zipWithIndex.take(50)
+      .map { case ((a, b, c, ca, cb, p), i) => (a, b, c, ca, cb, p, i + 1L) }
+      .toSet
+
+    val got = TextAnalysis.pmiTopK(docs(), "text", k = 50, minCount = 5L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(got == expected)
+  }
+
   test("rarityScore matches the naive mean-frequency-rank computation") {
     val all = collectDocs(docs())
     val tokens = all.flatMap { case (id, t) =>

@@ -382,6 +382,25 @@ class DedupSpec extends SparkTestBase {
     assert(got(2L) == "dup line\ny")
   }
 
+  test("contaminationScore: overlap fraction in basis points; zero-hit docs score 0") {
+    import spark.implicits._
+    val probe = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),        // the probe's one 8-gram: 1/1
+      (2L, "a b c d e f g h x"),      // grams {a..h, b..x}: 1/2
+      (3L, "z z z z z z z z z"),      // one distinct gram, no hits
+      (4L, "a b")                     // < 8 tokens: no grams, no row
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.contaminationScore(corpus, probe, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, 1L, 10000L)),
+      2L -> ((2L, 1L, 5000L)),
+      3L -> ((1L, 0L, 0L))))
+  }
+
   test("bloom decontamination: superset of exact hits, no false negatives") {
     import spark.implicits._
     val probe = Seq((9001L, "held out benchmark question about spark " +

@@ -34,6 +34,22 @@ class SimilaritySpec extends SparkTestBase {
     for (q <- 0L until 4L) assert(got(q) == bruteTopK(q, 10), s"query $q")
   }
 
+  test("knnClassify: modal label of the brute-force neighbors, ties to smallest label") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val queries = emb.filter(col("vec_id") < 4)
+    val got = Similarity.knnClassify(emb, queries, "vec_id", "embedding",
+        "label", k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for (q <- 0L until 4L) {
+      val votes = bruteTopK(q, 10).map(labels)
+        .groupBy(identity).map { case (l, xs) => (l, xs.size.toLong) }
+      val (lbl, n) = votes.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert(got(q) == ((lbl, n)), s"query $q")
+    }
+  }
+
   test("lshTopK returns correctly ranked subsets with reasonable recall") {
     val emb = sources.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 8)
