@@ -586,6 +586,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** FUZZY decontamination: near-duplicate pairs BETWEEN a corpus and
+    * a benchmark probe set by MinHash-LSH + exact-Jaccard verify —
+    * catches the paraphrased / partially-rewritten / truncated leakage
+    * that exact `n`-gram matching ([[contaminatedDocs]]) misses, at
+    * the cost of a shingle-level (not phrase-level) match notion.
+    * Returns `(doc_id, probe_id, jaccard_bp)` for corpus×probe pairs
+    * with verified Jaccard ≥ `minBp`.
+    *
+    * Scale posture: this is [[minhashLshIncremental]] with the probe
+    * suite cast as the increment — the CORPUS is never self-joined,
+    * both sides get the exact-content collapse and hot-bucket guard,
+    * and the benchmark side is suite-sized, so a 100 TB corpus pays
+    * one signature scan plus a probe-sized bucket join. Probe-probe
+    * pairs are dropped by a semi join against the corpus id set
+    * (id spaces must be disjoint, the incremental contract). */
+  def crossNearDupPairs(corpus: DataFrame, probe: DataFrame,
+                        textCol: String, idCol: String, k: Int = 5,
+                        numPerm: Int = 64, bands: Int = 16,
+                        minBp: Int = 5000, maxBucket: Int = 1000): DataFrame = {
+    val pSigs = withMinHashSignatures(probe, textCol, idCol, k, numPerm)
+    val cSigs = withMinHashSignatures(corpus, textCol, idCol, k, numPerm)
+    minhashLshIncremental(pSigs, cSigs, bands, minBp, numPerm, maxBucket)
+      .join(corpus.select(col(idCol).as("match_id")), Seq("match_id"), "left_semi")
+      .select(col("match_id").as("doc_id"), col("new_id").as("probe_id"),
+        col("jaccard_bp"))
+  }
+
   /** GRADED contamination: [[contaminatedDocs]] reports who leaked;
     * this reports HOW MUCH — per corpus doc, the share of its distinct
     * word-`n`-grams present in the benchmark probe set, in basis

@@ -249,6 +249,23 @@ object PipelineQueries {
         "vec_id", "embedding", k = 10)
     },
 
+    // C53 — FUZZY decontamination: near-dup pairs between corpus and
+    // benchmark via MinHash-LSH — the leaked docs here are TRUNCATED
+    // probe copies (high Jaccard, not byte-equal), the paraphrase-ish
+    // leakage shape exact gram matching under-reports. Oracle = the
+    // exact cross Jaccard pair set at the threshold (LSH recall 1.0 on
+    // this corpus, the dedup family's convention).
+    "fuzzy_decontaminate" -> { (s, d) =>
+      val docs = Tables.fanOut(Tables.documents(s, d))
+      val probe = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text"))
+      val leaked = probe.select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("substring(text, 1, greatest(char_length(text) - 7, 0))").as("text"))
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text")).unionByName(leaked)
+      Dedup.crossNearDupPairs(corpus, probe, "text", "doc_id", minBp = 8000)
+    },
+
     // C52 — k-NN label propagation: each query vector takes the modal
     // label of its 10 nearest neighbors — weak supervision from an
     // embedded labeled seed set (rows + the cosine convention of C5;
@@ -954,6 +971,39 @@ object PipelineQueries {
       |SELECT cg.doc_id, count(*) AS n_hits
       |FROM cg JOIN pg USING (g)
       |GROUP BY 1""".stripMargin,
+
+    // Exact cross-set Jaccard on char-5 shingle sets at the threshold
+    // — the fuzzy-decontamination oracle (shingles as STRINGS vs the
+    // engine's 64-bit hashes, the dedup family's convention).
+    "fuzzy_decontaminate" -> """
+      |WITH probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, substr(text, 1, greatest(length(text) - 7, 0))
+      |  FROM probe),
+      |csh AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(0, greatest(length(text) - 4, 0)),
+      |                                         i -> substr(text, i + 1, 5))) AS g
+      |    FROM corpus)),
+      |psh AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(0, greatest(length(text) - 4, 0)),
+      |                                         i -> substr(text, i + 1, 5))) AS g
+      |    FROM probe)),
+      |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+      |psz AS (SELECT doc_id, count(*) AS n FROM psh GROUP BY 1),
+      |cand AS (
+      |  SELECT c.doc_id AS doc_id, p.doc_id AS probe_id, count(*) AS common
+      |  FROM csh c JOIN psh p ON c.g = p.g
+      |  GROUP BY 1, 2)
+      |SELECT cand.doc_id AS doc_id, cand.probe_id AS probe_id,
+      |       CAST(floor(10000.0 * common / (cz.n + pz.n - common)) AS BIGINT) AS jaccard_bp
+      |FROM cand
+      |JOIN csz cz ON cand.doc_id = cz.doc_id
+      |JOIN psz pz ON cand.probe_id = pz.doc_id
+      |WHERE floor(10000.0 * common / (cz.n + pz.n - common)) >= 8000""".stripMargin,
 
     // The graded twin: LEFT join so zero-hit docs keep contam_bp = 0;
     // grams as STRINGS vs the engine's fingerprint64 (same convention).

@@ -382,6 +382,26 @@ class DedupSpec extends SparkTestBase {
     assert(got(2L) == "dup line\ny")
   }
 
+  test("crossNearDupPairs: corpus-probe pairs only, catches truncated near-dups") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the riverbank at dawn"
+    val other = "completely different content about spark physical plans and shuffles here"
+    val probe = Seq((100L, base), (101L, other)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, base.dropRight(8)),              // truncated copy of probe 100
+      (2L, other),                          // exact copy of probe 101
+      (3L, "unrelated text mentioning neither foxes nor query planners at all ok"),
+      (4L, "unrelated text mentioning neither foxes nor query planners at all ok")
+    ).toDF("doc_id", "text")                // 3,4: corpus-internal dup pair
+    val got = operators.Dedup
+      .crossNearDupPairs(corpus, probe, "text", "doc_id", minBp = 7000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPair = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byPair.keySet == Set((1L, 100L), (2L, 101L)), got.toSeq)
+    assert(byPair((2L, 101L)) == 10000L)
+    assert(byPair((1L, 100L)) >= 7000L && byPair((1L, 100L)) < 10000L)
+  }
+
   test("contaminationScore: overlap fraction in basis points; zero-hit docs score 0") {
     import spark.implicits._
     val probe = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
