@@ -249,6 +249,52 @@ object PipelineQueries {
         "vec_id", "embedding", k = 10)
     },
 
+    // C54 — the curation pipeline as ONE verdict: exact-dedup,
+    // benchmark decontamination and quality filtering composed into a
+    // per-doc (verdict, keep) with fixed precedence exact_dup >
+    // contaminated > quality-reason > kept. The corpus carries all
+    // three defect classes by construction (crawl mirrors at +4e6,
+    // leaked probe copies at +2e6, the organic quality failures).
+    // This is the row-level decision a production ingest writes back;
+    // every stage is value-verified END-TO-END by the oracle, not just
+    // per-operator. Plan shape: one corpus scan feeds the signal
+    // projection; dedup canon is a hash-keyed min-agg joined back on
+    // the 8-byte content key; contamination hits join on doc_id; the
+    // quality signals are scan-local columns — three joins total, all
+    // on compact keys, no text ever shuffles.
+    "curation_verdict" -> { (s, d) =>
+      val docs = Tables.fanOut(Tables.documents(s, d))
+      val probe = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val leaked = probe.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("leak prefix words then "), col("text")).as("text"))
+      val mirror = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text"))
+      val corpus = base.unionByName(leaked).unionByName(mirror)
+      val canon = corpus.groupBy(xxhash64(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("canon_id"))
+      val hits = Dedup.contaminatedDocs(corpus, probe, "text", "doc_id", n = 8)
+      val quality = TextAnalysis.qualityFilter(corpus, "text", "doc_id")
+        .select(col("doc_id"), col("reason").as("q_reason"))
+      val verdict =
+        when(col("doc_id") =!= col("canon_id"), lit("exact_dup"))
+          .when(col("n_contam_hits") > 0, lit("contaminated"))
+          .when(col("q_reason").isNotNull, col("q_reason"))
+          .otherwise(lit("kept"))
+      corpus.withColumn("h", xxhash64(col("text")))
+        .join(canon, "h")
+        .join(hits, Seq("doc_id"), "left_outer")
+        .join(quality, "doc_id")
+        .withColumn("n_contam_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("verdict", verdict)
+        .select(col("doc_id"),
+          (col("doc_id") =!= col("canon_id")).as("is_exact_dup"),
+          col("n_contam_hits"), col("q_reason"), col("verdict"),
+          (verdict === "kept").as("keep"))
+    },
+
     // C53 — FUZZY decontamination: near-dup pairs between corpus and
     // benchmark via MinHash-LSH — the leaked docs here are TRUNCATED
     // probe copies (high Jaccard, not byte-equal), the paraphrase-ish
@@ -971,6 +1017,79 @@ object PipelineQueries {
       |SELECT cg.doc_id, count(*) AS n_hits
       |FROM cg JOIN pg USING (g)
       |GROUP BY 1""".stripMargin,
+
+    // The end-to-end verdict: text-grouped canon (vs the engine's
+    // xxhash64 content key), the decontaminate gram join, and the
+    // quality_filter signal chain composed under one precedence CASE.
+    "curation_verdict" -> s"""
+      |WITH probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      |base AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, 'leak prefix words then ' || text FROM probe
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, text FROM base WHERE doc_id % 10 = 0),
+      |canon AS (SELECT text, min(doc_id) AS canon_id FROM corpus GROUP BY 1),
+      |cg AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(0, greatest(len(string_split(text, ' ')) - 7, 0)),
+      |    i -> array_to_string(string_split(text, ' ')[i+1:i+8], ' ')))) AS g
+      |  FROM corpus),
+      |pg AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |    range(0, greatest(len(string_split(text, ' ')) - 7, 0)),
+      |    i -> array_to_string(string_split(text, ' ')[i+1:i+8], ' ')))) AS g
+      |  FROM probe),
+      |hits AS (
+      |  SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |  FROM cg JOIN pg USING (g) GROUP BY 1),
+      |qs AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |         len(string_split(text, ' ')) AS n_words,
+      |         len(list_filter(string_split(text, ' '),
+      |             t -> t IN (${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop,
+      |         list_transform(range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+      |           i -> string_split(text, ' ')[i+1] || ' ' ||
+      |                string_split(text, ' ')[i+2] || ' ' ||
+      |                string_split(text, ' ')[i+3]) AS g
+      |  FROM corpus),
+      |qm AS (
+      |  SELECT doc_id, n_words,
+      |         CAST(floor(10000.0 * (n_chars - n_words + 1) / n_words) AS BIGINT) AS word_len_bp,
+      |         CAST(floor(10000.0 * n_stop / n_words) AS BIGINT) AS stopword_bp,
+      |         CASE WHEN len(g) > 0
+      |              THEN CAST(floor(10000.0 * (len(g) - len(list_distinct(g))) / len(g)) AS BIGINT)
+      |              ELSE 0 END AS dup_bp
+      |  FROM qs),
+      |qr AS (
+      |  SELECT doc_id,
+      |         CASE WHEN n_words < 20 THEN 'too_short'
+      |              WHEN n_words > 1000000 THEN 'too_long'
+      |              WHEN word_len_bp < 30000 OR word_len_bp > 60000 THEN 'word_length'
+      |              WHEN stopword_bp < 2000 THEN 'low_stopword'
+      |              WHEN dup_bp > 500 THEN 'repetitive'
+      |              ELSE NULL END AS q_reason
+      |  FROM qm),
+      |j AS (
+      |  SELECT c.doc_id,
+      |         c.doc_id <> canon.canon_id AS is_exact_dup,
+      |         CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_contam_hits,
+      |         qr.q_reason
+      |  FROM corpus c
+      |  JOIN canon ON c.text = canon.text
+      |  LEFT JOIN hits ON c.doc_id = hits.doc_id
+      |  JOIN qr ON c.doc_id = qr.doc_id),
+      |v AS (
+      |  SELECT *,
+      |         CASE WHEN is_exact_dup THEN 'exact_dup'
+      |              WHEN n_contam_hits > 0 THEN 'contaminated'
+      |              WHEN q_reason IS NOT NULL THEN q_reason
+      |              ELSE 'kept' END AS verdict
+      |  FROM j)
+      |SELECT doc_id, is_exact_dup, n_contam_hits, q_reason, verdict,
+      |       verdict = 'kept' AS keep
+      |FROM v""".stripMargin,
 
     // Exact cross-set Jaccard on char-5 shingle sets at the threshold
     // — the fuzzy-decontamination oracle (shingles as STRINGS vs the
