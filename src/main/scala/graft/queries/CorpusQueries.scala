@@ -76,7 +76,7 @@ object CorpusQueries {
         Tables.fanOut(Tables.documents(s, d)), "text", "doc_id", n = 2)
     },
 
-    // C51 — top-50 collocations by fixed-point PMI (count-floored, so
+    // C55 — top-50 collocations by fixed-point PMI (count-floored, so
     // hapax pairs can't saturate the list): the phrase-mining /
     // tokenizer-vocabulary signal — which adjacent word pairs behave
     // as units. Integer-exact, log-free; one token scan feeds both

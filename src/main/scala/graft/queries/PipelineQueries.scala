@@ -249,7 +249,7 @@ object PipelineQueries {
         "vec_id", "embedding", k = 10)
     },
 
-    // C54 — the curation pipeline as ONE verdict: exact-dedup,
+    // C57 — the curation pipeline as ONE verdict: exact-dedup,
     // benchmark decontamination and quality filtering composed into a
     // per-doc (verdict, keep) with fixed precedence exact_dup >
     // contaminated > quality-reason > kept. The corpus carries all
@@ -295,7 +295,7 @@ object PipelineQueries {
           (verdict === "kept").as("keep"))
     },
 
-    // C53 — FUZZY decontamination: near-dup pairs between corpus and
+    // C56 — FUZZY decontamination: near-dup pairs between corpus and
     // benchmark via MinHash-LSH — the leaked docs here are TRUNCATED
     // probe copies (high Jaccard, not byte-equal), the paraphrase-ish
     // leakage shape exact gram matching under-reports. Oracle = the
@@ -312,7 +312,7 @@ object PipelineQueries {
       Dedup.crossNearDupPairs(corpus, probe, "text", "doc_id", minBp = 8000)
     },
 
-    // C52 — k-NN label propagation: each query vector takes the modal
+    // C54 — k-NN label propagation: each query vector takes the modal
     // label of its 10 nearest neighbors — weak supervision from an
     // embedded labeled seed set (rows + the cosine convention of C5;
     // vote counts and tie-breaks are pure integers).
@@ -470,7 +470,7 @@ object PipelineQueries {
       Dedup.contaminatedDocs(corpus, probe, "text", "doc_id", n = 8)
     },
 
-    // C51 — graded contamination: the overlap FRACTION behind C21's
+    // C53 — graded contamination: the overlap FRACTION behind C21's
     // binary flag (same leak construction, so known-contaminated docs
     // score high while the clean remainder scores 0) — the signal a
     // threshold-based "drop / trim / keep" decontamination policy
