@@ -41,6 +41,17 @@ object Sweep100 {
     def docs(dir: String): DataFrame =
       spark.read.parquet(s"$dir/documents.parquet")
 
+    // fixed benchmark probe (the 1× %97 slice, ids shifted into their
+    // own space — the cross-dedup disjointness contract)
+    lazy val probeCached = {
+      val p = spark.read.parquet(s"$base/documents.parquet")
+        .filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + lit(2000000000L)).as("doc_id"), col("text"))
+        .cache()
+      p.count(); p
+    }
+    def probeDocs(): DataFrame = probeCached
+
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       "dup_gram_stats" -> (d => Dedup.dupGramStats(d, "text", "doc_id", n = 6)),
       "dup_span_intervals" -> (d => Dedup.dupSpanIntervals(d, "text", "doc_id", n = 6)),
@@ -66,7 +77,18 @@ object Sweep100 {
         Seq("join", "vector", "hash", "spark"), k = 10)),
       "bigram_rarity" -> (d => TextAnalysis.rarityScore(d, "text", "doc_id", n = 2)),
       "source_overlap" -> (d => Dedup.sourceOverlap(d, "text", "source", n = 3)),
-      "key_skew" -> (d => graft.operators.Skew.keySkew(d, "source", topN = 20)))
+      "key_skew" -> (d => graft.operators.Skew.keySkew(d, "source", topN = 20)),
+      // r8 curation additions. The probe suite is FIXED at the 1×
+      // slice (benchmarks don't grow with the corpus); the corpus is
+      // the scaled side. Mirrors multiply the matching copies, so
+      // cross_decontam's OUTPUT grows with multiplicity while its
+      // join stays probe-sized — the measurement behind the
+      // "corpus is never self-joined" claim. pmi's distinct-bigram
+      // vocab is constant across decades; only the token stages grow.
+      "contam_score" -> (d => Dedup.contaminationScore(d, probeDocs(), "text", "doc_id")),
+      "cross_decontam" -> (d => Dedup.crossNearDupPairs(d, probeDocs(), "text", "doc_id",
+        minBp = 8000)),
+      "pmi_topk" -> (d => TextAnalysis.pmiTopK(d, "text", k = 50, minCount = 5L)))
 
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
@@ -109,7 +131,11 @@ object Sweep100 {
       // a production 2¹²-centroid index takes
       "ivf_ann" -> (e => Similarity.ivfTopK(e, queryBatch,
         "vec_id", "embedding", k = 10, nCentroids = 64, nProbe = 2,
-        centroidLiteralMax = 16)))
+        centroidLiteralMax = 16)),
+      // fixed query batch votes over a growing labeled corpus — the
+      // probe-bound claim for label propagation
+      "knn_classify" -> (e => Similarity.knnClassify(e, queryBatch,
+        "vec_id", "embedding", "label", k = 10)))
 
     // Persisted signature store per layout — the production shape:
     // signatures are computed at INGEST, so steady-state dedup cost
