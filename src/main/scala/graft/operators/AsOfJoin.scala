@@ -40,7 +40,31 @@ object AsOfJoin {
                leftKey: String, rightKey: String,
                leftTs: String, rightTs: String,
                payload: Seq[String],
-               rightTieBreak: Seq[String] = Nil): DataFrame = {
+               rightTieBreak: Seq[String] = Nil): DataFrame =
+    asOf(left, right, leftKey, rightKey, leftTs, rightTs, payload,
+      rightTieBreak, forward = false)
+
+  /** FORWARD as-of join: each left row picks the EARLIEST right row
+    * with `rightTs >= leftTs` for its key — the what-happened-next
+    * lookup (first order after a touchpoint, first error after a
+    * deploy). Ties inside the as-of window resolve to the SMALLEST
+    * tie-break (the mirror of [[leftAsOf]]'s largest-wins). Same
+    * union+running-last plan, same single shuffle — only the window
+    * sort direction flips, so the cost model is identical. */
+  def leftAsOfForward(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTs: String, rightTs: String,
+                      payload: Seq[String],
+                      rightTieBreak: Seq[String] = Nil): DataFrame =
+    asOf(left, right, leftKey, rightKey, leftTs, rightTs, payload,
+      rightTieBreak, forward = true)
+
+  private def asOf(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   payload: Seq[String],
+                   rightTieBreak: Seq[String],
+                   forward: Boolean): DataFrame = {
     val leftCols = left.columns
     val l = left
       .withColumn("__k", col(leftKey))
@@ -59,14 +83,19 @@ object AsOfJoin {
       col("__side"), col("__p"))): _*)
       .unionByName(r, allowMissingColumns = true)
     // Right rows before left rows at the same instant: side 0 sorts
-    // first, so rightTs == leftTs counts as "already arrived" (<=
-    // semantics). Tie-break columns sort ascending, so among right
-    // rows at the same (key, ts) the largest is the running last.
-    // (Left rows have a null payload struct → null tie-break fields →
-    // nulls-first, which cannot reorder them after a right row.)
+    // first, so rightTs == leftTs counts as matched in BOTH directions
+    // (<= / >= semantics). Backward walks time ascending — among right
+    // rows at the same (key, ts) the tie-break sorts ascending so the
+    // LARGEST is the running last. Forward walks time DESCENDING (the
+    // running last becomes the nearest following row) — tie-breaks
+    // sort descending so the SMALLEST wins. (Left rows carry a null
+    // payload struct; with __side ordered ascending they always sort
+    // after the right rows of their instant, in both directions.)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc +: col("__side").asc +:
-        rightTieBreak.map(tb => col(s"__p.$tb").asc): _*)
+      .orderBy((if (forward) col("__t").desc else col("__t").asc) +:
+        col("__side").asc +:
+        rightTieBreak.map(tb =>
+          if (forward) col(s"__p.$tb").desc else col(s"__p.$tb").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))

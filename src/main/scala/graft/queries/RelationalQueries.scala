@@ -311,6 +311,44 @@ object RelationalQueries {
           col("o_totalprice").as("order_total"))
     },
 
+    // B46 — FORWARD as-of join: each event picks the customer's
+    // EARLIEST order at or after the event time (what-happened-next);
+    // same-date orders resolve to the min orderkey. Identical
+    // single-shuffle union+running-last plan as B11, sort direction
+    // flipped.
+    "asof_forward" -> { (s, d) =>
+      AsOfJoin.leftAsOfForward(
+        Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+        Tables.orders(s, d),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        payload = Seq("o_orderkey", "o_totalprice"),
+        rightTieBreak = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("o_orderkey").as("order_key"),
+          col("o_totalprice").as("order_total"))
+    },
+
+    // B47 — RANGE-frame trailing window: per customer, each order's
+    // trailing-30-day revenue (order value sum over the preceding 30
+    // days INCLUDING the current instant) — the moving-aggregate
+    // feature ROWS frames can't express when event spacing is uneven.
+    // One shuffle on the customer key; the frame bound is evaluated on
+    // epoch seconds so both engines cut the identical row set; the sum
+    // is decimal-exact before the final double cast.
+    "range_frame_total" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-30L * 86400, 0)
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("order_key"),
+        col("o_custkey").as("cust_key"),
+        col("o_orderdate").as("order_date"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double")
+          .as("trailing_30d"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+    },
+
     // B12 — range join: events within 10 minutes after each error
     // event of the same user; bucketed equi-join, no cross product.
     "range_join" -> { (s, d) =>
@@ -531,6 +569,31 @@ object RelationalQueries {
              o.o_totalprice AS order_total
       FROM events e ASOF LEFT JOIN o2 o
         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+
+    // Forward as-of via min-of-struct over the future-restricted join
+    // (DuckDB 1.0's ASOF only implements the backward direction):
+    // lexicographic min of (date, key, price) = earliest date, then
+    // smallest orderkey — exactly the engine's tie-break.
+    "asof_forward" -> """
+      |WITH j AS (
+      |  SELECT e.event_id, e.user_id, e.ts,
+      |         min({'d': o.o_orderdate, 'k': o.o_orderkey,
+      |              'p': o.o_totalprice}) AS m
+      |  FROM events e LEFT JOIN orders o
+      |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+      |  GROUP BY 1, 2, 3)
+      |SELECT event_id, user_id, ts,
+      |       m['k'] AS order_key, m['p'] AS order_total
+      |FROM j""".stripMargin,
+
+    "range_frame_total" -> """
+      |SELECT o_orderkey AS order_key, o_custkey AS cust_key,
+      |       o_orderdate AS order_date,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_30d,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_orders_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "range_join" -> """
       SELECT e1.event_id AS err_event_id, e1.user_id,

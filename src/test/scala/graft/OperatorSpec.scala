@@ -48,6 +48,29 @@ class OperatorSpec extends SparkTestBase {
       "e3" -> None, "e4" -> None))
   }
 
+  test("forward asof picks earliest right >= left ts, smallest tie-break, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (10L, ts("2024-01-01T10:00:00Z"), "e1"),
+      (10L, ts("2024-01-01T12:00:00Z"), "e2"), // == right ts → counts
+      (10L, ts("2024-01-01T13:00:00Z"), "e3"), // after all right rows
+      (30L, ts("2024-01-01T10:00:00Z"), "e4")  // key with no right rows
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (10L, ts("2024-01-01T09:00:00Z"), 100.0),
+      (10L, ts("2024-01-01T11:00:00Z"), 250.0),
+      (10L, ts("2024-01-01T11:00:00Z"), 200.0), // same instant: smallest wins
+      (10L, ts("2024-01-01T12:00:00Z"), 300.0)
+    ).toDF("rk", "rt", "price")
+    val got = AsOfJoin.leftAsOfForward(left, right, "k", "rk", "t", "rt",
+        Seq("price"), rightTieBreak = Seq("price"))
+      .select("name", "price").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got == Map("e1" -> Some(200.0), "e2" -> Some(300.0),
+      "e3" -> None, "e4" -> None))
+  }
+
   test("range join equals the naive theta join") {
     val ev = sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
