@@ -1165,4 +1165,91 @@ class StreamingSpec extends SparkTestBase {
       assert(merged == batchResult)
     } finally q.stop()
   }
+
+  private def withTwsConf[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(shufKey, "2")
+    try body finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.conf.set(shufKey, prevShuf)
+    }
+  }
+
+  test("TwsTrending: per-group window top-k across micro-batches equals exact counts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTwsConf {
+    val input = MemoryStream[(String, Long, String)] // (group, ms, text)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_trend").toString
+    val q = graft.streaming.TwsTrending.trending(
+        input.toDS().toDF("group", "ms", "text")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        "group", "ts", "text", windowDur = "10 minutes",
+        delay = "5 minutes", k = 3, capacity = 64)
+      .writeStream.format("memory").queryName("trend")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window [0,10) split over TWO micro-batches: group a has
+      // x:5 y:3 z:1, group b has p:4 q:2; window [10,20) group a r:2
+      input.addData(("a", t(1), "x x y"), ("b", t(2), "p p q"))
+      q.processAllAvailable()
+      input.addData(("a", t(3), "x x x y y z"), ("b", t(4), "p p q"),
+        ("a", t(11), "r r"))
+      q.processAllAvailable()
+      assert(spark.table("trend").isEmpty) // windows still open
+      input.addData(("a", t(60), "tick"))  // watermark 55 closes both
+      q.processAllAvailable()
+      val got = spark.table("trend").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == Set(
+        ("a", t(0), "x", 5L, 1L), ("a", t(0), "y", 3L, 2L), ("a", t(0), "z", 1L, 3L),
+        ("b", t(0), "p", 4L, 1L), ("b", t(0), "q", 2L, 2L),
+        ("a", t(10), "r", 2L, 1L)), got.mkString(","))
+    } finally q.stop()
+    }
+  }
+
+  test("TwsTrending: Misra-Gries keeps the heavy hitter at a tiny capacity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTwsConf {
+    val input = MemoryStream[(String, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_trend_mg").toString
+    val q = graft.streaming.TwsTrending.trending(
+        input.toDS().toDF("group", "ms", "text")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        "group", "ts", "text", windowDur = "10 minutes",
+        delay = "5 minutes", k = 1, capacity = 2)
+      .writeStream.format("memory").queryName("trend_mg")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // heavy h:10 vs five singletons, interleaved across batches —
+      // true gap (10 vs 1) far exceeds eps*N = 15/3, so MG must keep
+      // h on top despite holding only 2 counters
+      input.addData(("a", t(1), "h h h n1 h n2"))
+      q.processAllAvailable()
+      input.addData(("a", t(2), "h n3 h h n4"), ("a", t(3), "h n5 h h"))
+      q.processAllAvailable()
+      input.addData(("a", t(60), "tick"))
+      q.processAllAvailable()
+      val got = spark.table("trend_mg").collect()
+        .filter(_.getLong(1) == t(0))
+        .map(r => (r.getString(2), r.getLong(4))).toSet
+      assert(got == Set(("h", 1L)), got.mkString(","))
+    } finally q.stop()
+    }
+  }
 }
