@@ -61,6 +61,30 @@ object Sinks {
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
 
+  /** Training-shard writer: materializes the deterministic
+    * pre-training shuffle (the `train_shuffle` ordering — a
+    * multiplicative-hash key, shard = key mod `shards`, in-shard order
+    * by (key, id)) as shard-partitioned parquet whose IN-FILE row
+    * order IS the training order. A data loader then streams
+    * `shard=N/part-*.parquet` front to back and sees the epoch
+    * permutation with zero further sorting; re-running the write
+    * reproduces byte-identical order (no RNG), which is what
+    * epoch-resumable loaders and debugging-a-loss-spike both need.
+    * Scale: shard count is the file-size knob (100 TB → millions of
+    * ~1 GB shards); the only sort is per shard. */
+  def writeTrainShards(df: DataFrame, path: String, idCol: String,
+                       shards: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(shards >= 1, s"shards ($shards) must be >= 1")
+    val h = (col(idCol) * lit(2654435761L)) % lit(1000000007L)
+    df.withColumn("__h", h)
+      .withColumn("shard", col("__h") % lit(shards.toLong))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
+      .drop("__h")
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+  }
+
   /** Range-clustered parquet: global range partition + in-partition
     * sort on `keyCol`, so every file and row group carries tight
     * min/max stats on the key — point/range probes then prune to

@@ -148,6 +148,32 @@ class SourcesSpec extends SparkTestBase {
       == docs.filter(col("doc_id") < 200).count())
   }
 
+  test("writeTrainShards: in-file order IS the training order, rerun-identical") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    sources.Sinks.writeTrainShards(docs, dir, "doc_id", shards = 4)
+    // every shard directory exists and its file order matches the
+    // deterministic (h, id) permutation computed independently
+    val expected = docs.collect().map(_.getLong(0))
+      .map(id => (id * 2654435761L % 1000000007L, id))
+      .groupBy { case (h, _) => h % 4 }
+    for (s <- 0 until 4) {
+      val got = spark.read.parquet(s"$dir/shard=$s")
+        .collect().map(_.getLong(0)).toSeq
+      val want = expected(s.toLong).sortBy { case (h, id) => (h, id) }
+        .map(_._2).toSeq
+      assert(got == want, s"shard $s order mismatch")
+    }
+    // rerun → identical permutation (no RNG anywhere)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_shards2").toString
+    sources.Sinks.writeTrainShards(docs, dir2, "doc_id", shards = 4)
+    for (s <- 0 until 4)
+      assert(spark.read.parquet(s"$dir2/shard=$s").collect().map(_.getLong(0)).toSeq ==
+        spark.read.parquet(s"$dir/shard=$s").collect().map(_.getLong(0)).toSeq)
+  }
+
   test("rate stream source feeds a windowed count") {
     import org.apache.spark.sql.streaming.Trigger
     val q = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
