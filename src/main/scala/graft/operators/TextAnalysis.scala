@@ -452,14 +452,18 @@ object TextAnalysis {
     * cnt_ab·n_tokens stays under 2⁶³ to ~10⁹ occurrences of a pair in
     * a ~10⁹-token corpus; shard the corpus before profiling past that.
     *
-    * Scale posture: one token scan feeds BOTH count branches (AQE
-    * exchange reuse, the tfIdfTopK pattern); the bigram table is
-    * `minCount`-floored BEFORE joining the unigram counts, the joins
-    * run on the term keys (a JOIN gets AQE skew-split on the Zipf
-    * head; a term-partitioned window would not — same rationale as
-    * tfIdfTopK's df branch), and the global top-k is a rank window
-    * Spark executes as WindowGroupLimit — per-partition top-k then
-    * merge, no full sort. `broadcastUni = false` for open-web
+    * Scale posture: the corpus is scanned twice (unigram and bigram
+    * token explodes — scan-bound passes, cheaper than materializing
+    * the token stream at corpus scale), but the unigram COUNTS are
+    * computed once: one broadcast serves both join sides (the second
+    * is a ReusedExchange) and the corpus total re-aggregates the same
+    * unigram exchange (the tfIdfTopK pattern; all three asserted in
+    * PlanSpec). The bigram table is `minCount`-floored BEFORE joining
+    * the unigram counts, the joins run on term keys (a JOIN gets AQE
+    * skew-split on the Zipf head; a term-partitioned window would
+    * not — same rationale as tfIdfTopK's df branch), and the rank
+    * filter rewrites to TakeOrderedAndProject — per-partition top-k
+    * then merge, no global sort. `broadcastUni = false` for open-web
     * vocabularies (the unigram frame outgrows any broadcast budget;
     * the shuffled join is the fallback, same knob as tfIdfTopK). */
   def pmiTopK(docs: DataFrame, textCol: String, k: Int = 50,

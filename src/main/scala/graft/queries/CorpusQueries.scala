@@ -79,8 +79,8 @@ object CorpusQueries {
     // C55 — top-50 collocations by fixed-point PMI (count-floored, so
     // hapax pairs can't saturate the list): the phrase-mining /
     // tokenizer-vocabulary signal — which adjacent word pairs behave
-    // as units. Integer-exact, log-free; one token scan feeds both
-    // count branches.
+    // as units. Integer-exact, log-free; the unigram counts are
+    // computed once and broadcast-reused across both join sides.
     "pmi_topk" -> { (s, d) =>
       TextAnalysis.pmiTopK(
         Tables.fanOut(Tables.documents(s, d)), "text", k = 50, minCount = 5L)

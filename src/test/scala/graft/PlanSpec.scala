@@ -272,6 +272,23 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
   }
 
+  test("pmi_topk: one unigram broadcast reused for both join sides and the total; top-k take-ordered") {
+    val q = SparkEntry.queries("pmi_topk")(spark, sfDir)
+    q.collect()
+    val executed = q.queryExecution.executedPlan.toString
+    // cnt_a and cnt_b join from ONE broadcast of the unigram counts
+    // (the second side is a ReusedExchange), and the corpus total
+    // re-aggregates the same unigram exchange — the word counts are
+    // computed exactly once
+    assert(executed.contains("BroadcastHashJoin"), executed)
+    assert(executed.linesIterator.count(_.contains("ReusedExchange")) >= 2, executed)
+    // rank <= k rewrites to TakeOrderedAndProject (LimitPushDown
+    // ThroughWindow): per-partition top-50 then merge, no global sort
+    assert(executed.contains("TakeOrderedAndProject") ||
+      executed.contains("WindowGroupLimit"), executed)
+    assert(!executed.contains("rangepartitioning"), executed)
+  }
+
   test("fanOut gates on scan parallelism: no-op on pre-split input") {
     val docs = sources.Tables.documents(spark, sfDir)
     val par = spark.sparkContext.defaultParallelism
