@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Read/write helpers beyond the parquet star schema: CSV and JSON
   * (schema'd round-trips), partitioned parquet, and bucketed tables
@@ -83,6 +83,55 @@ object Sinks {
       .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
       .drop("__h")
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+  }
+
+  /** Z-ORDER clustered parquet: rows sorted by the Morton interleave
+    * of both keys' 16-bit range-quantized values, so every file (and
+    * row group) covers a compact RECTANGLE of the 2-D key space and
+    * carries tight min/max stats on BOTH columns — point/range probes
+    * on EITHER key prune most files, where [[writeClustered]]'s 1-D
+    * sort prunes only its own key (the second column spans every
+    * file). The multi-dimensional lake layout for tables probed by
+    * more than one predicate (user × time, domain × quality, ...).
+    *
+    * The interleave is four mask-and-shift steps per key — all
+    * codegen'd integer ops, scan-speed. Quantization bounds come from
+    * one min/max aggregate (4 scalars to the driver — bounded
+    * control-plane, the centroid-collect convention). Degenerate
+    * (constant) keys quantize to 0 and degrade gracefully to the
+    * other key's 1-D order. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numRanges: Int = 0): Unit = {
+    import org.apache.spark.sql.functions._
+    val row = df.agg(min(col(colA)), max(col(colA)),
+      min(col(colB)), max(col(colB))).head()
+    def d(i: Int): Double = row.get(i) match {
+      case n: Number => n.doubleValue()
+      case t: java.sql.Timestamp => t.getTime.toDouble
+      case other => sys.error(s"writeZOrdered: non-numeric key $other")
+    }
+    def quant(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(65535L),
+        floor((c.cast("double") - lit(lo)) * 65535.0 / (hi - lo)).cast("long"))
+    def spread(x: Column): Column = {
+      var v = x
+      v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+      v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x33333333L))
+      v = v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x55555555L))
+      v
+    }
+    val z = spread(quant(col(colA), d(0), d(1)))
+      .bitwiseOR(shiftleft(spread(quant(col(colB), d(2), d(3))), 1))
+    val parts =
+      if (numRanges > 0) numRanges
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    df.withColumn("__z", z)
+      .repartitionByRange(parts, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
   /** Range-clustered parquet: global range partition + in-partition

@@ -148,6 +148,48 @@ class SourcesSpec extends SparkTestBase {
       == docs.filter(col("doc_id") < 200).count())
   }
 
+  test("writeZOrdered: files cover 2-D rectangles — both keys prune; 1-D clustering prunes one") {
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("value"))
+    val zdir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val cdir = java.nio.file.Files.createTempDirectory("graft_c").toString
+    sources.Sinks.writeZOrdered(ev, zdir, "user_id", "value", numRanges = 16)
+    sources.Sinks.writeClustered(ev, cdir, "user_id", numRanges = 16)
+
+    def fileSpans(dir: String): Seq[((Long, Long), (Double, Double))] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg(min("user_id"), max("user_id"), min("value"), max("value")).head()
+          ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))
+        }
+    val zs = fileSpans(zdir)
+    val cs = fileSpans(cdir)
+    assert(zs.size >= 8 && cs.size >= 8, s"${zs.size} z / ${cs.size} c files")
+    // a narrow slice in each dimension (middle ~12% of each range)
+    val b = ev.agg(min("user_id"), max("user_id"),
+      min("value"), max("value")).head()
+    val (uLo0, uHi0) = (b.getLong(0), b.getLong(1))
+    val uLo = uLo0 + (0.44 * (uHi0 - uLo0)).toLong
+    val uHi = uLo0 + (0.56 * (uHi0 - uLo0)).toLong
+    val (vLo0, vHi0) = (b.getDouble(2), b.getDouble(3))
+    val (vLo, vHi) = (vLo0 + 0.44 * (vHi0 - vLo0), vLo0 + 0.56 * (vHi0 - vLo0))
+    def overlapU(s: Seq[((Long, Long), (Double, Double))]) =
+      s.count { case ((lo, hi), _) => hi >= uLo && lo <= uHi }
+    def overlapV(s: Seq[((Long, Long), (Double, Double))]) =
+      s.count { case (_, (lo, hi)) => hi >= vLo && lo <= vHi }
+    // z-order: BOTH dimensions prune to a strict subset of files
+    assert(overlapU(zs) < zs.size, s"z user overlap ${overlapU(zs)}/${zs.size}")
+    assert(overlapV(zs) < zs.size, s"z value overlap ${overlapV(zs)}/${zs.size}")
+    // 1-D clustering: its own key prunes hard, the other key cannot
+    // (every file spans nearly the whole value range on this data)
+    assert(overlapU(cs) <= cs.size / 4, s"clustered user overlap ${overlapU(cs)}/${cs.size}")
+    assert(overlapV(cs) == cs.size, s"clustered value overlap ${overlapV(cs)}/${cs.size}")
+    // and z-order's foreign-dimension pruning beats 1-D's
+    assert(overlapV(zs) < overlapV(cs))
+  }
+
   test("writeTrainShards: in-file order IS the training order, rerun-identical") {
     import org.apache.spark.sql.functions._
     val docs = sources.Tables.documents(spark, sfDir)
