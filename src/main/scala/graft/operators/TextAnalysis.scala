@@ -443,6 +443,39 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Semi-structured ingest profiling: per JSON key across a corpus
+    * of JSON objects — presence count/share and a shape census
+    * (numeric / boolean / string) of the VALUE RENDERINGS. The
+    * schema-discovery pass run before wiring typed extraction over a
+    * raw event feed (which keys exist? how sparse? can this column be
+    * numeric?).
+    *
+    * Values classify on their string rendering (`from_json` to
+    * map<string,string> — one codegen'd parse per row, keys exploded
+    * from the map, one counter shuffle keyed by JSON key). A
+    * string-typed lookalike (`"42"`, `"true"`) therefore counts with
+    * its shape class, not as a string — at profiling level that IS
+    * the question being asked ("is this key numeric-shaped"), and it
+    * is the documented contract the oracle mirrors via `json_type`.
+    * Nested objects/arrays render as JSON text → string class. */
+  def jsonKeyProfile(df: DataFrame, jsonCol: String): DataFrame = {
+    val total = df.agg(count(lit(1)).as("n_rows"))
+    df.select(explode(expr(s"from_json($jsonCol, 'map<string,string>')")))
+      .toDF("key", "v")
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(when(col("v").isin("true", "false"), 1L).otherwise(0L)).as("n_bool"),
+        sum(when(!col("v").isin("true", "false") &&
+          col("v").rlike("^-?[0-9]+(\\.[0-9]+)?$"), 1L).otherwise(0L))
+          .as("n_numeric"))
+      .crossJoin(broadcast(total))
+      .withColumn("present_bp", expr("n_present * 10000 div n_rows"))
+      .withColumn("n_string",
+        col("n_present") - col("n_numeric") - col("n_bool"))
+      .select(col("key"), col("n_present"), col("present_bp"),
+        col("n_numeric"), col("n_bool"), col("n_string"))
+  }
+
   /** Top-`k` collocations by fixed-point PMI: word bigrams ranked by
     * `pmi_micro = ((cnt_ab · n_tokens) div cnt_a) · 10⁶ div cnt_b` —
     * integer-monotone in the true pointwise mutual information

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.operators.TextAnalysis
 import graft.sources.Tables
 
 /** §2.B extension — analytic/time-series operators (B15–B19): CUBE,
@@ -107,6 +108,26 @@ object AnalyticsQueries {
         .agg(count(col("k")).as("n_with_k"),
           sum(col("k")).as("sum_k"),
           max(col("k")).as("max_k"))
+    },
+
+    // C58 — JSON schema profiling over a semi-structured feed: per
+    // key, presence share + shape census. The synthetic feed enriches
+    // events.props with conditionally-present keys (tag on id%3, a
+    // boolean flag on id%7) so sparsity and every shape class are
+    // exercised; the construction is mirrored in the oracle
+    // byte-for-byte.
+    "json_schema_profile" -> { (s, d) =>
+      val enriched = Tables.events(s, d).select(concat(
+        lit("{\"k\": "), (col("event_id") % 97).cast("string"),
+        when(col("event_id") % 3 === 0,
+          concat(lit(", \"tag\": \"t"), (col("event_id") % 5).cast("string"),
+            lit("\""))).otherwise(lit("")),
+        when(col("event_id") % 7 === 0,
+          concat(lit(", \"flag\": "),
+            when(col("event_id") % 2 === 0, lit("true")).otherwise(lit("false"))))
+          .otherwise(lit("")),
+        lit("}")).as("props2"))
+      TextAnalysis.jsonKeyProfile(enriched, "props2")
     },
 
     // B23 — explicit GROUPING SETS with grouping_id: chosen combos
@@ -439,6 +460,34 @@ object AnalyticsQueries {
              CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
              max(CAST(props ->> '$.k' AS BIGINT)) AS max_k
       FROM events GROUP BY 1""",
+
+    // json_type classifies the parsed value where the engine
+    // classifies the string rendering — equivalent on any flat feed
+    // without string-typed numeric/bool lookalikes (the documented
+    // profiling contract).
+    "json_schema_profile" -> """
+      WITH x AS (
+        SELECT '{"k": ' || CAST(event_id % 97 AS VARCHAR) ||
+               CASE WHEN event_id % 3 = 0
+                    THEN ', "tag": "t' || CAST(event_id % 5 AS VARCHAR) || '"'
+                    ELSE '' END ||
+               CASE WHEN event_id % 7 = 0
+                    THEN ', "flag": ' || CASE WHEN event_id % 2 = 0
+                                             THEN 'true' ELSE 'false' END
+                    ELSE '' END || '}' AS p
+        FROM events),
+      n AS (SELECT count(*) AS n_rows FROM x),
+      kv AS (
+        SELECT k, json_type(p, '$.' || k) AS t
+        FROM (SELECT p, unnest(json_keys(p)) AS k FROM x))
+      SELECT k AS key,
+             CAST(count(*) AS BIGINT) AS n_present,
+             CAST(count(*) * 10000 // n_rows AS BIGINT) AS present_bp,
+             CAST(sum(CASE WHEN t IN ('UBIGINT', 'BIGINT', 'DOUBLE') THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+             CAST(sum(CASE WHEN t = 'BOOLEAN' THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+             CAST(sum(CASE WHEN t NOT IN ('UBIGINT', 'BIGINT', 'DOUBLE', 'BOOLEAN') THEN 1 ELSE 0 END) AS BIGINT) AS n_string
+      FROM kv CROSS JOIN n
+      GROUP BY 1, n_rows""",
 
     "grouping_sets" -> """
       SELECT o_orderstatus, o_orderpriority,
