@@ -27,6 +27,50 @@ object Cdc {
       .drop("__rn")
   }
 
+  /** SCD Type 2: the changelog materialized as validity-interval
+    * VERSIONS instead of one latest image — each I/U row becomes a
+    * version valid from its own op time until the NEXT change of the
+    * same key (exclusive), open-ended (`valid_to` null,
+    * `is_current` true) if nothing follows. A delete tombstone emits
+    * no version; it only closes the one before it — so a key deleted
+    * and never re-inserted has no current version, which is exactly
+    * the latest-image semantics ([[latestImage]]) projected onto
+    * history.
+    *
+    * Scale: identical shape to latest-image — ONE shuffle on the key
+    * for the lead window, no state beyond the window frame. The
+    * output is what a warehouse dimension table stores; [[latestImage]]
+    * is `is_current = true` of this. */
+  def scd2(changelog: DataFrame, key: String,
+           opTs: String = "op_ts", seq: String = "seq",
+           manip: String = "manip"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(opTs), col(seq))
+    changelog
+      .withColumn("valid_to", lead(col(opTs), 1).over(w))
+      .filter(col(manip) =!= "D")
+      .withColumnRenamed(opTs, "valid_from")
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(seq, manip)
+  }
+
+  /** Point-in-time lookup against an SCD2 dimension ([[scd2]] output):
+    * each probe row joins the version whose validity interval covers
+    * its timestamp — LEFT, so a probe inside a deletion gap keeps its
+    * row with null attributes (the "entity did not exist then"
+    * answer).
+    *
+    * Scale: an equi-join on the key plus an interval predicate —
+    * versions-per-key is bounded (change count), so the per-key fan
+    * is small and the join shuffles on the key exactly like any
+    * dimension join; broadcast the dimension when it fits. */
+  def pointInTime(probes: DataFrame, scd: DataFrame, key: String,
+                  probeTs: String): DataFrame = {
+    val cond = probes(key) === scd(key) &&
+      probes(probeTs) >= scd("valid_from") &&
+      (scd("valid_to").isNull || probes(probeTs) < scd("valid_to"))
+    probes.join(scd, cond, "left").drop(scd(key))
+  }
+
   /** Change-volume profile per manip type (I/U/D). */
   def changelogStats(changelog: DataFrame, key: String,
                      manip: String = "manip"): DataFrame =

@@ -825,4 +825,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** Detector evaluation: a PREDICTED near-dup pair set scored
+    * against a ground-truth pair set — one row with truth size,
+    * prediction size, hit count, and recall / precision in basis
+    * points (null when the respective denominator is empty). This is
+    * the harness that turns "simhash ≤ 3 ≈ Jaccard ≥ 0.8" from a
+    * belief into a measured operating point before a sketch family is
+    * trusted on a real corpus.
+    *
+    * Scale: inputs are bare (id, id) frames — 16 bytes a pair
+    * regardless of document size; pairs are orientation-normalized
+    * and deduped, the hit count is one join on the pair key, and the
+    * three single-row aggregates broadcast-cross into the verdict
+    * row. Nothing here grows with corpus size, only with pair count. */
+  def evalPairs(truth: DataFrame, pred: DataFrame,
+                aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    def norm(df: DataFrame) = df.select(
+      least(col(aCol), col(bCol)).as("pa"),
+      greatest(col(aCol), col(bCol)).as("pb")).distinct()
+    val t = norm(truth)
+    val p = norm(pred)
+    val hits = t.join(p, Seq("pa", "pb")).agg(count(lit(1)).as("n_hit"))
+    t.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(p.agg(count(lit(1)).as("n_pred")))
+      .crossJoin(hits)
+      .select(col("n_truth"), col("n_pred"), col("n_hit"),
+        when(col("n_truth") === 0, lit(null))
+          .otherwise(expr("n_hit * 10000 div n_truth")).as("recall_bp"),
+        when(col("n_pred") === 0, lit(null))
+          .otherwise(expr("n_hit * 10000 div n_pred")).as("precision_bp"))
+  }
 }

@@ -205,6 +205,54 @@ object AnalyticsQueries {
         .select(col("event_id"), col("event_type"), col("value"))
     },
 
+    // B48 — MAD-based robust outliers: B28's mean/stddev gate is
+    // itself dragged by the outliers it hunts; median ± k·MAD is not.
+    // Values go to integer micro-units first, so every interpolated
+    // median/MAD is a dyadic rational both engines compute exactly
+    // (zero float drift). Two per-type aggregations + broadcast
+    // joins back — the per-type frames are bounded by the type count.
+    // 100 TB swap (same note as table_profile): `percentile` here is
+    // the exact per-group aggregate; swap `approx_percentile` in for
+    // open-ended group sizes.
+    "robust_outliers" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("event_type"), floor(col("value") * 1e6).cast("long").as("v_us"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(v_us, 0.5D)").as("med_us"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev_us", abs(col("v_us") - col("med_us")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(dev_us, 0.5D)").as("mad_us"))
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("mad_us") > 0 && col("dev_us") > lit(3.0) * col("mad_us"))
+        .select(col("event_id"), col("event_type"), col("v_us"),
+          col("dev_us"), col("mad_us"))
+    },
+
+    // B49 — incremental aggregate maintenance: the monthly revenue
+    // rollup kept current by MERGING the persisted state with the new
+    // partition's aggregate — the base is never rescanned (its
+    // "state" here is built from the pre-2000 slice purely so the
+    // oracle can replay it; in production it's the stored view). The
+    // ORACLE IS THE FULL RECOMPUTE — merge ≡ recompute is the
+    // operator's contract, exact because the partials stay additive
+    // (count + decimal sum) until the final cast.
+    "incr_agg_merge" -> { (s, d) =>
+      def part(df: DataFrame): DataFrame = df
+        .groupBy(col("o_orderstatus").as("status"),
+          date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).as("revenue"))
+      val orders = Tables.orders(s, d)
+      val cut = lit("2000-01-01").cast("timestamp")
+      val merged = graft.operators.IncrementalAgg.mergeAdditive(
+        part(orders.filter(col("o_orderdate") < cut)),
+        part(orders.filter(col("o_orderdate") >= cut)),
+        Seq("status", "month"))
+      merged.select(col("status"), col("month"), col("n_orders"),
+        col("revenue").cast("double").as("revenue"))
+    },
+
     // B29 — event-transition counts (the Markov-chain view of the
     // event log): successor per user via one lead() window — single
     // shuffle on user_id, per-user sort — then a tiny (type, type)
@@ -347,6 +395,36 @@ object AnalyticsQueries {
       SELECT event_id, e.event_type, value
       FROM events e JOIN stats USING (event_type)
       WHERE (value - mu) * (value - mu) > 4.0 * (ex2 - mu * mu)""",
+
+    // quantile_cont ≡ Spark's exact `percentile`: both interpolate at
+    // p·(n−1); over integer micro-units every interpolated value is a
+    // dyadic rational both engines represent exactly.
+    "robust_outliers" -> """
+      WITH ev AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 1000000.0) AS BIGINT) AS v_us
+        FROM events),
+      med AS (
+        SELECT event_type, quantile_cont(v_us, 0.5) AS med_us
+        FROM ev GROUP BY 1),
+      dev AS (
+        SELECT e.event_id, e.event_type, e.v_us,
+               abs(e.v_us - m.med_us) AS dev_us
+        FROM ev e JOIN med m USING (event_type)),
+      mad AS (
+        SELECT event_type, quantile_cont(dev_us, 0.5) AS mad_us
+        FROM dev GROUP BY 1)
+      SELECT d.event_id, d.event_type, d.v_us, d.dev_us, m2.mad_us
+      FROM dev d JOIN mad m2 USING (event_type)
+      WHERE m2.mad_us > 0 AND d.dev_us > 3.0 * m2.mad_us""",
+
+    // THE FULL RECOMPUTE — the merge path must equal it exactly.
+    "incr_agg_merge" -> """
+      SELECT o_orderstatus AS status,
+             date_trunc('month', o_orderdate) AS month,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2""",
 
     "event_transitions" -> """
       WITH seq AS (

@@ -141,6 +141,34 @@ object CdcQueries {
     // A8 — changelog profile.
     "cdc_changelog_stats" -> { (s, d) =>
       Cdc.changelogStats(CdcEnvelope.ordersChangelog(s, d), "o_orderkey")
+    },
+
+    // A10 — SCD Type 2: the customer changelog as validity-interval
+    // versions (the warehouse-dimension form of A3's latest image —
+    // every version kept, delete closes the open interval).
+    "scd2_intervals" -> { (s, d) =>
+      Cdc.scd2(CdcEnvelope.customerChangelog(s, d), "c_custkey")
+        .select(col("c_custkey").as("cust_key"),
+          col("c_mktsegment").as("mktsegment"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+    },
+
+    // A11 — point-in-time lookup against the orders SCD2 dimension:
+    // three deterministic probes per key (+2/+7/+12 min off the
+    // insert time) hit version 1, version 2 where an update exists,
+    // and the post-delete gap (null status) respectively.
+    "scd2_pit_join" -> { (s, d) =>
+      val scd = Cdc.scd2(CdcEnvelope.ordersChangelog(s, d), "o_orderkey")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("valid_from"), col("valid_to"))
+      val probes = Tables.orders(s, d).select(col("o_orderkey"),
+        explode(array(
+          expr("o_orderdate + INTERVAL 2 MINUTE"),
+          expr("o_orderdate + INTERVAL 7 MINUTE"),
+          expr("o_orderdate + INTERVAL 12 MINUTE"))).as("probe_ts"))
+      Cdc.pointInTime(probes, scd, "o_orderkey", "probe_ts")
+        .select(col("o_orderkey").as("order_key"), col("probe_ts"),
+          col("o_orderstatus").as("status"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -212,5 +240,40 @@ object CdcQueries {
     "cdc_changelog_stats" -> s"""$OrdersChg
       |SELECT manip AS manip_type, count(*) AS n_changes,
       |       count(DISTINCT o_orderkey) AS n_keys
-      |FROM chg GROUP BY 1""".stripMargin)
+      |FROM chg GROUP BY 1""".stripMargin,
+
+    "scd2_intervals" -> s"""$CustChg
+      |SELECT cust_key, mktsegment,
+      |       date_trunc('milliseconds', valid_from) AS valid_from,
+      |       date_trunc('milliseconds', valid_to) AS valid_to,
+      |       (valid_to IS NULL) AS is_current
+      |FROM (
+      |  SELECT c_custkey AS cust_key, c_mktsegment AS mktsegment,
+      |         op_ts AS valid_from,
+      |         lead(op_ts) OVER (PARTITION BY c_custkey
+      |           ORDER BY op_ts, seq) AS valid_to,
+      |         manip
+      |  FROM chg)
+      |WHERE manip <> 'D'""".stripMargin,
+
+    "scd2_pit_join" -> s"""$OrdersChg, v AS (
+      |  SELECT o_orderkey, o_orderstatus, op_ts AS valid_from,
+      |         lead(op_ts) OVER (PARTITION BY o_orderkey
+      |           ORDER BY op_ts, seq) AS valid_to,
+      |         manip
+      |  FROM chg),
+      |scd AS (SELECT * FROM v WHERE manip <> 'D'),
+      |p AS (
+      |  SELECT o_orderkey, o_orderdate + INTERVAL 2 MINUTE AS probe_ts FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderdate + INTERVAL 7 MINUTE FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderdate + INTERVAL 12 MINUTE FROM orders)
+      |SELECT p.o_orderkey AS order_key,
+      |       date_trunc('milliseconds', p.probe_ts) AS probe_ts,
+      |       s.o_orderstatus AS status
+      |FROM p LEFT JOIN scd s
+      |  ON p.o_orderkey = s.o_orderkey
+      | AND p.probe_ts >= s.valid_from
+      | AND (s.valid_to IS NULL OR p.probe_ts < s.valid_to)""".stripMargin)
 }

@@ -58,6 +58,18 @@ object CorpusQueries {
       Dedup.dupSpanIntervals(corpus(s, d), "text", "doc_id", n = 6)
     },
 
+    // C59 — the trimming ACTION applied: C43's merged intervals fed
+    // through `Dedup.trimSpans` — every token inside a duplicated
+    // span dropped, remainder reassembled, drop count carried. The
+    // output corpus is what actually ships to packing; value-level
+    // verified end-to-end (the oracle replays interval construction
+    // AND the positional token filter).
+    "trim_spans" -> { (s, d) =>
+      val c = corpus(s, d)
+      Dedup.trimSpans(c,
+        Dedup.dupSpanIntervals(c, "text", "doc_id", n = 6), "text", "doc_id")
+    },
+
     // C44 — unigram rarity score: integer-exact surrogate of the
     // unigram-perplexity quality proxy (mean corpus-frequency rank of
     // the doc's tokens, milli-units) — rank is monotone in −log p(w),
@@ -174,6 +186,62 @@ object CorpusQueries {
       |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
       |       max(e) - min(s) + 1 AS span_tokens
       |FROM grp GROUP BY doc_id, gid""".stripMargin,
+
+    // Replays the full interval chain, then the positional token
+    // filter: tokens indexed via range() (0-based, matching the
+    // engine's filter-lambda index), kept iff no merged span covers
+    // the index, reassembled in position order. string_agg keeps
+    // empty tokens exactly like Spark's concat_ws, so double spaces
+    // survive identically on both sides.
+    "trim_spans" -> s"""$CorpusCte,
+      |gpos AS (
+      |  SELECT doc_id, CAST(u['pos'] AS BIGINT) AS pos, u['g'] AS g FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(0, greatest(len(w) - 5, 0)),
+      |             i -> {'pos': i,
+      |                   'g': array_to_string(list_slice(w, CAST(i + 1 AS INT),
+      |                                                   CAST(i + 6 AS INT)), ' ')})) AS u
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))),
+      |freq AS (
+      |  SELECT g, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, g FROM gpos) GROUP BY 1),
+      |iv AS (
+      |  SELECT doc_id, pos AS s, pos + 5 AS e
+      |  FROM gpos JOIN freq USING (g) WHERE df >= 2),
+      |m AS (
+      |  SELECT doc_id, s, e,
+      |         max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv),
+      |grp AS (
+      |  SELECT doc_id, s, e,
+      |         CAST(sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY s
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gid
+      |  FROM m),
+      |spans AS (
+      |  SELECT doc_id, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, gid),
+      |tok AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(0, len(w)),
+      |           i -> {'i': i, 't': w[CAST(i + 1 AS INT)]})) AS u
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)),
+      |keep AS (
+      |  SELECT t.doc_id, CAST(t.u['i'] AS BIGINT) AS i, t.u['t'] AS t
+      |  FROM tok t
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |                    WHERE sp.doc_id = t.doc_id
+      |                      AND CAST(t.u['i'] AS BIGINT) BETWEEN sp.s AND sp.e)),
+      |drops AS (
+      |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_dropped_tokens
+      |  FROM spans GROUP BY 1)
+      |SELECT c.doc_id,
+      |       coalesce(k.text, '') AS text,
+      |       coalesce(d.n_dropped_tokens, 0) AS n_dropped_tokens
+      |FROM corpus c
+      |LEFT JOIN (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text
+      |           FROM keep GROUP BY 1) k USING (doc_id)
+      |LEFT JOIN drops d USING (doc_id)""".stripMargin,
 
     "tfidf_topk" -> """
       |WITH tf AS (

@@ -198,6 +198,20 @@ object PipelineQueries {
       Dedup.simhashPairs(corpus(s, d), "text", "doc_id", maxHamming = 3)
     },
 
+    // C61 — detector evaluation: the SimHash≤3 near-dup detector
+    // scored against the exact char-5-gram-Jaccard≥0.8 ground truth
+    // on the same corpus — truth/prediction/hit counts plus recall
+    // and precision in basis points, value-verified end-to-end (the
+    // oracle replays BOTH detectors and the scoring join). The
+    // measured operating point a sketch family must publish before
+    // it's trusted to delete data.
+    "dedup_eval" -> { (s, d) =>
+      val c = corpus(s, d)
+      Dedup.evalPairs(
+        Dedup.ngramJaccardPairs(c, "text", "doc_id", k = 5, minBp = 8000),
+        Dedup.simhashPairs(c, "text", "doc_id", maxHamming = 3))
+    },
+
     // C18 — full near-dup pipeline: MinHash-LSH pairs → connected
     // components → per-cluster canonical, over the materialized
     // signature table (see corpusSignatures — text never enters the
@@ -412,6 +426,31 @@ object PipelineQueries {
       val bucket = (col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(100)
       Tables.documents(s, d).select(
         col("doc_id"),
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+    },
+
+    // C60 — GROUP-aware (leakage-free) split: C19 hashes each doc
+    // independently, so a near-dup pair can straddle train/test and
+    // leak eval content into training. Here the split key is the
+    // near-dup CLUSTER canonical (C18's connected components; a doc
+    // outside any cluster is its own canonical), so every near-dup
+    // group lands in ONE fold by construction. Runs over the
+    // perturbed corpus where such straddling pairs provably exist.
+    // Scale: the cluster map is the C18 output (8-byte pairs all the
+    // way down); the split itself is a hash projection after one
+    // id-keyed left join.
+    "grouped_split" -> { (s, d) =>
+      val clusters = Dedup.clusterPairs(
+        Dedup.minhashLshFromSignatures(corpusSignatures(s, d), minBp = 8000),
+        "doc_a", "doc_b")
+      val canon = corpus(s, d).join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      val bucket =
+        (col("canonical_id") * lit(2654435761L)) % lit(1000000007L) % lit(100)
+      canon.select(col("doc_id"), col("canonical_id"),
         when(bucket < 80, lit("train"))
           .when(bucket < 90, lit("val"))
           .otherwise(lit("test")).as("split"))
@@ -752,6 +791,40 @@ object PipelineQueries {
       |FROM sb x JOIN sb y ON x.doc_id < y.doc_id
       |WHERE bit_count(xor(x.sg, y.sg)) <= 3""".stripMargin,
 
+    // Replays both detectors (exact 5-gram Jaccard = vpairs, the
+    // simhash chain verbatim from dedup_simhash) and the scoring join.
+    "dedup_eval" -> s"""WITH $CorpusBody,
+      |$VerifiedPairsBody,
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),
+      |tb AS (SELECT doc_id, hex(encode(t)) AS hx, octet_length(encode(t)) AS n FROM toks),
+      |th AS (SELECT doc_id, ${fnvFoldSql("hx", "n")} AS h FROM tb),
+      |bits AS (
+      |  SELECT doc_id, i,
+      |         sum(CASE WHEN (h // CAST(power(2, i) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS i) r
+      |  GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(power(2, i) AS HUGEINT) ELSE 0::HUGEINT END) AS u
+      |  FROM bits GROUP BY 1),
+      |sb AS (SELECT doc_id, ${toSigned64("u")} AS sg FROM sig),
+      |spairs AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM sb x JOIN sb y ON x.doc_id < y.doc_id
+      |  WHERE bit_count(xor(x.sg, y.sg)) <= 3),
+      |t AS (SELECT DISTINCT least(doc_a, doc_b) AS pa,
+      |                      greatest(doc_a, doc_b) AS pb FROM vpairs),
+      |p AS (SELECT DISTINCT least(doc_a, doc_b) AS pa,
+      |                      greatest(doc_a, doc_b) AS pb FROM spairs),
+      |h AS (SELECT count(*) AS n_hit FROM t JOIN p USING (pa, pb)),
+      |nt AS (SELECT count(*) AS n_truth FROM t),
+      |np AS (SELECT count(*) AS n_pred FROM p)
+      |SELECT nt.n_truth, np.n_pred, h.n_hit,
+      |       CASE WHEN nt.n_truth = 0 THEN NULL
+      |            ELSE h.n_hit * 10000 // nt.n_truth END AS recall_bp,
+      |       CASE WHEN np.n_pred = 0 THEN NULL
+      |            ELSE h.n_hit * 10000 // np.n_pred END AS precision_bp
+      |FROM h, nt, np""".stripMargin,
+
     "doc_fingerprint" -> s"""
       |WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
       |                  octet_length(encode(text)) AS n FROM documents)
@@ -897,6 +970,25 @@ object PipelineQueries {
       |            WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
       |            ELSE 'test' END AS split
       |FROM documents""".stripMargin,
+
+    "grouped_split" -> s"""WITH RECURSIVE $CorpusBody,
+      |$VerifiedPairsBody,
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      |          UNION SELECT doc_b, doc_a FROM vpairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |canon AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id)
+      |SELECT c.doc_id,
+      |       coalesce(k.canonical_id, c.doc_id) AS canonical_id,
+      |       CASE WHEN (coalesce(k.canonical_id, c.doc_id) * 2654435761)
+      |                 % 1000000007 % 100 < 80 THEN 'train'
+      |            WHEN (coalesce(k.canonical_id, c.doc_id) * 2654435761)
+      |                 % 1000000007 % 100 < 90 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM corpus c LEFT JOIN canon k USING (doc_id)""".stripMargin,
 
     "text_clean_pii" -> """
       |WITH dirty AS (

@@ -286,4 +286,91 @@ class OperatorSpec extends SparkTestBase {
       long, "id", "name", long, "id", "name", maxKeyLen = 128).collect()
       .nonEmpty)
   }
+
+  test("scd2: versions chain, delete closes without emitting, re-insert reopens") {
+    import spark.implicits._
+    val chg = Seq(
+      (1L, "a1", ts("2024-01-01T00:00:00Z"), 1, "I"),
+      (1L, "a2", ts("2024-01-01T01:00:00Z"), 2, "U"),
+      (2L, "b1", ts("2024-01-01T00:00:00Z"), 1, "I"),
+      (2L, "b1", ts("2024-01-01T02:00:00Z"), 2, "D"), // closes, emits nothing
+      (2L, "b2", ts("2024-01-01T03:00:00Z"), 3, "I"), // re-insert reopens
+      (3L, "c1", ts("2024-01-01T00:00:00Z"), 1, "I")
+    ).toDF("k", "v", "op_ts", "seq", "manip")
+    val got = Cdc.scd2(chg, "k")
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.getTime))
+    assert(got.toSeq == Seq(
+      (1L, "a1", ts("2024-01-01T00:00:00Z"), Some(ts("2024-01-01T01:00:00Z")), false),
+      (1L, "a2", ts("2024-01-01T01:00:00Z"), None, true),
+      (2L, "b1", ts("2024-01-01T00:00:00Z"), Some(ts("2024-01-01T02:00:00Z")), false),
+      (2L, "b2", ts("2024-01-01T03:00:00Z"), None, true),
+      (3L, "c1", ts("2024-01-01T00:00:00Z"), None, true)))
+    // latestImage is exactly the is_current slice of scd2
+    val latest = Cdc.latestImage(chg, "k").select("k", "v")
+      .as[(Long, String)].collect().toSet
+    val current = got.filter(_._5).map(r => (r._1, r._2)).toSet
+    assert(latest == current)
+  }
+
+  test("pointInTime: probe hits covering version, deletion gap yields null") {
+    import spark.implicits._
+    val chg = Seq(
+      (1L, "v1", ts("2024-01-01T00:00:00Z"), 1, "I"),
+      (1L, "v2", ts("2024-01-01T02:00:00Z"), 2, "U"),
+      (1L, "v2", ts("2024-01-01T04:00:00Z"), 3, "D")
+    ).toDF("k", "v", "op_ts", "seq", "manip")
+    val scd = Cdc.scd2(chg, "k")
+    val probes = Seq(
+      (1L, ts("2024-01-01T01:00:00Z")), // v1 window
+      (1L, ts("2024-01-01T02:00:00Z")), // boundary: valid_from inclusive → v2
+      (1L, ts("2024-01-01T05:00:00Z")), // after delete → gap
+      (9L, ts("2024-01-01T01:00:00Z"))  // unknown key → null
+    ).toDF("k", "pt")
+    val got = Cdc.pointInTime(probes, scd, "k", "pt")
+      .select("k", "pt", "v").as[(Long, Timestamp, Option[String])]
+      .collect().sortBy(r => (r._1, r._2.getTime))
+    assert(got.toSeq == Seq(
+      (1L, ts("2024-01-01T01:00:00Z"), Some("v1")),
+      (1L, ts("2024-01-01T02:00:00Z"), Some("v2")),
+      (1L, ts("2024-01-01T05:00:00Z"), None),
+      (9L, ts("2024-01-01T01:00:00Z"), None)))
+  }
+
+  test("evalPairs: counts, recall/precision bp, orientation-insensitive") {
+    import spark.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    // pred covers 3 of 4 truth pairs (one reversed), plus 2 spurious
+    val pred = Seq((2L, 1L), (3L, 4L), (5L, 6L), (10L, 11L), (12L, 13L))
+      .toDF("doc_a", "doc_b")
+    val r = graft.operators.Dedup.evalPairs(truth, pred).collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 5 && r.getLong(2) == 3)
+    assert(r.getLong(3) == 7500 && r.getLong(4) == 6000)
+    // empty prediction: zero hits, null precision, zero recall
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val r2 = graft.operators.Dedup.evalPairs(truth, empty).collect().head
+    assert(r2.getLong(2) == 0 && r2.getLong(3) == 0 && r2.isNullAt(4))
+  }
+
+  test("mergeAdditive equals the full recompute; schema mismatch rejected") {
+    import spark.implicits._
+    val rows = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L),
+      ("a", 4L, 40L), ("c", 5L, 50L))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val base = agg(rows.take(3).toDF("k", "id", "v"))
+    val delta = agg(rows.drop(3).toDF("k", "id", "v"))
+    val merged = graft.operators.IncrementalAgg
+      .mergeAdditive(base, delta, Seq("k"))
+      .as[(String, Long, Long)].collect().toSet
+    val full = agg(rows.toDF("k", "id", "v"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == full)
+    intercept[IllegalArgumentException] {
+      graft.operators.IncrementalAgg.mergeAdditive(
+        base, delta.withColumnRenamed("s", "t"), Seq("k"))
+    }
+  }
 }
