@@ -127,28 +127,26 @@ object TextAnalysis {
   def qualityFilter(docs: DataFrame, textCol: String, idCol: String,
                     minWords: Int = 20, maxWords: Int = 1000000,
                     minWordLenBp: Int = 30000, maxWordLenBp: Int = 60000,
-                    minStopwordBp: Int = 2000, maxDupBp: Int = 500): DataFrame = {
+                    minStopwordBp: Int = 2000, maxDupBp: Int = 500): DataFrame =
+    withQualityFlag(docs, textCol, idCol, minWords, maxWords,
+      minWordLenBp, maxWordLenBp, minStopwordBp, maxDupBp)
+      .select(col(idCol), col("n_words"), col("word_len_bp"),
+        col("stopword_bp"), col("dup_bp"), col("reason"), col("keep"))
+
+  /** [[qualityFilter]]'s compose-friendly form: the SAME signals and
+    * keep/reason decision appended to the input's own columns (text
+    * included), so the filter chains inside a pipeline — batch or
+    * streaming (it is a pure projection, legal on a `readStream`
+    * frame) — without a join back for the document body. */
+  def withQualityFlag(docs: DataFrame, textCol: String, idCol: String,
+                      minWords: Int = 20, maxWords: Int = 1000000,
+                      minWordLenBp: Int = 30000, maxWordLenBp: Int = 60000,
+                      minStopwordBp: Int = 2000, maxDupBp: Int = 500): DataFrame = {
     val grams = expr(
-      """CASE WHEN size(toks) < 3 THEN array()
-        |ELSE transform(sequence(0, size(toks) - 3),
-        |  i -> concat_ws(' ', slice(toks, i + 1, 3))) END""".stripMargin)
+      """CASE WHEN size(__toks) < 3 THEN array()
+        |ELSE transform(sequence(0, size(__toks) - 3),
+        |  i -> concat_ws(' ', slice(__toks, i + 1, 3))) END""".stripMargin)
     val stopSet = Stopwords.map(w => s"'$w'").mkString(", ")
-    val signals = docs
-      .select(col(idCol), length(col(textCol)).as("n_chars"),
-        split(col(textCol), " ").as("toks"))
-      .select(col(idCol), col("n_chars"), size(col("toks")).as("n_words"),
-        expr(s"size(filter(toks, t -> t IN ($stopSet)))").as("n_stopwords"),
-        grams.as("grams"))
-      .select(col(idCol),
-        col("n_words"),
-        floor(lit(10000.0) * (col("n_chars") - col("n_words") + 1) / col("n_words"))
-          .cast("long").as("word_len_bp"),
-        floor(lit(10000.0) * col("n_stopwords") / col("n_words"))
-          .cast("long").as("stopword_bp"),
-        when(size(col("grams")) > 0,
-          floor(lit(10000.0) * (size(col("grams")) - size(array_distinct(col("grams"))))
-            / size(col("grams"))).cast("long"))
-          .otherwise(lit(0L)).as("dup_bp"))
     val reason =
       when(col("n_words") < minWords, lit("too_short"))
         .when(col("n_words") > maxWords, lit("too_long"))
@@ -157,8 +155,25 @@ object TextAnalysis {
         .when(col("stopword_bp") < minStopwordBp, lit("low_stopword"))
         .when(col("dup_bp") > maxDupBp, lit("repetitive"))
         .otherwise(lit(null).cast("string"))
-    signals.withColumn("reason", reason)
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("n_words", size(col("__toks")))
+      .withColumn("word_len_bp",
+        floor(lit(10000.0) * (length(col(textCol)) - col("n_words") + 1)
+          / col("n_words")).cast("long"))
+      .withColumn("stopword_bp",
+        floor(lit(10000.0) * expr(s"size(filter(__toks, t -> t IN ($stopSet)))")
+          / col("n_words")).cast("long"))
+      .withColumn("__grams", grams)
+      .withColumn("dup_bp",
+        when(size(col("__grams")) > 0,
+          floor(lit(10000.0)
+            * (size(col("__grams")) - size(array_distinct(col("__grams"))))
+            / size(col("__grams"))).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("reason", reason)
       .withColumn("keep", col("reason").isNull)
+      .drop("__toks", "__grams")
   }
 
   /** Inverted-index posting statistics: per token, the document

@@ -1252,4 +1252,108 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
     }
   }
+
+  test("end-to-end streaming curation: decode → quality → bloom decontam → " +
+    "TWS dedup equals the batch pipeline across micro-batches") {
+    // The COMPOSED production ingest: one streaming job chaining raw
+    // JSON decode, the quality gate, benchmark decontamination (bloom
+    // projection), and TWS near-dup detection — dropped docs never
+    // reach the dedup state, and the admitted pair set equals the
+    // batch pipeline on the same data.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, "2")
+
+    val bench = Seq((100L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val bloom = graft.operators.Dedup.buildGramBloom(bench, "text", "doc_id")
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again today",
+      2L -> "the quick brown fox jumps over the lazy cat again and again today",
+      3L -> "structured streaming keeps state in rocksdb across micro batches forever",
+      4L -> "short text", // quality drop: under minWords
+      5L -> ("we quote alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa in this evaluation document"), // contaminated: benchmark 8-gram
+      6L -> "the quick brown fox jumps over the lazy dog again and again tonight",
+      7L -> "structured streaming keeps state in rocksdb across micro batches mostly",
+      8L -> "final unique entry mentioning watermarks and windowed aggregations only",
+      9L -> ("students memorize alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa before the test session"), // contaminated, batch two
+      10L -> "tiny") // quality drop, batch two
+    def toJson(d: (Long, String)) = s"""{"doc_id": ${d._1}, "text": "${d._2}"}"""
+
+    // the curation chain — pure projections, so the SAME function
+    // runs on the batch frame and the streaming frame
+    def curate(raw: DataFrame): DataFrame = {
+      val decoded = raw
+        .select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING")).as("d"))
+        .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+      val kept = graft.operators.TextAnalysis
+        .withQualityFlag(decoded, "text", "doc_id", minWords = 8,
+          maxWords = 1000, minWordLenBp = 0, maxWordLenBp = 1000000,
+          minStopwordBp = 0, maxDupBp = 10000)
+        .filter(col("keep")).select("doc_id", "text")
+      graft.operators.Dedup
+        .contaminationFlagBloom(kept, bloom, "text", "doc_id")
+        .filter(!col("contaminated")).select("doc_id", "text")
+    }
+
+    // batch twin: same chain, batch LSH on the curated signatures
+    val batchCurated = curate(docs.map(toJson).toDF("value"))
+    val admitted = batchCurated.select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 2L, 3L, 6L, 7L, 8L),
+      s"batch curation admitted $admitted")
+    val store = graft.operators.Dedup
+      .withMinHashSignatures(batchCurated, "text", "doc_id")
+    val want = graft.operators.Dedup.minhashLshFromSignatures(store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 6L), (2L, 6L), (3L, 7L)),
+      s"batch pairs $want")
+
+    val input = MemoryStream[String]
+    val streamSigs = graft.operators.Dedup
+      .withMinHashSignatures(curate(input.toDF()), "text", "doc_id")
+    val result = graft.streaming.TwsDedup.verifiedPairs(
+      graft.streaming.TwsDedup.candidatePairs(streamSigs),
+      store.select("id", "hs"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_curation").toString
+    val q = result.writeStream.format("memory").queryName("stream_curation")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docs.take(5).map(toJson): _*)
+      q.processAllAvailable()
+      val afterFirst = spark.table("stream_curation").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterFirst == Set((1L, 2L)),
+        s"first micro-batch expected only the in-batch pair, got $afterFirst")
+      input.addData(docs.drop(5).map(toJson): _*)
+      q.processAllAvailable()
+      val got = spark.table("stream_curation").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"streaming $got != batch $want")
+      // dropped docs were filtered BEFORE bucketing: no pair may touch them
+      val droppedTouched = got.flatMap(p => Seq(p._1, p._2))
+        .intersect(Set(4L, 5L, 9L, 10L))
+      assert(droppedTouched.isEmpty, s"dropped docs in pairs: $droppedTouched")
+    } finally {
+      q.stop()
+      spark.conf.set(shufKey, prevShuf)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
