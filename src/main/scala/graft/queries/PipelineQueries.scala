@@ -642,6 +642,17 @@ object PipelineQueries {
         "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 2)
     },
 
+    // C28b — the BROADCAST-CENTROID IVF regime under the standing
+    // bench/oracle: 160 centroids > CentroidLiteralMax (128) flips
+    // ivfTopK to the broadcast assignment path — the regime every
+    // production centroid count (thousands) runs, where the plan must
+    // stay O(1) in nCentroids instead of carrying a centroid literal.
+    // Same oracle construction as C28, parameterized 160/4.
+    "embed_ivf_broadcast" -> { (s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), embQueries(s, d),
+        "vec_id", "embedding", k = 10, nCentroids = 160, nProbe = 4)
+    },
+
     // C31 — per-domain crawl cap: extract the URL host (portable
     // regexp — identical policy on any engine), then cap every domain
     // at 20 docs chosen by multiplicative-hash order. The standard
@@ -1393,6 +1404,37 @@ object PipelineQueries {
       |                      cent.cid ASC) AS r
       |    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
       |    CROSS JOIN cent) WHERE r <= 2),
+      |s AS (
+      |  SELECT query_id, neighbor_id, ${cosSql("qv", "cvv")} AS cos
+      |  FROM assign JOIN qp USING (list_id)
+      |  WHERE neighbor_id <> query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s)
+      |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 10""".stripMargin,
+
+    // C28 oracle at the broadcast-regime parameters (160 centroids,
+    // 4 probes) — regime choice must not change results.
+    "embed_ivf_broadcast" -> s"""
+      |WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cv,
+      |         sqrt(${dotSql("embedding", "embedding")}) AS cn
+      |  FROM embeddings
+      |  ORDER BY (vec_id * 2654435761) % 1000000007 ASC, vec_id ASC LIMIT 160),
+      |assign AS (
+      |  SELECT vec_id AS neighbor_id, embedding AS cvv, cid AS list_id FROM (
+      |    SELECT e.vec_id, e.embedding, cent.cid,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY ${dotSql("e.embedding", "cent.cv")} / cent.cn DESC,
+      |                      cent.cid ASC) AS r
+      |    FROM embeddings e CROSS JOIN cent) WHERE r = 1),
+      |qp AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, cid AS list_id FROM (
+      |    SELECT q.vec_id, q.embedding, cent.cid,
+      |           row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY ${dotSql("q.embedding", "cent.cv")} / cent.cn DESC,
+      |                      cent.cid ASC) AS r
+      |    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+      |    CROSS JOIN cent) WHERE r <= 4),
       |s AS (
       |  SELECT query_id, neighbor_id, ${cosSql("qv", "cvv")} AS cos
       |  FROM assign JOIN qp USING (list_id)
