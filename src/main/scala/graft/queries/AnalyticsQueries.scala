@@ -253,6 +253,23 @@ object AnalyticsQueries {
         col("revenue").cast("double").as("revenue"))
     },
 
+    // B50 — PageRank over the event-transition graph (B29's edges as
+    // a weighted digraph): which event types are the flow hubs, by
+    // 3-iteration damped rank in integer micro-units — engine-exact,
+    // the oracle replays the unrolled iterations. The same
+    // join+agg-per-round distribution story as dedup_clusters.
+    "pagerank_events" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val edges = Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", "w",
+        iters = 3, dampBp = 8500)
+    },
+
     // B29 — event-transition counts (the Markov-chain view of the
     // event log): successor per user via one lead() window — single
     // shuffle on user_id, per-user sort — then a tiny (type, type)
@@ -357,7 +374,39 @@ object AnalyticsQueries {
           max(col("n")).as("n"))
     })
 
+  /** One unrolled PageRank iteration for the B50 oracle: `cur` from
+    * `prev` with the exact integer-div update the engine uses. */
+  private def prIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT n0.node,
+       |         (SELECT b FROM base) +
+       |         (8500 * coalesce(c.s, 0)) // 10000 AS pr
+       |  FROM nodes n0
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node, sum((p.pr * e.w) // o.w_out) AS s
+       |    FROM $prev p JOIN e ON p.node = e.src JOIN ow o ON o.src = e.src
+       |    GROUP BY 1) c ON n0.node = c.node)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "pagerank_events" -> s"""
+      |WITH seq AS (
+      |  SELECT event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts ASC, event_id ASC) AS next_type
+      |  FROM events),
+      |e AS (SELECT event_type AS src, next_type AS dst,
+      |             CAST(count(*) AS BIGINT) AS w
+      |      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS w_out FROM e GROUP BY 1),
+      |base AS (SELECT (1500 * (1000000 // n)) // 10000 AS b FROM nn),
+      |pr0 AS (SELECT node, (SELECT 1000000 // n FROM nn) AS pr FROM nodes),
+      |${prIterSql("pr0", "pr1")},
+      |${prIterSql("pr1", "pr2")},
+      |${prIterSql("pr2", "pr3")}
+      |SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3""".stripMargin,
     "funnel_steps" -> """
       WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events
                   WHERE event_type = 'view' GROUP BY 1),

@@ -354,6 +354,32 @@ class OperatorSpec extends SparkTestBase {
     assert(r2.getLong(2) == 0 && r2.getLong(3) == 0 && r2.isNullAt(4))
   }
 
+  test("pageRank equals the driver-side integer recurrence; the hub outranks") {
+    import spark.implicits._
+    // 1..4 all point at hub 0 (varied weights); 0 points back at 1;
+    // 2 also links 3 — so 0 must rank first and 1 above 3
+    val edgeSeq = Seq((1L, 0L, 1L), (2L, 0L, 2L), (3L, 0L, 1L),
+      (4L, 0L, 3L), (0L, 1L, 1L), (2L, 3L, 1L))
+    val got = graft.operators.Graph
+      .pageRank(edgeSeq.toDF("src", "dst", "w"), "src", "dst", "w", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // reference: the same integer recurrence run densely on the driver
+    val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct
+    val n = nodes.size.toLong
+    val init = 1000000L / n
+    val base = (1500L * init) / 10000L
+    val wOut = edgeSeq.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var pr = nodes.map(_ -> init).toMap
+    for (_ <- 1 to 3) {
+      val s = edgeSeq.groupBy(_._2).view.mapValues(
+        _.map(e => (pr(e._1) * e._3) / wOut(e._1)).sum).toMap
+      pr = nodes.map(v => v -> (base + (8500L * s.getOrElse(v, 0L)) / 10000L)).toMap
+    }
+    assert(got == pr, s"engine $got != reference $pr")
+    assert(got(0L) == got.values.max, "hub is not top-ranked")
+    assert(got(1L) > got(3L), "hub-fed node should outrank the leaf")
+  }
+
   test("mergeAdditive equals the full recompute; schema mismatch rejected") {
     import spark.implicits._
     val rows = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L),
