@@ -1253,6 +1253,61 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("TwsScd2: closed versions across micro-batches equal batch scd2 history") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.TwsScd2
+    import graft.streaming.TwsScd2.ChgRow
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val chg = Seq(
+      ChgRow(1L, 100L, 1, "I", "a1"),
+      ChgRow(1L, 200L, 2, "U", "a2"), // closes a1 inside batch one
+      ChgRow(2L, 100L, 1, "I", "b1"),
+      ChgRow(3L, 100L, 1, "I", "c1"),
+      ChgRow(3L, 100L, 2, "U", "c2"), // same ts — seq breaks the tie
+      // batch two
+      ChgRow(1L, 300L, 3, "U", "a3"), // closes a2 ACROSS the boundary
+      ChgRow(2L, 250L, 2, "D", "b1"), // closes b1; the tombstone emits nothing
+      ChgRow(2L, 400L, 3, "I", "b2")) // reopens after the delete
+    val batchDf = chg.map(c => (c.key, c.opTs, c.seq, c.manip, c.value))
+      .toDF("key", "op_ts", "seq", "manip", "value")
+    val want = graft.operators.Cdc.scd2(batchDf, "key")
+      .filter(col("valid_to").isNotNull)
+      .select("key", "value", "valid_from", "valid_to")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(want == Set((1L, "a1", 100L, 200L), (1L, "a2", 200L, 300L),
+      (2L, "b1", 100L, 250L), (3L, "c1", 100L, 100L)), s"batch history $want")
+    val input = MemoryStream[ChgRow]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_scd2").toString
+    val q = TwsScd2.closedVersions(input.toDS()).toDF()
+      .writeStream.format("memory").queryName("tws_scd2")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(chg.take(5): _*)
+      q.processAllAvailable()
+      val afterFirst = spark.table("tws_scd2").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(afterFirst == Set((1L, "a1", 100L, 200L), (3L, "c1", 100L, 100L)),
+        s"first batch closed $afterFirst")
+      input.addData(chg.drop(5): _*)
+      q.processAllAvailable()
+      val got = spark.table("tws_scd2").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want, s"streaming $got != batch $want")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("end-to-end streaming curation: decode → quality → bloom decontam → " +
     "TWS dedup equals the batch pipeline across micro-batches") {
     // The COMPOSED production ingest: one streaming job chaining raw
