@@ -33,6 +33,44 @@ class PlanSpec extends SparkTestBase {
     assert(executed.contains("*(1)") && executed.contains("*(2)"), executed)
   }
 
+  test("runtime bloom filter: a selective build side injects a row-level " +
+    "filter into the fact scan") {
+    // Spark's runtime row-level filtering: when a shuffled join's
+    // build side carries a selective predicate, the optimizer plants
+    // a bloom-filter aggregate on it and pushes might_contain into
+    // the fact side's scan — at 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the ~matching
+    // slice. Local datasets sit under the size thresholds and
+    // broadcast joins don't need the filter, so the test lowers the
+    // application-side threshold and disables auto-broadcast to reach
+    // the shuffled-join regime the big cluster would be in.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val fact = graft.sources.Tables.lineitem(spark, sfDir)
+      val dim = graft.sources.Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$optimized")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q5_supplier_volume: dimension joins are broadcast") {
     val df = SparkEntry.queries("q5_supplier_volume")(spark, sfDir)
     val plan = planOf(df)
