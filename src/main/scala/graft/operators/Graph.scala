@@ -59,4 +59,31 @@ object Graph {
     }
     pr
   }
+
+  /** Bounded-hop BFS: minimum hop distance from any seed node within
+    * `maxHops`, unreached nodes absent from the output — reachability
+    * labeling for link graphs (crawl-depth from seed hosts, blast
+    * radius from a flagged source).
+    *
+    * Each round joins the distance frame against the edge list and
+    * folds with a min-aggregation, so the label set stays exact under
+    * any execution order. The whole discovered set re-expands every
+    * round (simplest exact form — fine for the small fixed hop
+    * budgets this targets); a deep-traversal variant would carry only
+    * the newly-discovered frontier per round and checkpoint lineage
+    * like [[Dedup.clusterPairs]]. Seeds is any single-column frame. */
+  def hopDistance(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: DataFrame, maxHops: Int = 3): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    var dist = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .withColumn("hops", lit(0L))
+    for (_ <- 1 to maxHops) {
+      val next = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("hops") + lit(1L)).as("hops"))
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+    }
+    dist
+  }
 }

@@ -270,6 +270,24 @@ object AnalyticsQueries {
         iters = 3, dampBp = 8500)
     },
 
+    // B51 — bounded-hop BFS on the same digraph: min hop distance
+    // from the lexicographically-smallest event type within 3 hops
+    // (deterministic seed), unreached types absent. Min-fold per
+    // round → exact under any execution order.
+    "graph_reach" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val edges = Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .select(col("event_type").as("src"), col("next_type").as("dst"))
+        .distinct()
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.agg(min(col("node")).as("node"))
+      graft.operators.Graph.hopDistance(edges, "src", "dst", seeds, maxHops = 3)
+    },
+
     // B29 — event-transition counts (the Markov-chain view of the
     // event log): successor per user via one lead() window — single
     // shuffle on user_id, per-user sort — then a tiny (type, type)
@@ -407,6 +425,30 @@ object AnalyticsQueries {
       |${prIterSql("pr1", "pr2")},
       |${prIterSql("pr2", "pr3")}
       |SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3""".stripMargin,
+
+    "graph_reach" -> s"""
+      |WITH seq AS (
+      |  SELECT event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts ASC, event_id ASC) AS next_type
+      |  FROM events),
+      |e AS (SELECT DISTINCT event_type AS src, next_type AS dst
+      |      FROM seq WHERE next_type IS NOT NULL),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |d0 AS (SELECT min(node) AS node, CAST(0 AS BIGINT) AS hops FROM nodes),
+      |d1 AS (SELECT node, min(hops) AS hops FROM (
+      |  SELECT node, hops FROM d0
+      |  UNION ALL SELECT e.dst, d.hops + 1 FROM d0 d JOIN e ON d.node = e.src)
+      |  GROUP BY 1),
+      |d2 AS (SELECT node, min(hops) AS hops FROM (
+      |  SELECT node, hops FROM d1
+      |  UNION ALL SELECT e.dst, d.hops + 1 FROM d1 d JOIN e ON d.node = e.src)
+      |  GROUP BY 1),
+      |d3 AS (SELECT node, min(hops) AS hops FROM (
+      |  SELECT node, hops FROM d2
+      |  UNION ALL SELECT e.dst, d.hops + 1 FROM d2 d JOIN e ON d.node = e.src)
+      |  GROUP BY 1)
+      |SELECT node, hops FROM d3""".stripMargin,
     "funnel_steps" -> """
       WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events
                   WHERE event_type = 'view' GROUP BY 1),

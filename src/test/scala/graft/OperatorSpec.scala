@@ -380,6 +380,20 @@ class OperatorSpec extends SparkTestBase {
     assert(got(1L) > got(3L), "hub-fed node should outrank the leaf")
   }
 
+  test("hopDistance: shortest hops win within the budget; unreached absent") {
+    import spark.implicits._
+    // chain 0→1→2→3→4 with a 0→2 shortcut; 7→8 disconnected
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 2L),
+      (7L, 8L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = graft.operators.Graph
+      .hopDistance(edges, "src", "dst", seeds, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    // 2 is reachable in 1 via the shortcut (not 2); 4 needs 3 hops
+    // through it; 7/8 are unreached and must be absent
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L), got)
+  }
+
   test("mergeAdditive equals the full recompute; schema mismatch rejected") {
     import spark.implicits._
     val rows = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L),
