@@ -71,6 +71,26 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("scd2_intervals: the whole version chain costs one key shuffle") {
+    val df = SparkEntry.queries("scd2_intervals")(spark, sfDir)
+    val plan = planOf(df)
+    // changelog synthesis is explode-in-scan; the lead window is the
+    // only exchange — same single-shuffle shape as latest-image
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"$shuffles shuffles in:\n$plan")
+  }
+
+  test("incr_agg_merge: both partials and the merge keep map-side aggregation") {
+    val df = SparkEntry.queries("incr_agg_merge")(spark, sfDir)
+    val plan = planOf(df)
+    assert("partial".r.findAllIn(plan.toLowerCase).nonEmpty,
+      s"no partial aggregation in:\n$plan")
+    // state + delta partials then one merge groupBy — never a raw
+    // row union reaggregated from scratch more than once
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 4, s"expected partial+final aggs on both branches:\n$plan")
+  }
+
   test("q5_supplier_volume: dimension joins are broadcast") {
     val df = SparkEntry.queries("q5_supplier_volume")(spark, sfDir)
     val plan = planOf(df)
