@@ -71,6 +71,35 @@ object Cdc {
     probes.join(scd, cond, "left").drop(scd(key))
   }
 
+  /** MERGE INTO: apply a changelog DELTA to a materialized snapshot —
+    * the incremental form of [[latestImage]], which recomputes from
+    * the full changelog. The delta collapses to its own latest image
+    * first (including tombstones, which here must SURVIVE collapse to
+    * delete snapshot keys), then: snapshot rows keep unless the delta
+    * touches their key; touched keys take the delta's latest non-D
+    * row. `applyChanges(latestImage(chg < t), chg ≥ t) ≡
+    * latestImage(chg)` — the contract, and the oracle.
+    *
+    * Scale: the snapshot is rescanned but never re-windowed — one
+    * anti-join on the key (broadcast when the delta's key set fits,
+    * the common case for incremental loads) + the delta-only window.
+    * Cost O(snapshot scan + delta log delta), vs latest-image's full
+    * re-sort of the whole changelog history. */
+  def applyChanges(snapshot: DataFrame, delta: DataFrame, key: String,
+                   opTs: String = "op_ts", seq: String = "seq",
+                   manip: String = "manip"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(opTs).desc, col(seq).desc)
+    val deltaLatest = delta
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val untouched = snapshot.join(
+      deltaLatest.select(col(key)), Seq(key), "left_anti")
+    untouched.unionByName(
+      deltaLatest.filter(col(manip) =!= "D").select(snapshot.columns.head,
+        snapshot.columns.tail: _*))
+  }
+
   /** Change-volume profile per manip type (I/U/D). */
   def changelogStats(changelog: DataFrame, key: String,
                      manip: String = "manip"): DataFrame =

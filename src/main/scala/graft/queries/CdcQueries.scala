@@ -153,6 +153,21 @@ object CdcQueries {
           col("valid_from"), col("valid_to"), col("is_current"))
     },
 
+    // A12 — MERGE INTO: the stored latest-image snapshot advanced by
+    // a changelog delta without re-windowing history (anti-join on
+    // touched keys + delta-only window). THE ORACLE IS THE FULL
+    // RECOMPUTE — apply(snapshot(<t), delta(≥t)) ≡ latest_image(all)
+    // is the operator's contract.
+    "cdc_upsert_merge" -> { (s, d) =>
+      val chg = CdcEnvelope.ordersChangelog(s, d)
+      val cut = lit("1998-01-01").cast("timestamp")
+      val snapshot = Cdc.latestImage(chg.filter(col("op_ts") < cut), "o_orderkey")
+      Cdc.applyChanges(snapshot, chg.filter(col("op_ts") >= cut), "o_orderkey")
+        .select(col("o_orderkey").as("order_key"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("total_price"))
+    },
+
     // A11 — point-in-time lookup against the orders SCD2 dimension:
     // three deterministic probes per key (+2/+7/+12 min off the
     // insert time) hit version 1, version 2 where an update exists,
@@ -241,6 +256,15 @@ object CdcQueries {
       |SELECT manip AS manip_type, count(*) AS n_changes,
       |       count(DISTINCT o_orderkey) AS n_keys
       |FROM chg GROUP BY 1""".stripMargin,
+
+    // the FULL latest-image recompute — merge ≡ recompute.
+    "cdc_upsert_merge" -> s"""$OrdersChg, r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |             ORDER BY op_ts DESC, seq DESC) AS rn FROM chg
+      |)
+      |SELECT o_orderkey AS order_key, o_orderstatus AS status,
+      |       o_totalprice AS total_price
+      |FROM r WHERE rn = 1 AND manip <> 'D'""".stripMargin,
 
     "scd2_intervals" -> s"""$CustChg
       |SELECT cust_key, mktsegment,

@@ -314,6 +314,31 @@ class OperatorSpec extends SparkTestBase {
     assert(latest == current)
   }
 
+  test("applyChanges: snapshot + delta equals the full latest-image recompute") {
+    import spark.implicits._
+    val cut = ts("2024-01-02T00:00:00Z")
+    val chg = Seq(
+      (1L, "a1", ts("2024-01-01T00:00:00Z"), 1, "I"), // updated in delta
+      (1L, "a2", ts("2024-01-02T01:00:00Z"), 2, "U"),
+      (2L, "b1", ts("2024-01-01T00:00:00Z"), 1, "I"), // deleted in delta
+      (2L, "b1", ts("2024-01-02T02:00:00Z"), 2, "D"),
+      (3L, "c1", ts("2024-01-01T00:00:00Z"), 1, "I"), // untouched by delta
+      (3L, "c2", ts("2024-01-01T01:00:00Z"), 2, "U"),
+      (4L, "d1", ts("2024-01-02T00:30:00Z"), 1, "I"), // born in delta
+      (5L, "e1", ts("2024-01-01T00:00:00Z"), 1, "I"), // dead before the cut
+      (5L, "e1", ts("2024-01-01T01:00:00Z"), 2, "D"),
+      (6L, "f1", ts("2024-01-02T00:00:00Z"), 1, "D"), // delete → re-insert, delta-only
+      (6L, "f2", ts("2024-01-02T01:00:00Z"), 2, "I")
+    ).toDF("k", "v", "op_ts", "seq", "manip")
+    val snapshot = Cdc.latestImage(chg.filter(col("op_ts") < lit(cut)), "k")
+    val merged = Cdc.applyChanges(snapshot, chg.filter(col("op_ts") >= lit(cut)), "k")
+      .select("k", "v").as[(Long, String)].collect().toSet
+    val want = Cdc.latestImage(chg, "k")
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(want == Set((1L, "a2"), (3L, "c2"), (4L, "d1"), (6L, "f2")))
+    assert(merged == want, s"merged $merged != recompute $want")
+  }
+
   test("pointInTime: probe hits covering version, deletion gap yields null") {
     import spark.implicits._
     val chg = Seq(
