@@ -85,6 +85,11 @@ object Sweep100 {
       // join stays probe-sized — the measurement behind the
       // "corpus is never self-joined" claim. pmi's distinct-bigram
       // vocab is constant across decades; only the token stages grow.
+      // late-r8: the trimming ACTION on top of the interval family —
+      // adds one id-keyed join + in-scan HOF filter over the interval
+      // machinery already swept above; must stay interval-shaped
+      "trim_spans" -> (d => Dedup.trimSpans(d,
+        Dedup.dupSpanIntervals(d, "text", "doc_id", n = 6), "text", "doc_id")),
       "contam_score" -> (d => Dedup.contaminationScore(d, probeDocs(), "text", "doc_id")),
       "cross_decontam" -> (d => Dedup.crossNearDupPairs(d, probeDocs(), "text", "doc_id",
         minBp = 8000)),
@@ -170,7 +175,25 @@ object Sweep100 {
       // the exact-content collapse keeps mirror multiplicity out of
       // the bucket join and the verify payload.
       "minhash_incr" -> (dir => Dedup.minhashLshIncremental(
-        incrementSigs, sigsOf(dir), minBp = 8000)))
+        incrementSigs, sigsOf(dir), minBp = 8000)),
+      // late-r8 leakage-free split: cluster canonicals (star-guarded
+      // pairs → diameter-≤2 components) left-joined back over the full
+      // mirrored corpus, then the hash-fold projection — CC cost is
+      // cluster_dedup's, the split adds one id join over 100× rows
+      "grouped_split" -> { dir =>
+        val clusters = Dedup.clusterPairs(
+          Dedup.minhashLsh(docs(dir), "text", "doc_id",
+            minBp = 8000, maxBucket = 50), "doc_a", "doc_b")
+        val canon = docs(dir).join(clusters, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+        val bucket =
+          (col("canonical_id") * lit(2654435761L)) % lit(1000000007L) % lit(100)
+        canon.select(col("doc_id"), col("canonical_id"),
+          when(bucket < 80, lit("train"))
+            .when(bucket < 90, lit("val"))
+            .otherwise(lit("test")).as("split"))
+      })
 
     val all: Seq[(String, String => DataFrame)] =
       ops.map { case (k, f) => (k, (d: String) => f(docs(d))) } ++
