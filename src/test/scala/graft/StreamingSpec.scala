@@ -1253,6 +1253,41 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("dropDuplicatesWithinWatermark: dedup inside the horizon, state evicted past it") {
+    // Spark's NATIVE bounded-state streaming dedup (the engine-level
+    // sibling of TwsDedup's near-dup state): duplicates inside the
+    // watermark horizon are suppressed; once the watermark passes a
+    // key's horizon its state evicts, so the same id re-admits with a
+    // fresh event time — state = rate × horizon, not stream history.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = input.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode(OutputMode.Append).start()
+    def tstamp(min: Int) = new java.sql.Timestamp(t(min))
+    def ids() = spark.table("wm_dedup").collect().map(_.getLong(0)).toSeq
+    try {
+      input.addData((1L, tstamp(0)), (2L, tstamp(0)))
+      q.processAllAvailable()
+      assert(ids().sorted == Seq(1L, 2L))
+      // duplicate inside the horizon → suppressed
+      input.addData((1L, tstamp(5)))
+      q.processAllAvailable()
+      assert(ids().sorted == Seq(1L, 2L))
+      // advance event time far past the horizon → id-1 state evicts
+      input.addData((9L, tstamp(200)))
+      q.processAllAvailable()
+      // the SAME id with a fresh event time re-admits
+      input.addData((1L, tstamp(210)))
+      q.processAllAvailable()
+      assert(ids().sorted == Seq(1L, 1L, 2L, 9L), ids().mkString(","))
+    } finally q.stop()
+  }
+
   test("TwsScd2: closed versions across micro-batches equal batch scd2 history") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
