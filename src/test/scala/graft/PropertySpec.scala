@@ -377,4 +377,43 @@ class PropertySpec extends SparkTestBase {
       .toSet
     assert(got == expect)
   }
+
+  test("scd2 invariants on random changelogs: versions tile the key timeline") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    for (trial <- 1 to 5) {
+      // random per-key histories with unique (key, ts) and I/U/D mixed
+      val rows = (0 until 4).flatMap { k =>
+        val n = 1 + rnd.nextInt(8)
+        Random.shuffle((0 until 40).toList).take(n).sorted.zipWithIndex.map {
+          case (t, i) =>
+            val manip = if (i == 0) "I"
+              else Seq("I", "U", "D")(rnd.nextInt(3))
+            (k.toLong, new Timestamp(t * 1000L), i + 1, manip, s"v$k-$i")
+        }
+      }
+      val df = rows.toDF("k", "op_ts", "seq", "manip", "v")
+      val got = graft.operators.Cdc.scd2(df, "k")
+        .select("k", "valid_from", "valid_to", "is_current")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1),
+          Option(r.getTimestamp(2)), r.getBoolean(3)))
+      got.groupBy(_._1).foreach { case (k, versions) =>
+        val sorted = versions.sortBy(_._2.getTime)
+        // each version ends exactly where the key's next change begins
+        val changeTimes = rows.filter(_._1 == k).map(_._2.getTime).sorted
+        sorted.foreach { case (_, from, to, current) =>
+          val after = changeTimes.filter(_ > from.getTime)
+          val expectTo = after.headOption
+          assert(to.map(_.getTime) == expectTo, s"trial $trial key $k")
+          assert(current == to.isEmpty)
+        }
+        // at most one open version per key, and only when the key's
+        // last change is not a delete
+        val lastManip = rows.filter(_._1 == k).maxBy(r => (r._2.getTime, r._3))._4
+        assert(sorted.count(_._3.isEmpty) == (if (lastManip == "D") 0 else 1),
+          s"trial $trial key $k open-version count")
+      }
+    }
+  }
 }
