@@ -100,6 +100,39 @@ object Cdc {
         snapshot.columns.tail: _*))
   }
 
+  /** Snapshot DIFF: what changed between two materialized images of
+    * the same table — per key `added` / `removed` / `changed`
+    * (unchanged keys are omitted; they are the bulk and carry no
+    * information). The reconciliation/audit step between a rebuilt
+    * snapshot and yesterday's, or between replica and source.
+    *
+    * `compareCols` are null-safe-compared (`<=>`), so a null→value
+    * transition counts as changed, not as a silent equality.
+    *
+    * Scale: one full-outer join shuffled on the key, comparisons in
+    * the join projection — no window, no collect; output is bounded
+    * by the churn, not the table. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, key: String,
+                   compareCols: Seq[String]): DataFrame = {
+    val b = before.select((key +: compareCols).map(c => col(c).as(s"b_$c")): _*)
+    val a = after.select((key +: compareCols).map(c => col(c).as(s"a_$c")): _*)
+    val joined = b.join(a, col(s"b_$key") === col(s"a_$key"), "full_outer")
+    val changed = compareCols
+      .map(c => !(col(s"b_$c") <=> col(s"a_$c")))
+      .reduce(_ || _)
+    joined
+      .withColumn("change_type",
+        when(col(s"b_$key").isNull, lit("added"))
+          .when(col(s"a_$key").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+      .select(coalesce(col(s"b_$key"), col(s"a_$key")).as(key) +:
+        col("change_type") +:
+        compareCols.flatMap(c => Seq(col(s"b_$c").as(s"${c}_before"),
+          col(s"a_$c").as(s"${c}_after"))): _*)
+  }
+
   /** Change-volume profile per manip type (I/U/D). */
   def changelogStats(changelog: DataFrame, key: String,
                      manip: String = "manip"): DataFrame =

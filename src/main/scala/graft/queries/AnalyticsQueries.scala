@@ -288,6 +288,37 @@ object AnalyticsQueries {
       graft.operators.Graph.hopDistance(edges, "src", "dst", seeds, maxHops = 3)
     },
 
+    // B52 — co-occurrence LIFT: event-type pairs done by the same
+    // user, set-based (the size-2 frequent-itemset / market-basket
+    // view; B29's adjacency only sees consecutive events), ranked by
+    // integer lift = P(ab)/(P(a)P(b)) in basis points. One distinct
+    // (user,type) shuffle; the per-user self-join fans out as
+    // (items-per-user choose 2) — the standard basket shape, bounded
+    // by the per-user distinct-item count (cap items per basket
+    // upstream on open-ended alphabets); type totals and the user
+    // count broadcast back (guarded-crossJoin convention).
+    "cooccur_lift" -> { (s, d) =>
+      val ut = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val users = ut.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val typeCnt = ut.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      ut.as("x").join(ut.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(broadcast(typeCnt.select(col("event_type").as("type_a"),
+          col("cnt").as("cnt_a"))), "type_a")
+        .join(broadcast(typeCnt.select(col("event_type").as("type_b"),
+          col("cnt").as("cnt_b"))), "type_b")
+        .crossJoin(broadcast(users))
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          col("cnt_a"), col("cnt_b"),
+          expr("(n_both * n_users * 10000) div (cnt_a * cnt_b)").as("lift_bp"))
+    },
+
     // B29 — event-transition counts (the Markov-chain view of the
     // event log): successor per user via one lead() window — single
     // shuffle on user_id, per-user sort — then a tiny (type, type)
@@ -425,6 +456,23 @@ object AnalyticsQueries {
       |${prIterSql("pr1", "pr2")},
       |${prIterSql("pr2", "pr3")}
       |SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3""".stripMargin,
+
+    "cooccur_lift" -> """
+      |WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+      |tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM ut GROUP BY 1),
+      |p AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |             CAST(count(*) AS BIGINT) AS n_both
+      |      FROM ut x JOIN ut y ON x.user_id = y.user_id
+      |                         AND x.event_type < y.event_type
+      |      GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b, p.n_both,
+      |       a.cnt AS cnt_a, b.cnt AS cnt_b,
+      |       (p.n_both * n.n_users * 10000) // (a.cnt * b.cnt) AS lift_bp
+      |FROM p JOIN tc a ON p.type_a = a.event_type
+      |       JOIN tc b ON p.type_b = b.event_type
+      |CROSS JOIN n""".stripMargin,
 
     "graph_reach" -> s"""
       |WITH seq AS (

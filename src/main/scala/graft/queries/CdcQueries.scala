@@ -168,6 +168,22 @@ object CdcQueries {
           col("o_totalprice").as("total_price"))
     },
 
+    // A13 — snapshot diff: the latest image as of the A12 cut vs the
+    // final image — per key added/removed/changed with before/after
+    // values, unchanged omitted. The reconciliation every
+    // snapshot-rebuild pipeline runs before publishing.
+    "snapshot_diff" -> { (s, d) =>
+      val chg = CdcEnvelope.ordersChangelog(s, d)
+      val cut = lit("1998-01-01").cast("timestamp")
+      Cdc.snapshotDiff(
+        Cdc.latestImage(chg.filter(col("op_ts") < cut), "o_orderkey"),
+        Cdc.latestImage(chg, "o_orderkey"),
+        "o_orderkey", Seq("o_orderstatus"))
+        .select(col("o_orderkey").as("order_key"), col("change_type"),
+          col("o_orderstatus_before").as("status_before"),
+          col("o_orderstatus_after").as("status_after"))
+    },
+
     // A11 — point-in-time lookup against the orders SCD2 dimension:
     // three deterministic probes per key (+2/+7/+12 min off the
     // insert time) hit version 1, version 2 where an update exists,
@@ -265,6 +281,29 @@ object CdcQueries {
       |SELECT o_orderkey AS order_key, o_orderstatus AS status,
       |       o_totalprice AS total_price
       |FROM r WHERE rn = 1 AND manip <> 'D'""".stripMargin,
+
+    "snapshot_diff" -> s"""$OrdersChg, rb AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |             ORDER BY op_ts DESC, seq DESC) AS rn
+      |  FROM chg WHERE op_ts < TIMESTAMP '1998-01-01 00:00:00'
+      |), before_img AS (
+      |  SELECT o_orderkey, o_orderstatus FROM rb WHERE rn = 1 AND manip <> 'D'
+      |), ra AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |             ORDER BY op_ts DESC, seq DESC) AS rn FROM chg
+      |), after_img AS (
+      |  SELECT o_orderkey, o_orderstatus FROM ra WHERE rn = 1 AND manip <> 'D'
+      |)
+      |SELECT coalesce(b.o_orderkey, a.o_orderkey) AS order_key,
+      |       CASE WHEN b.o_orderkey IS NULL THEN 'added'
+      |            WHEN a.o_orderkey IS NULL THEN 'removed'
+      |            ELSE 'changed' END AS change_type,
+      |       b.o_orderstatus AS status_before,
+      |       a.o_orderstatus AS status_after
+      |FROM before_img b FULL OUTER JOIN after_img a
+      |  ON b.o_orderkey = a.o_orderkey
+      |WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+      |   OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus""".stripMargin,
 
     "scd2_intervals" -> s"""$CustChg
       |SELECT cust_key, mktsegment,

@@ -339,6 +339,26 @@ class OperatorSpec extends SparkTestBase {
     assert(merged == want, s"merged $merged != recompute $want")
   }
 
+  test("snapshotDiff: added/removed/changed with null-safe compare, unchanged omitted") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, Some("a")),  // unchanged → omitted
+      (2L, Some("b")),  // changed
+      (3L, Some("c")),  // removed
+      (4L, None: Option[String])) // null → value = changed
+      .toDF("k", "v")
+    val after = Seq(
+      (1L, Some("a")),
+      (2L, Some("B")),
+      (4L, Some("d")),
+      (5L, Some("e"))) // added
+      .toDF("k", "v")
+    val got = Cdc.snapshotDiff(before, after, "k", Seq("v"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "added"), got.toString)
+  }
+
   test("pointInTime: probe hits covering version, deletion gap yields null") {
     import spark.implicits._
     val chg = Seq(
