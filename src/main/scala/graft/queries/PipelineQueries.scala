@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftFunctions
@@ -575,6 +576,34 @@ object PipelineQueries {
       TextAnalysis.qualityFilter(Tables.documents(s, d), "text", "doc_id")
     },
 
+    // C62 — cross-source score normalization: raw quality signals are
+    // incomparable across sources (a news corpus's stopword median is
+    // not a forum's), so curation thresholds set on raw scores skew
+    // the mix; percentile rank WITHIN source puts every doc on
+    // [0,10000] and one global cut treats sources fairly. SCALE FORM:
+    // no per-source row sort — scores are bounded integers (bp), so
+    // the rank comes from a count-per-(source,score) cumulative walk
+    // over the DISTINCT-value frame (the equi_depth_quartiles trick)
+    // broadcast-joined back; ties share a percentile by construction.
+    "quality_percentile" -> { (s, d) =>
+      val sig = TextAnalysis
+        .withQualityFlag(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("source"), col("stopword_bp").as("score"))
+      val counts = sig.groupBy(col("source"), col("score"))
+        .agg(count(lit(1)).as("c"))
+      val wb = Window.partitionBy(col("source")).orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = counts
+        .withColumn("n_below", coalesce(sum(col("c")).over(wb), lit(0L)))
+        .withColumn("n",
+          sum(col("c")).over(Window.partitionBy(col("source"))))
+      sig.join(broadcast(cum.select("source", "score", "n_below", "n")),
+          Seq("source", "score"))
+        .select(col("doc_id"), col("source"), col("score"),
+          expr("CASE WHEN n = 1 THEN CAST(0 AS BIGINT) " +
+            "ELSE n_below * 10000 div (n - 1) END").as("pctl_bp"))
+    },
+
     // C29 — near-containment pairs: every 10th base doc contributes an
     // 80-char excerpt (chars 11–90, id + 3e6). An excerpt is ~1/4 of
     // its page, so Jaccard sits far below any dedup threshold — but
@@ -974,6 +1003,27 @@ object PipelineQueries {
       |SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
       |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS re_tokens
       |FROM documents""".stripMargin,
+
+    "quality_percentile" -> s"""
+      |WITH sig AS (
+      |  SELECT doc_id, source,
+      |         CAST(floor(10000.0 * len(list_filter(string_split(text, ' '),
+      |           t -> t IN (${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")})))
+      |           / len(string_split(text, ' '))) AS BIGINT) AS score
+      |  FROM documents),
+      |counts AS (
+      |  SELECT source, score, CAST(count(*) AS BIGINT) AS c
+      |  FROM sig GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, score,
+      |         CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY score
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_below,
+      |         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM counts)
+      |SELECT s.doc_id, s.source, s.score,
+      |       CASE WHEN cum.n = 1 THEN CAST(0 AS BIGINT)
+      |            ELSE cum.n_below * 10000 // (cum.n - 1) END AS pctl_bp
+      |FROM sig s JOIN cum ON s.source = cum.source AND s.score = cum.score""".stripMargin,
 
     "dataset_split" -> """
       |SELECT doc_id,
