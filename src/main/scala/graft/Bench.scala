@@ -66,6 +66,24 @@ object Bench {
       }
       name -> best
     }
+    report(results, sfDir)
+    spark.stop()
+  }
+
+  /** Emit the bench result twice:
+    *  - the FULL json (per-query medians + [min,median,max] spreads +
+    *    failures) to `SPARK_GRAFT_BENCH_OUT` (default
+    *    `BENCH_FULL.json` in the working dir) — the machine-readable
+    *    artifact of record;
+    *  - a COMPACT final stdout line that fits the driver's 2000-char
+    *    stdout tail window (the full line is ~10 KB for 127 queries
+    *    and was head-truncated into an unparseable fragment in
+    *    r7/r8's BENCH_r{N}.json): total, failures, the output path,
+    *    and per-query medians as `qv`, an array aligned with the
+    *    alphabetically-sorted query names (`results` is built sorted;
+    *    3-decimal floats keep 127 entries near ~900 chars).
+    */
+  private[graft] def report(results: Seq[(String, Seq[Double])], sfDir: String): Unit = {
     val qs = results.map { case (k, r) => s""""$k":${r(1)}""" }.mkString("{", ",", "}")
     val spread = results.map { case (k, r) =>
       s""""$k":[${r.head},${r(1)},${r.last}]""" }.mkString("{", ",", "}")
@@ -74,7 +92,47 @@ object Bench {
     // dropped from the total
     val failed = results.collect { case (k, r) if r(1) < 0 => s""""$k"""" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val qv = results.map { case (_, r) => f"${r(1)}%.3f" }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"queries_file":"$outPath","qv_sorted_by_name":$qv}""")
+  }
+}
+
+/** Targeted bench for iteration: time only the named queries (args),
+  * same warm-up/median-of-3/spread-retry protocol as [[Bench]].
+  * `sbt "runMain graft.BenchSubset dedup_minhash_lsh dedup_clusters"`. */
+object BenchSubset {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "pass query names")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    val picked = SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    val missing = args.filterNot(picked.keySet)
+    require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    picked.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").write.format("noop")
+        .mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = try {
+        Seq.fill(3)(
+          time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())).sorted
+      } catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+      name -> runs
+    }
+    results.foreach { case (k, r) =>
+      println(f"""$k%-28s min=${r.head}%.3f median=${r(1)}%.3f max=${r.last}%.3f""") }
     spark.stop()
   }
 }

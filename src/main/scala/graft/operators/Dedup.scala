@@ -21,6 +21,87 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Policy for the exact-content collapse pre-pass of the MinHash
+    * LSH family ([[minhashLshFromSignatures]],
+    * [[minhashLshIncremental]]).
+    *
+    * The collapse (see [[sigGroups]]) is what lets a mirror-heavy
+    * corpus (one page × 10⁵ crawl copies) run the LSH + verify stages
+    * over one row per DISTINCT content — but it costs two extra
+    * id/content-keyed shuffles plus the member re-expansion joins,
+    * pure overhead when duplicate multiplicity ≈ 1 (the common case
+    * outside mirror pathologies). `Auto` (the default) decides with a
+    * one-pass probe: `count` vs `approx_count_distinct` of a cheap
+    * content surrogate; below [[Collapse.autoThresholdBp]] distinct
+    * ratio the collapsed path runs, otherwise the plain path — the
+    * pre-collapse plan shape, zero extra shuffles. Both paths emit
+    * the same verified pair set below `maxBucket` (identical contents
+    * band identically, so the plain path still finds every copy
+    * pair); the collapse changes COST, not semantics. */
+  sealed trait Collapse
+  object Collapse {
+    /** Probe multiplicity, collapse only when copies abound. */
+    case object Auto extends Collapse
+    /** Always collapse (a corpus known to be mirror-heavy — skips the
+      * probe pass). */
+    case object Always extends Collapse
+    /** Never collapse (a corpus known copy-free — skips the probe). */
+    case object Never extends Collapse
+    /** Auto collapses when distinct-content/count < 90% — i.e. >~1.1
+      * mean copies per content. Below that the collapse's two extra
+      * shuffles cost more than the copies they would save, and the
+      * `approx_count_distinct` rsd (5%) stays well inside the margin. */
+    val autoThresholdBp: Int = 9000
+  }
+
+  /** One-pass multiplicity probe for [[Collapse.Auto]]: true when
+    * distinct-`key` count ≥ [[Collapse.autoThresholdBp]] of rows.
+    * `key` is a cheap CONTENT SURROGATE, not the collapse key itself:
+    * xxhash64(text) on the text path (no shingling), xxhash64(sig) on
+    * the signature path (fixed numPerm×8 bytes — column-pruned from a
+    * parquet store, vs the O(tokens) `hs` array). Surrogate error is
+    * one-sided in the safe direction: identical content ⇒ identical
+    * surrogate always, while distinct contents sharing a surrogate
+    * (near-identical docs with equal signatures) only UNDERESTIMATE
+    * the distinct ratio → collapse when borderline. An empty frame
+    * counts as copy-free.
+    *
+    * MEMOIZED by the canonicalized logical plan of `frame.select(key)`:
+    * the probe is one Spark job (~hundreds of ms of fixed scheduling
+    * cost even on tiny data), and dedup over the same input recurs —
+    * reruns, the incremental loop, bench passes. Memoization is safe
+    * precisely because the probe decides COST, never semantics: a
+    * stale entry (same plan, mutated underlying files) can pick the
+    * slower path, not a wrong answer. Cache is bounded (cleared past
+    * [[ProbeCacheMax]] plans) and resettable via
+    * [[clearCollapseProbeCache]]. */
+  private val ProbeCacheMax = 10000
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean]()
+
+  /** Drop memoized Auto-probe decisions (e.g. after overwriting a
+    * signature store in place). */
+  def clearCollapseProbeCache(): Unit = probeCache.clear()
+
+  private def multiplicityIsLow(frame: DataFrame, key: org.apache.spark.sql.Column): Boolean = {
+    val probed = frame.select(key.as("k"))
+    val planKey = probed.queryExecution.analyzed.canonicalized
+    if (probeCache.size > ProbeCacheMax) probeCache.clear()
+    probeCache.computeIfAbsent(planKey, { _ =>
+      val r = probed.agg(count(lit(1)).as("n"), approx_count_distinct(col("k")).as("d")).head()
+      val n = r.getLong(0)
+      n == 0 || r.getLong(1) * 10000L >= Collapse.autoThresholdBp.toLong * n
+    }).booleanValue()
+  }
+
+  /** Resolve a [[Collapse]] policy to collapse-or-not for one frame. */
+  private def shouldCollapse(mode: Collapse, frame: => DataFrame,
+                             key: => org.apache.spark.sql.Column): Boolean = mode match {
+    case Collapse.Always => true
+    case Collapse.Never  => false
+    case Collapse.Auto   => !multiplicityIsLow(frame, key)
+  }
+
   /** Exact dedup: keep the smallest id per distinct content. Grouping
     * key is xxhash64(text) so the shuffle moves hashes, not bodies; a
     * 64-bit collision (~1e-9 at billions of docs) merges two groups,
@@ -66,10 +147,18 @@ object Dedup {
     * approximation is candidate RECALL (LSH banding). */
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
                  k: Int = 5, numPerm: Int = 64, bands: Int = 16,
-                 minBp: Int = 5000, maxBucket: Int = 1000): DataFrame =
+                 minBp: Int = 5000, maxBucket: Int = 1000,
+                 collapse: Collapse = Collapse.Auto): DataFrame = {
+    // Resolve Auto HERE, where text is still in hand: the probe hashes
+    // the raw text column (one scan, no shingling) instead of the
+    // derived signature frame, which would re-run the shingle pass.
+    val resolved =
+      if (shouldCollapse(collapse, docs, xxhash64(col(textCol))))
+        Collapse.Always else Collapse.Never
     minhashLshFromSignatures(
       withMinHashSignatures(docs, textCol, idCol, k, numPerm),
-      bands, minBp, numPerm, maxBucket)
+      bands, minBp, numPerm, maxBucket, resolved)
+  }
 
   /** Near-CONTAINMENT pairs: (a, b) where the smaller shingle set is
     * mostly inside the larger — containment_bp = 10000·|A∩B|/min(|A|,|B|).
@@ -271,23 +360,42 @@ object Dedup {
     * BUCKETS (a non-rep pair of distinct contents co-bucketed only
     * there) is logged per run via [[hotBucketStats]].
     *
+    * ADAPTIVE ([[Collapse]]): the collapse/re-expand passes above are
+    * two extra content-keyed shuffles that buy nothing at duplicate
+    * multiplicity ≈ 1 — the common case outside mirror pathologies.
+    * Under `Collapse.Auto` (default) a one-pass probe (count vs
+    * approx-distinct xxhash64(sig)) picks: copy-free frames run the
+    * PLAIN path — [[verifiedRepPairs]] directly over every row, the
+    * exact pre-collapse plan with zero extra shuffles — and only
+    * mirror-heavy frames pay the collapse. Both paths produce the
+    * same verified pair set below `maxBucket` (exact copies share all
+    * band hashes, so the plain path co-buckets and verifies them at
+    * jaccard 10000); above the cap the star fallback is keyed on
+    * bucket width in COPIES (plain) vs DISTINCT CONTENTS (collapsed)
+    * — the probe guarantees those coincide on the path that runs.
+    *
     * Input contract: `hs` non-empty per row (what
     * [[withMinHashSignatures]] emits — it drops empty shingle sets).
-    * The collapse reads `sigs` twice (groups + membership); with a
-    * persisted signature store — the production shape — both reads
-    * are column-pruned parquet scans. */
+    * The collapsed path reads `sigs` twice (groups + membership), the
+    * Auto probe once more; with a persisted signature store — the
+    * production shape — all are column-pruned parquet scans. */
   def minhashLshFromSignatures(sigs: DataFrame, bands: Int = 16,
                                minBp: Int = 5000, numPerm: Int = 64,
-                               maxBucket: Int = 1000): DataFrame = {
+                               maxBucket: Int = 1000,
+                               collapse: Collapse = Collapse.Auto): DataFrame = {
     require(numPerm % bands == 0 && numPerm > 0,
       s"numPerm ($numPerm) must be a positive multiple of bands ($bands)")
-    val keyed = sigs.select(col("id"), col("hs"), col("sig"),
-      xxhash64(col("hs")).as("sk"))
-    val groups = sigGroups(keyed)
-    val repPairs = verifiedRepPairs(
-      groups.select("id", "hs", "sig"), bands, minBp, numPerm, maxBucket)
-    expandGroupPairs(repPairs, keyed.select("sk", "id"),
-      groups.select(col("sk"), col("id").as("rep"), col("w")), minBp, maxBucket)
+    if (!shouldCollapse(collapse, sigs, xxhash64(col("sig")))) {
+      verifiedRepPairs(sigs.select("id", "hs", "sig"), bands, minBp, numPerm, maxBucket)
+    } else {
+      val keyed = sigs.select(col("id"), col("hs"), col("sig"),
+        xxhash64(col("hs")).as("sk"))
+      val groups = sigGroups(keyed)
+      val repPairs = verifiedRepPairs(
+        groups.select("id", "hs", "sig"), bands, minBp, numPerm, maxBucket)
+      expandGroupPairs(repPairs, keyed.select("sk", "id"),
+        groups.select(col("sk"), col("id").as("rep"), col("w")), minBp, maxBucket)
+    }
   }
 
   /** Incremental near-dup detection: a NEW batch of documents (a crawl
@@ -305,7 +413,18 @@ object Dedup {
     * wider than `maxBucket` is represented by its min-id doc only. */
   def minhashLshIncremental(newSigs: DataFrame, corpusSigs: DataFrame,
                             bands: Int = 16, minBp: Int = 5000,
-                            numPerm: Int = 64, maxBucket: Int = 1000): DataFrame = {
+                            numPerm: Int = 64, maxBucket: Int = 1000,
+                            collapse: Collapse = Collapse.Auto): DataFrame = {
+    // Adaptive as in [[minhashLshFromSignatures]]: when BOTH sides
+    // probe copy-free the plain pre-collapse plan runs (zero extra
+    // shuffles, no re-expansion); if EITHER side is mirror-heavy both
+    // collapse — the collapsed path is correct regardless of
+    // multiplicity, and a heavy side's copies would otherwise ride
+    // the bucket join.
+    if (!shouldCollapse(collapse, newSigs, xxhash64(col("sig"))) &&
+        !shouldCollapse(collapse, corpusSigs, xxhash64(col("sig"))))
+      return minhashLshIncrementalPlain(newSigs, corpusSigs, bands, minBp,
+        numPerm, maxBucket)
     // Same exact-content collapse as [[minhashLshFromSignatures]], per
     // side: LSH and verify run over distinct contents only, so mirror
     // multiplicity (in the corpus OR the increment) never rides the
@@ -382,6 +501,46 @@ object Dedup {
         when(col("nn"), greatest(col("ea"), col("eb"))).otherwise(col("eb")).as("match_id"),
         col("jaccard_bp"))
     withinNew.select("new_id", "match_id", "jaccard_bp").unionByName(cross)
+  }
+
+  /** The copy-free plan of [[minhashLshIncremental]] — per-member
+    * banding with no collapse/re-expansion, selected by the Auto
+    * probe when neither side carries exact-content copies. Identical
+    * output to the collapsed path at multiplicity 1 (every row is its
+    * own content group). */
+  private def minhashLshIncrementalPlain(newSigs: DataFrame, corpusSigs: DataFrame,
+                                         bands: Int, minBp: Int,
+                                         numPerm: Int, maxBucket: Int): DataFrame = {
+    val nb = minhashBuckets(newSigs.select("id", "hs", "sig"), bands, numPerm)
+    val cb = minhashBuckets(corpusSigs.select("id", "hs", "sig"), bands, numPerm)
+    val byBucket = Window.partitionBy(col("band"), col("bh"))
+    val cbGuarded = cb
+      .withColumn("w", count(lit(1)).over(byBucket))
+      .withColumn("rep", min(col("id")).over(byBucket))
+      .filter(col("w") <= maxBucket || col("id") === col("rep"))
+      .select("id", "band", "bh")
+    val crossCands = nb.as("x").join(cbGuarded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.id").as("new_id"), col("y.id").as("match_id"))
+    // the increment is bounded → plain all-pairs banding within it
+    val newCands = nb.as("x").join(nb.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("new_id"), col("y.id").as("match_id"))
+    val cands = crossCands.unionByName(newCands).distinct()
+    val newSets = newSigs.select(col("id").as("new_id"), col("hs").as("hs_a"))
+    val allSets = corpusSigs.select(col("id"), col("hs"))
+      .unionByName(newSigs.select(col("id"), col("hs")))
+      .select(col("id").as("match_id"), col("hs").as("hs_b"))
+    cands
+      .join(newSets, "new_id")
+      .join(allSets, "match_id")
+      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard_bp",
+        floor(lit(10000.0) * col("common") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("common"))).cast("long"))
+      .filter(col("jaccard_bp") >= minBp)
+      .select("new_id", "match_id", "jaccard_bp")
   }
 
   /** Apply [[dupSpanIntervals]] output back to the corpus: drop every
@@ -604,10 +763,21 @@ object Dedup {
   def crossNearDupPairs(corpus: DataFrame, probe: DataFrame,
                         textCol: String, idCol: String, k: Int = 5,
                         numPerm: Int = 64, bands: Int = 16,
-                        minBp: Int = 5000, maxBucket: Int = 1000): DataFrame = {
+                        minBp: Int = 5000, maxBucket: Int = 1000,
+                        collapse: Collapse = Collapse.Auto): DataFrame = {
+    // Resolve Auto on the RAW text columns (one hash scan per side) —
+    // probing the derived signature frames would re-run the shingle
+    // pass just to count.
+    val resolved = collapse match {
+      case Collapse.Auto =>
+        if (!shouldCollapse(Collapse.Auto, probe, xxhash64(col(textCol))) &&
+            !shouldCollapse(Collapse.Auto, corpus, xxhash64(col(textCol))))
+          Collapse.Never else Collapse.Always
+      case m => m
+    }
     val pSigs = withMinHashSignatures(probe, textCol, idCol, k, numPerm)
     val cSigs = withMinHashSignatures(corpus, textCol, idCol, k, numPerm)
-    minhashLshIncremental(pSigs, cSigs, bands, minBp, numPerm, maxBucket)
+    minhashLshIncremental(pSigs, cSigs, bands, minBp, numPerm, maxBucket, resolved)
       .join(corpus.select(col(idCol).as("match_id")), Seq("match_id"), "left_semi")
       .select(col("match_id").as("doc_id"), col("new_id").as("probe_id"),
         col("jaccard_bp"))

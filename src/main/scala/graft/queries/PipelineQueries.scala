@@ -120,7 +120,7 @@ object PipelineQueries {
     * re-decode was the 10× growth term profiled in round 1), and the
     * range-clustered layout gives row-group pruning on id probes. */
   private val corpusPaths = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def corpusSignatures(s: SparkSession, d: String): DataFrame = {
+  private[graft] def corpusSignatures(s: SparkSession, d: String): DataFrame = {
     val path = corpusPaths.getOrElseUpdate(d, {
       val p = java.nio.file.Files.createTempDirectory("graft_corpus_sigs")
       // scratch, keyed by source dir for the JVM's lifetime (the

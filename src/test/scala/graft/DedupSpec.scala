@@ -66,6 +66,38 @@ class DedupSpec extends SparkTestBase {
     assert(fromSigs.nonEmpty)
   }
 
+  test("adaptive collapse: plain and collapsed paths emit identical pairs; " +
+       "Auto picks plain on copy-free corpora and collapsed on mirrors") {
+    import spark.implicits._
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def hasCollapse(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("sk#")
+    val sigs = Dedup.withMinHashSignatures(corpus(), "text", "doc_id")
+    val plain = Dedup.minhashLshFromSignatures(sigs, minBp = 8000,
+      collapse = Dedup.Collapse.Never)
+    val collapsed = Dedup.minhashLshFromSignatures(sigs, minBp = 8000,
+      collapse = Dedup.Collapse.Always)
+    assert(!hasCollapse(plain) && hasCollapse(collapsed))
+    assert(pairSet(plain) == pairSet(collapsed))
+    assert(pairSet(plain).nonEmpty)
+    // the perturbed corpus carries no exact copies → Auto takes the
+    // zero-extra-shuffle plain plan
+    val auto = Dedup.minhashLshFromSignatures(sigs, minBp = 8000)
+    assert(!hasCollapse(auto))
+    assert(pairSet(auto) == pairSet(plain))
+    // a 10×-mirrored corpus → Auto collapses; output still equals the
+    // plain form below the hot cap
+    val mirror = corpus().limit(30)
+      .crossJoin(spark.range(10).select(col("id").as("copy")))
+      .select((col("doc_id") * 100 + col("copy")).as("doc_id"), col("text"))
+    val mSigs = Dedup.withMinHashSignatures(mirror, "text", "doc_id")
+    val mAuto = Dedup.minhashLshFromSignatures(mSigs, minBp = 8000)
+    assert(hasCollapse(mAuto))
+    assert(pairSet(mAuto) == pairSet(Dedup.minhashLshFromSignatures(mSigs,
+      minBp = 8000, collapse = Dedup.Collapse.Never)))
+  }
+
   test("minhashLsh verified pairs are correct and recall high-sim pairs") {
     val got = Dedup.minhashLsh(corpus(), "text", "doc_id", minBp = 8000)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
