@@ -375,21 +375,71 @@ object RelationalQueries {
     },
 
     // B14 — sketches (HLL++, KLL-style quantiles): constant memory per
-    // group at any scale; sketch-inherent → rows-only check + spec.
-    // Scalar output columns only: the driver's comparator sorts rows
-    // through pandas and an array cell crashes it (round-1 err).
+    // group at any scale. Sketch INTERNALS are engine-specific, so the
+    // value-level contract is emitted instead of the sketch outputs:
+    // each engine computes its own sketch AND its own exact answer,
+    // and publishes booleans asserting the documented error bound —
+    // |HLL − exact|·10⁴ ≤ 500·exact (rsd 0.01 → the bound is 5σ), and
+    // the approx percentile's RANK COVERAGE (#values ≤ p̂) within
+    // ±500 bp of target (p95 upper margin to 9800 bp: disc-value rank
+    // granularity at small groups). A drifting sketch flips its
+    // boolean on that engine only → hash mismatch → caught. All
+    // comparisons are integer multiplications (no division, no
+    // floats): count·10⁴ stays < 2⁶³ up to ~10¹⁵ events per group.
+    // Scale posture: two scans of events + a per-group broadcast join
+    // (groups are the event-type vocabulary, tiny); OperatorSpec keeps
+    // the direct numeric-tolerance assertion on the sketch values.
     "approx_sketch" -> { (s, d) =>
-      Tables.events(s, d)
+      val ev = Tables.events(s, d).select(col("event_type"), col("user_id"), col("value"))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          approx_count_distinct(col("user_id"), 0.01).as("au"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95a"))
+      val rk = ev.join(broadcast(sk.select("event_type", "p50a", "p95a")), "event_type")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("value_p50"),
-          percentile_approx(col("value"), lit(0.95), lit(10000)).as("value_p95"))
+        .agg(sum(when(col("value") <= col("p50a"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("value") <= col("p95a"), 1L).otherwise(0L)).as("le95"))
+      sk.join(rk, "event_type").select(
+        col("event_type"), col("n_users"), col("n_events"),
+        (abs(col("au") - col("n_users")) * 10000 <= col("n_users") * 500).as("hll_within_bp"),
+        (col("le50") * 10000 >= col("n_events") * 4500 &&
+          col("le50") * 10000 <= col("n_events") * 5500).as("p50_within_bound"),
+        (col("le95") * 10000 >= col("n_events") * 9000 &&
+          col("le95") * 10000 <= col("n_events") * 9800).as("p95_within_bound"))
     })
 
   private val Rev =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracles: Map[String, String] = Map(
+    // B14: each engine checks its OWN sketches against its OWN exact
+    // answers and publishes the bound booleans — the sketch values
+    // themselves are engine-specific and never cross the compare.
+    // Integer-multiplication comparisons only (no division, no
+    // floats); CAST around DuckDB's sum→HUGEINT.
+    "approx_sketch" -> """
+      WITH sk AS (
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events,
+               approx_count_distinct(user_id) AS au,
+               approx_quantile(value, 0.5) AS p50a,
+               approx_quantile(value, 0.95) AS p95a
+        FROM events GROUP BY 1),
+      rk AS (
+        SELECT e.event_type,
+               CAST(sum(CASE WHEN e.value <= sk.p50a THEN 1 ELSE 0 END) AS BIGINT) AS le50,
+               CAST(sum(CASE WHEN e.value <= sk.p95a THEN 1 ELSE 0 END) AS BIGINT) AS le95
+        FROM events e JOIN sk ON e.event_type = sk.event_type
+        GROUP BY 1)
+      SELECT sk.event_type, n_users, n_events,
+             abs(au - n_users) * 10000 <= n_users * 500 AS hll_within_bp,
+             le50 * 10000 BETWEEN n_events * 4500 AND n_events * 5500 AS p50_within_bound,
+             le95 * 10000 BETWEEN n_events * 9000 AND n_events * 9800 AS p95_within_bound
+      FROM sk JOIN rk ON sk.event_type = rk.event_type""",
+
     "q10_returns" -> s"""
       WITH agg AS (
         SELECT c_custkey, c_name, c_acctbal, n_name,

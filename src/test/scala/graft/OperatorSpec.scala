@@ -163,23 +163,34 @@ class OperatorSpec extends SparkTestBase {
     assert(noBc.collect().map(_.toSeq).toSet == out.collect().map(_.toSeq).toSet)
   }
 
-  test("approx_sketch: sketches land within tolerance of exact answers") {
+  test("approx_sketch: bound booleans all hold; sketch values within tolerance") {
     import org.apache.spark.sql.functions._
-    val ev = sources.Tables.events(spark, sfDir)
-    val approx = SparkEntry.queries("approx_sketch")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
-    val exact = ev.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("n"),
+    // the published contract: every bound boolean true on this engine
+    val out = SparkEntry.queries("approx_sketch")(spark, sfDir).collect()
+    assert(out.length == 5)
+    for (r <- out)
+      assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5),
+        s"${r.getString(0)}: bound violated in $r")
+    // the direct numeric-tolerance check on the sketch values the
+    // query no longer outputs (engine-specific, can't be oracle'd)
+    val sk = sources.Tables.events(spark, sfDir).groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("an"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("a95"),
+        countDistinct(col("user_id")).as("n"),
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.95)").as("p95"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
-    for ((k, (n, p50, p95)) <- exact) {
-      val (an, a50, a95) = approx(k)
-      assert(math.abs(an - n).toDouble / n < 0.05, s"$k: hll $an vs $n")
+      .collect()
+    for (r <- sk) {
+      val k = r.getString(0)
+      assert(math.abs(r.getLong(1) - r.getLong(4)).toDouble / r.getLong(4) < 0.05,
+        s"$k: hll ${r.getLong(1)} vs ${r.getLong(4)}")
       // accuracy=10000 → rank error ~1e-4; values are continuous, so
       // allow a small relative envelope
-      assert(math.abs(a50 - p50) <= math.abs(p50) * 0.05 + 1.0, s"$k: p50 $a50 vs $p50")
-      assert(math.abs(a95 - p95) <= math.abs(p95) * 0.05 + 1.0, s"$k: p95 $a95 vs $p95")
+      assert(math.abs(r.getDouble(2) - r.getDouble(5)) <= math.abs(r.getDouble(5)) * 0.05 + 1.0,
+        s"$k: p50 ${r.getDouble(2)} vs ${r.getDouble(5)}")
+      assert(math.abs(r.getDouble(3) - r.getDouble(6)) <= math.abs(r.getDouble(6)) * 0.05 + 1.0,
+        s"$k: p95 ${r.getDouble(3)} vs ${r.getDouble(6)}")
     }
   }
 
