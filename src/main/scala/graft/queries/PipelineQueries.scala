@@ -137,6 +137,42 @@ object PipelineQueries {
     s.read.parquet(path)
   }
 
+  /** The C56 corpus/probe split: probes are every-97th fanned-out doc,
+    * the corpus is everything else plus TRUNCATED probe copies (the
+    * planted leakage). Shared by the query and the store builder so
+    * both sides of the persisted-signature shape see one definition. */
+  private def fuzzyCorpus(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val probe = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("text"))
+    val leaked = probe.select((col("doc_id") + 2000000L).as("doc_id"),
+      expr("substring(text, 1, greatest(char_length(text) - 7, 0))").as("text"))
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text")).unionByName(leaked)
+    (corpus, probe)
+  }
+
+  /** Persisted MinHash signature store for the C56 corpus — the
+    * ingest-time artifact fuzzy decontamination probes against in
+    * production (signatures computed once, never re-derived per run).
+    * Same lifecycle as [[corpusSignatures]]: scratch parquet keyed by
+    * source dir for the JVM's lifetime. */
+  private val fuzzySigPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def fuzzyCorpusSignatures(s: SparkSession, d: String): DataFrame = {
+    val path = fuzzySigPaths.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_fuzzy_sigs")
+      sys.addShutdownHook {
+        import scala.reflect.io.Directory
+        new Directory(p.toFile).deleteRecursively()
+      }
+      graft.sources.Sinks.writeClustered(
+        Dedup.withMinHashSignatures(fuzzyCorpus(s, d)._1, "text", "doc_id"),
+        p.toString, "id", numRanges = 4)
+      p.toString
+    })
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C1 — exact dedup on content hash.
     "dedup_exact" -> { (s, d) =>
@@ -316,15 +352,22 @@ object PipelineQueries {
     // leakage shape exact gram matching under-reports. Oracle = the
     // exact cross Jaccard pair set at the threshold (LSH recall 1.0 on
     // this corpus, the dedup family's convention).
+    //
+    // PRODUCTION SHAPE under the bench (the operator's own scale
+    // posture, r8 verdict ask): corpus signatures come from the
+    // persisted ingest-time store (fuzzyCorpusSignatures — built once
+    // per source dir, like corpusSignatures), so a run pays probe
+    // signing + a probe-sized bucket join, never a corpus re-sign.
+    // Signatures are deterministic, so the pair set — and the oracle —
+    // is identical to the self-contained crossNearDupPairs form
+    // (DedupSpec pins that equality).
     "fuzzy_decontaminate" -> { (s, d) =>
-      val docs = Tables.fanOut(Tables.documents(s, d))
-      val probe = docs.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id"), col("text"))
-      val leaked = probe.select((col("doc_id") + 2000000L).as("doc_id"),
-        expr("substring(text, 1, greatest(char_length(text) - 7, 0))").as("text"))
-      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), col("text")).unionByName(leaked)
-      Dedup.crossNearDupPairs(corpus, probe, "text", "doc_id", minBp = 8000)
+      val (corpus, probe) = fuzzyCorpus(s, d)
+      val pSigs = Dedup.withMinHashSignatures(probe, "text", "doc_id")
+      Dedup.minhashLshIncremental(pSigs, fuzzyCorpusSignatures(s, d), minBp = 8000)
+        .join(corpus.select(col("doc_id").as("match_id")), Seq("match_id"), "left_semi")
+        .select(col("match_id").as("doc_id"), col("new_id").as("probe_id"),
+          col("jaccard_bp"))
     },
 
     // C54 — k-NN label propagation: each query vector takes the modal

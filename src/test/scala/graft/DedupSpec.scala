@@ -98,6 +98,22 @@ class DedupSpec extends SparkTestBase {
       minBp = 8000, collapse = Dedup.Collapse.Never)))
   }
 
+  test("fuzzy_decontaminate store-backed form equals self-contained crossNearDupPairs") {
+    // same corpus/probe construction as the C56 query
+    val docs = sources.Tables.fanOut(sources.Tables.documents(spark, sfDir))
+    val probe = docs.filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+    val leaked = probe.select((col("doc_id") + 2000000L).as("doc_id"),
+      expr("substring(text, 1, greatest(char_length(text) - 7, 0))").as("text"))
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      .select("doc_id", "text").unionByName(leaked)
+    val want = Dedup.crossNearDupPairs(corpus, probe, "text", "doc_id", minBp = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = SparkEntry.queries("fuzzy_decontaminate")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("minhashLsh verified pairs are correct and recall high-sim pairs") {
     val got = Dedup.minhashLsh(corpus(), "text", "doc_id", minBp = 8000)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
