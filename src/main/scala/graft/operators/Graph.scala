@@ -16,28 +16,40 @@ object Graph {
     * importance ranking for link/transition graphs (crawl frontier
     * prioritization, event-flow hub detection), engine-exact: ranks
     * start at `1e6 div n` and every update is
-    * `base + (dampBp · Σ (pr·w div w_out)) div 10⁴` in 64-bit integer
-    * arithmetic, so any engine reproduces the bits and a SQL oracle
-    * can replay the unrolled iterations.
+    * `base + (dampBp · (Σ (pr·w div w_out) + dangling_share)) div 10⁴`
+    * in 64-bit integer arithmetic, so any engine reproduces the bits
+    * and a SQL oracle can replay the unrolled iterations.
+    *
+    * DANGLING MASS: nodes with no out-edges would leak their rank
+    * each round (the textbook simplification); with
+    * `conserveDangling` (default) their summed rank is redistributed
+    * uniformly — every node's inflow gains `dsum div n` before
+    * damping, so total mass is conserved up to integer-floor dust
+    * (≤ a few units per node per round; GraphSpec pins the
+    * conservation bound). The dangling sum is a one-row aggregate
+    * broadcast back — a scalar, never a driver-side collect. Set
+    * `conserveDangling = false` for the leaky classic form.
     *
     * Fixed iteration count (not convergence-tested): rank mass moves
     * one hop per round exactly like the label propagation, and
     * production PageRank runs a fixed small round budget anyway.
-    * Dangling nodes (no out-edges) leak their mass each round — the
-    * standard simplification; total mass is not conserved, relative
-    * ranking is what the operator contracts.
     *
     * Scale: per round, ONE join of the rank frame against the
-    * edge+out-weight frame (shuffle on src) and ONE dst-keyed
-    * aggregation with map-side combine; the rank frame is nodes ×
-    * 16 bytes. The driver holds exactly one scalar (the node count).
-    * Zipf-headed in-degree (every real link graph) is the aggregation
-    * skew case — AQE's skew handling or pre-salting the hottest dst
-    * keys applies unchanged; plan depth grows linearly in rounds, so
-    * long budgets would checkpoint every ~5 rounds like clusterPairs
-    * (unnecessary at the fixed default of 3). */
+    * edge+out-weight frame (shuffle on src), ONE dst-keyed
+    * aggregation with map-side combine, and (if conserving) one
+    * anti-join aggregate producing a single scalar row. The rank
+    * frame is nodes × 16 bytes. Zipf-headed in-degree (every real
+    * link graph) is the aggregation skew case — AQE's skew handling
+    * or pre-salting the hottest dst keys applies unchanged; plan
+    * depth grows linearly in rounds, so long budgets would checkpoint
+    * every ~5 rounds like clusterPairs (unnecessary at the fixed
+    * default of 3). The result is eagerly materialized
+    * (localCheckpoint) so the internal node/edge caches can be
+    * unpersisted before returning — callers of repeated invocations
+    * in a long-lived session don't accumulate dead cached blocks. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               wCol: String, iters: Int = 3, dampBp: Int = 8500): DataFrame = {
+               wCol: String, iters: Int = 3, dampBp: Int = 8500,
+               conserveDangling: Boolean = true): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("long").as("w"))
     val nodes = e.select(col("src").as("node"))
@@ -52,12 +64,28 @@ object Graph {
       val contrib = pr.join(ew, pr("node") === ew("src"))
         .select(col("dst").as("node"), expr("(pr * w) div w_out").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      pr = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          expr(s"CAST($base AS BIGINT) + (CAST($dampBp AS BIGINT) * " +
-            "coalesce(s, CAST(0 AS BIGINT))) div 10000").as("pr"))
+      val inflow = nodes.join(contrib, Seq("node"), "left")
+      pr =
+        if (conserveDangling) {
+          // dangling sum: rank parked on nodes absent from the
+          // out-weight side — one scalar row, broadcast to every node
+          val dang = pr.join(ew.select("src").distinct(),
+              pr("node") === col("src"), "left_anti")
+            .agg(coalesce(sum(col("pr")), lit(0L)).as("dsum"))
+          inflow.crossJoin(broadcast(dang))
+            .select(col("node"),
+              expr(s"CAST($base AS BIGINT) + (CAST($dampBp AS BIGINT) * " +
+                s"(coalesce(s, CAST(0 AS BIGINT)) + dsum div $n)) div 10000").as("pr"))
+        } else {
+          inflow.select(col("node"),
+            expr(s"CAST($base AS BIGINT) + (CAST($dampBp AS BIGINT) * " +
+              "coalesce(s, CAST(0 AS BIGINT))) div 10000").as("pr"))
+        }
     }
-    pr
+    val out = pr.localCheckpoint()
+    nodes.unpersist()
+    ew.unpersist()
+    out
   }
 
   /** Bounded-hop BFS: minimum hop distance from any seed node within
@@ -67,11 +95,13 @@ object Graph {
     *
     * Each round joins the distance frame against the edge list and
     * folds with a min-aggregation, so the label set stays exact under
-    * any execution order. The whole discovered set re-expands every
-    * round (simplest exact form — fine for the small fixed hop
-    * budgets this targets); a deep-traversal variant would carry only
-    * the newly-discovered frontier per round and checkpoint lineage
-    * like [[Dedup.clusterPairs]]. Seeds is any single-column frame. */
+    * any execution order. The WHOLE discovered set re-expands every
+    * round — the simplest exact form, right for small fixed hop
+    * budgets over bounded alphabets (the B51 shape: hops ≤ 3, nodes =
+    * an event-type vocabulary). For deep traversals over open graphs
+    * use [[hopDistanceFrontier]], which joins only the
+    * newly-discovered shell per round. Seeds is any single-column
+    * frame. */
   def hopDistance(edges: DataFrame, srcCol: String, dstCol: String,
                   seeds: DataFrame, maxHops: Int = 3): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -84,6 +114,54 @@ object Graph {
       dist = dist.unionByName(next)
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
     }
+    val out = dist.localCheckpoint()
+    e.unpersist()
+    out
+  }
+
+  /** Deep-traversal BFS: identical output contract to
+    * [[hopDistance]], but each round's join input is ONLY the
+    * frontier — the nodes first discovered in the previous round —
+    * so per-round work is O(frontier out-edges), not O(discovered
+    * set), and a 100-hop traversal over a 100 TB link graph does not
+    * re-expand hop-1 nodes 99 times. BFS invariant: any node
+    * reachable through an already-discovered node was discovered at
+    * an earlier-or-equal hop, so expanding non-frontier nodes can
+    * never improve a distance — dropping them changes cost, not
+    * results (GraphSpec pins equality with [[hopDistance]]).
+    *
+    * Each round's fresh shell is eagerly materialized
+    * (localCheckpoint — the lineage checkpoint; cluster callers
+    * needing durability swap in `checkpoint()` semantics upstream),
+    * which both truncates the per-round plan and yields the frontier
+    * size for free — the loop EXITS EARLY when a round discovers
+    * nothing, so `maxHops` is a budget, not a forced cost.
+    * `onRound(hop, frontierRows)` observes each round (specs assert
+    * frontier-only inputs through it; production callers can log
+    * traversal progress). */
+  def hopDistanceFrontier(edges: DataFrame, srcCol: String, dstCol: String,
+                          seeds: DataFrame, maxHops: Int = 20,
+                          onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    var dist = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var hop = 0
+    var frontierRows = frontier.count()
+    while (hop < maxHops && frontierRows > 0) {
+      hop += 1
+      val fresh = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(hop.toLong))
+        .localCheckpoint()
+      frontierRows = fresh.count()
+      onRound(hop, frontierRows)
+      if (frontierRows > 0) dist = dist.unionByName(fresh)
+      frontier = fresh
+    }
+    e.unpersist()
     dist
   }
 }

@@ -424,12 +424,20 @@ object AnalyticsQueries {
     })
 
   /** One unrolled PageRank iteration for the B50 oracle: `cur` from
-    * `prev` with the exact integer-div update the engine uses. */
+    * `prev` with the exact integer-div update the engine uses,
+    * including the dangling-mass share (rank on nodes with no
+    * out-edges, redistributed uniformly as `dsum div n` before
+    * damping — [[graft.operators.Graph.pageRank]]'s conserving
+    * form). */
   private def prIterSql(prev: String, cur: String): String =
-    s"""$cur AS (
+    s"""${prev}_dg AS (
+       |  SELECT coalesce(sum(p.pr), 0) // (SELECT n FROM nn) AS share
+       |  FROM $prev p
+       |  WHERE NOT EXISTS (SELECT 1 FROM ow o WHERE o.src = p.node)),
+       |$cur AS (
        |  SELECT n0.node,
        |         (SELECT b FROM base) +
-       |         (8500 * coalesce(c.s, 0)) // 10000 AS pr
+       |         (8500 * (coalesce(c.s, 0) + (SELECT share FROM ${prev}_dg))) // 10000 AS pr
        |  FROM nodes n0
        |  LEFT JOIN (
        |    SELECT e.dst AS node, sum((p.pr * e.w) // o.w_out) AS s

@@ -436,6 +436,57 @@ class OperatorSpec extends SparkTestBase {
     assert(got(1L) > got(3L), "hub-fed node should outrank the leaf")
   }
 
+  test("pageRank conserves dangling mass; the leaky classic form loses it") {
+    import spark.implicits._
+    // 2 and 3 have no out-edges: their rank would leak every round
+    val edgeSeq = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 3L, 2L))
+    val df = edgeSeq.toDF("src", "dst", "w")
+    val got = graft.operators.Graph
+      .pageRank(df, "src", "dst", "w", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // dense driver-side reference of the conserving recurrence
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    val n = nodes.size.toLong
+    val init = 1000000L / n
+    val base = (1500L * init) / 10000L
+    val wOut = Map(0L -> 3L, 1L -> 1L)
+    var pr = nodes.map(_ -> init).toMap
+    for (_ <- 1 to 3) {
+      val share = nodes.filterNot(wOut.contains).map(pr).sum / n
+      val s = edgeSeq.groupBy(_._2).view.mapValues(
+        _.map(e => (pr(e._1) * e._3) / wOut(e._1)).sum).toMap
+      pr = nodes.map(v => v -> (base + (8500L * (s.getOrElse(v, 0L) + share)) / 10000L)).toMap
+    }
+    assert(got == pr, s"engine $got != reference $pr")
+    // conservation: total rank stays within integer-floor dust of 1e6
+    val total = got.values.sum
+    assert(total > 990000L && total <= 1000000L, s"mass not conserved: $total")
+    // the uncorrected form demonstrably leaks the dangling mass
+    val leakyTotal = graft.operators.Graph
+      .pageRank(df, "src", "dst", "w", iters = 3, conserveDangling = false)
+      .as[(Long, Long)].collect().map(_._2).sum
+    assert(leakyTotal < total - 100000L, s"leaky $leakyTotal vs conserved $total")
+  }
+
+  test("hopDistanceFrontier equals hopDistance and joins only the frontier shell") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 2L),
+      (7L, 8L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    var shells = Vector.empty[(Int, Long)]
+    val got = graft.operators.Graph
+      .hopDistanceFrontier(edges, "src", "dst", seeds, maxHops = 10,
+        onRound = (h, c) => shells :+= (h, c))
+      .as[(Long, Long)].collect().toMap
+    val want = graft.operators.Graph
+      .hopDistance(edges, "src", "dst", seeds, maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want && got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // frontier-only join inputs: per-round shells are {1,2}, {3}, {4},
+    // then empty → early exit well before the 10-hop budget
+    assert(shells == Vector((1, 2L), (2, 1L), (3, 1L), (4, 0L)), shells)
+  }
+
   test("hopDistance: shortest hops win within the budget; unreached absent") {
     import spark.implicits._
     // chain 0→1→2→3→4 with a 0→2 shortcut; 7→8 disconnected
