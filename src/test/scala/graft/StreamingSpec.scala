@@ -1220,6 +1220,47 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("TwsTrending sharded fan-out: merged per-shard candidates equal the unsharded top-k") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTwsConf {
+    val input = MemoryStream[(String, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_trend_sh").toString
+    // shards = 4 spreads group a's vocabulary over 4 state keys — the
+    // hot-group fan-out; same data shape as the unsharded spec
+    val q = graft.streaming.TwsTrending.trendingSharded(
+        input.toDS().toDF("group", "ms", "text")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        "group", "ts", "text", windowDur = "10 minutes",
+        delay = "5 minutes", k = 3, capacity = 64, shards = 4)
+      .writeStream.format("memory").queryName("trend_sh")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(("a", t(1), "x x y"), ("b", t(2), "p p q"))
+      q.processAllAvailable()
+      input.addData(("a", t(3), "x x x y y z"), ("b", t(4), "p p q"),
+        ("a", t(11), "r r"))
+      q.processAllAvailable()
+      assert(spark.table("trend_sh").isEmpty) // windows still open
+      input.addData(("a", t(60), "tick"))     // watermark 55 closes both
+      q.processAllAvailable()
+      // candidates: <= k rows per (group, window, shard), unranked
+      val cands = spark.table("trend_sh")
+      val got = graft.streaming.TwsTrending.mergeCandidates(cands, k = 3)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // identical to the unsharded spec's expected output
+      assert(got == Set(
+        ("a", t(0), "x", 5L, 1L), ("a", t(0), "y", 3L, 2L), ("a", t(0), "z", 1L, 3L),
+        ("b", t(0), "p", 4L, 1L), ("b", t(0), "q", 2L, 2L),
+        ("a", t(10), "r", 2L, 1L)), got.mkString(","))
+    } finally q.stop()
+    }
+  }
+
   test("TwsTrending: Misra-Gries keeps the heavy hitter at a tiny capacity") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
