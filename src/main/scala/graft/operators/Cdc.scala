@@ -59,16 +59,26 @@ object Cdc {
     * row with null attributes (the "entity did not exist then"
     * answer).
     *
-    * Scale: an equi-join on the key plus an interval predicate —
-    * versions-per-key is bounded (change count), so the per-key fan
-    * is small and the join shuffles on the key exactly like any
-    * dimension join; broadcast the dimension when it fits. */
+    * Scale: an equi-join on the key plus an interval predicate.
+    * `broadcastDim` (default) hints the dimension side — an SCD2
+    * dimension is keys × versions-per-key rows, and versions-per-key
+    * is the CHANGE count, bounded for real dimensions (customers,
+    * parts, suppliers change rarely), so the versioned table fits the
+    * broadcast budget whenever the unversioned dimension does and the
+    * probe/fact side never shuffles (PlanSpec pins the
+    * BroadcastHashJoin). HIGH-CHURN fallback: a dimension whose
+    * versions-per-key grows with time (sensor state, price ticks)
+    * eventually doesn't fit — pass `broadcastDim = false` for a
+    * key-shuffled join, or reformulate as an as-of join on
+    * (key, valid_from ≤ ts, latest wins) — the B11 asof formulation,
+    * one sort-merge pass with no interval fan-out. */
   def pointInTime(probes: DataFrame, scd: DataFrame, key: String,
-                  probeTs: String): DataFrame = {
-    val cond = probes(key) === scd(key) &&
-      probes(probeTs) >= scd("valid_from") &&
-      (scd("valid_to").isNull || probes(probeTs) < scd("valid_to"))
-    probes.join(scd, cond, "left").drop(scd(key))
+                  probeTs: String, broadcastDim: Boolean = true): DataFrame = {
+    val dim = if (broadcastDim) broadcast(scd) else scd
+    val cond = probes(key) === dim(key) &&
+      probes(probeTs) >= dim("valid_from") &&
+      (dim("valid_to").isNull || probes(probeTs) < dim("valid_to"))
+    probes.join(dim, cond, "left").drop(dim(key))
   }
 
   /** MERGE INTO: apply a changelog DELTA to a materialized snapshot —

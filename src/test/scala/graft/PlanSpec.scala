@@ -80,6 +80,15 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles == 1, s"$shuffles shuffles in:\n$plan")
   }
 
+  test("scd2_pit_join: the versioned dimension broadcasts — probes never shuffle for it") {
+    val df = SparkEntry.queries("scd2_pit_join")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the interval predicate rides the broadcast join as a filter, not
+    // a nested-loop pass
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("incr_agg_merge: both partials and the merge keep map-side aggregation") {
     val df = SparkEntry.queries("incr_agg_merge")(spark, sfDir)
     val plan = planOf(df)
