@@ -411,16 +411,17 @@ object TextAnalysis {
   /** Top-`k` documents for a query term set by an integer-exact BM25
     * surrogate — the retrieval-side rank the inverted index feeds.
     * Per matched (doc, term):
-    * `tfc_micro = tf·2 200 000 div (tf·1000 + 300 + 900·dl_milli div 1000)`
+    * `tfc_milli = tf·2 200 000 div (tf·1000 + 300 + 900·dl_milli div 1000)`
     * — exactly BM25's saturating tf component
     * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) at the standard k1 = 1.2,
-    * b = 0.75, scaled to micro-units with every division integral —
-    * and `idf_micro = (N − df + 1)·10⁶ div (df + 1)`, the rational
+    * b = 0.75, in MILLI-units (numerator 2 200 000 over a ·1000
+    * denominator → quotient ≤ ~2 200), every division integral — and
+    * `idf_micro = (N − df + 1)·10⁶ div (df + 1)`, the rational
     * (log-free: libm differs across engines) Robertson idf surrogate,
     * monotone in the true idf so per-term orderings agree. Doc score
-    * = Σ tfc·idf div 10⁶; ties break by doc id. Headroom: idf ≤ 10⁶·N
-    * and tfc ≤ 2.2·10⁶, so the product stays under 2⁶³ to ~4×10⁹
-    * docs.
+    * = Σ tfc·idf div 10⁶; ties break by doc id. Headroom:
+    * idf_micro ≤ 10⁶·N and tfc_milli ≤ 2 200, so the per-term product
+    * stays under 2⁶³ to ~4×10⁹ docs.
     *
     * Scale posture: the query-term filter lands INSIDE the token
     * explode (only matching tokens survive the scan), so the tf
@@ -447,11 +448,11 @@ object TextAnalysis {
       .join(dl, "id")
       .crossJoin(broadcast(totals))
       .withColumn("dl_milli", expr("dl * 1000000 div (n_tokens * 1000 div n_docs)"))
-      .withColumn("tfc_micro",
+      .withColumn("tfc_milli",
         expr("tf * 2200000 div (tf * 1000 + 300 + (900 * dl_milli) div 1000)"))
       .withColumn("idf_micro", expr("(n_docs - df + 1) * 1000000 div (df + 1)"))
       .groupBy(col("id").as(idCol))
-      .agg(sum(expr("tfc_micro * idf_micro div 1000000")).as("score"),
+      .agg(sum(expr("tfc_milli * idf_micro div 1000000")).as("score"),
         count(lit(1)).as("n_terms"))
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("score").desc, col(idCol).asc)).cast("long"))
@@ -493,10 +494,15 @@ object TextAnalysis {
 
   /** Top-`k` collocations by fixed-point PMI: word bigrams ranked by
     * `pmi_micro = ((cnt_ab · n_tokens) div cnt_a) · 10⁶ div cnt_b` —
-    * integer-monotone in the true pointwise mutual information
-    * log(p(a,b) / (p(a)·p(b))) (log-free: libm differs across
-    * engines), with a `minCount` floor so hapax pairs can't saturate
-    * the top of the list. Ties break by bigram text. Headroom:
+    * a DETERMINISTIC integer surrogate of the true pointwise mutual
+    * information log(p(a,b) / (p(a)·p(b))) (log-free: libm differs
+    * across engines), approximately monotone: flooring the cnt_ab ·
+    * n_tokens div cnt_a quotient before the ·10⁶ scaling loses up to
+    * one part of that quotient, so two bigrams whose true PMIs differ
+    * by less than one quotient unit can rank in either order (both
+    * engines floor identically, so the ORACLE ordering still matches
+    * bit-for-bit). A `minCount` floor keeps hapax pairs from
+    * saturating the top of the list. Ties break by bigram text. Headroom:
     * cnt_ab·n_tokens stays under 2⁶³ to ~10⁹ occurrences of a pair in
     * a ~10⁹-token corpus; shard the corpus before profiling past that.
     *

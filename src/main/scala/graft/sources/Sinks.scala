@@ -74,11 +74,17 @@ object Sinks {
     * ~1 GB shards); the only sort is per shard. */
   def writeTrainShards(df: DataFrame, path: String, idCol: String,
                        shards: Int): Unit = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
     require(shards >= 1, s"shards ($shards) must be >= 1")
-    val h = (col(idCol) * lit(2654435761L)) % lit(1000000007L)
+    // pmod, not %: ids above ~3.4e9 overflow the multiply (wrapping is
+    // fine for a hash — it stays deterministic) and % would then yield
+    // NEGATIVE __h/shard values — shard=-k directories and ~2x the
+    // requested shard count, precisely in the billions-of-docs regime
+    // this writer targets. pmod keeps both non-negative; for in-range
+    // positive ids it equals the repo-wide % convention bit-for-bit.
+    val h = pmod(col(idCol) * lit(2654435761L), lit(1000000007L))
     df.withColumn("__h", h)
-      .withColumn("shard", col("__h") % lit(shards.toLong))
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
       .drop("__h")
