@@ -288,6 +288,36 @@ object AnalyticsQueries {
       graft.operators.Graph.hopDistance(edges, "src", "dst", seeds, maxHops = 3)
     },
 
+    // B53 — DEEP reachability via the frontier-delta BFS
+    // (Graph.hopDistanceFrontier) on a graph that actually has
+    // fan-out: the word-ADJACENCY graph of the documents corpus
+    // (distinct consecutive-token edges — thousands of nodes, not
+    // B51's event-type vocabulary), seeded at the lexicographically
+    // smallest token. Each round joins ONLY the newly-discovered
+    // shell (localCheckpoint lineage, early exit on an empty
+    // frontier); output contract identical to hopDistance, so the
+    // oracle is the same unrolled min-fold SQL — value-verifying the
+    // frontier optimization end-to-end. Edges build in-scan
+    // (transform over the token array, no per-token shuffle);
+    // the only exchanges are the distinct and the per-round
+    // join+min-fold, all keyed on the term.
+    "graph_reach_deep" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("t"))
+      val edges = toks.select(explode(expr(
+          """CASE WHEN size(t) < 2 THEN array()
+            |ELSE transform(sequence(0, size(t) - 2),
+            |  i -> struct(t[i] AS src, t[i + 1] AS dst)) END""".stripMargin)).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .filter(col("src") =!= "" && col("dst") =!= "")
+        .distinct()
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.agg(min(col("node")).as("node"))
+      graft.operators.Graph.hopDistanceFrontier(edges, "src", "dst", seeds,
+        maxHops = 3)
+    },
+
     // B52 — co-occurrence LIFT: event-type pairs done by the same
     // user, set-based (the size-2 frequent-itemset / market-basket
     // view; B29's adjacency only sees consecutive events), ranked by
@@ -490,6 +520,31 @@ object AnalyticsQueries {
       |  FROM events),
       |e AS (SELECT DISTINCT event_type AS src, next_type AS dst
       |      FROM seq WHERE next_type IS NOT NULL),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |d0 AS (SELECT min(node) AS node, CAST(0 AS BIGINT) AS hops FROM nodes),
+      |d1 AS (SELECT node, min(hops) AS hops FROM (
+      |  SELECT node, hops FROM d0
+      |  UNION ALL SELECT e.dst, d.hops + 1 FROM d0 d JOIN e ON d.node = e.src)
+      |  GROUP BY 1),
+      |d2 AS (SELECT node, min(hops) AS hops FROM (
+      |  SELECT node, hops FROM d1
+      |  UNION ALL SELECT e.dst, d.hops + 1 FROM d1 d JOIN e ON d.node = e.src)
+      |  GROUP BY 1),
+      |d3 AS (SELECT node, min(hops) AS hops FROM (
+      |  SELECT node, hops FROM d2
+      |  UNION ALL SELECT e.dst, d.hops + 1 FROM d2 d JOIN e ON d.node = e.src)
+      |  GROUP BY 1)
+      |SELECT node, hops FROM d3""".stripMargin,
+
+    // B53: same unrolled min-fold as graph_reach — the frontier-delta
+    // engine must produce identical distances — over the word-adjacency
+    // edge set (consecutive-token pairs, DuckDB 1-based list indexing).
+    "graph_reach_deep" -> s"""
+      |WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |pairs AS (SELECT unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+      |  i -> [t[CAST(i + 1 AS INT)], t[CAST(i + 2 AS INT)]])) AS p FROM toks),
+      |e AS (SELECT DISTINCT p[1] AS src, p[2] AS dst FROM pairs
+      |      WHERE p[1] <> '' AND p[2] <> ''),
       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
       |d0 AS (SELECT min(node) AS node, CAST(0 AS BIGINT) AS hops FROM nodes),
       |d1 AS (SELECT node, min(hops) AS hops FROM (
