@@ -18,13 +18,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `ts` is TIMESTAMP(NANOS) in parquet; Spark reads it as Long only
-    * (`spark.sql.legacy.parquet.nanosAsLong=true` — set it on the
-    * session) and we truncate ns→µs exactly like DuckDB does, so the
-    * oracle agrees bit-for-bit. */
+  /** `ts` arrives as TIMESTAMP(MICROS) in current testdata and Spark
+    * reads it natively. Older generations wrote TIMESTAMP(NANOS),
+    * which Spark can only read as Long
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`); detect that shape
+    * and truncate ns→µs exactly like DuckDB does, so the oracle
+    * agrees bit-for-bit either way. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // normalize to TIMESTAMP (session TZ is pinned UTC, so this is
+        // lossless) — downstream ops cast ts↔long epoch seconds, which
+        // Spark forbids on NTZ
+        raw.withColumn("ts", expr("to_timestamp_ltz(ts)"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

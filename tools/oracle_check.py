@@ -21,6 +21,10 @@ def canon(con, rel_sql, label):
     rows = sorted(df.itertuples(index=False, name=None), key=lambda r: tuple(str(x) for x in r))
     return list(df.columns), rows
 
+def _row_eq(a, b):
+    # driver hashes str(value), so NaN==NaN there; mirror that here
+    return all(x == y or (str(x) == str(y)) for x, y in zip(a, b))
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -48,8 +52,8 @@ def main(sf_dir, out_dir):
         elif len(srows) != len(orows):
             print(f"ROWS   {name}: spark={len(srows)} oracle={len(orows)}")
             n_bad += 1
-        elif srows != orows:
-            diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+        elif not all(_row_eq(a, b) for a, b in zip(srows, orows)):
+            diffs = [(a, b) for a, b in zip(srows, orows) if not _row_eq(a, b)][:3]
             print(f"VALUES {name}: first diffs {diffs}")
             n_bad += 1
         else:
