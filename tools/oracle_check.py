@@ -22,8 +22,12 @@ def canon(con, rel_sql, label):
     return list(df.columns), rows
 
 def _row_eq(a, b):
-    # driver hashes str(value), so NaN==NaN there; mirror that here
-    return all(x == y or (str(x) == str(y)) for x, y in zip(a, b))
+    # driver hashes str(value) — mirror exactly (NaN==NaN included).
+    # No `x == y` short-circuit: value-equal-but-str-different pairs
+    # (numpy 1 vs 1.0, Decimal('1.50') vs 1.5) would false-OK here yet
+    # fail the driver's hash compare, and `bool(x == y)` raises on
+    # numpy-array-valued cells.
+    return all(str(x) == str(y) for x, y in zip(a, b))
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
