@@ -22,9 +22,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-      // reader rejects; read as Long (nanos) and convert in the loader.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NOTE: no spark.sql.legacy.parquet.nanosAsLong here — legacy
+      // TIMESTAMP(NANOS) events data is detected and handled inside
+      // Tables.events, scoped to the rejection path only.
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

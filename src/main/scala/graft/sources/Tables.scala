@@ -19,14 +19,23 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** `ts` arrives as TIMESTAMP(MICROS) in current testdata and Spark
-    * reads it natively. Older generations wrote TIMESTAMP(NANOS),
-    * which Spark can only read as Long
-    * (`spark.sql.legacy.parquet.nanosAsLong=true`); detect that shape
-    * and truncate ns→µs exactly like DuckDB does, so the oracle
-    * agrees bit-for-bit either way. */
+    * reads it natively (NTZ or LTZ depending on isAdjustedToUTC).
+    * Older generations wrote TIMESTAMP(NANOS), which Spark's reader
+    * rejects at schema inference unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` surfaces it as Long;
+    * that conf is set ONLY on the rejection path below — loading µs
+    * data never mutates session state. The Long branch truncates
+    * ns→µs exactly like DuckDB does, so the oracle agrees
+    * bit-for-bit with every physical shape (SourcesSpec writes all
+    * three and asserts identical load output). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
+    val raw =
+      try load(s, d, "events")
+      catch {
+        case e: Exception if mentionsNanos(e, 0) =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          load(s, d, "events")
+      }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -38,6 +47,14 @@ object Tables {
       case _ => raw
     }
   }
+
+  /** True when the schema-inference failure is the TIMESTAMP(NANOS)
+    * rejection ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,…))"),
+    * anywhere in the cause chain. */
+  private def mentionsNanos(e: Throwable, depth: Int): Boolean =
+    e != null && depth < 8 && (
+      Option(e.getMessage).exists(_.contains("NANOS")) ||
+        (e.getCause ne e) && mentionsNanos(e.getCause, depth + 1))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -216,6 +216,96 @@ class SourcesSpec extends SparkTestBase {
         spark.read.parquet(s"$dir/shard=$s").collect().map(_.getLong(0)).toSeq)
   }
 
+  test("events loader: identical output across NANOS / NTZ / LTZ physical ts shapes") {
+    // The r9 bench lost 23/128 queries when the testdata's events.ts
+    // switched parquet physical type (TIMESTAMP(NANOS)→µs/NTZ)
+    // underneath the loader. This spec writes the SAME logical rows in
+    // all three shapes the driver has ever generated and pins
+    // Tables.events to one canonical output — and asserts the legacy
+    // nanosAsLong conf is flipped only on the NANOS rejection path.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.TimestampType
+    import spark.implicits._
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val base = Files.createTempDirectory("graft_tsshape").toString
+    val micros = Seq(
+      (1L, 1700000000000000L, 10L, "view", 1.5, """{"k":1}"""),
+      (2L, 1700000001500000L, 11L, "click", 2.5, """{"k":2}"""),
+      (3L, 1700003600000000L, 10L, "view", 3.0, """{"k":3}"""))
+    val df = micros.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    // LTZ micros (isAdjustedToUTC=true)
+    val prevOut = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      df.withColumn("ts", expr("timestamp_micros(us)"))
+        .select(cols.map(col): _*).coalesce(1).write.parquet(s"$base/ltz/events.parquet")
+      // NTZ micros (isAdjustedToUTC=false) — the current driver shape
+      df.withColumn("ts", expr("timestamp_micros(us)").cast("timestamp_ntz"))
+        .select(cols.map(col): _*).coalesce(1).write.parquet(s"$base/ntz/events.parquet")
+    } finally prevOut match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+
+    // TIMESTAMP(NANOS) — Spark cannot write it; use parquet-java direct
+    locally {
+      import org.apache.hadoop.conf.Configuration
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.example.data.simple.SimpleGroupFactory
+      import org.apache.parquet.hadoop.example.ExampleParquetWriter
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val msg = Types.buildMessage()
+        .addField(Types.required(INT64).named("event_id"))
+        .addField(Types.required(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.NANOS))
+          .named("ts"))
+        .addField(Types.required(INT64).named("user_id"))
+        .addField(Types.required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type"))
+        .addField(Types.required(DOUBLE).named("value"))
+        .addField(Types.required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props"))
+        .named("spark_schema")
+      val w = ExampleParquetWriter.builder(new Path(s"$base/nanos/events.parquet"))
+        .withConf(new Configuration()).withType(msg).build()
+      val gf = new SimpleGroupFactory(msg)
+      for ((id, us, uid, et, v, p) <- micros) {
+        val g = gf.newGroup()
+        g.add("event_id", id); g.add("ts", us * 1000L); g.add("user_id", uid)
+        g.add("event_type", et); g.add("value", v); g.add("props", p)
+        w.write(g)
+      }
+      w.close()
+    }
+
+    // µs shapes load WITHOUT touching the legacy conf…
+    val ltz = Tables.events(spark, s"$base/ltz")
+    val ntz = Tables.events(spark, s"$base/ntz")
+    assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ == "false"),
+      "loading µs-shaped events must not mutate session conf")
+    // …the NANOS shape is rejected at inference and flips it, scoped
+    val nanos = Tables.events(spark, s"$base/nanos")
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+
+    for (d <- Seq(ltz, ntz, nanos))
+      assert(d.schema("ts").dataType == TimestampType, d.schema.treeString)
+    val expect = ltz.orderBy("event_id").collect().toSeq
+    assert(expect.size == 3)
+    assert(ntz.orderBy("event_id").collect().toSeq == expect)
+    assert(nanos.orderBy("event_id").collect().toSeq == expect)
+
+    // a tumble-agg-shaped query (the family the r9 bench lost) agrees
+    def tumble(d: DataFrame) =
+      d.groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+        .select(col("window.start").cast("long").as("ws"), col("n"), col("sv"))
+        .orderBy("ws").collect().toSeq
+    val t = tumble(ltz)
+    assert(t.size == 2 && tumble(ntz) == t && tumble(nanos) == t)
+  }
+
   test("rate stream source feeds a windowed count") {
     import org.apache.spark.sql.streaming.Trigger
     val q = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
