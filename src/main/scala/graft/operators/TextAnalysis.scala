@@ -252,6 +252,11 @@ object TextAnalysis {
             .as("word"))
     val tf = units.groupBy(col("id"), col("word")).agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy(col("word")).agg(sum(col("tf")).as("n"))
+    // Deliberately unpartitioned rank window: its input is the
+    // VOCABULARY (post-agg distinct units), never the corpus — and
+    // with minCount > 1 it is further bounded by corpus_tokens /
+    // minCount. The minCount=1 form is for curated corpora whose
+    // vocabulary fits one task; open-web callers must pass the floor.
     val byFreq = Window.orderBy(col("n").desc, col("word").asc)
     if (minCount <= 1L) {
       val ranked = vocab
@@ -316,6 +321,12 @@ object TextAnalysis {
     val counts = docs.select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    // Deliberately unpartitioned rank/cumsum window over the
+    // VOCABULARY frame (post-agg distinct words, not the corpus);
+    // with minCount > 1 the input is bounded by corpus_tokens /
+    // minCount. The minCount=1 form is for curated corpora whose
+    // vocabulary fits one task; open-web callers must pass the floor.
+    // PlanSpec asserts the window input is the collapsed count frame.
     val byFreq = Window.orderBy(col("n").desc, col("word").asc)
     if (minCount <= 1L) {
       counts

@@ -238,6 +238,26 @@ class PlanSpec extends SparkTestBase {
       executed.contains("ReusedShuffle"), executed)
   }
 
+  test("vocab_coverage: rank window input is the collapsed vocab frame, one corpus shuffle") {
+    val q = SparkEntry.queries("vocab_coverage")(spark, sfDir)
+    val plan = formatted(q)
+    // one corpus-sized shuffle only (the word count, map-side partial);
+    // the unpartitioned rank/cumsum window runs over the POST-AGG
+    // vocabulary frame, so no range sort and no second corpus exchange
+    assert(plan.linesIterator.count(_.contains("hashpartitioning")) == 1, plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+    q.collect()
+    // the single-partition window's child chain is the collapsed
+    // HashAggregate (vocab-sized), never the raw explode
+    val executed = q.queryExecution.executedPlan.toString
+    val winIdx = executed.indexOf("Window")
+    assert(winIdx >= 0, executed)
+    val below = executed.substring(winIdx)
+    assert(below.indexOf("HashAggregate") >= 0 &&
+      below.indexOf("HashAggregate") < below.indexOf("Generate"),
+      s"window input should be the collapsed vocab frame:\n$executed")
+  }
+
   test("dup_spans: gram frequency and per-doc rollup shuffle 8-byte hashes, never text") {
     val plan = formatted(SparkEntry.queries("dup_spans")(spark, sfDir))
     val shuffles = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
