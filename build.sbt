@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-process stdout through VERBATIM instead of re-logging
+// each line with an "[info] " prefix: the bench driver parses the
+// final stdout line of `runMain graft.Bench` as JSON, and the prefix
+// (plus log interleaving) has kept that line unparseable every round.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -13,7 +13,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver keeps only a 2000-char tail of the
+    // merged bench output, and per-query WindowExec WARN spam pushed
+    // the final JSON line out of r10's window (BENCH_r10.json had
+    // parsed=null). The bounded-window sites the warnings nag about
+    // are pinned in PlanSpec/scaladoc instead.
+    spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.register(spark)
 
     def time(fn: => Unit): Double = {
@@ -51,7 +56,16 @@ object Bench {
     def contaminated(runs: Seq[Double]): Boolean =
       runs.head > 0 && runs.last - runs.head > NoiseFloorSec &&
         runs.last / runs.head > MaxSpread
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Measurement order is alphabetical by default;
+    // SPARK_GRAFT_BENCH_ORDER=reverse flips it. Two passes in opposite
+    // orders separate a query's own cost from JVM/page-cache state
+    // inherited from whoever ran before it (r10 adjudication: five
+    // queries drifted 2.4-4x with no code change).
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1) match {
+      case s if sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse") => s.reverse
+      case s => s
+    }
+    val results = ordered.map { case (name, fn) =>
       def once(): Seq[Double] = try {
         Seq.fill(3)(
           time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())).sorted
@@ -66,8 +80,10 @@ object Bench {
       }
       name -> best
     }
-    report(results, sfDir)
     spark.stop()
+    // report AFTER stop: the compact JSON must be the last line of
+    // merged output so the driver's stdout-tail window catches it
+    report(results, sfDir)
   }
 
   /** Emit the bench result twice:
@@ -83,7 +99,10 @@ object Bench {
     *    alphabetically-sorted query names (`results` is built sorted;
     *    3-decimal floats keep 127 entries near ~900 chars).
     */
-  private[graft] def report(results: Seq[(String, Seq[Double])], sfDir: String): Unit = {
+  private[graft] def report(unsorted: Seq[(String, Seq[Double])], sfDir: String): Unit = {
+    // emit name-sorted regardless of measurement order, so the qv
+    // array stays aligned with alphabetical query names
+    val results = unsorted.sortBy(_._1)
     val qs = results.map { case (k, r) => s""""$k":${r(1)}""" }.mkString("{", ",", "}")
     val spread = results.map { case (k, r) =>
       s""""$k":[${r.head},${r(1)},${r.last}]""" }.mkString("{", ",", "}")
@@ -94,10 +113,34 @@ object Bench {
       .mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeText(outPath, full)
+    // ALSO write a round-versioned copy so no round's per-query data
+    // lives only in the git history of the overwritten BENCH_FULL:
+    // the driver's round N run happens with BENCH_r{01..N-1}.json
+    // already committed in cwd, so max+1 names the current round.
+    versionedCopy(outPath).foreach(writeText(_, full))
     val qv = results.map { case (_, r) => f"${r(1)}%.3f" }.mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"queries_file":"$outPath","qv_sorted_by_name":$qv}""")
+  }
+
+  private def writeText(path: String, s: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** `BENCH_FULL.json` → `Some("BENCH_FULL_rNN.json")` with NN = one
+    * past the highest committed `BENCH_rNN.json` in cwd; None when no
+    * round artifacts are visible (e.g. run outside the repo root). */
+  private[graft] def versionedCopy(outPath: String): Option[String] = {
+    val re = "BENCH_r(\\d+)\\.json".r
+    val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+    if (rounds.isEmpty) None
+    else {
+      val tag = f"r${rounds.max + 1}%02d"
+      val dot = outPath.lastIndexOf('.')
+      Some(if (dot < 0) s"${outPath}_$tag" else
+        s"${outPath.substring(0, dot)}_$tag${outPath.substring(dot)}")
+    }
   }
 }
 

@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 
 /** Dev-only builder for the FULL-SUITE 10× benchmark layout (not part
   * of the library surface): duplicates every sf0.1 table 10× into
-  * `/tmp/bench10x` with consistent key shifts, so all 72 SparkEntry
-  * queries — joins included — run unchanged against a 10×-scaled
+  * `/tmp/bench10x` with consistent key shifts, so every SparkEntry
+  * query — joins included — runs unchanged against a 10×-scaled
   * dataset via `SPARK_GRAFT_SF_DIR=/tmp/bench10x runMain graft.Bench`.
   *
   * Shift rules (the same realism reasoning as [[Sweep]]):
