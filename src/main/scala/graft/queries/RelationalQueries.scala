@@ -391,12 +391,23 @@ object RelationalQueries {
     // the direct numeric-tolerance assertion on the sketch values.
     "approx_sketch" -> { (s, d) =>
       val ev = Tables.events(s, d).select(col("event_type"), col("user_id"), col("value"))
-      val sk = ev.groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("n_users"),
-          count(lit(1)).as("n_events"),
+      // The exact distinct count runs as its OWN aggregate: fusing
+      // countDistinct with the sketch aggs makes Spark's
+      // single-distinct rewrite key the partial aggregate by
+      // (event_type, user_id), building and merging one
+      // 10000-accuracy QuantileSummaries buffer PER USER instead of
+      // per group — measured 17x slower at sf0.1. Split, the sketch
+      // agg is one map-side-combined pass per group and the distinct
+      // pass carries no buffers; the join frames are group-vocabulary
+      // sized.
+      val sketch = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
           approx_count_distinct(col("user_id"), 0.01).as("au"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
           percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95a"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val sk = sketch.join(exact, "event_type")
       val rk = ev.join(broadcast(sk.select("event_type", "p50a", "p95a")), "event_type")
         .groupBy(col("event_type"))
         .agg(sum(when(col("value") <= col("p50a"), 1L).otherwise(0L)).as("le50"),
