@@ -238,6 +238,26 @@ class PlanSpec extends SparkTestBase {
       executed.contains("ReusedShuffle"), executed)
   }
 
+  test("approx_sketch: percentile buffers aggregate per GROUP, never per (group, user)") {
+    // regression pin for the r11 reshape: fusing countDistinct with
+    // the sketch aggs makes Spark's single-distinct rewrite key the
+    // partial aggregate by (event_type, user_id) — one 10000-accuracy
+    // QuantileSummaries buffer per user (17x slower at sf0.1)
+    val q = SparkEntry.queries("approx_sketch")(spark, sfDir)
+    // executedPlan renders each aggregate as one line:
+    // ObjectHashAggregate(keys=[...], functions=[...])
+    val plan = q.queryExecution.executedPlan.toString
+    val badAgg = plan.linesIterator.exists { l =>
+      val keys = l.indexOf("keys=[")
+      val funcs = l.indexOf("functions=[")
+      keys >= 0 && funcs > keys &&
+        l.substring(keys, funcs).contains("user_id") &&
+        l.substring(funcs).contains("percentile_approx")
+    }
+    assert(!badAgg, s"sketch buffers keyed by user_id:\n$plan")
+    assert(plan.contains("percentile_approx"), plan)
+  }
+
   test("vocab_coverage: rank window input is the collapsed vocab frame, one corpus shuffle") {
     val q = SparkEntry.queries("vocab_coverage")(spark, sfDir)
     val plan = formatted(q)
