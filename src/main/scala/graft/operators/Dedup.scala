@@ -249,12 +249,23 @@ object Dedup {
     * distinct contents) merges two groups — at worst mislabeling one
     * pair's jaccard as 10000, the same documented convention as
     * [[exact]]. */
-  private def sigGroups(keyed: DataFrame): DataFrame =
-    keyed.groupBy(col("sk"))
-      .agg(min(struct(col("id"), col("hs"), col("sig"))).as("r"),
-        count(lit(1)).as("w"))
-      .select(col("sk"), col("r.id").as("id"), col("r.hs").as("hs"),
-        col("r.sig").as("sig"), col("w"))
+  private def sigGroups(keyed: DataFrame): DataFrame = {
+    // NOT min(struct(id, hs, sig)): min over a struct carrying the
+    // array payloads plans a SortAggregate whose per-partition sort
+    // buffers every (hs, sig) — at 5M store rows × 32 concurrent
+    // tasks that sort OOM'd an 8 GB heap (r11 1000× sweep). Instead
+    // the rep id comes from a scalar map-side-combined hash
+    // aggregate, and the rep's arrays are fetched by a HASH join
+    // (never sort-merge — an SMJ would re-sort the array side): the
+    // arrays stream through the probe side, and AQE broadcasts the
+    // group frame when the distinct-content count is small (the
+    // mirror-corpus case).
+    val meta = keyed.groupBy(col("sk"))
+      .agg(min(col("id")).as("id"), count(lit(1)).as("w"))
+    keyed.select(col("id"), col("hs"), col("sig"))
+      .join(meta.hint("SHUFFLE_HASH"), "id")
+      .select(col("sk"), col("id"), col("hs"), col("sig"), col("w"))
+  }
 
   /** Expand representative-level verified pairs back to member-level
     * pairs as BARE id pairs (no signature payload ever rides on a
