@@ -258,6 +258,19 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("percentile_approx"), plan)
   }
 
+  test("dedup_minhash_lsh: no sort-based aggregate buffers signature arrays") {
+    // regression pin for the r11 sigGroups reshape: min(struct) over
+    // array-carrying payloads falls back to SortAggregate, whose
+    // per-partition sort buffers every (hs, sig) — OOM'd the 1000x
+    // sweep at the default heap
+    val q = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+    q.collect()
+    val executed = q.queryExecution.executedPlan.toString
+    val badSortAgg = executed.linesIterator.exists(l =>
+      l.contains("SortAggregate") && (l.contains("hs") || l.contains("sig")))
+    assert(!badSortAgg, s"sort-based aggregate carries signature arrays:\n$executed")
+  }
+
   test("vocab_coverage: rank window input is the collapsed vocab frame, one corpus shuffle") {
     val q = SparkEntry.queries("vocab_coverage")(spark, sfDir)
     val plan = formatted(q)
