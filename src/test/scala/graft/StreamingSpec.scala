@@ -945,6 +945,64 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("TwsDedup: at-least-once redelivery is a no-op (in-batch and cross-batch)") {
+    // CDC transports are at-least-once; a redelivered document must
+    // not re-emit its candidate pairs. In-batch redelivery is dropped
+    // by the processor's seen-set; cross-batch redelivery by the
+    // stored bucket membership; and the capped-bucket corner (the doc
+    // never joined members, so the processor DOES re-pair it against
+    // the bucket head) is absorbed by the downstream
+    // dropDuplicates — the user-visible output is invariant in all
+    // three shapes.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, "2")
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again today",
+      2L -> "the quick brown fox jumps over the lazy cat again and again today",
+      3L -> "completely different text about parquet files and column pruning at scale")
+    val input = MemoryStream[(Long, String)]
+    val streamSigs = graft.operators.Dedup
+      .withMinHashSignatures(input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    // maxBucket = 1 exercises the capped corner: doc 2 never joins the
+    // (band, bh) members it shares with doc 1, so its redelivery
+    // re-pairs against the head and MUST be collapsed downstream
+    val result = graft.streaming.TwsDedup
+      .candidatePairs(streamSigs, maxBucket = 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_redeliver").toString
+    val q = result.writeStream.format("memory").queryName("tws_redeliver")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // in-batch redelivery of doc 1 rides the first micro-batch
+      input.addData(docs :+ docs.head: _*)
+      q.processAllAvailable()
+      val afterFirst = spark.table("tws_redeliver").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterFirst == Set((1L, 2L)), s"first batch pairs $afterFirst")
+      // cross-batch redelivery of both members of the emitted pair
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("tws_redeliver").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.size == 1 && got.head == ((1L, 2L)),
+        s"redelivery changed output: $got")
+    } finally {
+      q.stop()
+      spark.conf.set(shufKey, prevShuf)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("TWS streaming near-dup dedup matches the batch MinHash-LSH result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
