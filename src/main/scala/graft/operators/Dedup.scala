@@ -679,6 +679,46 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Quality-aware duplicate-cluster representative selection: for
+    * every document, the member of its near-dup cluster that should be
+    * KEPT — argmax of `scoreCol` (ties → smallest id), singletons
+    * their own representative. Production dedup keeps the best copy
+    * (longest / highest-quality / canonical-URL), not the arbitrary
+    * min-id member that connected-component labels happen to elect;
+    * this is the selection step between [[clusterPairs]] and the
+    * actual drop.
+    *
+    * Input: `docs(idCol, scoreCol)` (score any orderable numeric —
+    * char length, quality bp, …) and the near-dup `pairs(aCol, bCol)`.
+    * Output: (idCol, rep_id) for EVERY input doc.
+    *
+    * Scale posture (100 TB): clustering cost is [[clusterPairs]]'s;
+    * selection adds three hash aggregates/joins keyed by the 8-byte
+    * canonical id — per-cluster max score (scalar agg), min-id
+    * tie-break among the max-score members (scalar agg), membership
+    * join back. Deliberately NOT max(struct(score, -id)): struct
+    * min/max plans a SortAggregate (the r11 1000×-sweep rule — scalar
+    * aggregates keep the whole path hash-based), and NOT a row_number
+    * window, which would sort every cluster's members. Cluster frames
+    * are post-aggregation and AQE-broadcast when small. */
+  def bestRepresentative(docs: DataFrame, pairs: DataFrame,
+                         idCol: String, scoreCol: String,
+                         aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val members = docs
+      .join(clusterPairs(pairs, aCol, bCol)
+        .withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col(scoreCol),
+        coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))
+    val best = members.groupBy("canonical_id")
+      .agg(max(col(scoreCol)).as("best_score"))
+    val reps = members.join(best, "canonical_id")
+      .filter(col(scoreCol) === col("best_score"))
+      .groupBy("canonical_id")
+      .agg(min(col(idCol)).as("rep_id"))
+    members.join(reps, "canonical_id")
+      .select(col(idCol), col("rep_id"))
+  }
+
   /** Cross-document duplicated-LINE removal (boilerplate scrub) — the
     * line-granular dedup pass of RefinedWeb/CCNet-style curation: a
     * line recurring across more than `maxDocs` DISTINCT documents

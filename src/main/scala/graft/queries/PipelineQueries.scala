@@ -259,6 +259,19 @@ object PipelineQueries {
         "doc_a", "doc_b")
     },
 
+    // C63 — quality-aware cluster representative: the selection step
+    // between clustering and the drop — keep the LONGEST member of
+    // each near-dup cluster (ties → min id), singletons themselves.
+    // The perturbed copies are truncations, so base docs win their
+    // clusters — the heuristic doing real work, not a fixed point of
+    // min-id. Integer-exact: char length both engines.
+    "dedup_best_rep" -> { (s, d) =>
+      Dedup.bestRepresentative(
+        corpus(s, d).select(col("doc_id"), length(col("text")).as("score")),
+        Dedup.minhashLshFromSignatures(corpusSignatures(s, d), minBp = 8000),
+        "doc_id", "score")
+    },
+
     // C24 — incremental near-dup: the perturbed docs play the crawl
     // increment, the base docs the persisted corpus — candidates are
     // increment×corpus + increment×increment, the corpus is never
@@ -852,6 +865,32 @@ object PipelineQueries {
       |  UNION
       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
       |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
+
+    // The dedup_clusters closure plus the argmax selection: per-cluster
+    // max char length, min-id tie-break, singletons self-representing.
+    "dedup_best_rep" -> s"""WITH RECURSIVE $CorpusBody,
+      |$VerifiedPairsBody,
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      |          UNION SELECT doc_b, doc_a FROM vpairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |cc AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+      |members AS (
+      |  SELECT c.doc_id, length(c.text) AS score,
+      |         coalesce(cc.canonical_id, c.doc_id) AS canonical_id
+      |  FROM corpus c LEFT JOIN cc ON c.doc_id = cc.id),
+      |best AS (SELECT canonical_id, max(score) AS best_score
+      |         FROM members GROUP BY 1),
+      |reps AS (
+      |  SELECT m.canonical_id, min(m.doc_id) AS rep_id
+      |  FROM members m JOIN best b
+      |    ON m.canonical_id = b.canonical_id AND m.score = b.best_score
+      |  GROUP BY 1)
+      |SELECT m.doc_id, r.rep_id
+      |FROM members m JOIN reps r ON m.canonical_id = r.canonical_id""".stripMargin,
 
     // Exact (no recall caveat): 4-band blocking guarantees every pair
     // with hamming <= 3 shares a band (pigeonhole), so the banded

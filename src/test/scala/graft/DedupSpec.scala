@@ -168,6 +168,25 @@ class DedupSpec extends SparkTestBase {
     assert(got == expect.map { case (k, v) => k -> v })
   }
 
+  test("bestRepresentative: argmax score per cluster, min-id ties, singletons self") {
+    import spark.implicits._
+    // cluster {1,2,3}: 2 has the top score; cluster {10,11}: score tie
+    // → min id 10; 20 is a singleton; 30 pairs with 31, equal scores
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L),
+      (20L, 1L), (30L, 6L), (31L, 6L)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L))
+      .toDF("doc_a", "doc_b")
+    val frame = Dedup.bestRepresentative(docs, pairs, "doc_id", "score")
+    val got = frame.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 30L -> 30L, 31L -> 30L))
+    // the selection is scalar hash aggregates end to end — a struct
+    // argmax or a per-cluster sort would plan SortAggregate/Sort here
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"),
+      s"selection fell back to sort-based aggregation:\n$plan")
+  }
+
   test("end-to-end near-dup removal: pairs → clusters → survivors") {
     val pairs = Dedup.minhashLsh(corpus(), "text", "doc_id", minBp = 8000)
     val clusters = Dedup.clusterPairs(pairs, "doc_a", "doc_b")
