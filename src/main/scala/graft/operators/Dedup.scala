@@ -961,6 +961,16 @@ object Dedup {
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
     val iv = gpos.join(freq.filter(col("df") >= 2), "g")
       .select(col("id"), col("pos").as("s"), (col("pos") + lit(n - 1)).as("e"))
+    mergeSpanIntervals(iv, idCol)
+  }
+
+  /** Gaps-and-islands union of per-doc (s, e) token intervals into
+    * maximal merged spans — shared by the within-corpus
+    * ([[dupSpanIntervals]]) and cross-corpus
+    * ([[contamSpanIntervals]]) producers. Per-DOC window: sort input
+    * is a doc's own flagged positions, embarrassingly parallel across
+    * docs at any corpus size. */
+  private def mergeSpanIntervals(iv: DataFrame, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("s"))
     iv.withColumn("pmax",
         max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
@@ -972,6 +982,32 @@ object Dedup {
       .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
       .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
       .drop("gid")
+  }
+
+  /** SURGICAL decontamination intervals: the merged token spans of a
+    * corpus document covered by any word-n-gram of the BENCHMARK
+    * `probe` set — [[dupSpanIntervals]]'s cross-corpus sibling. Doc
+    * drops ([[contaminatedDocs]]) throw away a whole document for one
+    * quoted benchmark item; feeding these intervals to [[trimSpans]]
+    * removes exactly the leaked spans and keeps the rest — the
+    * scrub-not-drop decontamination mode.
+    *
+    * Scale posture (100 TB): the probe-gram side is the benchmark
+    * suite's distinct 8-byte fingerprints — broadcast, like every
+    * decontamination path here ([[contaminatedDocs]] /
+    * [[contaminationScore]]); the corpus is scanned once, positions
+    * semi-joined in the scan against the broadcast set, and the
+    * interval merge is the per-doc gaps-and-islands window. The
+    * corpus is never shuffled by gram. */
+  def contamSpanIntervals(corpus: DataFrame, probe: DataFrame,
+                          textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val probeGrams = broadcast(
+      gramHashes(probe, textCol, idCol, n).select(col("g")).distinct())
+    val iv = gramPositions(corpus, textCol, idCol, n)
+      .join(probeGrams, Seq("g"), "left_semi")
+      .select(col("id"), col("pos").as("s"), (col("pos") + lit(n - 1)).as("e"))
+    mergeSpanIntervals(iv, idCol)
   }
 
   /** [[contaminatedDocs]] with the probe-gram set compressed into a

@@ -109,6 +109,28 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(untouched.forall { case (id, t) => gotMap(id) == t })
   }
 
+  test("contamSpanIntervals: exactly the planted benchmark span, surgical trim restores the doc") {
+    import spark.implicits._
+    val probeText = (1 to 10).map(i => s"p$i").mkString(" ")
+    val cleanText = (1 to 9).map(i => s"c$i").mkString(" ")
+    // doc 1 quotes the whole probe mid-document; doc 2 is clean
+    val leakedText = ((1 to 5).map(i => s"a$i") ++ (1 to 10).map(i => s"p$i") ++
+      (1 to 3).map(i => s"b$i")).mkString(" ")
+    val corpus = Seq((1L, leakedText), (2L, cleanText)).toDF("doc_id", "text")
+    val probe = Seq((100L, probeText)).toDF("doc_id", "text")
+    val iv = Dedup.contamSpanIntervals(corpus, probe, "text", "doc_id", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // probe 8-grams sit at doc-1 positions 5..7; merged cover = tokens
+    // 5..14, i.e. the quoted probe and nothing else; clean doc emits
+    // no interval (junction grams mix a/p tokens and never match)
+    assert(iv.toSeq == Seq((1L, 5L, 14L, 10L)), s"intervals: ${iv.toSeq}")
+    val trimmed = Dedup.trimSpans(corpus, Dedup.contamSpanIntervals(
+      corpus, probe, "text", "doc_id", n = 8), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val restored = ((1 to 5).map(i => s"a$i") ++ (1 to 3).map(i => s"b$i")).mkString(" ")
+    assert(trimmed == Set((1L, restored, 10L), (2L, cleanText, 0L)))
+  }
+
   test("tfIdfTopK matches naive integer TF-IDF ranking") {
     val all = collectDocs(docs())
     val n = all.size.toLong
