@@ -299,6 +299,19 @@ class PlanSpec extends SparkTestBase {
       s"a shuffle carries document text:\n${shuffles.mkString("\n")}")
   }
 
+  test("decontam_spans: probe grams broadcast into a semi join; no corpus shuffle by gram") {
+    val plan = formatted(SparkEntry.queries("decontam_spans")(spark, sfDir))
+    // the benchmark-gram membership probe is a broadcast LeftSemi —
+    // the corpus's exploded gram positions are tested in place
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"probe-gram membership is not a broadcast semi join:\n$plan")
+    // the only hash exchanges are id-keyed (interval merge window +
+    // span rollup + trim join) — never keyed by the gram hash
+    val shuffles = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(shuffles.forall(s => s.contains("id") || s.contains("doc_id")),
+      s"a shuffle is not id-keyed:\n${shuffles.mkString("\n")}")
+  }
+
   test("train_shuffle: single shard-keyed exchange, per-shard sort only") {
     val plan = formatted(SparkEntry.queries("train_shuffle")(spark, sfDir))
     assert(plan.linesIterator.count(_.contains("hashpartitioning")) == 1, plan)
