@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1008,6 +1008,100 @@ object Dedup {
       .join(probeGrams, Seq("g"), "left_semi")
       .select(col("id"), col("pos").as("s"), (col("pos") + lit(n - 1)).as("e"))
     mergeSpanIntervals(iv, idCol)
+  }
+
+  /** [[contamSpanIntervals]] + [[trimSpans]] as ONE PURE PROJECTION
+    * against a prebuilt [[buildGramBloom]] artifact: per token, "am I
+    * inside any probe-matched n-gram window" is decidable from the
+    * doc's own gram-hit bitmap (token j is covered iff some gram
+    * starting in [j−n+1, j] hits), so the whole scrub runs in scan
+    * HOFs — no explode, no per-doc window, no shuffle, legal on a
+    * streaming frame (the streaming twin of the interval path, same
+    * relationship as [[contaminationFlagBloom]] to
+    * [[contaminatedDocs]]). Output matches [[trimSpans]]'s
+    * `(idCol, textCol, n_dropped_tokens)`. Bloom false positives can
+    * over-trim, never under-trim — the conservative direction, same
+    * contract as every bloom decontamination path here; per-doc
+    * superset-of-the-exact-trim is spec-asserted, and
+    * [[trimContamProjectionExact]] is the value-exact sibling.
+    *
+    * Scale posture (100 TB): this is the production fast path — the
+    * bloom rides the closure (~1.2 bytes/gram), each doc costs
+    * O(tokens × n) hash-and-test work inside whole-stage codegen, and
+    * the operator composes with any scan. Use the interval form when
+    * the spans themselves are the product (audit/reporting). */
+  def trimContamProjection(docs: DataFrame, bloomBytes: Array[Byte],
+                           textCol: String, idCol: String, n: Int = 8): DataFrame =
+    trimContamProjectionImpl(docs,
+      h => graft.GraftFunctions.bloom_might_contain(bloomBytes, h),
+      textCol, idCol, n)
+
+  /** The EXACT sibling of [[trimContamProjection]]: probe-gram
+    * membership against the literal fingerprint array
+    * ([[probeGramHashes]]) instead of a Bloom filter — output is
+    * value-identical to the composed [[contamSpanIntervals]] +
+    * [[trimSpans]] path (spec-asserted), still one shuffle-free
+    * projection. Use it while the benchmark suite's distinct grams fit
+    * a plan literal (8 bytes/gram — eval suites are thousands of
+    * grams); switch to the Bloom form beyond that, accepting its
+    * over-trim. Note the Bloom form's REAL fp floor: Spark's sketch
+    * uses Kirsch–Mitzenmacher double hashing, which floors measured fp
+    * around 1e-4 on small filters no matter how low the requested fpp
+    * (measured: 1e-4 at fpp=1e-9, 242 items) — that is phantom trims
+    * at corpus scale, which is why the exact form exists. */
+  def trimContamProjectionExact(docs: DataFrame, probeHashes: Array[Long],
+                                textCol: String, idCol: String,
+                                n: Int = 8): DataFrame = {
+    // bloom-prefiltered exact membership: the common non-hit gram pays
+    // O(1) hash probes; only bloom-positives (true hits + the ~1e-2
+    // fp tail) pay the O(|suite|) literal scan — fp cannot survive the
+    // AND, so the output stays exact
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(1L, probeHashes.length.toLong), 0.01)
+    probeHashes.foreach(bf.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bloomBytes = bos.toByteArray
+    trimContamProjectionImpl(docs,
+      h => graft.GraftFunctions.bloom_might_contain(bloomBytes, h) &&
+        array_contains(lit(probeHashes), h), textCol, idCol, n)
+  }
+
+  /** The distinct word-n-gram fingerprints of a benchmark suite, as a
+    * driver-side array for [[trimContamProjectionExact]]. The collect
+    * is bounded by the SUITE's gram count (the same bounded-artifact
+    * convention as IVF centroid tables), never the corpus. */
+  def probeGramHashes(probe: DataFrame, textCol: String, idCol: String,
+                      n: Int = 8): Array[Long] = {
+    graft.GraftFunctions.register(probe.sparkSession)
+    gramHashes(probe, textCol, idCol, n).select(col("g")).distinct()
+      .collect().map(_.getLong(0)).sorted
+  }
+
+  private def trimContamProjectionImpl(docs: DataFrame,
+                                       member: Column => Column,
+                                       textCol: String, idCol: String,
+                                       n: Int): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val withHits = docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__hit",
+        when(size(col("__toks")) < n, array().cast("array<boolean>"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("__toks")) - n),
+            i => member(graft.GraftFunctions.fingerprint64(
+              concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))))
+    val lastGram = size(col("__toks")) - n // last valid gram start
+    val kept = filter(col("__toks"), (_, j) =>
+      size(col("__hit")) === 0 ||
+        !exists(sequence(greatest(j - (n - 1), lit(0)), least(j, lastGram)),
+          i => element_at(col("__hit"), i + 1)))
+    withHits
+      .withColumn("__kept", kept)
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as(textCol),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_dropped_tokens"))
   }
 
   /** [[contaminatedDocs]] with the probe-gram set compressed into a

@@ -78,20 +78,23 @@ object CorpusQueries {
     // probe doc appended, so trimming provably restores those docs;
     // probe docs inside the corpus slice self-cover and trim to ''.
     "decontam_spans" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val probe = docs.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id"), col("text"))
-      val frag = probe.orderBy(col("doc_id")).limit(1)
-        .select(expr("concat_ws(' ', slice(split(text, ' '), 1, 12))").as("frag"))
-      val corpus = docs.filter(col("doc_id") < 200)
-        .crossJoin(broadcast(frag))
-        .select(col("doc_id"),
-          when(col("doc_id") % 7 === 3,
-            concat(col("text"), lit(" "), col("frag")))
-            .otherwise(col("text")).as("text"))
+      val (corpus, probe) = leakedCorpus(s, d)
       Dedup.trimSpans(corpus,
         Dedup.contamSpanIntervals(corpus, probe, "text", "doc_id", n = 8),
         "text", "doc_id")
+    },
+
+    // C65 — the same surgical scrub as ONE shuffle-free projection
+    // (`Dedup.trimContamProjectionExact`): per-token coverage decided
+    // from the doc's own gram-hit bitmap against the bloom-prefiltered
+    // exact fingerprint set — the scan-speed / streaming-legal
+    // production regime, under the SAME value oracle as C64 (identical
+    // output by construction; the two keys pin both formulations).
+    "decontam_scrub" -> { (s, d) =>
+      val (corpus, probe) = leakedCorpus(s, d)
+      Dedup.trimContamProjectionExact(corpus,
+        Dedup.probeGramHashes(probe, "text", "doc_id", n = 8),
+        "text", "doc_id", n = 8)
     },
 
     // C44 — unigram rarity score: integer-exact surrogate of the
@@ -158,6 +161,86 @@ object CorpusQueries {
       |  SELECT doc_id + 1000000, substr(text, 1, greatest(length(text) - 7, 0))
       |  FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0
       |)""".stripMargin
+
+  /** The C64/C65 planted-leak corpus: the %97 probe slice is the
+    * benchmark suite; every doc_id % 7 == 3 corpus doc gets the first
+    * 12 tokens of the lowest-id probe doc appended. Shared by both
+    * decontamination keys so the two formulations see one input. */
+  private def leakedCorpus(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val probe = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("text"))
+    val frag = probe.orderBy(col("doc_id")).limit(1)
+      .select(expr("concat_ws(' ', slice(split(text, ' '), 1, 12))").as("frag"))
+    val corpus = docs.filter(col("doc_id") < 200)
+      .crossJoin(broadcast(frag))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" "), col("frag")))
+          .otherwise(col("text")).as("text"))
+    (corpus, probe)
+  }
+
+  private val DecontamSpansSql: String = """
+      |WITH probe AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      |frag AS (
+      |  SELECT array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS frag
+      |  FROM probe ORDER BY doc_id LIMIT 1),
+      |corpus AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 3 THEN text || ' ' || frag ELSE text END AS text
+      |  FROM documents CROSS JOIN frag WHERE doc_id < 200),
+      |pg AS (SELECT DISTINCT g FROM (
+      |  SELECT unnest(list_transform(range(0, greatest(len(w) - 7, 0)),
+      |    i -> array_to_string(list_slice(w, CAST(i + 1 AS INT),
+      |                                    CAST(i + 8 AS INT)), ' '))) AS g
+      |  FROM (SELECT string_split(text, ' ') AS w FROM probe))),
+      |gpos AS (
+      |  SELECT doc_id, CAST(u['pos'] AS BIGINT) AS pos, u['g'] AS g FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(0, greatest(len(w) - 7, 0)),
+      |             i -> {'pos': i,
+      |                   'g': array_to_string(list_slice(w, CAST(i + 1 AS INT),
+      |                                                   CAST(i + 8 AS INT)), ' ')})) AS u
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))),
+      |iv AS (
+      |  SELECT doc_id, pos AS s, pos + 7 AS e
+      |  FROM gpos WHERE g IN (SELECT g FROM pg)),
+      |m AS (
+      |  SELECT doc_id, s, e,
+      |         max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv),
+      |grp AS (
+      |  SELECT doc_id, s, e,
+      |         CAST(sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY s
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gid
+      |  FROM m),
+      |spans AS (
+      |  SELECT doc_id, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, gid),
+      |tok AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(0, len(w)),
+      |           i -> {'i': i, 't': w[CAST(i + 1 AS INT)]})) AS u
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)),
+      |keep AS (
+      |  SELECT t.doc_id, CAST(t.u['i'] AS BIGINT) AS i, t.u['t'] AS t
+      |  FROM tok t
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |                    WHERE sp.doc_id = t.doc_id
+      |                      AND CAST(t.u['i'] AS BIGINT) BETWEEN sp.s AND sp.e)),
+      |drops AS (
+      |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_dropped_tokens
+      |  FROM spans GROUP BY 1)
+      |SELECT c.doc_id,
+      |       coalesce(k.text, '') AS text,
+      |       coalesce(d.n_dropped_tokens, 0) AS n_dropped_tokens
+      |FROM corpus c
+      |LEFT JOIN (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text
+      |           FROM keep GROUP BY 1) k USING (doc_id)
+      |LEFT JOIN drops d USING (doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -270,67 +353,11 @@ object CorpusQueries {
     // Replays the planted-leak construction, probe 8-gram membership
     // (plain gram strings — equivalent to the engine's fingerprint
     // semi-join, same no-collision contract as the span family), the
-    // interval merge, and the positional token filter.
-    "decontam_spans" -> """
-      |WITH probe AS (
-      |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
-      |frag AS (
-      |  SELECT array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS frag
-      |  FROM probe ORDER BY doc_id LIMIT 1),
-      |corpus AS (
-      |  SELECT doc_id,
-      |         CASE WHEN doc_id % 7 = 3 THEN text || ' ' || frag ELSE text END AS text
-      |  FROM documents CROSS JOIN frag WHERE doc_id < 200),
-      |pg AS (SELECT DISTINCT g FROM (
-      |  SELECT unnest(list_transform(range(0, greatest(len(w) - 7, 0)),
-      |    i -> array_to_string(list_slice(w, CAST(i + 1 AS INT),
-      |                                    CAST(i + 8 AS INT)), ' '))) AS g
-      |  FROM (SELECT string_split(text, ' ') AS w FROM probe))),
-      |gpos AS (
-      |  SELECT doc_id, CAST(u['pos'] AS BIGINT) AS pos, u['g'] AS g FROM (
-      |    SELECT doc_id,
-      |           unnest(list_transform(range(0, greatest(len(w) - 7, 0)),
-      |             i -> {'pos': i,
-      |                   'g': array_to_string(list_slice(w, CAST(i + 1 AS INT),
-      |                                                   CAST(i + 8 AS INT)), ' ')})) AS u
-      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))),
-      |iv AS (
-      |  SELECT doc_id, pos AS s, pos + 7 AS e
-      |  FROM gpos WHERE g IN (SELECT g FROM pg)),
-      |m AS (
-      |  SELECT doc_id, s, e,
-      |         max(e) OVER (PARTITION BY doc_id ORDER BY s
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-      |  FROM iv),
-      |grp AS (
-      |  SELECT doc_id, s, e,
-      |         CAST(sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
-      |           OVER (PARTITION BY doc_id ORDER BY s
-      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gid
-      |  FROM m),
-      |spans AS (
-      |  SELECT doc_id, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, gid),
-      |tok AS (
-      |  SELECT doc_id,
-      |         unnest(list_transform(range(0, len(w)),
-      |           i -> {'i': i, 't': w[CAST(i + 1 AS INT)]})) AS u
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)),
-      |keep AS (
-      |  SELECT t.doc_id, CAST(t.u['i'] AS BIGINT) AS i, t.u['t'] AS t
-      |  FROM tok t
-      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
-      |                    WHERE sp.doc_id = t.doc_id
-      |                      AND CAST(t.u['i'] AS BIGINT) BETWEEN sp.s AND sp.e)),
-      |drops AS (
-      |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_dropped_tokens
-      |  FROM spans GROUP BY 1)
-      |SELECT c.doc_id,
-      |       coalesce(k.text, '') AS text,
-      |       coalesce(d.n_dropped_tokens, 0) AS n_dropped_tokens
-      |FROM corpus c
-      |LEFT JOIN (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text
-      |           FROM keep GROUP BY 1) k USING (doc_id)
-      |LEFT JOIN drops d USING (doc_id)""".stripMargin,
+    // interval merge, and the positional token filter. The SAME SQL
+    // adjudicates both formulations: the interval path (C64) and the
+    // shuffle-free projection (C65) must produce identical values.
+    "decontam_spans" -> DecontamSpansSql,
+    "decontam_scrub" -> DecontamSpansSql,
 
     "tfidf_topk" -> """
       |WITH tf AS (

@@ -131,6 +131,48 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(trimmed == Set((1L, restored, 10L), (2L, cleanText, 0L)))
   }
 
+  test("trimContamProjection equals the composed interval path and plans zero exchanges") {
+    import spark.implicits._
+    // real docs as corpus, the %97 slice as the benchmark, plus one
+    // planted mid-document quote so a partial-trim case is guaranteed
+    val base = collectDocs(docs().filter(col("doc_id") < 150))
+    val probeRows = collectDocs(docs()
+      .filter(col("doc_id") % 97 === 0 && col("doc_id") < 400))
+    val fragment = probeRows.head._2.split(" ").take(10).mkString(" ")
+    val corpus = base.map { case (id, t) =>
+      if (id % 11 == 4) (id, s"$t $fragment") else (id, t)
+    }
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val probeDf = probeRows.toDF("doc_id", "text")
+    val composed = Dedup.trimSpans(corpusDf,
+      Dedup.contamSpanIntervals(corpusDf, probeDf, "text", "doc_id", n = 8),
+      "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // EXACT form: value-identical to the composed interval path
+    val hashes = Dedup.probeGramHashes(probeDf, "text", "doc_id", n = 8)
+    val projected = Dedup.trimContamProjectionExact(corpusDf, hashes,
+      "text", "doc_id", n = 8)
+    val got = projected
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == composed)
+    // something actually trimmed, and untouched docs pass verbatim
+    assert(got.exists(_._3 > 0L))
+    assert(got.exists(_._3 === 0L))
+    // the projection form is shuffle-free — legal on a streaming frame
+    val plan = projected.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection path shuffled:\n$plan")
+    // BLOOM form: per-doc superset of the exact trim (over-trim only —
+    // Spark's sketch double-hashing floors real fp ~1e-4 regardless of
+    // requested fpp, so exact equality is NOT the bloom contract)
+    val bloom = Dedup.buildGramBloom(probeDf, "text", "doc_id", n = 8)
+    val viaBloom = Dedup.trimContamProjection(corpusDf, bloom,
+      "text", "doc_id", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val exactDrops = got.map(r => r._1 -> r._3).toMap
+    assert(exactDrops.forall { case (id, d) => viaBloom(id) >= d },
+      "bloom form under-trimmed somewhere")
+  }
+
   test("tfIdfTopK matches naive integer TF-IDF ranking") {
     val all = collectDocs(docs())
     val n = all.size.toLong
