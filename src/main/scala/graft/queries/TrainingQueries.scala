@@ -156,6 +156,39 @@ object TrainingQueries {
         .select(col("doc_id"), col("source"))
     },
 
+    // C66 — token-budget epoch allocator: the decision table pinned
+    // BEFORE a training run — per source, how many (milli-)epochs at
+    // a fixed token budget under temperature-weighted shares (τ = 0.5
+    // via the same sqrt fixed-point idiom as C38), with an epoch cap
+    // so tiny sources can't be over-sampled into memorization. C38
+    // samples docs to a mix; this prices the mix in epochs and
+    // allocated tokens — what the run config actually records.
+    // The w_tot window frame is the post-aggregation SOURCE table (a
+    // handful of rows) — bounded by construction.
+    "epoch_alloc" -> { (s, d) =>
+      val targetTokens = 50000.0
+      val capMilli = 3000L
+      val src = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("src_tokens"))
+      src
+        .withColumn("weight_ppm",
+          floor(sqrt(col("src_tokens").cast("double")) * lit(1000000.0))
+            .cast("long"))
+        .withColumn("w_tot", sum(col("weight_ppm")).over(Window.partitionBy()))
+        .withColumn("epochs_milli",
+          least(lit(capMilli),
+            floor(lit(1000.0) * lit(targetTokens)
+              * col("weight_ppm").cast("double")
+              / col("w_tot").cast("double")
+              / col("src_tokens").cast("double")).cast("long")))
+        .select(col("source"), col("src_tokens"), col("weight_ppm"),
+          col("epochs_milli"),
+          expr("src_tokens * epochs_milli div 1000").as("alloc_tokens"),
+          (col("epochs_milli") === lit(capMilli)).as("capped"))
+    },
+
     // C35 — SemDeDup: semantic near-dup removal blocked by k-means
     // clusters — within-cluster pairs with cosine >= 0.98 drop the
     // larger vec_id. The embedding-space twin of dedup_minhash_lsh
@@ -301,6 +334,33 @@ object TrainingQueries {
       |SELECT d.doc_id, d.source
       |FROM documents d JOIN thr ON d.source = thr.source
       |WHERE (d.doc_id * 2654435761) % 1000000007 % 1000000 < thr.thr""".stripMargin,
+
+    // Double arithmetic mirrors the engine exactly: sqrt is IEEE
+    // correctly-rounded, products/divisions associate left in both,
+    // floor before the BIGINT cast — the C38 convention.
+    "epoch_alloc" -> """
+      |WITH src AS (
+      |  SELECT source,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT source, src_tokens,
+      |         CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |           AS weight_ppm
+      |  FROM src),
+      |t AS (SELECT source, src_tokens, weight_ppm,
+      |             CAST(sum(weight_ppm) OVER () AS BIGINT) AS w_tot FROM w),
+      |e AS (
+      |  SELECT source, src_tokens, weight_ppm,
+      |         least(3000, CAST(floor(1000.0 * 50000.0
+      |           * CAST(weight_ppm AS DOUBLE)
+      |           / CAST(w_tot AS DOUBLE)
+      |           / CAST(src_tokens AS DOUBLE)) AS BIGINT)) AS epochs_milli
+      |  FROM t)
+      |SELECT source, src_tokens, weight_ppm, epochs_milli,
+      |       src_tokens * epochs_milli // 1000 AS alloc_tokens,
+      |       epochs_milli = 3000 AS capped
+      |FROM e""".stripMargin,
 
     "kmeans_embed" -> s"""
       |WITH ${kmeansBody("embeddings")}
