@@ -91,6 +91,11 @@ object Sweep100 {
       "trim_spans" -> (d => Dedup.trimSpans(d,
         Dedup.dupSpanIntervals(d, "text", "doc_id", n = 6), "text", "doc_id")),
       "contam_score" -> (d => Dedup.contaminationScore(d, probeDocs(), "text", "doc_id")),
+      // r11: the surgical scrub as a pure scan projection (fixed probe
+      // suite → bounded hash literal + bloom prefilter); should track
+      // raw scan cost across decades — there is no other stage
+      "decontam_scrub" -> (d => Dedup.trimContamProjectionExact(d,
+        Dedup.probeGramHashes(probeDocs(), "text", "doc_id"), "text", "doc_id")),
       "cross_decontam" -> (d => Dedup.crossNearDupPairs(d, probeDocs(), "text", "doc_id",
         minBp = 8000)),
       "pmi_topk" -> (d => TextAnalysis.pmiTopK(d, "text", k = 50, minCount = 5L)))
