@@ -679,6 +679,34 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Split-integrity AUDIT: how many near-dup pairs straddle folds of
+    * a given split assignment — the leak measurement that motivates
+    * the group-aware split (a doc-hash split puts a near-dup's copies
+    * in different folds, leaking eval content into training). Output:
+    * one row per normalized (split_a <= split_b) fold pair with its
+    * pair count and a `leaked` flag (cross-fold). Run it against any
+    * split BEFORE training; nonzero leaked rows mean the split needs
+    * the cluster-canonical key.
+    *
+    * Scale posture (100 TB): two id-keyed joins of the 16-byte pair
+    * frame against the assignment (both sides shuffle by the 8-byte
+    * id; AQE broadcasts the pair side when it is small, the common
+    * case), then a counter aggregation over at most folds² rows. */
+  def splitLeakage(pairs: DataFrame, assign: DataFrame,
+                   aCol: String = "doc_a", bCol: String = "doc_b",
+                   idCol: String = "doc_id",
+                   splitCol: String = "split"): DataFrame = {
+    val sa = assign.select(col(idCol).as(aCol), col(splitCol).as("__sa"))
+    val sb = assign.select(col(idCol).as(bCol), col(splitCol).as("__sb"))
+    pairs.select(aCol, bCol)
+      .join(sa, aCol).join(sb, bCol)
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", col("split_a") =!= col("split_b"))
+  }
+
   /** Quality-aware duplicate-cluster representative selection: for
     * every document, the member of its near-dup cluster that should be
     * KEPT — argmax of `scoreCol` (ties → smallest id), singletons

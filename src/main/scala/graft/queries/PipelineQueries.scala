@@ -498,6 +498,22 @@ object PipelineQueries {
     // Scale: the cluster map is the C18 output (8-byte pairs all the
     // way down); the split itself is a hash projection after one
     // id-keyed left join.
+    // C67 — split-integrity audit: the near-dup pairs that STRADDLE
+    // folds of the naive per-doc hash split (C19's formula over the
+    // perturbed corpus, where straddling pairs provably exist) — the
+    // measured leak that justifies C60. A leaked=true row with
+    // n_pairs > 0 is eval contamination by construction.
+    "split_leakage" -> { (s, d) =>
+      val bucket = (col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(100)
+      val assign = corpus(s, d).select(col("doc_id"),
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      Dedup.splitLeakage(
+        Dedup.minhashLshFromSignatures(corpusSignatures(s, d), minBp = 8000),
+        assign)
+    },
+
     "grouped_split" -> { (s, d) =>
       val clusters = Dedup.clusterPairs(
         Dedup.minhashLshFromSignatures(corpusSignatures(s, d), minBp = 8000),
@@ -865,6 +881,27 @@ object PipelineQueries {
       |  UNION
       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
       |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
+
+    // The exact pair set joined to the C19 hash-split replay; least/
+    // greatest on the fold names normalize pair orientation in both
+    // engines (lexicographic on VARCHAR either way).
+    "split_leakage" -> s"""WITH $CorpusBody,
+      |$VerifiedPairsBody,
+      |assign AS (
+      |  SELECT doc_id,
+      |         CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
+      |              WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM corpus),
+      |j AS (
+      |  SELECT least(x.split, y.split) AS split_a,
+      |         greatest(x.split, y.split) AS split_b
+      |  FROM vpairs p
+      |  JOIN assign x ON p.doc_a = x.doc_id
+      |  JOIN assign y ON p.doc_b = y.doc_id)
+      |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       split_a <> split_b AS leaked
+      |FROM j GROUP BY 1, 2""".stripMargin,
 
     // The dedup_clusters closure plus the argmax selection: per-cluster
     // max char length, min-id tie-break, singletons self-representing.
