@@ -187,6 +187,36 @@ class DedupSpec extends SparkTestBase {
       s"selection fell back to sort-based aggregation:\n$plan")
   }
 
+  test("splitLeakage: naive hash split leaks near-dup pairs; the grouped split audits clean") {
+    import spark.implicits._
+    val docs = corpus() // base slice ∪ truncated copies — near-dups exist
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id", minBp = 8000).cache()
+    assert(pairs.count() > 0, "corpus has no near-dup pairs to audit")
+    val bucket = (col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(100)
+    def foldOf(b: org.apache.spark.sql.Column) =
+      when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test"))
+    // naive per-doc hash split: copies at +1000 hash independently →
+    // straddling pairs must appear
+    val naive = docs.select(col("doc_id"), foldOf(bucket).as("split"))
+    val naiveLeaks = Dedup.splitLeakage(pairs, naive)
+      .filter(col("leaked")).agg(sum(col("n_pairs"))).head().getLong(0)
+    assert(naiveLeaks > 0, "expected the naive split to leak on this corpus")
+    // group-aware split: fold keyed by the cluster canonical → a pair's
+    // endpoints share a canonical by construction → zero leaked pairs
+    val clusters = Dedup.clusterPairs(pairs, "doc_a", "doc_b")
+    val canon = docs.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+    val gBucket =
+      (col("canonical_id") * lit(2654435761L)) % lit(1000000007L) % lit(100)
+    val grouped = canon.select(col("doc_id"), foldOf(gBucket).as("split"))
+    val groupedLeaked = Dedup.splitLeakage(pairs, grouped)
+      .filter(col("leaked")).count()
+    assert(groupedLeaked == 0,
+      s"group-aware split leaked $groupedLeaked fold pairs")
+    pairs.unpersist()
+  }
+
   test("end-to-end near-dup removal: pairs → clusters → survivors") {
     val pairs = Dedup.minhashLsh(corpus(), "text", "doc_id", minBp = 8000)
     val clusters = Dedup.clusterPairs(pairs, "doc_a", "doc_b")
