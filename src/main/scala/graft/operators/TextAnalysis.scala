@@ -657,6 +657,44 @@ object TextAnalysis {
     array_join(transform(kept, _.getField("v")), "\n")
   }
 
+  /** Tokenizer-fitting first-merge signal: the top-`k` adjacent
+    * character pairs by weighted frequency over word-internal
+    * positions — exactly the statistic BPE's first merge round ranks
+    * (and re-ranks after each merge; this is the dominant cost of
+    * every round, so its scale shape IS tokenizer fitting's scale
+    * shape).
+    *
+    * ZIPF FORM: pairs are NEVER expanded from the corpus. The corpus
+    * is token-counted once (the same word-count shuffle every other
+    * text operator pays), then pair expansion runs over the DISTINCT
+    * vocabulary weighted by count — corpus_tokens of work collapses
+    * to vocab_size × avg_word_len, orders of magnitude smaller on
+    * Zipf-distributed text. The final aggregation's key space is the
+    * character-pair alphabet (≤ |charset|²), and the rank window over
+    * it is alphabet-bounded by construction (same contract as the
+    * vocab-sized windows — see vocabCoverage).
+    *
+    * Ties rank by pair text; `minCount` floors hapax pairs out of the
+    * window input (open-web charsets are long-tailed in exotic
+    * codepoints). Integer-exact throughout. */
+  def bpeMergeRank(docs: DataFrame, textCol: String,
+                   k: Int = 20, minCount: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val pairs = words.filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"), col("n"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("n"))
+      .filter(col("n") >= minCount)
+    // alphabet²-bounded rank window (post-agg distinct pairs)
+    val byFreq = Window.orderBy(col("n").desc, col("pair").asc)
+    pairs.withColumn("rank", row_number().over(byFreq).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(html,
       "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")

@@ -189,6 +189,36 @@ object TrainingQueries {
           (col("epochs_milli") === lit(capMilli)).as("capped"))
     },
 
+    // C67 — sequence-length histogram: per (source, log2-token-length
+    // bucket) doc counts and token mass — the length profile that
+    // sizes C32's pack capacity and C37's chunking stride before a
+    // run. The bucket is integer-exact (the bit-length of n_tokens,
+    // never floating log2, so 2^k lands in bucket k in every engine).
+    // SCALE: one scan, one map-side-combined aggregation onto a
+    // (sources × ~20)-key space — the cheapest possible profile.
+    "doclen_histogram" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          greatest(size(split(col("text"), " ")).cast("long"), lit(1L))
+            .as("n_tok"))
+        .select(col("source"),
+          (length(bin(col("n_tok"))) - 1).cast("long").as("len_bucket"),
+          col("n_tok"))
+        .groupBy(col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+    },
+
+    // C68 — tokenizer-fitting first-merge ranking: top-20 adjacent
+    // character pairs by weighted word-internal frequency — the
+    // statistic BPE's merge loop ranks every round. Zipf form: pairs
+    // expand from the DISTINCT vocabulary weighted by token count
+    // (corpus-tokens of work collapses to vocab × word length), per
+    // the TextAnalysis.bpeMergeRank contract.
+    "bpe_merge_rank" -> { (s, d) =>
+      TextAnalysis.bpeMergeRank(Tables.fanOut(Tables.documents(s, d)),
+        "text", k = 20)
+    },
+
     // C35 — SemDeDup: semantic near-dup removal blocked by k-means
     // clusters — within-cluster pairs with cosine >= 0.98 drop the
     // larger vec_id. The embedding-space twin of dedup_minhash_lsh
@@ -361,6 +391,33 @@ object TrainingQueries {
       |       src_tokens * epochs_milli // 1000 AS alloc_tokens,
       |       epochs_milli = 3000 AS capped
       |FROM e""".stripMargin,
+
+    // bin() renders the same minimal binary string in both engines,
+    // so length(bin(n)) - 1 is floor(log2 n) with zero float risk.
+    "doclen_histogram" -> """
+      |SELECT source, CAST(length(bin(n_tok)) - 1 AS BIGINT) AS len_bucket,
+      |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+      |FROM (SELECT source,
+      |             greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1)
+      |               AS n_tok
+      |      FROM documents)
+      |GROUP BY 1, 2""".stripMargin,
+
+    "bpe_merge_rank" -> """
+      |WITH w AS (
+      |  SELECT word, count(*) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) > 0 GROUP BY 1),
+      |p AS (
+      |  SELECT unnest(list_transform(range(1, length(word)),
+      |           i -> substr(word, CAST(i AS INT), 2))) AS pair, n
+      |  FROM w WHERE length(word) >= 2),
+      |a AS (SELECT pair, CAST(sum(n) AS BIGINT) AS n FROM p GROUP BY 1)
+      |SELECT pair, n, rank FROM (
+      |  SELECT pair, n,
+      |         CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+      |  FROM a)
+      |WHERE rank <= 20""".stripMargin,
 
     "kmeans_embed" -> s"""
       |WITH ${kmeansBody("embeddings")}
