@@ -164,4 +164,66 @@ object Graph {
     e.unpersist()
     dist
   }
+
+  /** Fixed-iteration weighted HITS (hubs & authorities, Kleinberg) in
+    * integer micro-units — the bipartite-role twin of [[pageRank]]:
+    * a node is a good HUB when it points at good authorities and a
+    * good AUTHORITY when good hubs point at it (link-graph curation:
+    * directory/index pages vs canonical-content pages; in event-flow
+    * graphs, dispatcher states vs sink states). PageRank's single
+    * score cannot separate the two roles.
+    *
+    * Engine-exact by the same convention as [[pageRank]]: every
+    * half-round is `raw(v) = Σ counterpart·w` followed by L1
+    * renormalization `raw · 10⁶ div Σraw` in 64-bit integer
+    * arithmetic (Σraw floored at 1 so an edgeless graph divides by 1,
+    * not 0), so a SQL oracle replays the unrolled iterations
+    * bit-for-bit. Nodes with no in-edges get authority 0; no
+    * out-edges, hub 0. After renormalization each score vector sums
+    * to ≤ 10⁶ with integer-floor dust only (GraphSpec pins the
+    * bound), so iterations cannot overflow: score ≤ 10⁶, and
+    * Σ score·w ≤ 10⁶·Σw fits 63 bits for any real edge frame.
+    *
+    * Scale: per half-round, ONE join of the 16-byte score frame
+    * against the edge list (shuffle on the score key) and ONE
+    * map-side-combined aggregation on the opposite key; each L1 sum
+    * is a one-row aggregate broadcast back — never a driver collect.
+    * Skewed in-degree is the aggregation skew case (AQE / salting as
+    * with [[pageRank]]); plan depth grows linearly in `iters`, so
+    * long budgets checkpoint every ~5 rounds — unnecessary at the
+    * fixed default of 2. Eagerly materialized on exit so the
+    * node/edge caches can be unpersisted. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           wCol: String, iters: Int = 2): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().cache()
+    var hub = nodes.select(col("node"), lit(1000000L).as("hub"))
+    var auth = nodes.select(col("node"), lit(0L).as("auth"))
+    for (_ <- 1 to iters) {
+      val araw = hub.join(e, hub("node") === e("src"))
+        .select(col("dst").as("node"), (col("hub") * col("w")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("raw"))
+      val asum = araw.agg(greatest(coalesce(sum(col("raw")), lit(0L)), lit(1L))
+        .as("tot"))
+      auth = nodes.join(araw, Seq("node"), "left")
+        .crossJoin(broadcast(asum))
+        .select(col("node"),
+          expr("coalesce(raw, CAST(0 AS BIGINT)) * 1000000 div tot").as("auth"))
+      val hraw = auth.join(e, auth("node") === e("dst"))
+        .select(col("src").as("node"), (col("auth") * col("w")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("raw"))
+      val hsum = hraw.agg(greatest(coalesce(sum(col("raw")), lit(0L)), lit(1L))
+        .as("tot"))
+      hub = nodes.join(hraw, Seq("node"), "left")
+        .crossJoin(broadcast(hsum))
+        .select(col("node"),
+          expr("coalesce(raw, CAST(0 AS BIGINT)) * 1000000 div tot").as("hub"))
+    }
+    val out = hub.join(auth, Seq("node")).localCheckpoint()
+    nodes.unpersist()
+    e.unpersist()
+    out
+  }
 }

@@ -270,6 +270,23 @@ object AnalyticsQueries {
         iters = 3, dampBp = 8500)
     },
 
+    // B54 — HITS hubs & authorities on the same weighted
+    // event-transition digraph (2 iterations, integer micro-units,
+    // L1-renormalized per half-round): separates dispatcher states
+    // (high hub — they lead INTO heavy states) from sink states
+    // (high authority) — the role split B50's single PageRank score
+    // can't express. Oracle replays the unrolled half-rounds.
+    "hits_scores" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val edges = Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Graph.hits(edges, "src", "dst", "w", iters = 2)
+    },
+
     // B51 — bounded-hop BFS on the same digraph: min hop distance
     // from the lexicographically-smallest event type within 3 hops
     // (deterministic seed), unreached types absent. Min-fold per
@@ -474,7 +491,50 @@ object AnalyticsQueries {
        |    FROM $prev p JOIN e ON p.node = e.src JOIN ow o ON o.src = e.src
        |    GROUP BY 1) c ON n0.node = c.node)""".stripMargin
 
+  /** One HITS iteration (auth half-round then hub half-round) as SQL,
+    * replaying [[graft.operators.Graph.hits]]: raw inflow sum, then
+    * L1 renormalization `raw · 10⁶ // max(Σraw, 1)` — `//` and
+    * Spark's `div` agree on non-negative 64-bit operands. */
+  private def hitsIterSql(prevHub: String, k: Int): String =
+    s"""a${k}_raw AS (
+       |  SELECT e.dst AS node, CAST(sum(h.hub * e.w) AS BIGINT) AS raw
+       |  FROM $prevHub h JOIN e ON h.node = e.src GROUP BY 1),
+       |a${k}_t AS (
+       |  SELECT greatest(coalesce(CAST(sum(raw) AS BIGINT), 0), 1) AS tot
+       |  FROM a${k}_raw),
+       |a$k AS (
+       |  SELECT n0.node,
+       |         coalesce(r.raw, 0) * 1000000 // (SELECT tot FROM a${k}_t) AS auth
+       |  FROM nodes n0 LEFT JOIN a${k}_raw r ON n0.node = r.node),
+       |h${k}_raw AS (
+       |  SELECT e.src AS node, CAST(sum(a.auth * e.w) AS BIGINT) AS raw
+       |  FROM a$k a JOIN e ON a.node = e.dst GROUP BY 1),
+       |h${k}_t AS (
+       |  SELECT greatest(coalesce(CAST(sum(raw) AS BIGINT), 0), 1) AS tot
+       |  FROM h${k}_raw),
+       |h$k AS (
+       |  SELECT n0.node,
+       |         coalesce(r.raw, 0) * 1000000 // (SELECT tot FROM h${k}_t) AS hub
+       |  FROM nodes n0 LEFT JOIN h${k}_raw r ON n0.node = r.node)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "hits_scores" -> s"""
+      |WITH seq AS (
+      |  SELECT event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts ASC, event_id ASC) AS next_type
+      |  FROM events),
+      |e AS (SELECT event_type AS src, next_type AS dst,
+      |             CAST(count(*) AS BIGINT) AS w
+      |      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+      |${hitsIterSql("h0", 1)},
+      |${hitsIterSql("h1", 2)}
+      |SELECT h2.node, CAST(h2.hub AS BIGINT) AS hub,
+      |       CAST(a2.auth AS BIGINT) AS auth
+      |FROM h2 JOIN a2 ON h2.node = a2.node""".stripMargin,
 
     "pagerank_events" -> s"""
       |WITH seq AS (

@@ -468,6 +468,41 @@ class OperatorSpec extends SparkTestBase {
     assert(leakyTotal < total - 100000L, s"leaky $leakyTotal vs conserved $total")
   }
 
+  test("hits equals the driver-side integer recurrence; roles separate") {
+    import spark.implicits._
+    // 0 and 1 are pure hubs fanning into 2 and 3 (the authorities);
+    // 3 also points at 4, making it the one mixed-role node
+    val edgeSeq = Seq((0L, 2L, 2L), (0L, 3L, 1L), (1L, 2L, 1L),
+      (1L, 3L, 3L), (3L, 4L, 1L))
+    val got = graft.operators.Graph
+      .hits(edgeSeq.toDF("src", "dst", "w"), "src", "dst", "w", iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // dense driver-side replay of the integer half-rounds
+    val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct
+    var hub = nodes.map(_ -> 1000000L).toMap
+    var auth = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to 2) {
+      val araw = edgeSeq.groupBy(_._2).view
+        .mapValues(_.map(e => hub(e._1) * e._3).sum).toMap
+      val at = math.max(araw.values.sum, 1L)
+      auth = nodes.map(v => v -> araw.getOrElse(v, 0L) * 1000000L / at).toMap
+      val hraw = edgeSeq.groupBy(_._1).view
+        .mapValues(_.map(e => auth(e._2) * e._3).sum).toMap
+      val ht = math.max(hraw.values.sum, 1L)
+      hub = nodes.map(v => v -> hraw.getOrElse(v, 0L) * 1000000L / ht).toMap
+    }
+    val want = nodes.map(v => v -> (hub(v), auth(v))).toMap
+    assert(got == want, s"engine $got != reference $want")
+    // role separation: pure hubs carry hub mass and zero authority;
+    // pure authorities the reverse; L1 mass conserved up to floor dust
+    assert(got(0L)._2 == 0L && got(1L)._2 == 0L)
+    assert(got(2L)._1 == 0L && got(2L)._2 > 0L && got(4L)._1 == 0L)
+    val hubMass = got.values.map(_._1).sum
+    val authMass = got.values.map(_._2).sum
+    assert(hubMass > 999000L && hubMass <= 1000000L, s"hub mass $hubMass")
+    assert(authMass > 999000L && authMass <= 1000000L, s"auth mass $authMass")
+  }
+
   test("hopDistanceFrontier equals hopDistance and joins only the frontier shell") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 2L),
