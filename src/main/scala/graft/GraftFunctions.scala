@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.call_function
 
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 
-import graft.functions.{Fingerprint64, MinHashSig, ParseSqdataTs, ReservoirSample, TopK, VecDistSq, VecDot}
+import graft.functions.{Fingerprint64, GramMatrix, MinHashSig, ParseSqdataTs, ReservoirSample, TopK, VecDistSq, VecDot}
 
 /** Registration + Column-API surface for graft's native Catalyst
   * expressions. Registration is idempotent; every `SparkEntry.queries`
@@ -30,6 +30,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "top_k", exprs => TopK(exprs.head,
         exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "gram_matrix", exprs => GramMatrix(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
@@ -63,6 +65,12 @@ object GraftFunctions {
     * O(n log k) / k-state replacement for sort-based window ranking. */
   def top_k(c: Column, k: Int): Column =
     call_function("top_k", c, org.apache.spark.sql.functions.lit(k))
+
+  /** Upper-triangle Gram matrix aggregate over caller-quantized
+    * `array<bigint>` vectors — the map-side-combining statistic
+    * behind distributed PCA/covariance (see functions.GramMatrix:
+    * only dim²/2 longs per partition cross the shuffle). */
+  def gram_matrix(c: Column): Column = call_function("gram_matrix", c)
 
   /** Codegen'd sequential-fold dot product over two float/double
     * arrays — bit-identical to `aggregate(zip_with(a, b, _*_), 0d,

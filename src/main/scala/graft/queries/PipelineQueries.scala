@@ -457,6 +457,25 @@ object PipelineQueries {
           col("n_vecs"), col("sum_norm_bp"))
     },
 
+    // C70 — upper-triangle Gram (second-moment) matrix of the
+    // milli-quantized embedding table via the gram_matrix aggregate —
+    // the one-pass statistic behind distributed PCA/covariance
+    // (covariance = G/n − μμᵀ; components are a driver-side dim×dim
+    // eigensolve — bounded control plane, like the k-means centroid
+    // fetch). SCALE: each task accumulates the dim(dim+1)/2 triangle
+    // locally and only partitions × 2080 longs cross the shuffle —
+    // the naive double-explode would amplify every row 4096× at
+    // dim 64. The oracle pays the explode (corpus is small there);
+    // the engine never does.
+    "embed_gram" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(expr("transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))").as("qv"))
+        .agg(GraftFunctions.gram_matrix(col("qv")).as("gm"))
+        .select(explode(col("gm")).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.g").as("g"))
+    },
+
     // C17 — int8 embedding quantization. Integer outputs are exactly
     // reproducible, so serializing the int-array to JSON (scalar string
     // cell for the driver) also unlocks a DuckDB oracle.
@@ -1068,6 +1087,24 @@ object PipelineQueries {
       |    ON bit_count(xor(x.bucket, y.bucket)) <= 2 AND x.vec_id < y.vec_id)
       |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.98""".stripMargin
     },
+
+    // the oracle affords the dim² double-unnest self-join the engine
+    // avoids (the aggregate ships triangles, not tuples)
+    "embed_gram" -> """
+      |WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, CAST(u['pos'] AS BIGINT) AS i,
+      |         CAST(u['val'] AS BIGINT) AS v
+      |  FROM (SELECT vec_id, unnest(list_transform(range(0, len(qv)),
+      |                i -> {'pos': i, 'val': qv[CAST(i+1 AS INT)]})) AS u
+      |        FROM q))
+      |SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS g
+      |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |GROUP BY 1, 2""".stripMargin,
 
     "embed_stats" -> s"""
       |WITH dims AS (

@@ -151,6 +151,44 @@ class ExpressionSpec extends SparkTestBase {
     assert(rows(3).getDouble(0) === 0.0)
   }
 
+  test("gram_matrix equals dense brute force across partition merges; PCA consumer") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    // a planted dominant direction: heavy mass on dim 0, noise elsewhere
+    val vecs = Seq.tabulate(200)(r => Seq.tabulate(dim)(i =>
+      (if (i == 0) 1000L + rnd.nextInt(200) else rnd.nextInt(60).toLong)))
+    // 8 partitions so the merge path (partial triangles) is exercised
+    val got = vecs.toDF("qv").repartition(8)
+      .agg(GraftFunctions.gram_matrix(col("qv")).as("gm"))
+      .select(explode(col("gm")).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.g"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, j, g) => (i, j) -> g }.toMap
+    val want = (for {
+      i <- 0 until dim; j <- i until dim
+    } yield (i.toLong, j.toLong) ->
+      vecs.map(v => v(i) * v(j)).sum).toMap
+    assert(got == want, "triangle mismatch vs dense brute force")
+    // the driver-side PCA consumer: symmetrize, power-iterate — the
+    // bounded dim×dim control-plane step the aggregate feeds; the
+    // planted direction must dominate the principal component
+    val m = Array.tabulate(dim, dim)((i, j) =>
+      got(math.min(i, j).toLong, math.max(i, j).toLong).toDouble)
+    var v = Array.fill(dim)(1.0)
+    for (_ <- 1 to 50) {
+      val nv = Array.tabulate(dim)(i => m(i).zip(v).map(p => p._1 * p._2).sum)
+      val n = math.sqrt(nv.map(x => x * x).sum)
+      v = nv.map(_ / n)
+    }
+    assert(math.abs(v(0)) > 0.95, s"principal component not on planted dim: ${v(0)}")
+    // SQL surface + empty-frame eval: zero rows → empty triangle
+    val empty = spark.sql(
+      "SELECT gram_matrix(array(CAST(1 AS BIGINT))) AS g FROM range(0)")
+      .collect()(0).getSeq[Any](0)
+    assert(empty.isEmpty)
+  }
+
   test("expressions agree between codegen and interpreted eval") {
     val df = sources.Tables.documents(spark, sfDir).limit(50)
       .select(GraftFunctions.fingerprint64(col("text")).as("fp"))
