@@ -1545,4 +1545,45 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("decontam scrub projection is streaming-legal: stateless, matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the C65 claim made executable: trimContamProjectionExact is ONE
+    // shuffle-free projection, so it must run unmodified on a stream —
+    // no state store, no watermark, Append mode — and agree with its
+    // batch twin row-for-row
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "leak one two three four five six seven eight end of doc"))
+    val probe = Seq((100L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val hashes = graft.operators.Dedup
+      .probeGramHashes(probe, "text", "doc_id", n = 8)
+    val batch = graft.operators.Dedup.trimContamProjectionExact(
+      docs.toDF("doc_id", "text"), hashes, "text", "doc_id", n = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // doc 3 must actually lose its planted 8-gram
+    assert(batch.exists(r => r._1 == 3L && r._3 == 8L), s"no trim in $batch")
+    val input = MemoryStream[(Long, String)]
+    val scrubbed = graft.operators.Dedup.trimContamProjectionExact(
+      input.toDF().toDF("doc_id", "text"), hashes, "text", "doc_id", n = 8)
+    assert(scrubbed.isStreaming, "projection must preserve streaming-ness")
+    val q = scrubbed.writeStream.format("memory").queryName("scrub_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("scrub_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == batch, s"streaming $got != batch $batch")
+      // stateless by plan: no state-store operator, no exchange in the
+      // executed micro-batch plan — the scan-speed contract as a fact
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!plan.contains("StateStore"), s"stateful op in plan:\n$plan")
+      assert(!plan.contains("Exchange"), s"shuffle in plan:\n$plan")
+    } finally q.stop()
+  }
 }
