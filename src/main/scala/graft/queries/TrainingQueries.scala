@@ -189,7 +189,7 @@ object TrainingQueries {
           (col("epochs_milli") === lit(capMilli)).as("capped"))
     },
 
-    // C67 — sequence-length histogram: per (source, log2-token-length
+    // C68 — sequence-length histogram: per (source, log2-token-length
     // bucket) doc counts and token mass — the length profile that
     // sizes C32's pack capacity and C37's chunking stride before a
     // run. The bucket is integer-exact (the bit-length of n_tokens,
@@ -208,7 +208,7 @@ object TrainingQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
     },
 
-    // C68 — tokenizer-fitting first-merge ranking: top-20 adjacent
+    // C69 — tokenizer-fitting first-merge ranking: top-20 adjacent
     // character pairs by weighted word-internal frequency — the
     // statistic BPE's merge loop ranks every round. Zipf form: pairs
     // expand from the DISTINCT vocabulary weighted by token count
