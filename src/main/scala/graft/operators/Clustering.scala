@@ -173,4 +173,54 @@ object Clustering {
       .select(col("__id_b").as(idCol), col("cluster"))
       .distinct()
   }
+
+  /** Fixed-point power iteration: the dominant eigenvector of a
+    * symmetric integer matrix given as its upper triangle
+    * `(i, j, g)` — the PCA eigensolve step downstream of
+    * [[graft.functions.GramMatrix]]. Fixed `iters` rounds of
+    * `w = G·v` followed by ∞-norm renormalization
+    * `v = w div max(max|w| div 10⁶, 1)` in 64-bit integer arithmetic
+    * with TRUNCATING division (Java `/` ≡ Spark `div` ≡ DuckDB `//`,
+    * on negatives too — all three truncate toward zero), so any
+    * engine replays the rounds bit-for-bit — a budgeted
+    * deterministic computation, not a convergence test (production
+    * PCA runs a fixed sweep budget the same way). The divisor is
+    * pre-scaled (max|w| div 10⁶, never w·10⁶) so renormalization
+    * itself cannot overflow; |v| stays ~10⁶ across rounds.
+    *
+    * DRIVER-SIDE BY DESIGN: the triangle is dim(dim+1)/2 rows —
+    * bounded control-plane state like the k-means centroid fetch and
+    * the IVF centroid table, NEVER corpus-sized; the corpus-sized
+    * work already happened inside the Gram aggregate. Distributing a
+    * dim×dim matvec would add shuffles to save microseconds.
+    * Overflow headroom contract: dim · max|G| · ~2·10⁶ < 2⁶³
+    * (max|G| < 7·10¹³ at dim 64) — rescale the Gram (shift the
+    * quantization step) beyond that.
+    *
+    * Returns one row per dimension: `(k, v_micro)`, ∞-normalized so
+    * max|v| = 10⁶. */
+  def powerIteration(gramTriangle: DataFrame, iters: Int = 8): DataFrame = {
+    val spark = gramTriangle.sparkSession
+    val tri = gramTriangle.select(
+      col("i").cast("int"), col("j").cast("int"), col("g").cast("long"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val dim = if (tri.isEmpty) 0 else tri.map(_._2).max + 1
+    val full = Array.ofDim[Long](dim, dim)
+    tri.foreach { case (i, j, g) => full(i)(j) = g; full(j)(i) = g }
+    var v = Array.fill(dim)(1000000L)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim) { k =>
+        var s = 0L
+        var j = 0
+        while (j < dim) { s += full(k)(j) * v(j); j += 1 }
+        s
+      }
+      val m = w.map(math.abs).foldLeft(0L)(math.max)
+      val dvr = math.max(m / 1000000L, 1L)
+      v = w.map(_ / dvr)
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, k) => (k.toLong, x) }.toSeq
+      .toDF("k", "v_micro")
+  }
 }

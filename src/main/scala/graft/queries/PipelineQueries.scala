@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftFunctions
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** §2.C — LLM-training-data pipeline operators over `documents` /
@@ -26,6 +26,12 @@ object PipelineQueries {
         expr("substring(text, 1, greatest(char_length(text) - 7, 0))").as("text"))
     base.unionByName(pert)
   }
+
+  /** Milli-quantization of the embedding column (floor(x·1000) as
+    * bigint) — the shared integer-exact input of the Gram-family keys
+    * (C70–C72); both engines floor the same doubles. */
+  private val QuantVecSql =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
 
   private val CorpusBody =
     """corpus AS (
@@ -272,6 +278,20 @@ object PipelineQueries {
         "doc_id", "score")
     },
 
+    // C73 — near-dup cluster-size histogram: per cluster size, the
+    // number of C18 clusters at that size — the dedup health
+    // dashboard metric (a fat tail here means mirrored content or a
+    // detector threshold set too loose; production jobs alert on it
+    // before the drop step runs). Two aggregations over the 16-byte
+    // cluster map — post-detection frames, never the corpus.
+    "dedup_cluster_sizes" -> { (s, d) =>
+      Dedup.clusterPairs(
+          Dedup.minhashLshFromSignatures(corpusSignatures(s, d), minBp = 8000),
+          "doc_a", "doc_b")
+        .groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+    },
+
     // C24 — incremental near-dup: the perturbed docs play the crawl
     // increment, the base docs the persisted corpus — candidates are
     // increment×corpus + increment×increment, the corpus is never
@@ -469,11 +489,54 @@ object PipelineQueries {
     // the engine never does.
     "embed_gram" -> { (s, d) =>
       Tables.embeddings(s, d)
-        .select(expr("transform(embedding, " +
-          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))").as("qv"))
+        .select(expr(QuantVecSql).as("qv"))
         .agg(GraftFunctions.gram_matrix(col("qv")).as("gm"))
         .select(explode(col("gm")).as("e"))
         .select(col("e.i").as("i"), col("e.j").as("j"), col("e.g").as("g"))
+    },
+
+    // C71 — covariance from the SAME one-pass Gram aggregate via the
+    // homogeneous-coordinate trick: prepend a constant-1 coordinate,
+    // and the (dim+1)-triangle simultaneously yields n = G'(0,0), the
+    // per-dim sums S(k) = G'(0,k+1), and the raw Gram — so the
+    // n²-scaled covariance n·G(i,j) − S(i)·S(j) is exact integers
+    // with ZERO extra corpus passes (the naive form scans once for
+    // means, again for centered products). The post-agg frame is the
+    // triangle (2145 rows at dim 64): broadcast self-joins, no
+    // corpus-sized work after the aggregate.
+    "embed_covar" -> { (s, d) =>
+      val g = Tables.embeddings(s, d)
+        .select(concat(array(lit(1L)), expr(QuantVecSql)).as("qv"))
+        .agg(GraftFunctions.gram_matrix(col("qv")).as("gm"))
+        .select(explode(col("gm")).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.g").as("g"))
+      val n = g.filter(col("i") === 0 && col("j") === 0)
+        .select(col("g").as("n"))
+      val sums = g.filter(col("i") === 0 && col("j") >= 1)
+        .select((col("j") - 1).as("k"), col("g").as("sv"))
+      g.filter(col("i") >= 1)
+        .select((col("i") - 1).as("i"), (col("j") - 1).as("j"), col("g"))
+        .join(broadcast(sums.select(col("k").as("i"), col("sv").as("si"))), "i")
+        .join(broadcast(sums.select(col("k").as("j"), col("sv").as("sj"))), "j")
+        .crossJoin(broadcast(n))
+        .select(col("i"), col("j"),
+          (col("n") * col("g") - col("si") * col("sj")).as("cov_scaled"))
+    },
+
+    // C72 — the PCA eigensolve the Gram aggregate feeds: dominant
+    // eigenvector by fixed-point power iteration (8 rounds, integer
+    // matvec + truncating-div ∞-renormalization — engine-exact, the
+    // oracle replays the unrolled rounds). The triangle collect is
+    // dim² control-plane state (the k-means-centroid convention);
+    // every corpus-sized flop already happened inside gram_matrix.
+    "pca_power" -> { (s, d) =>
+      Clustering.powerIteration(
+        Tables.embeddings(s, d)
+          .select(expr(QuantVecSql).as("qv"))
+          .agg(GraftFunctions.gram_matrix(col("qv")).as("gm"))
+          .select(explode(col("gm")).as("e"))
+          .select(col("e.i").as("i"), col("e.j").as("j"), col("e.g").as("g")),
+        iters = 8)
     },
 
     // C17 — int8 embedding quantization. Integer outputs are exactly
@@ -821,6 +884,26 @@ object PipelineQueries {
   private def markerList(lang: String): String =
     TextAnalysis.Markers.toMap.apply(lang).map(m => s"'$m'").mkString(", ")
 
+  /** One fixed-point power-iteration round as SQL, replaying
+    * [[graft.operators.Clustering.powerIteration]]: integer matvec
+    * over the symmetrized triangle, then ∞-renormalization by the
+    * PRE-SCALED divisor `max(|w|) // 10⁶` (never `w·10⁶`, which
+    * would overflow at dim 64) — truncating division both engines.
+    * Every stage is MATERIALIZED: each round references its
+    * predecessor twice, and DuckDB's default CTE inlining would
+    * re-expand the upstream tree 2^rounds times (measured: the
+    * 8-round chain never finishes un-materialized). */
+  private def pcaIterSql(k: Int): String =
+    s"""w$k AS MATERIALIZED (
+       |  SELECT f.i AS k, CAST(sum(f.g * v.v_micro) AS BIGINT) AS w
+       |  FROM fm f JOIN v${k - 1} v ON f.j = v.k GROUP BY 1),
+       |m$k AS MATERIALIZED (
+       |  SELECT greatest(CAST(max(abs(w)) AS BIGINT) // 1000000, 1) AS d
+       |  FROM w$k),
+       |v$k AS MATERIALIZED (
+       |  SELECT k, CAST(w // (SELECT d FROM m$k) AS BIGINT) AS v_micro
+       |  FROM w$k)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
@@ -1087,6 +1170,73 @@ object PipelineQueries {
       |    ON bit_count(xor(x.bucket, y.bucket)) <= 2 AND x.vec_id < y.vec_id)
       |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.98""".stripMargin
     },
+
+    // same CC-closure replay as dedup_clusters, then the two
+    // histogram aggregations
+    "dedup_cluster_sizes" -> s"""WITH RECURSIVE $CorpusBody,
+      |$VerifiedPairsBody,
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      |          UNION SELECT doc_b, doc_a FROM vpairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |cl AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+      |szs AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz
+      |        FROM cl GROUP BY 1)
+      |SELECT sz, count(*) AS n_clusters FROM szs GROUP BY 1""".stripMargin,
+
+    // n, per-dim sums, and the Gram all come from the ONE augmented
+    // triangle (homogeneous coordinate) — the oracle replays it with
+    // the same double-unnest as embed_gram
+    "embed_covar" -> """
+      |WITH q AS (
+      |  SELECT vec_id,
+      |         list_prepend(CAST(1 AS BIGINT),
+      |           list_transform(embedding,
+      |             x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))) AS qv
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, CAST(u['pos'] AS BIGINT) AS i,
+      |         CAST(u['val'] AS BIGINT) AS v
+      |  FROM (SELECT vec_id, unnest(list_transform(range(0, len(qv)),
+      |                i -> {'pos': i, 'val': qv[CAST(i+1 AS INT)]})) AS u
+      |        FROM q)),
+      |g AS (
+      |  SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS g
+      |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2),
+      |n AS (SELECT g AS n FROM g WHERE i = 0 AND j = 0)
+      |SELECT t.i - 1 AS i, t.j - 1 AS j,
+      |       CAST((SELECT n FROM n) * t.g - si.g * sj.g AS BIGINT) AS cov_scaled
+      |FROM g t JOIN g si ON si.i = 0 AND si.j = t.i
+      |         JOIN g sj ON sj.i = 0 AND sj.j = t.j
+      |WHERE t.i >= 1""".stripMargin,
+
+    // unrolled power-iteration replay over the same gram CTE; `//`
+    // truncates toward zero exactly like the engine's Long division
+    "pca_power" -> s"""
+      |WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, CAST(u['pos'] AS BIGINT) AS i,
+      |         CAST(u['val'] AS BIGINT) AS v
+      |  FROM (SELECT vec_id, unnest(list_transform(range(0, len(qv)),
+      |                i -> {'pos': i, 'val': qv[CAST(i+1 AS INT)]})) AS u
+      |        FROM q)),
+      |g AS MATERIALIZED (
+      |  SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS g
+      |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2),
+      |fm AS MATERIALIZED (SELECT i, j, g FROM g
+      |        UNION ALL SELECT j AS i, i AS j, g FROM g WHERE i < j),
+      |v0 AS (SELECT DISTINCT i AS k, CAST(1000000 AS BIGINT) AS v_micro FROM g),
+      |${(1 to 8).map(k => pcaIterSql(k)).mkString(",\n")}
+      |SELECT k, v_micro FROM v8""".stripMargin,
 
     // the oracle affords the dim² double-unnest self-join the engine
     // avoids (the aggregate ships triangles, not tuples)

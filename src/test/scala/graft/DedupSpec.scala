@@ -549,4 +549,18 @@ class DedupSpec extends SparkTestBase {
     assert(sigs == sigs2)
     assert(sigs.values.toSet.size > sigs.size / 2) // not collapsing
   }
+
+  test("cluster-size histogram over clusterPairs: chains merge, sizes bucket") {
+    import spark.implicits._
+    // two chained pairs form one size-3 cluster; one isolated pair a
+    // size-2; C73's oracle corpus only ever produces size-2 clusters,
+    // so the mixed-size shape is pinned here instead
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L),
+      (8L, 10L)).toDF("doc_a", "doc_b")
+    val hist = graft.operators.Dedup.clusterPairs(pairs, "doc_a", "doc_b")
+      .groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .as[(Long, Long)].collect().toMap
+    assert(hist == Map(3L -> 2L, 2L -> 1L), s"got $hist")
+  }
 }

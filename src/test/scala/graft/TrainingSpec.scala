@@ -276,4 +276,32 @@ class TrainingSpec extends SparkTestBase {
     assert(cum * 20 >= total * 19)
     assert((cum - rows.last._2) * 20 < total * 19)
   }
+
+  test("powerIteration recovers a planted dominant direction, fixed-point exact") {
+    import spark.implicits._
+    // gram of a rank-dominant matrix: heavy diagonal on dim 2 with
+    // cross terms; the dominant eigenvector must load on dim 2
+    val dim = 6
+    val tri = for { i <- 0 until dim; j <- i until dim } yield {
+      val base = if (i == j) 1000L else 10L
+      val planted = (if (i == 2) 50000L else 0L) + (if (j == 2) 50000L else 0L)
+      (i.toLong, j.toLong, base + planted)
+    }
+    val got = Clustering.powerIteration(tri.toDF("i", "j", "g"), iters = 8)
+      .as[(Long, Long)].collect().toMap
+    // replay the SAME fixed-point recurrence densely on the driver
+    val full = Array.tabulate(dim, dim)((a, b) =>
+      tri.find(t => (t._1 == math.min(a, b)) && (t._2 == math.max(a, b))).get._3)
+    var v = Array.fill(dim)(1000000L)
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(dim)(k => (0 until dim).map(j => full(k)(j) * v(j)).sum)
+      val d = math.max(w.map(math.abs).max / 1000000L, 1L)
+      v = w.map(_ / d)
+    }
+    assert(got == v.zipWithIndex.map { case (x, k) => k.toLong -> x }.toMap)
+    // ∞-normalization bound from the scaled divisor: max|v| in [10⁶, 2·10⁶)
+    val m = got.values.map(math.abs).max
+    assert(m >= 1000000L && m < 2000000L, s"norm $m")
+    assert(got.maxBy(kv => math.abs(kv._2))._1 == 2L, s"wrong dominant dim: $got")
+  }
 }
