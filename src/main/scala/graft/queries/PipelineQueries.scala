@@ -29,9 +29,18 @@ object PipelineQueries {
 
   /** Milli-quantization of the embedding column (floor(x·1000) as
     * bigint) — the shared integer-exact input of the Gram-family keys
-    * (C70–C72); both engines floor the same doubles. */
+    * (C70–C74); both engines floor the same doubles. */
   private val QuantVecSql =
     "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+
+  /** The milli-quantized Gram triangle of the embeddings table (the
+    * C70 frame) — shared input of the C72/C74 eigensolve keys. */
+  private def quantGram(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(expr(QuantVecSql).as("qv"))
+      .agg(GraftFunctions.gram_matrix(col("qv")).as("gm"))
+      .select(explode(col("gm")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.g").as("g"))
 
   private val CorpusBody =
     """corpus AS (
@@ -530,13 +539,22 @@ object PipelineQueries {
     // dim² control-plane state (the k-means-centroid convention);
     // every corpus-sized flop already happened inside gram_matrix.
     "pca_power" -> { (s, d) =>
-      Clustering.powerIteration(
-        Tables.embeddings(s, d)
-          .select(expr(QuantVecSql).as("qv"))
-          .agg(GraftFunctions.gram_matrix(col("qv")).as("gm"))
-          .select(explode(col("gm")).as("e"))
-          .select(col("e.i").as("i"), col("e.j").as("j"), col("e.g").as("g")),
-        iters = 8)
+      Clustering.powerIteration(quantGram(s, d), iters = 8)
+    },
+
+    // C74 — the projection step: every vector's integer dot with the
+    // C72 component (a dim-sized literal riding the closure — the
+    // centroid-broadcast convention), i.e. the 1-D reduction /
+    // whitening coordinate pipelines sort or bucket on. One scan,
+    // zero shuffles after the Gram aggregate; codegen'd HOF dot.
+    "pca_project" -> { (s, d) =>
+      val comp = Clustering.powerIteration(quantGram(s, d), iters = 8)
+        .orderBy(col("k")).collect().map(_.getLong(1))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(QuantVecSql).as("qv"))
+        .select(col("vec_id"),
+          aggregate(zip_with(col("qv"), lit(comp), (x, y) => x * y),
+            lit(0L), (a, x) => a + x).as("proj_scaled"))
     },
 
     // C17 — int8 embedding quantization. Integer outputs are exactly
@@ -904,6 +922,30 @@ object PipelineQueries {
        |  SELECT k, CAST(w // (SELECT d FROM m$k) AS BIGINT) AS v_micro
        |  FROM w$k)""".stripMargin
 
+  /** The shared pca_power replay: milli-quantize → unnest → gram
+    * triangle → symmetrize → 8 materialized power-iteration rounds.
+    * `v8` is the component; `e` the (vec_id, dim, q) long frame. */
+  private lazy val PcaCtes: String =
+    s"""q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, CAST(u['pos'] AS BIGINT) AS i,
+       |         CAST(u['val'] AS BIGINT) AS v
+       |  FROM (SELECT vec_id, unnest(list_transform(range(0, len(qv)),
+       |                i -> {'pos': i, 'val': qv[CAST(i+1 AS INT)]})) AS u
+       |        FROM q)),
+       |g AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS g
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2),
+       |fm AS MATERIALIZED (SELECT i, j, g FROM g
+       |        UNION ALL SELECT j AS i, i AS j, g FROM g WHERE i < j),
+       |v0 AS (SELECT DISTINCT i AS k, CAST(1000000 AS BIGINT) AS v_micro FROM g),
+       |${(1 to 8).map(k => pcaIterSql(k)).mkString(",\n")}""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
@@ -1217,26 +1259,16 @@ object PipelineQueries {
     // unrolled power-iteration replay over the same gram CTE; `//`
     // truncates toward zero exactly like the engine's Long division
     "pca_power" -> s"""
-      |WITH q AS (
-      |  SELECT vec_id,
-      |         list_transform(embedding,
-      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
-      |  FROM embeddings),
-      |e AS (
-      |  SELECT vec_id, CAST(u['pos'] AS BIGINT) AS i,
-      |         CAST(u['val'] AS BIGINT) AS v
-      |  FROM (SELECT vec_id, unnest(list_transform(range(0, len(qv)),
-      |                i -> {'pos': i, 'val': qv[CAST(i+1 AS INT)]})) AS u
-      |        FROM q)),
-      |g AS MATERIALIZED (
-      |  SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS g
-      |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
-      |  GROUP BY 1, 2),
-      |fm AS MATERIALIZED (SELECT i, j, g FROM g
-      |        UNION ALL SELECT j AS i, i AS j, g FROM g WHERE i < j),
-      |v0 AS (SELECT DISTINCT i AS k, CAST(1000000 AS BIGINT) AS v_micro FROM g),
-      |${(1 to 8).map(k => pcaIterSql(k)).mkString(",\n")}
+      |WITH $PcaCtes
       |SELECT k, v_micro FROM v8""".stripMargin,
+
+    // C74 — the projection applies v8 back to each vector: the same
+    // e CTE joined to the component (integer dot)
+    "pca_project" -> s"""
+      |WITH $PcaCtes
+      |SELECT e.vec_id, CAST(sum(e.v * c.v_micro) AS BIGINT) AS proj_scaled
+      |FROM e JOIN v8 c ON e.i = c.k
+      |GROUP BY 1""".stripMargin,
 
     // the oracle affords the dim² double-unnest self-join the engine
     // avoids (the aggregate ships triangles, not tuples)
