@@ -695,6 +695,55 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Sparse TF-IDF similarity retrieval: for each PROBE document, the
+    * top-`k` other documents by integer sparse dot product of TF-IDF
+    * weights over shared terms — the term-overlap twin of the
+    * embedding ANN family (works with no embedding model at all;
+    * near-dup triage, related-document linking, probe-vs-corpus
+    * contamination candidates). The term unit is the word `n`-gram
+    * (default 3): unigrams over a closed vocabulary saturate (every
+    * token in most docs), n-grams are the discriminative unit sparse
+    * retrieval actually indexes.
+    *
+    * Integer weights: `w(d,t) = tf · (10⁶ div df)` — IDF as a floored
+    * fixed-point reciprocal, so scores are exact 64-bit sums in any
+    * engine. Terms with `df < 2` can't co-occur and are dropped;
+    * terms with `df > maxDf` are dropped as stop-terms — the
+    * standard sparse-retrieval pruning, and the SCALE CONTRACT: the
+    * postings join fans out per term at most df_probe · df ≤
+    * probe_slice · maxDf pairs, so no term can detonate the join
+    * (exactly why production sparse retrieval caps posting lengths).
+    * One term-keyed postings join + one (probe, cand) map-side
+    * combined aggregation; the rank window is per-probe
+    * candidate-bounded. Ties: score desc, then candidate id. */
+  def sparseSimTopK(docs: DataFrame, textCol: String, idCol: String,
+                    probeFilter: Column, k: Int = 3,
+                    maxDf: Long = 100L, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(ws, i, $n)))")).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfs = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val w = toks.join(dfs, "t")
+      .select(col("id"), col("t"), expr("tf * (1000000 div df)").as("w"))
+    val pw = w.filter(probeFilter)
+      .select(col("id").as("probe_id"), col("t"), col("w").as("wp"))
+    val cand = w.select(col("id").as("cand_id"), col("t"), col("w").as("wc"))
+    val scored = pw.join(cand, "t")
+      .filter(col("probe_id") =!= col("cand_id"))
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(sum(col("wp") * col("wc")).as("score"))
+    val win = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(html,
       "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")

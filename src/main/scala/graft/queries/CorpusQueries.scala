@@ -97,6 +97,17 @@ object CorpusQueries {
         "text", "doc_id", n = 8)
     },
 
+    // C75 — sparse TF-IDF similarity retrieval: per probe doc
+    // (every %37th), the top-3 other docs by integer sparse dot over
+    // shared word-3-gram terms — the term-overlap twin of the
+    // embedding ANN family (no embedding model needed). df∈[2, 100]
+    // pruning is the scale contract: no term fans the postings join
+    // out by more than maxDf (TextAnalysis.sparseSimTopK).
+    "sparse_sim_topk" -> { (s, d) =>
+      TextAnalysis.sparseSimTopK(Tables.fanOut(Tables.documents(s, d)),
+        "text", "doc_id", probeFilter = col("id") % 37 === 0, k = 3)
+    },
+
     // C44 — unigram rarity score: integer-exact surrogate of the
     // unigram-perplexity quality proxy (mean corpus-frequency rank of
     // the doc's tokens, milli-units) — rank is monotone in −log p(w),
@@ -358,6 +369,31 @@ object CorpusQueries {
     // shuffle-free projection (C65) must produce identical values.
     "decontam_spans" -> DecontamSpansSql,
     "decontam_scrub" -> DecontamSpansSql,
+
+    "sparse_sim_topk" -> """
+      |WITH ws AS (
+      |  SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+      |tk AS (
+      |  SELECT id, unnest(list_transform(range(1, len(ws) - 1),
+      |    i -> array_to_string(list_slice(ws, CAST(i AS INT),
+      |                                    CAST(i + 2 AS INT)), ' '))) AS t
+      |  FROM ws WHERE len(ws) >= 3),
+      |tf AS (SELECT id, t, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tk GROUP BY 1, 2),
+      |dfc AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |w AS (SELECT id, tf.t, tf.tf * (1000000 // df) AS w
+      |      FROM tf JOIN dfc ON tf.t = dfc.t WHERE df BETWEEN 2 AND 100),
+      |p AS (SELECT id AS probe_id, t, w AS wp FROM w WHERE id % 37 = 0),
+      |c AS (SELECT id AS cand_id, t, w AS wc FROM w),
+      |sc AS (SELECT probe_id, cand_id, CAST(sum(wp * wc) AS BIGINT) AS score
+      |       FROM p JOIN c ON p.t = c.t WHERE probe_id != cand_id
+      |       GROUP BY 1, 2)
+      |SELECT probe_id, cand_id, score, rank FROM (
+      |  SELECT probe_id, cand_id, score,
+      |         CAST(row_number() OVER (PARTITION BY probe_id
+      |           ORDER BY score DESC, cand_id) AS BIGINT) AS rank
+      |  FROM sc)
+      |WHERE rank <= 3""".stripMargin,
 
     "tfidf_topk" -> """
       |WITH tf AS (
