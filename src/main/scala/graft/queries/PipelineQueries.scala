@@ -557,6 +557,35 @@ object PipelineQueries {
             lit(0L), (a, x) => a + x).as("proj_scaled"))
     },
 
+    // C76 — embedding-space outlier scoring: top-20 vectors by
+    // n²-scaled squared distance to the corpus centroid,
+    // Σ_k (n·q_k − S_k)² — exact integers (the centroid q̄ = S/n is
+    // never materialized as a float; multiply through by n instead).
+    // The curation read: far-from-mean vectors are mislabeled, OOD,
+    // or garbage embeddings worth auditing before training. One
+    // aggregation for (n, S) via the homogeneous-coordinate prepend
+    // (sums(0) = n), a dim-bounded collect (centroid-broadcast
+    // convention), then ONE projection scan + TakeOrdered — no
+    // per-vector shuffle. 63-bit headroom: n·qmax < 3·10⁹ per
+    // coordinate (n < 3·10⁶ rows at milli-quantization; rescale or
+    // partial-aggregate per shard beyond).
+    "embed_outliers" -> { (s, d) =>
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(QuantVecSql).as("qv"))
+      val sums = q
+        .select(posexplode(concat(array(lit(1L)), col("qv"))).as(Seq("k", "v")))
+        .groupBy(col("k")).agg(sum(col("v")).as("sv"))
+        .orderBy(col("k")).collect().map(_.getLong(1))
+      val n = sums.head
+      val sv = sums.tail
+      q.select(col("vec_id"),
+          aggregate(zip_with(col("qv"), lit(sv),
+            (x, y) => (lit(n) * x - y) * (lit(n) * x - y)),
+            lit(0L), (a, x) => a + x).as("dist_scaled"))
+        .orderBy(col("dist_scaled").desc, col("vec_id").asc)
+        .limit(20)
+    },
+
     // C17 — int8 embedding quantization. Integer outputs are exactly
     // reproducible, so serializing the int-array to JSON (scalar string
     // cell for the driver) also unlocks a DuckDB oracle.
@@ -1269,6 +1298,28 @@ object PipelineQueries {
       |SELECT e.vec_id, CAST(sum(e.v * c.v_micro) AS BIGINT) AS proj_scaled
       |FROM e JOIN v8 c ON e.i = c.k
       |GROUP BY 1""".stripMargin,
+
+    "embed_outliers" -> """
+      |WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, CAST(u['pos'] AS BIGINT) AS i,
+      |         CAST(u['val'] AS BIGINT) AS v
+      |  FROM (SELECT vec_id, unnest(list_transform(range(0, len(qv)),
+      |                i -> {'pos': i, 'val': qv[CAST(i+1 AS INT)]})) AS u
+      |        FROM q)),
+      |s AS (SELECT i, CAST(sum(v) AS BIGINT) AS sv FROM e GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+      |d AS (
+      |  SELECT e.vec_id,
+      |         CAST(sum((n.n * e.v - s.sv) * (n.n * e.v - s.sv)) AS BIGINT)
+      |           AS dist_scaled
+      |  FROM e JOIN s ON e.i = s.i CROSS JOIN n GROUP BY 1)
+      |SELECT vec_id, dist_scaled FROM d
+      |ORDER BY dist_scaled DESC, vec_id LIMIT 20""".stripMargin,
 
     // the oracle affords the dim² double-unnest self-join the engine
     // avoids (the aggregate ships triangles, not tuples)
