@@ -422,6 +422,32 @@ class PlanSpec extends SparkTestBase {
     assert(!executed.contains("rangepartitioning"), executed)
   }
 
+  test("embed_gram: the triangle aggregates map-side (partial ObjectHashAggregate)") {
+    val plan = planOf(SparkEntry.queries("embed_gram")(spark, sfDir))
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial phase BELOW the single-partition exchange — only
+    // partitions × dim²/2 longs cross the wire, the C70 contract
+    val lower = plan.toLowerCase
+    assert(lower.contains("objecthashaggregate"), s"no object agg in:\n$plan")
+    assert("partial_gram_matrix".r.findAllIn(lower).nonEmpty,
+      s"no partial gram_matrix phase in:\n$plan")
+    // and no explode/generate anywhere upstream of the aggregate —
+    // the naive dim²-amplification shape must be absent
+    val gen = plan.indexOf("Generate")
+    val agg = plan.toLowerCase.indexOf("partial_gram_matrix")
+    assert(gen == -1 || gen < agg,
+      s"row-amplifying Generate feeds the aggregate:\n$plan")
+  }
+
+  test("embed_covar: post-aggregate joins broadcast the triangle slices") {
+    val plan = planOf(SparkEntry.queries("embed_covar")(spark, sfDir))
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bhj >= 3, s"expected sums×2 + n broadcasts, got $bhj in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"triangle self-join fell back to SMJ:\n$plan")
+  }
+
   test("fanOut gates on scan parallelism: no-op on pre-split input") {
     val docs = sources.Tables.documents(spark, sfDir)
     val par = spark.sparkContext.defaultParallelism
