@@ -189,10 +189,14 @@ object Graph {
     * map-side-combined aggregation on the opposite key; each L1 sum
     * is a one-row aggregate broadcast back — never a driver collect.
     * Skewed in-degree is the aggregation skew case (AQE / salting as
-    * with [[pageRank]]); plan depth grows linearly in `iters`, so
-    * long budgets checkpoint every ~5 rounds — unnecessary at the
-    * fixed default of 2. Eagerly materialized on exit so the
-    * node/edge caches can be unpersisted. */
+    * with [[pageRank]]). Each half-round's score frame is eagerly
+    * materialized (localCheckpoint): the L1-sum broadcasts would
+    * otherwise each replay the ENTIRE upstream half-round chain when
+    * they materialize — four broadcasts deep, that is exponential-ish
+    * re-execution (measured 7s → sub-second on a 5-node graph) —
+    * and the checkpoint also keeps plan depth constant in `iters`.
+    * The score frames are nodes × 16 bytes, so the checkpoint cost
+    * is the half-round itself, paid exactly once. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            wCol: String, iters: Int = 2): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -211,6 +215,7 @@ object Graph {
         .crossJoin(broadcast(asum))
         .select(col("node"),
           expr("coalesce(raw, CAST(0 AS BIGINT)) * 1000000 div tot").as("auth"))
+        .localCheckpoint()
       val hraw = auth.join(e, auth("node") === e("dst"))
         .select(col("src").as("node"), (col("auth") * col("w")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("raw"))
@@ -220,6 +225,7 @@ object Graph {
         .crossJoin(broadcast(hsum))
         .select(col("node"),
           expr("coalesce(raw, CAST(0 AS BIGINT)) * 1000000 div tot").as("hub"))
+        .localCheckpoint()
     }
     val out = hub.join(auth, Seq("node")).localCheckpoint()
     nodes.unpersist()
