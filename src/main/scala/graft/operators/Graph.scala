@@ -60,6 +60,12 @@ object Graph {
     val init = 1000000L / n
     val base = ((10000L - dampBp) * init) / 10000L
     var pr = nodes.select(col("node"), lit(init).as("pr"))
+    // per-round lineage truncation (the hits() lesson, retrofitted):
+    // the conserving form's dangling-sum broadcast replays its whole
+    // upstream chain when it materializes, so un-truncated lineage
+    // re-executes earlier rounds once per later broadcast — measured
+    // 3.0s -> ~2s at sf0.1 for 3 rounds; also keeps plan depth
+    // constant in iters. The rank frame is nodes × 16 bytes.
     for (_ <- 1 to iters) {
       val contrib = pr.join(ew, pr("node") === ew("src"))
         .select(col("dst").as("node"), expr("(pr * w) div w_out").as("c"))
@@ -81,6 +87,7 @@ object Graph {
             expr(s"CAST($base AS BIGINT) + (CAST($dampBp AS BIGINT) * " +
               "coalesce(s, CAST(0 AS BIGINT))) div 10000").as("pr"))
         }
+      pr = pr.localCheckpoint()
     }
     val out = pr.localCheckpoint()
     nodes.unpersist()
