@@ -1,20 +1,61 @@
 package graft
 
-/** Dev scratchpad (labeled; not part of the library surface). */
+/** Dev scratchpad (not part of the library surface): smoke-run the
+  * flagship and print a couple of rows. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    val spark = GraftSession.local(4)
+    val df = SparkEntry.entry(spark)
+    println("ENTRY rows: " + df.count())
+    df.show(3, false)
+    // drive any query by name: runMain graft.Scratch <key> [sfDir]
+    args.headOption.foreach { key =>
+      val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+      val q = SparkEntry.queries(key)(spark, dir)
+      println(s"QUERY $key rows: " + q.count())
+      q.show(5, false)
+    }
+    spark.stop()
+  }
+}
+
+/** Dev probe: compare the fused distinct+sketch aggregate against a
+  * split exact-distinct / sketch-agg plan for approx_sketch. */
+object SketchProbe {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("ERROR")
-    GraftFunctions.register(spark)
-    val d = "/root/testdata/sf0.1"
-    // warm
-    SparkEntry.queries("hits_scores")(spark, "/root/testdata/sf0.001")
-      .write.format("noop").mode("overwrite").save()
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      SparkEntry.queries("hits_scores")(spark, d)
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ev = sources.Tables.events(spark, d)
+      .select(col("event_type"), col("user_id"), col("value"))
+
+    def time(label: String)(fn: => Unit): Unit = {
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime(); fn
+        println(f"$label pass$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+
+    time("fused") {
+      ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          approx_count_distinct(col("user_id"), 0.01).as("au"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95a"))
         .write.format("noop").mode("overwrite").save()
-      println(f"hits_scores pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    time("split") {
+      val sk = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          approx_count_distinct(col("user_id"), 0.01).as("au"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95a"))
+      val nd = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      sk.join(nd, "event_type")
+        .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }
