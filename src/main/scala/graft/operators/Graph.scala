@@ -172,6 +172,125 @@ object Graph {
     dist
   }
 
+  /** Per-node triangle participation counts on the UNDIRECTED simple
+    * graph induced by an edge frame (direction and multiplicity
+    * dropped, self-loops excluded) — the local clustering signal
+    * behind community health checks (a crawl graph whose triangle
+    * density collapses is turning into a star/spam shape) and the
+    * numerator of clustering-coefficient dashboards.
+    *
+    * DEGREE ORIENTATION (the classic distributed-triangle trick):
+    * each undirected edge {a,b} is oriented from its (degree, node)-
+    * smaller endpoint to the larger, so every out-neighborhood has
+    * size O(√m) and the wedge self-join does Σ outdeg(v)² = O(m^1.5)
+    * work TOTAL regardless of degree skew — a hub of degree 10⁶ in a
+    * raw wedge join would emit 10¹² wedges; oriented, hot nodes sit
+    * on the IN side and emit none. Each triangle {u,v,w} is built
+    * exactly once (at its orientation-minimal vertex) and credited to
+    * all three corners via a 3-row explode of the 24-byte triangle
+    * frame.
+    *
+    * Exact integer counts — any engine agrees bit-for-bit, and the
+    * oracle replays orientation + wedge + closure in SQL. Scale: the
+    * dedup/edge frames shuffle on node keys only (distinct, degree
+    * agg, wedge join on the wedge apex, closure join on the (v,w)
+    * pair); nothing driver-side. Nodes in no triangle are absent from
+    * the output (deterministic both engines). */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().cache()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient {a,b} from (deg,node)-smaller to larger; join the bounded
+    // degree frame twice (node-keyed; broadcast when the vocabulary is
+    // small, shuffle-keyed otherwise — Catalyst's call)
+    val o = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("f"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("t"))
+    // wedges at a common apex f with t1 < t2, closed by an undirected
+    // edge {t1,t2} — each triangle materializes exactly once
+    val o1 = o.select(col("f"), col("t").as("v"))
+    val o2 = o.select(col("f"), col("t").as("w"))
+    val tri = o1.join(o2, Seq("f")).filter(col("v") < col("w"))
+      .join(und, col("v") === und("a") && col("w") === und("b"))
+      .select(col("f"), col("v"), col("w"))
+    val out = tri
+      .select(explode(array(col("f"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint()
+    und.unpersist()
+    out
+  }
+
+  /** Bounded-round k-core peeling on the undirected simple graph:
+    * repeatedly drop nodes of degree < k (and their edges) for up to
+    * `rounds` rounds, returning the surviving nodes with their
+    * residual degree — the standard "dense stable subgraph" extractor
+    * (link-graph spam cores, the connected backbone left after
+    * stripping leaf chains).
+    *
+    * EARLY EXIT IS A FIXPOINT: peeling is monotone, so a round that
+    * drops no edge makes every later round a no-op — the engine exits
+    * there, and an oracle that unrolls the full `rounds` budget gets
+    * an identical frame (the unrolled rounds re-derive the same
+    * fixpoint). If the budget caps before convergence both engine and
+    * oracle stop at exactly `rounds` peels — equal again, so the
+    * bounded unrolled-SQL oracle is exact in every case.
+    *
+    * Scale: per round ONE both-sides degree aggregation (map-side
+    * combined, node-keyed) and TWO semi-joins of the edge frame
+    * against the surviving-node frame — all shuffles keyed on node
+    * ids, the node frame is nodes × 8 bytes. Each round's survivor
+    * edge frame is eagerly materialized (localCheckpoint — the
+    * iterative-lineage convention of [[pageRank]]/[[hits]]), which
+    * also makes the early-exit edge count free. Real graphs shed the
+    * leaf tail in the first 1–2 rounds, so small budgets converge;
+    * the budget is a cost cap, not a correctness knob. */
+  def kcore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int = 3, rounds: Int = 4): DataFrame = {
+    var cur = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    var m = cur.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged && m > 0) {
+      r += 1
+      val deg = cur.select(col("a").as("node"))
+        .unionByName(cur.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      val next = cur
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val m2 = next.count()
+      converged = m2 == m
+      m = m2
+      cur = next
+    }
+    // output = degrees over the post-peel edge frame, no extra filter:
+    // this is exactly what `rounds` unrolled peels yield, so the
+    // early-exited engine and the fully-unrolled oracle agree whether
+    // or not the budget converged
+    cur.select(col("a").as("node"))
+      .unionByName(cur.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Fixed-iteration weighted HITS (hubs & authorities, Kleinberg) in
     * integer micro-units — the bipartite-role twin of [[pageRank]]:
     * a node is a good HUB when it points at good authorities and a

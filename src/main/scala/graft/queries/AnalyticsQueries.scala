@@ -319,20 +319,34 @@ object AnalyticsQueries {
     // the only exchanges are the distinct and the per-round
     // join+min-fold, all keyed on the term.
     "graph_reach_deep" -> { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(split(col("text"), " ").as("t"))
-      val edges = toks.select(explode(expr(
-          """CASE WHEN size(t) < 2 THEN array()
-            |ELSE transform(sequence(0, size(t) - 2),
-            |  i -> struct(t[i] AS src, t[i + 1] AS dst)) END""".stripMargin)).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .filter(col("src") =!= "" && col("dst") =!= "")
-        .distinct()
+      val edges = wordAdjacencyEdges(s, d)
       val nodes = edges.select(col("src").as("node"))
         .unionByName(edges.select(col("dst").as("node"))).distinct()
       val seeds = nodes.agg(min(col("node")).as("node"))
       graft.operators.Graph.hopDistanceFrontier(edges, "src", "dst", seeds,
         maxHops = 3)
+    },
+
+    // B55 — per-node TRIANGLE participation on the (undirected view
+    // of the) word-adjacency graph: the local-density signal behind
+    // clustering-coefficient / community-health dashboards. Degree
+    // orientation caps every out-neighborhood at O(√m), so the wedge
+    // self-join does O(m^1.5) total work regardless of hub skew —
+    // the distributed-triangle contract (Graph.triangleCounts);
+    // oracle replays orientation + wedge + closure in SQL.
+    "graph_triangles" -> { (s, d) =>
+      graft.operators.Graph.triangleCounts(wordAdjacencyEdges(s, d), "src", "dst")
+    },
+
+    // B56 — 3-CORE of the word-adjacency graph under a 4-round peel
+    // budget: the dense backbone left after stripping leaf chains
+    // (spam-core extraction on link graphs). A no-drop round is a
+    // fixpoint, so the engine's early exit and the oracle's fully
+    // unrolled rounds produce identical frames whether or not the
+    // budget converges (Graph.kcore).
+    "graph_kcore" -> { (s, d) =>
+      graft.operators.Graph.kcore(wordAdjacencyEdges(s, d), "src", "dst",
+        k = 3, rounds = 4)
     },
 
     // B52 — co-occurrence LIFT: event-type pairs done by the same
@@ -470,6 +484,44 @@ object AnalyticsQueries {
           max(col("n")).as("n"))
     })
 
+  /** Distinct directed word-adjacency edges of the documents corpus
+    * (consecutive-token pairs, built in-scan with a transform HOF —
+    * no per-token shuffle; the only exchange is the distinct). The
+    * shared graph base of B53/B55/B56. */
+  private def wordAdjacencyEdges(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("t"))
+    toks.select(explode(expr(
+        """CASE WHEN size(t) < 2 THEN array()
+          |ELSE transform(sequence(0, size(t) - 2),
+          |  i -> struct(t[i] AS src, t[i + 1] AS dst)) END""".stripMargin)).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= "" && col("dst") =!= "")
+      .distinct()
+  }
+
+  /** The B53/B55/B56 oracle's shared graph base: word-adjacency
+    * edges `e0` (src, dst) in DuckDB, mirroring
+    * [[wordAdjacencyEdges]] token-for-token. */
+  private val WordAdjSql: String =
+    """toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |pairs AS (SELECT unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+      |  i -> [t[CAST(i + 1 AS INT)], t[CAST(i + 2 AS INT)]])) AS p FROM toks),
+      |e0 AS (SELECT DISTINCT p[1] AS src, p[2] AS dst FROM pairs
+      |       WHERE p[1] <> '' AND p[2] <> '')""".stripMargin
+
+  /** One unrolled k-core peel round for the B56 oracle: survivors of
+    * `prev` with degree ≥ k keep their edges in `cur`. */
+  private def kcoreRoundSql(prev: String, cur: String, k: Int): String =
+    s"""${cur}_k AS (
+       |  SELECT node FROM (SELECT a AS node FROM $prev
+       |                    UNION ALL SELECT b FROM $prev)
+       |  GROUP BY 1 HAVING count(*) >= $k),
+       |$cur AS (
+       |  SELECT u.a, u.b FROM $prev u
+       |  WHERE EXISTS (SELECT 1 FROM ${cur}_k x WHERE x.node = u.a)
+       |    AND EXISTS (SELECT 1 FROM ${cur}_k y WHERE y.node = u.b))""".stripMargin
+
   /** One unrolled PageRank iteration for the B50 oracle: `cur` from
     * `prev` with the exact integer-div update the engine uses,
     * including the dangling-mass share (rank on nodes with no
@@ -595,6 +647,44 @@ object AnalyticsQueries {
       |  UNION ALL SELECT e.dst, d.hops + 1 FROM d2 d JOIN e ON d.node = e.src)
       |  GROUP BY 1)
       |SELECT node, hops FROM d3""".stripMargin,
+
+    // B55: orientation + wedge + closure replayed in SQL over the
+    // same word-adjacency base; exact integer counts both engines.
+    "graph_triangles" -> s"""
+      |WITH $WordAdjSql,
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e0 WHERE src <> dst),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      |        GROUP BY 1),
+      |o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+      |                  THEN u.a ELSE u.b END AS f,
+      |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+      |                  THEN u.b ELSE u.a END AS t
+      |      FROM und u JOIN deg da ON u.a = da.node
+      |                 JOIN deg db ON u.b = db.node),
+      |tri AS (SELECT o1.f, o1.t AS v, o2.t AS w
+      |        FROM o o1 JOIN o o2 ON o1.f = o2.f AND o1.t < o2.t
+      |        JOIN und ON und.a = o1.t AND und.b = o2.t)
+      |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+      |  SELECT f AS node FROM tri
+      |  UNION ALL SELECT v FROM tri
+      |  UNION ALL SELECT w FROM tri)
+      |GROUP BY 1""".stripMargin,
+
+    // B56: four unrolled peel rounds; a converged engine run and the
+    // full unroll re-derive the same fixpoint frame.
+    "graph_kcore" -> s"""
+      |WITH $WordAdjSql,
+      |u0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |       FROM e0 WHERE src <> dst),
+      |${kcoreRoundSql("u0", "u1", 3)},
+      |${kcoreRoundSql("u1", "u2", 3)},
+      |${kcoreRoundSql("u2", "u3", 3)},
+      |${kcoreRoundSql("u3", "u4", 3)}
+      |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |  SELECT a AS node FROM u4 UNION ALL SELECT b FROM u4)
+      |GROUP BY 1""".stripMargin,
 
     // B53: same unrolled min-fold as graph_reach — the frontier-delta
     // engine must produce identical distances — over the word-adjacency

@@ -503,6 +503,43 @@ class OperatorSpec extends SparkTestBase {
     assert(authMass > 999000L && authMass <= 1000000L, s"auth mass $authMass")
   }
 
+  test("triangleCounts: K4 corners count 3 each; loops/duplicates/direction ignored") {
+    import spark.implicits._
+    // K4 on 0..3 (each corner in C(3,2)=3 triangles) plus a pendant
+    // edge, a self-loop, and a reversed duplicate — all of which the
+    // undirected-simple normalization must ignore
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (5L, 5L), (1L, 0L)).toDF("src", "dst")
+    val got = graft.operators.Graph.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"unexpected triangle counts $got")
+    // triangle-free graph: empty output, not zero rows per node
+    val path = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    assert(graft.operators.Graph.triangleCounts(path, "src", "dst").count() == 0L)
+  }
+
+  test("kcore: peels leaf chain to the triangle; capped budget equals unrolled peels") {
+    import spark.implicits._
+    // triangle 0-1-2 with a 4-link chain hanging off node 2: each
+    // 2-core peel round strips exactly one leaf
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val full = graft.operators.Graph.kcore(edges, "src", "dst", k = 2, rounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(full == Map(0L -> 2L, 1L -> 2L, 2L -> 2L),
+      s"converged 2-core should be the bare triangle, got $full")
+    // budget cap below convergence: exactly 2 peels (drop 6, then 5)
+    // — the frame a 2-round unrolled oracle produces
+    val capped = graft.operators.Graph.kcore(edges, "src", "dst", k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == Map(0L -> 2L, 1L -> 2L, 2L -> 3L, 3L -> 2L, 4L -> 1L),
+      s"capped 2-round peel mismatch: $capped")
+    // k above any core: everything peels away
+    assert(graft.operators.Graph.kcore(edges, "src", "dst", k = 3, rounds = 10)
+      .count() == 0L)
+  }
+
   test("hopDistanceFrontier equals hopDistance and joins only the frontier shell") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 2L),
