@@ -51,6 +51,48 @@ object Skew {
         col("rank"))
   }
 
+  /** Per-group distribution DRIFT against the pooled reference: for
+    * every value of `groupCol`, a chi-square-form statistic in ppm
+    * space between the group's `bucketCol` histogram and the
+    * whole-frame histogram — the "did this source/shard/day silently
+    * change shape" monitor that runs before a training mix or a
+    * retrain is trusted. `items` is one row per item (pre-bucketed);
+    * output is (group, n_docs, drift_score) with
+    * `drift = Σ_b (p_g(b) − p_ref(b))² div max(p_ref(b), 1)` where
+    * p·(b) are ppm shares by integer division — exact 64-bit in every
+    * engine AT ANY SIZE: ppm ≤ 10⁶ caps each term at 10¹² no matter
+    * the row count, unlike raw-count chi-square whose count products
+    * overflow past ~10⁹ rows. A group matching the pooled mix scores
+    * ~0 (floor dust); disjoint support scores ~2×10⁶ per divergent
+    * bucket's mass.
+    *
+    * Scale: ONE scan of `items` into a (groups × buckets)-key
+    * map-side-combined agg; that profile frame is localCheckpointed
+    * (bounded: groups × buckets counters) and every derived total
+    * re-aggregates it, so the full group × bucket grid — including
+    * the zero cells a drifted group must be charged for — comes from
+    * a broadcast cross join of two bounded frames, never a second
+    * corpus pass. */
+  def distributionDrift(items: DataFrame, groupCol: String,
+                        bucketCol: String): DataFrame = {
+    val b = items
+      .groupBy(col(groupCol), col(bucketCol))
+      .agg(count(lit(1)).as("c_s"))
+      .localCheckpoint()
+    val grpTot = b.groupBy(col(groupCol)).agg(sum(col("c_s")).as("n_s"))
+    val ref = b.groupBy(col(bucketCol)).agg(sum(col("c_s")).as("c_r"))
+    val tot = ref.agg(sum(col("c_r")).as("n_r"))
+    grpTot.crossJoin(broadcast(ref)).crossJoin(broadcast(tot))
+      .join(b, Seq(groupCol, bucketCol), "left")
+      .select(col(groupCol), col("n_s"),
+        expr("coalesce(c_s, CAST(0 AS BIGINT)) * 1000000 div n_s").as("p_s"),
+        expr("c_r * 1000000 div n_r").as("p_r"))
+      .groupBy(col(groupCol))
+      .agg(min(col("n_s")).as("n_docs"),
+        sum(expr("((p_s - p_r) * (p_s - p_r)) div greatest(p_r, CAST(1 AS BIGINT))"))
+          .as("drift_score"))
+  }
+
   /** Inner equi-join `skewed ⋈ other` on `key`, salted `nSalts` ways.
     * Result rows are identical to a plain inner join: each skewed-side
     * row carries exactly one salt and the other side replicates across

@@ -301,6 +301,33 @@ object PipelineQueries {
         .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
     },
 
+    // C78 — per-SOURCE duplication profile: docs, near-dup members,
+    // and the duplication rate in basis points for every source — the
+    // dashboard row that catches a mirrored or scraped-twice source
+    // before it skews a training mix (whole-corpus dedup rates hide
+    // exactly this). Membership = presence in the C18 cluster map
+    // (every member has ≥1 verified pair); source attribution joins
+    // the mirror corpus back to documents on the base id — a
+    // broadcast-sized dim join; the counting is one (source)-keyed
+    // map-side-combined agg over the 16-byte membership frame.
+    "dedup_source_profile" -> { (s, d) =>
+      val cl = Dedup.clusterPairs(
+        Dedup.minhashLshFromSignatures(corpusSignatures(s, d), minBp = 8000),
+        "doc_a", "doc_b")
+      val docSrc = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id").as("base_id"), col("source"))
+      corpus(s, d)
+        .select(col("doc_id"), (col("doc_id") % 1000000L).as("base_id"))
+        .join(broadcast(docSrc), "base_id")
+        .join(cl.select(col("doc_id"), lit(1L).as("is_dup")),
+          Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+        .select(col("source"), col("n_docs"), col("n_dup"),
+          expr("n_dup * 10000 div n_docs").as("dup_bp"))
+    },
+
     // C24 — incremental near-dup: the perturbed docs play the crawl
     // increment, the base docs the persisted corpus — candidates are
     // increment×corpus + increment×increment, the corpus is never
@@ -1257,6 +1284,27 @@ object PipelineQueries {
       |szs AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz
       |        FROM cl GROUP BY 1)
       |SELECT sz, count(*) AS n_clusters FROM szs GROUP BY 1""".stripMargin,
+
+    // C78: cluster-map membership per source; base-id join attributes
+    // mirror copies to their origin's source.
+    "dedup_source_profile" -> s"""WITH RECURSIVE $CorpusBody,
+      |$VerifiedPairsBody,
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      |          UNION SELECT doc_b, doc_a FROM vpairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |cl AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+      |m AS (SELECT c.doc_id, d.source
+      |      FROM corpus c JOIN documents d ON d.doc_id = c.doc_id % 1000000),
+      |f AS (SELECT m.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(CASE WHEN cl.id IS NOT NULL THEN 1 ELSE 0 END)
+      |               AS BIGINT) AS n_dup
+      |      FROM m LEFT JOIN cl ON cl.id = m.doc_id GROUP BY 1)
+      |SELECT source, n_docs, n_dup, n_dup * 10000 // n_docs AS dup_bp
+      |FROM f""".stripMargin,
 
     // n, per-dim sums, and the Gram all come from the ONE augmented
     // triangle (homogeneous coordinate) — the oracle replays it with

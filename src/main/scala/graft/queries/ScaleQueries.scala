@@ -97,6 +97,30 @@ object ScaleQueries {
         .select(col("doc_id"), TextAnalysis.normalizeUrl(col("url")).as("url_norm"))
         .groupBy(col("url_norm"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
+    },
+
+    // C77 — per-source distribution DRIFT monitor: a chi-square-form
+    // statistic in ppm space between each source's doc-length profile
+    // and the whole-corpus reference — the "did a source's shape
+    // silently change" alarm that runs before retraining mixes are
+    // trusted. Buckets are the C68 integer log2 lengths;
+    // probabilities are ppm by integer division, so
+    // drift = Σ_b (p_s(b) − p_r(b))² div max(p_r(b), 1) is exact
+    // 64-bit in every engine AT ANY CORPUS SIZE (ppm ≤ 10⁶ caps each
+    // term at 10¹² regardless of row count — no count-product
+    // overflow, unlike raw-count chi-square). SCALE: ONE corpus scan
+    // into a (sources × ~20)-key map-side-combined agg; the profile
+    // frame is then localCheckpointed (a few hundred bytes) and every
+    // derived total re-aggregates it — the full source × bucket grid
+    // including zero cells comes from a broadcast cross join of two
+    // bounded frames, never a second corpus pass.
+    "source_drift" -> { (s, d) =>
+      Skew.distributionDrift(
+        Tables.documents(s, d)
+          .select(col("source"),
+            (length(bin(greatest(size(split(col("text"), " ")).cast("long"),
+              lit(1L)))) - 1).cast("long").as("len_bucket")),
+        "source", "len_bucket")
     })
 
   /** DuckDB twin of TextAnalysis.visibleText over SQL fragment `x`:
@@ -234,5 +258,29 @@ object ScaleQueries {
       |           AS url_norm FROM n6)
       |SELECT url_norm, CAST(min(doc_id) AS BIGINT) AS doc_id,
       |       CAST(count(*) AS BIGINT) AS n_variants
-      |FROM n7 GROUP BY 1""".stripMargin)
+      |FROM n7 GROUP BY 1""".stripMargin,
+
+    // C77: ppm-space chi-square form; `//` and Spark's `div` agree on
+    // the non-negative operands here (squares and floored ppm).
+    "source_drift" -> """
+      |WITH b AS (
+      |  SELECT source, CAST(length(bin(n_tok)) - 1 AS BIGINT) AS len_bucket,
+      |         CAST(count(*) AS BIGINT) AS c_s
+      |  FROM (SELECT source,
+      |               greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1)
+      |                 AS n_tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM b GROUP BY 1),
+      |rf AS (SELECT len_bucket, CAST(sum(c_s) AS BIGINT) AS c_r FROM b GROUP BY 1),
+      |tt AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r FROM rf),
+      |g AS (SELECT st.source, st.n_s,
+      |             coalesce(b.c_s, 0) * 1000000 // st.n_s AS p_s,
+      |             rf.c_r * 1000000 // (SELECT n_r FROM tt) AS p_r
+      |      FROM st CROSS JOIN rf
+      |      LEFT JOIN b ON b.source = st.source AND b.len_bucket = rf.len_bucket)
+      |SELECT source, CAST(min(n_s) AS BIGINT) AS n_docs,
+      |       CAST(sum(((p_s - p_r) * (p_s - p_r)) // greatest(p_r, 1)) AS BIGINT)
+      |         AS drift_score
+      |FROM g GROUP BY 1""".stripMargin)
 }

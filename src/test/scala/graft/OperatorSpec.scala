@@ -150,6 +150,36 @@ class OperatorSpec extends SparkTestBase {
     assert(got == expect, got.toString)
   }
 
+  test("distributionDrift: pooled-shaped group scores floor dust, disjoint group dominates") {
+    import spark.implicits._
+    // group a: 90+90 rows on buckets 1/2 (shape ≈ pooled); group b:
+    // 20 rows on a bucket only it occupies
+    val items = ((1 to 90).map(_ => ("a", 1L)) ++ (1 to 90).map(_ => ("a", 2L)) ++
+      (1 to 20).map(_ => ("b", 3L))).toDF("g", "bucket")
+    val got = graft.operators.Skew.distributionDrift(items, "g", "bucket")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // driver-side replay of the exact ppm integer formula
+    def drift(own: Map[Long, Long], nS: Long): Long = {
+      val ref = Map(1L -> 90L, 2L -> 90L, 3L -> 20L)
+      val nR = 200L
+      ref.keys.toSeq.map { b =>
+        val pS = own.getOrElse(b, 0L) * 1000000L / nS
+        val pR = ref(b) * 1000000L / nR
+        (pS - pR) * (pS - pR) / math.max(pR, 1L)
+      }.sum
+    }
+    val want = Map(
+      "a" -> (180L, drift(Map(1L -> 90L, 2L -> 90L), 180L)),
+      "b" -> (20L, drift(Map(3L -> 20L), 20L)))
+    assert(got == want, s"engine $got != replay $want")
+    assert(got("b")._2 > got("a")._2 * 10, "disjoint group must dominate")
+    // a single group IS the pooled reference: drift exactly 0
+    val solo = (1 to 30).map(i => ("only", (i % 3).toLong)).toDF("g", "bucket")
+    val soloGot = graft.operators.Skew.distributionDrift(solo, "g", "bucket")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(soloGot == Seq(("only", 30L, 0L)), soloGot.toString)
+  }
+
   test("enrichment join drops the enrichment's key copy from output") {
     import spark.implicits._
     val stream = Seq((1L, "o1"), (2L, "o2")).toDF("k", "payload")
