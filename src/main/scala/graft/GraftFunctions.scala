@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.call_function
 
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 
-import graft.functions.{Fingerprint64, GramMatrix, MinHashSig, ParseSqdataTs, ReservoirSample, TopK, VecDistSq, VecDot}
+import graft.functions.{Fingerprint64, GramMatrix, MinHashSig, MisraGries, ParseSqdataTs, ReservoirSample, TopK, VecDistSq, VecDot}
 
 /** Registration + Column-API surface for graft's native Catalyst
   * expressions. Registration is idempotent; every `SparkEntry.queries`
@@ -32,6 +32,9 @@ object GraftFunctions {
         exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(
       "gram_matrix", exprs => GramMatrix(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "mg_sketch", exprs => MisraGries(exprs.head,
+        exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
@@ -71,6 +74,14 @@ object GraftFunctions {
     * behind distributed PCA/covariance (see functions.GramMatrix:
     * only dim²/2 longs per partition cross the shuffle). */
   def gram_matrix(c: Column): Column = call_function("gram_matrix", c)
+
+  /** Misra–Gries k-counter heavy-hitters summary over a bigint item
+    * column — `array<struct<item, est>>` with the mergeable
+    * guarantee est ≤ true ≤ est + n/(k+1) (see functions.MisraGries:
+    * only partitions × k pairs cross the shuffle, never the
+    * vocabulary). */
+  def mg_sketch(c: Column, k: Int): Column =
+    call_function("mg_sketch", c, org.apache.spark.sql.functions.lit(k))
 
   /** Codegen'd sequential-fold dot product over two float/double
     * arrays — bit-identical to `aggregate(zip_with(a, b, _*_), 0d,

@@ -121,6 +121,41 @@ object ScaleQueries {
             (length(bin(greatest(size(split(col("text"), " ")).cast("long"),
               lit(1L)))) - 1).cast("long").as("len_bucket")),
         "source", "len_bucket")
+    },
+
+    // C79 — heavy hitters by MISRA–GRIES sketch (functions.MisraGries
+    // via mg_sketch, k = 16), B14-style bounded verification: the
+    // engine computes its own sketch AND its own exact counts, then
+    // publishes the guarantee booleans — every item above the
+    // n/(k+1) share must be captured, estimates never exceed truth,
+    // and the estimate gap stays within n/(k+1) — which hold under
+    // ANY merge order, so both engines emit identical rows. The
+    // token stream gets three PLANTED hot markers (every doc_id%4==0
+    // doc's tokens collapse to hot0/hot1/hot2 ≈ 8.3% each, above the
+    // 1/17 threshold; the organic vocabulary tops out ~2.6% below
+    // it) so the verified set is provably non-empty. SCALE: the
+    // sketch side moves partitions × k pairs through the shuffle —
+    // never the vocabulary; the exact side exists only to verify.
+    "heavy_hitters" -> { (s, d) =>
+      val stream = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .select(when(col("doc_id") % 4 === 0,
+          expr("concat('hot', CAST((doc_id div 4) % 3 AS STRING))"))
+          .otherwise(col("term")).as("term"))
+      val sk = stream.agg(graft.GraftFunctions
+        .mg_sketch(graft.GraftFunctions.fingerprint64(col("term")), 16).as("cand"))
+      val exact = stream.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val tot = exact.agg(sum(col("cnt")).as("n"))
+      val est =
+        "element_at(filter(cand, c -> c.item = fingerprint64(term)), 1).est"
+      exact.crossJoin(broadcast(tot)).filter(col("cnt") * 17 > col("n"))
+        .crossJoin(broadcast(sk))
+        .select(col("term"), col("cnt"),
+          expr("exists(cand, c -> c.item = fingerprint64(term))").as("captured"),
+          expr(s"coalesce($est <= cnt, false)").as("underest_ok"),
+          expr(s"(cnt - coalesce($est, CAST(0 AS BIGINT))) * 17 <= n")
+            .as("bound_ok"))
     })
 
   /** DuckDB twin of TextAnalysis.visibleText over SQL fragment `x`:
@@ -282,5 +317,23 @@ object ScaleQueries {
       |SELECT source, CAST(min(n_s) AS BIGINT) AS n_docs,
       |       CAST(sum(((p_s - p_r) * (p_s - p_r)) // greatest(p_r, 1)) AS BIGINT)
       |         AS drift_score
-      |FROM g GROUP BY 1""".stripMargin)
+      |FROM g GROUP BY 1""".stripMargin,
+
+    // C79: the oracle owes only the exact side plus the literal
+    // guarantee booleans — the sketch contract says they are TRUE for
+    // every above-threshold item under any merge order, so a sketch
+    // bug surfaces as a value mismatch on the engine's rows.
+    "heavy_hitters" -> """
+      |WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |stream AS (
+      |  SELECT CASE WHEN doc_id % 4 = 0
+      |              THEN 'hot' || CAST((doc_id // 4) % 3 AS VARCHAR)
+      |              ELSE term END AS term
+      |  FROM tok WHERE length(term) > 0),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM stream),
+      |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM stream GROUP BY 1)
+      |SELECT term, cnt, TRUE AS captured, TRUE AS underest_ok,
+      |       TRUE AS bound_ok
+      |FROM c CROSS JOIN n WHERE cnt * 17 > n.n""".stripMargin)
 }

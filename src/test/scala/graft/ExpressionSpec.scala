@@ -189,6 +189,42 @@ class ExpressionSpec extends SparkTestBase {
     assert(empty.isEmpty)
   }
 
+  test("mg_sketch guarantee holds across adversarial partitionings") {
+    import spark.implicits._
+    // Zipf-ish stream: item i appears 2000/i times for i in 1..40 plus
+    // a long uniform tail — heavy head, sub-threshold bulk
+    val stream = ((1 to 40).flatMap(i => Seq.fill(2000 / i)(i.toLong)) ++
+      (1L to 3000L).map(i => 100L + (i % 500))).toVector
+    val n = stream.size.toLong
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val k = 12
+    for (parts <- Seq(1, 4, 17)) {
+      val got = stream.toDF("item").repartition(parts)
+        .agg(GraftFunctions.mg_sketch(col("item"), k).as("s"))
+        .select(explode(col("s")).as("e"))
+        .select(col("e.item"), col("e.est"))
+        .as[(Long, Long)].collect().toMap
+      assert(got.size <= k, s"summary exceeded k: ${got.size}")
+      // est never exceeds truth; gap bounded by n/(k+1)
+      got.foreach { case (item, est) =>
+        assert(est <= truth(item), s"overestimate at $item: $est > ${truth(item)}")
+      }
+      truth.foreach { case (item, cnt) =>
+        val est = got.getOrElse(item, 0L)
+        assert((cnt - est) * (k + 1) <= n,
+          s"gap bound broken at $item ($parts parts): cnt=$cnt est=$est")
+        if (cnt * (k + 1) > n)
+          assert(got.contains(item),
+            s"guaranteed-heavy item $item missing at $parts partitions")
+      }
+    }
+    // empty stream → empty summary
+    val empty = spark.sql(
+      "SELECT mg_sketch(CAST(id AS BIGINT), 4) AS s FROM range(0)")
+      .collect()(0).getSeq[Any](0)
+    assert(empty.isEmpty)
+  }
+
   test("expressions agree between codegen and interpreted eval") {
     val df = sources.Tables.documents(spark, sfDir).limit(50)
       .select(GraftFunctions.fingerprint64(col("text")).as("fp"))
