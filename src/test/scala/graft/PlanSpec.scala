@@ -448,6 +448,38 @@ class PlanSpec extends SparkTestBase {
       s"triangle self-join fell back to SMJ:\n$plan")
   }
 
+  test("graph_triangles: every join keyed — no cartesian; counts shuffle as longs") {
+    val plan = planOf(SparkEntry.queries("graph_triangles")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      s"wedge/closure joins must stay keyed:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in the triangle path:\n$plan")
+  }
+
+  test("heavy_hitters: the sketch aggregates map-side (partial ObjectHashAggregate)") {
+    val plan = planOf(SparkEntry.queries("heavy_hitters")(spark, sfDir))
+    val lower = plan.toLowerCase
+    // the k-counter summary combines BEFORE the single-partition
+    // exchange — partitions × k pairs cross the wire, the C79 contract
+    assert(lower.contains("objecthashaggregate"), s"no object agg in:\n$plan")
+    assert("partial_mg_sketch".r.findAllIn(lower).nonEmpty,
+      s"no partial mg_sketch phase in:\n$plan")
+  }
+
+  test("source_drift: post-profile grid is broadcast-joined, zero corpus rescans") {
+    val df = SparkEntry.queries("source_drift")(spark, sfDir)
+    val plan = planOf(df)
+    // the bucketed profile is localCheckpointed: everything after it
+    // reads the in-memory RDD, so NO parquet scan may appear in the
+    // final plan — the one corpus pass happened at checkpoint time
+    assert(!plan.toLowerCase.contains("filescan"),
+      s"corpus rescan after the profile checkpoint:\n$plan")
+    // the zero-cell grid comes from broadcast joins of bounded frames
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"grid not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unbroadcast cross join:\n$plan")
+  }
+
   test("fanOut gates on scan parallelism: no-op on pre-split input") {
     val docs = sources.Tables.documents(spark, sfDir)
     val par = spark.sparkContext.defaultParallelism
