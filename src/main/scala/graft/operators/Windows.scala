@@ -71,4 +71,33 @@ object Windows {
       .select(col(keyCol), col("hour_start"),
         coalesce(col("n_events"), lit(0L)).as("n_events_filled"))
   }
+
+  /** Interval-intersection alignment of two per-key interval frames —
+    * the temporal-algebra join behind "how much of each session fell
+    * inside an incident window", SCD2-era × activity-period overlap
+    * reports, and any two-timeline reconciliation. For every pair of
+    * same-key intervals that OVERLAP (closed intervals:
+    * `aStart ≤ bEnd ∧ bStart ≤ aEnd`), emits both source intervals
+    * plus the intersection `[greatest(starts), least(ends)]` and its
+    * width in seconds.
+    *
+    * Scale: ONE equi-join shuffled on the key; the overlap predicate
+    * evaluates post-join, so per-key cost is intervals_a × intervals_b
+    * FOR THAT KEY — both sides are aggregated interval frames
+    * (sessions, eras), orders of magnitude smaller than their event
+    * inputs, and real keys carry few intervals. A key hot enough to
+    * matter is the [[Skew]] salting case, unchanged. Timestamps
+    * compare as integers — engine-exact, SQL-oracle replayable. */
+  def intervalAlign(a: DataFrame, b: DataFrame, key: String,
+                    aStart: String, aEnd: String,
+                    bStart: String, bEnd: String): DataFrame = {
+    val bb = b.withColumnRenamed(key, "__bk")
+    a.join(bb, col(key) === col("__bk") &&
+        col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .drop("__bk")
+      .withColumn("ov_start", greatest(col(aStart), col(bStart)))
+      .withColumn("ov_end", least(col(aEnd), col(bEnd)))
+      .withColumn("ov_secs",
+        col("ov_end").cast("long") - col("ov_start").cast("long"))
+  }
 }

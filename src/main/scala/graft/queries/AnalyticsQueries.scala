@@ -413,6 +413,41 @@ object AnalyticsQueries {
           sum(when(col("gap"), 1L).otherwise(0L)).over(byUser).as("session_id"))
     },
 
+    // B57 — interval-intersection ALIGNMENT (Windows.intervalAlign)
+    // of two per-user timelines: activity sessions (B32's 1800s-gap
+    // islands) × error islands (3600s-gap islands over error events)
+    // — "how much of each session fell inside an incident window",
+    // the two-timeline reconciliation temporal algebra needs beyond
+    // point lookups (B11 as-of) and point-in-range (B12). One
+    // user-keyed equi-join of two aggregated interval frames; the
+    // overlap band predicate evaluates post-join, so per-key cost is
+    // that key's sessions × islands — bounded frames, not events.
+    "interval_align" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      def islands(src: DataFrame, gapSecs: Long, idCol: String,
+                  a: String, b: String, nCol: String): DataFrame =
+        src.select(col("user_id"), col("ts"), col("event_id"),
+            (col("ts").cast("long") -
+              lag(col("ts"), 1).over(byUser).cast("long") > gapSecs).as("gap"))
+          .select(col("user_id"), col("ts"),
+            sum(when(col("gap"), 1L).otherwise(0L)).over(byUser).as(idCol))
+          .groupBy(col("user_id"), col(idCol))
+          .agg(min(col("ts")).as(a), max(col("ts")).as(b),
+            count(lit(1)).as(nCol))
+      val ev = Tables.events(s, d)
+      val sess = islands(ev, 1800L, "session_id", "s_start", "s_end", "n_events")
+      val errs = islands(ev.filter(col("event_type") === "error"),
+        3600L, "err_island", "e_start", "e_end", "n_errors")
+      graft.operators.Windows
+        .intervalAlign(sess, errs, "user_id", "s_start", "s_end",
+          "e_start", "e_end")
+        .select(col("user_id"), col("session_id"), col("s_start"),
+          col("s_end"), col("n_events"), col("err_island"), col("e_start"),
+          col("e_end"), col("n_errors"), col("ov_start"), col("ov_end"),
+          col("ov_secs"))
+    },
+
     // B33 — grouped correlation/covariance WITHOUT float-order
     // nondeterminism: the five moments (Σx, Σy, Σxy, Σx², Σy²)
     // accumulate as exact decimals (order-independent), final-cast to
@@ -786,6 +821,47 @@ object AnalyticsQueries {
         FROM events)
       SELECT event_type, next_type, count(*) AS n
       FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2""",
+
+    // B57: both island derivations replayed (the proven B32 pairing of
+    // date_diff-seconds vs cast-long diffs), then the overlap join.
+    "interval_align" -> """
+      |WITH s0 AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800
+      |              THEN 1 ELSE 0 END AS gap
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |s1 AS (SELECT user_id, ts,
+      |              sum(gap) OVER (PARTITION BY user_id
+      |                             ORDER BY ts ASC, event_id ASC) AS sid
+      |       FROM s0),
+      |sess AS (SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+      |                min(ts) AS s_start, max(ts) AS s_end,
+      |                CAST(count(*) AS BIGINT) AS n_events
+      |         FROM s1 GROUP BY 1, 2),
+      |e0 AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 3600
+      |              THEN 1 ELSE 0 END AS gap
+      |  FROM events WHERE event_type = 'error'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |e1 AS (SELECT user_id, ts,
+      |              sum(gap) OVER (PARTITION BY user_id
+      |                             ORDER BY ts ASC, event_id ASC) AS eid
+      |       FROM e0),
+      |err AS (SELECT user_id, CAST(eid AS BIGINT) AS err_island,
+      |               min(ts) AS e_start, max(ts) AS e_end,
+      |               CAST(count(*) AS BIGINT) AS n_errors
+      |        FROM e1 GROUP BY 1, 2)
+      |SELECT s.user_id, s.session_id, s.s_start, s.s_end, s.n_events,
+      |       e.err_island, e.e_start, e.e_end, e.n_errors,
+      |       greatest(s.s_start, e.e_start) AS ov_start,
+      |       least(s.s_end, e.e_end) AS ov_end,
+      |       CAST(date_diff('second', greatest(s.s_start, e.e_start),
+      |                      least(s.s_end, e.e_end)) AS BIGINT) AS ov_secs
+      |FROM sess s JOIN err e
+      |  ON s.user_id = e.user_id
+      | AND s.s_start <= e.e_end AND e.e_start <= s.s_end""".stripMargin,
 
     "sessionize" -> """
       WITH g AS (

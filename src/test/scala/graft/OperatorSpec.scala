@@ -150,6 +150,27 @@ class OperatorSpec extends SparkTestBase {
     assert(got == expect, got.toString)
   }
 
+  test("intervalAlign: partial/nested/point-touch overlaps emit, disjoint and cross-key don't") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // key 1: a=[10,20]; b partial [15,25], nested [12,13], touch [20,30],
+    // disjoint [21,40] (closed-interval: touch at 20 overlaps, 21 doesn't)
+    val a = Seq((1L, ts(10), ts(20)), (2L, ts(100), ts(200)))
+      .toDF("k", "a_start", "a_end")
+    val b = Seq((1L, ts(15), ts(25)), (1L, ts(12), ts(13)), (1L, ts(20), ts(30)),
+      (1L, ts(21), ts(40)), (3L, ts(10), ts(20))).toDF("k", "b_start", "b_end")
+    val got = graft.operators.Windows
+      .intervalAlign(a, b, "k", "a_start", "a_end", "b_start", "b_end")
+      .select(col("k"), col("ov_start").cast("long"),
+        col("ov_end").cast("long"), col("ov_secs"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 15L, 20L, 5L),  // partial
+      (1L, 12L, 13L, 1L),  // nested
+      (1L, 20L, 20L, 0L))  // point-touch
+    assert(got == want, s"engine $got != $want")
+  }
+
   test("distributionDrift: pooled-shaped group scores floor dust, disjoint group dominates") {
     import spark.implicits._
     // group a: 90+90 rows on buckets 1/2 (shape ≈ pooled); group b:
