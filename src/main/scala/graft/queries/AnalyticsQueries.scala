@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.TextAnalysis
+import graft.operators.{AsOfJoin, TextAnalysis}
 import graft.sources.Tables
 
 /** §2.B extension — analytic/time-series operators (B15–B19): CUBE,
@@ -411,6 +411,26 @@ object AnalyticsQueries {
             .as("gap"))
         .select(col("event_id"), col("user_id"), col("ts"),
           sum(when(col("gap"), 1L).otherwise(0L)).over(byUser).as("session_id"))
+    },
+
+    // B58 — CEP-style EPISODE matching (skip-till-next-match): per
+    // 'view' trigger, the next 'click' at-or-after it, then the next
+    // 'purchase' at-or-after that click, with a completed flag when
+    // the whole episode closes within 3600s of the trigger — the
+    // per-event sequential-pattern lookup B26's funnel (stage
+    // populations) can't answer. Built from TWO forward as-of joins
+    // (AsOfJoin.leftAsOfForward): each step is one key-shuffled
+    // union + running-last window — never a per-pair self-join; ties
+    // at the same instant resolve to the smallest event id (the
+    // forward as-of contract), so episodes are engine-exact.
+    "cep_episodes" -> { (s, d) =>
+      graft.operators.Cep.nextMatchEpisodes(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click", "purchase"), windowSecs = 3600L)
+        .select(col("trigger_id").as("event_id"), col("user_id"),
+          col("trigger_ts").as("ts"), col("s1_ts").as("c_ts"),
+          col("s1_id").as("c_id"), col("s2_ts").as("p_ts"),
+          col("s2_id").as("p_id"), col("completed"))
     },
 
     // B57 — interval-intersection ALIGNMENT (Windows.intervalAlign)
@@ -821,6 +841,39 @@ object AnalyticsQueries {
         FROM events)
       SELECT event_type, next_type, count(*) AS n
       FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2""",
+
+    // B58: each as-of step replayed as min-over-candidates (ts first,
+    // then smallest id at that ts — the forward tie-break contract).
+    "cep_episodes" -> """
+      |WITH v AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events
+      |      WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+      |      WHERE event_type = 'purchase'),
+      |s1 AS (SELECT v.event_id, v.user_id, v.ts, min(c.c_ts) AS c_ts
+      |       FROM v LEFT JOIN c ON c.user_id = v.user_id AND c.c_ts >= v.ts
+      |       GROUP BY 1, 2, 3),
+      |s1b AS (SELECT s1.event_id, s1.user_id, s1.ts, s1.c_ts,
+      |               min(c.c_id) AS c_id
+      |        FROM s1 LEFT JOIN c ON c.user_id = s1.user_id
+      |                           AND c.c_ts = s1.c_ts
+      |        GROUP BY 1, 2, 3, 4),
+      |s2 AS (SELECT b.event_id, b.user_id, b.ts, b.c_ts, b.c_id,
+      |              min(p.p_ts) AS p_ts
+      |       FROM s1b b LEFT JOIN p ON p.user_id = b.user_id
+      |                             AND b.c_ts IS NOT NULL
+      |                             AND p.p_ts >= b.c_ts
+      |       GROUP BY 1, 2, 3, 4, 5),
+      |s2b AS (SELECT s2.event_id, s2.user_id, s2.ts, s2.c_ts, s2.c_id,
+      |               s2.p_ts, min(p.p_id) AS p_id
+      |        FROM s2 LEFT JOIN p ON p.user_id = s2.user_id
+      |                           AND p.p_ts = s2.p_ts
+      |        GROUP BY 1, 2, 3, 4, 5, 6)
+      |SELECT event_id, user_id, ts, c_ts, c_id, p_ts, p_id,
+      |       p_ts IS NOT NULL AND date_diff('second', ts, p_ts) <= 3600
+      |         AS completed
+      |FROM s2b""".stripMargin,
 
     // B57: both island derivations replayed (the proven B32 pairing of
     // date_diff-seconds vs cast-long diffs), then the overlap join.

@@ -150,6 +150,41 @@ class OperatorSpec extends SparkTestBase {
     assert(got == expect, got.toString)
   }
 
+  test("cep episodes: skip-till-next binds earliest step, dangles cleanly, respects window") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1: click@5 BEFORE the trigger is ignored; trigger view@10
+    // binds click@20 (not click@30), then purchase@40 → completed.
+    // user 2: view@10 → click@20 but purchase@5000 misses the 100s
+    // window → bound but completed=false.
+    // user 3: view@10 with no click → both steps dangle.
+    // user 4: simultaneous clicks at the bind instant → smallest id.
+    val ev = Seq(
+      (100L, 1L, 5L, "click"), (101L, 1L, 10L, "view"),
+      (102L, 1L, 20L, "click"), (103L, 1L, 30L, "click"),
+      (104L, 1L, 40L, "purchase"),
+      (200L, 2L, 10L, "view"), (201L, 2L, 20L, "click"),
+      (202L, 2L, 5000L, "purchase"),
+      (300L, 3L, 10L, "view"),
+      (400L, 4L, 10L, "view"), (402L, 4L, 15L, "click"),
+      (401L, 4L, 15L, "click"), (403L, 4L, 16L, "purchase"))
+      .map { case (id, u, t, ty) => (id, u, ts(t), ty) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.Cep.nextMatchEpisodes(ev, "user_id", "ts",
+        "event_id", "event_type", Seq("view", "click", "purchase"), 100L)
+      .select(col("trigger_id"), col("s1_id"), col("s2_id"), col("completed"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val want = Set(
+      (101L, 102L, 104L, true),   // earliest click after trigger, in window
+      (200L, 201L, 202L, false),  // bound, outside window
+      (300L, -1L, -1L, false),    // dangling chain
+      (400L, 401L, 403L, true))   // tie at instant → smallest id
+    assert(got == want, s"engine $got != $want")
+  }
+
   test("intervalAlign: partial/nested/point-touch overlaps emit, disjoint and cross-key don't") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
