@@ -413,6 +413,31 @@ object AnalyticsQueries {
           sum(when(col("gap"), 1L).otherwise(0L)).over(byUser).as("session_id"))
     },
 
+    // B59 — TIME-WEIGHTED average value per user (TWAP): each
+    // observation holds until the next same-user event, so the mean
+    // weights value by HOLDING DURATION, not by tick count — the
+    // market-data/sensor statistic a plain avg() silently gets wrong
+    // on irregular streams. Integer-exact: cents × seconds sums in
+    // 64-bit, twap = vt_sum div dur_secs; the window and the
+    // aggregation share the user-key partitioning, so the whole
+    // operator costs ONE shuffle.
+    "twap_value" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        .withColumn("dur",
+          lead(col("ts"), 1).over(byUser).cast("long") - col("ts").cast("long"))
+        .filter(col("dur").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_spans"), sum(col("dur")).as("dur_secs"),
+          sum(col("cents") * col("dur")).as("vt_sum"))
+        .filter(col("dur_secs") > 0)
+        .select(col("user_id"), col("n_spans"), col("dur_secs"),
+          col("vt_sum"), expr("vt_sum div dur_secs").as("twap_cents"))
+    },
+
     // B58 — CEP-style EPISODE matching (skip-till-next-match): per
     // 'view' trigger, the next 'click' at-or-after it, then the next
     // 'purchase' at-or-after that click, with a completed flag when
@@ -841,6 +866,23 @@ object AnalyticsQueries {
         FROM events)
       SELECT event_type, next_type, count(*) AS n
       FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2""",
+
+    // B59: non-negative cents×seconds, so `//` and `div` agree.
+    "twap_value" -> """
+      |WITH s0 AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |         date_diff('second', ts,
+      |           lead(ts) OVER (PARTITION BY user_id
+      |                          ORDER BY ts ASC, event_id ASC)) AS dur
+      |  FROM events),
+      |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |             CAST(sum(dur) AS BIGINT) AS dur_secs,
+      |             CAST(sum(cents * dur) AS BIGINT) AS vt_sum
+      |      FROM s0 WHERE dur IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n_spans, dur_secs, vt_sum,
+      |       vt_sum // dur_secs AS twap_cents
+      |FROM a WHERE dur_secs > 0""".stripMargin,
 
     // B58: each as-of step replayed as min-over-candidates (ts first,
     // then smallest id at that ts — the forward tie-break contract).

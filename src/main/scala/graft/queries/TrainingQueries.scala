@@ -21,6 +21,25 @@ object TrainingQueries {
   /** Packing shards per source — the unit of pack-order locality. */
   private val Shards = 32L
 
+  /** [[PackCapacity]] as the integer the C80 audit divides by. */
+  private val PackCapInt = 2048L
+
+  /** The C32 pack assignment (doc → source/shard/chunk with token
+    * count) — shared by `seq_pack` and the C80 efficiency audit. */
+  private def packAssign(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"),
+        ((col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(Shards))
+          .as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")).cast("double") / lit(PackCapacity))
+          .cast("long").as("chunk_id"))
+  }
+
   /** Cumulative-coverage vocab cutoff, as a rational (19/20 = 95%). */
   private val CovNum = 19L
   private val CovDen = 20L
@@ -43,18 +62,27 @@ object TrainingQueries {
     // embarrassingly parallel, no global sort. Real pipelines pack
     // within shards for exactly this reason (pack order across shards
     // carries no signal). Integer/IEEE-exact throughout.
-    "seq_pack" -> { (s, d) =>
-      val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), col("source"),
-          ((col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(Shards))
-            .as("shard"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
-          floor((col("cum") - col("n_tokens")).cast("double") / lit(PackCapacity))
-            .cast("long").as("chunk_id"))
+    "seq_pack" -> { (s, d) => packAssign(s, d) },
+
+    // C80 — PACKING-EFFICIENCY audit of the C32 assignment: chunks
+    // histogrammed by fill decile with token mass and padding waste —
+    // the number a training run reads before committing a pack
+    // capacity (median fill too low → tokens burned as padding; mass
+    // in the over-full bucket → capacity splits mid-document). Two
+    // bounded aggregations over the assignment frame: (source, shard,
+    // chunk) sums, then an ≤11-key decile rollup — nothing beyond
+    // C32's own shuffles.
+    "pack_efficiency" -> { (s, d) =>
+      packAssign(s, d)
+        .groupBy(col("source"), col("shard"), col("chunk_id"))
+        .agg(sum(col("n_tokens")).as("tokens"))
+        .select(expr(s"least(tokens * 10 div $PackCapInt, CAST(10 AS BIGINT))")
+          .as("fill_decile"), col("tokens"))
+        .groupBy(col("fill_decile"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("tokens")).as("total_tokens"),
+          sum(expr(s"greatest($PackCapInt - tokens, CAST(0 AS BIGINT))"))
+            .as("total_waste"))
     },
 
     // C33 — tokenizer-vocab construction: the smallest
@@ -311,6 +339,30 @@ object TrainingQueries {
       |               (doc_id * 2654435761) % 1000000007 % 32 AS shard,
       |               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |        FROM documents))""".stripMargin,
+
+    // C80: the C32 assignment replayed, rolled up to chunk sums and
+    // the capped fill-decile histogram.
+    "pack_efficiency" -> """
+      |WITH a AS (
+      |  SELECT doc_id, source, shard, n_tokens,
+      |         CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT)
+      |           AS chunk_id
+      |  FROM (
+      |    SELECT doc_id, source, shard, n_tokens,
+      |           sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |    FROM (SELECT doc_id, source,
+      |                 (doc_id * 2654435761) % 1000000007 % 32 AS shard,
+      |                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |          FROM documents))),
+      |ch AS (SELECT source, shard, chunk_id,
+      |              CAST(sum(n_tokens) AS BIGINT) AS tokens
+      |       FROM a GROUP BY 1, 2, 3)
+      |SELECT least(tokens * 10 // 2048, 10) AS fill_decile,
+      |       CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+      |       CAST(sum(greatest(2048 - tokens, 0)) AS BIGINT) AS total_waste
+      |FROM ch GROUP BY 1""".stripMargin,
 
     "vocab_coverage" -> """
       |WITH counts AS (
