@@ -413,6 +413,35 @@ object AnalyticsQueries {
           sum(when(col("gap"), 1L).otherwise(0L)).over(byUser).as("session_id"))
     },
 
+    // B60 — TOP session PATHS: the most common session-opening
+    // event-type sequences (first 3 events of each B32 session),
+    // ranked — the sequence-mining rollup of the per-event episode
+    // view (B58): "how do sessions start" for funnel design. The
+    // per-session path builds from ONE ordered collect per (user,
+    // session) — bounded by session length — and the ranking window
+    // runs over the PATH VOCABULARY (≤ |event types|³ + shorter
+    // prefixes, a bounded frame by construction — the vocab-window
+    // contract), never over sessions.
+    "top_paths" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          (col("ts").cast("long") -
+            lag(col("ts"), 1).over(byUser).cast("long") > 1800L).as("gap"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          sum(when(col("gap"), 1L).otherwise(0L)).over(byUser).as("sid"))
+      val paths = sess.groupBy(col("user_id"), col("sid"))
+        .agg(array_join(slice(expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, event_type)))," +
+            " x -> x.event_type)"), 1, 3), ">").as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("n_sessions").desc, col("path").asc))
+          .cast("long"))
+        .filter(col("rank") <= 10)
+    },
+
     // B59 — TIME-WEIGHTED average value per user (TWAP): each
     // observation holds until the next same-user event, so the mean
     // weights value by HOLDING DURATION, not by tick count — the
@@ -866,6 +895,33 @@ object AnalyticsQueries {
         FROM events)
       SELECT event_type, next_type, count(*) AS n
       FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2""",
+
+    // B60: DuckDB's ordered list() mirrors the engine's sorted
+    // collect; slice/[1:3] and the join delimiter line up.
+    "top_paths" -> """
+      |WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN date_diff('second',
+      |                lag(ts) OVER (PARTITION BY user_id
+      |                              ORDER BY ts ASC, event_id ASC),
+      |                ts) > 1800 THEN 1 ELSE 0 END AS gap
+      |  FROM events),
+      |s1 AS (SELECT user_id, ts, event_id, event_type,
+      |              sum(gap) OVER (PARTITION BY user_id
+      |                             ORDER BY ts ASC, event_id ASC) AS sid
+      |       FROM g),
+      |p AS (SELECT user_id, sid,
+      |             array_to_string((list(event_type ORDER BY ts, event_id))[1:3],
+      |                             '>') AS path
+      |      FROM s1 GROUP BY 1, 2),
+      |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      |      FROM p GROUP BY 1)
+      |SELECT path, n_sessions, rank FROM (
+      |  SELECT path, n_sessions,
+      |         CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+      |           AS BIGINT) AS rank
+      |  FROM c)
+      |WHERE rank <= 10""".stripMargin,
 
     // B59: non-negative cents×seconds, so `//` and `div` agree.
     "twap_value" -> """
