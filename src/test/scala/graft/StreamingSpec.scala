@@ -1278,6 +1278,83 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("TwsCep: watermark-final episodes equal the batch CEP matcher, late binder wins") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTwsConf {
+    val B = 1704067200L // 2024-01-01 UTC, seconds
+    def ms(s: Long) = (B + s) * 1000L
+    // the batch spec's stream: pre-trigger click, late binding click,
+    // out-of-window purchase, dangling chain, instant tie
+    val rows = Seq(
+      (100L, 1L, 5L, "click"), (101L, 1L, 10L, "view"),
+      (102L, 1L, 20L, "click"), (103L, 1L, 30L, "click"),
+      (104L, 1L, 40L, "purchase"),
+      (200L, 2L, 10L, "view"), (201L, 2L, 20L, "click"),
+      (202L, 2L, 5000L, "purchase"),
+      (300L, 3L, 10L, "view"),
+      (400L, 4L, 10L, "view"), (402L, 4L, 15L, "click"),
+      (401L, 4L, 15L, "click"), (403L, 4L, 16L, "purchase"))
+    // batch truth at the same window
+    val batchDf = rows.map { case (id, u, s, ty) =>
+      (id, u, new java.sql.Timestamp(ms(s)), ty) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val batch = graft.operators.Cep.nextMatchEpisodes(batchDf, "user_id",
+        "ts", "event_id", "event_type", Seq("view", "click", "purchase"), 100L)
+      .collect()
+    val batchCompleted = batch.filter(_.getBoolean(7))
+      .map(r => (r.getLong(1), r.getLong(0),
+        Seq(r.getLong(4), r.getLong(6)))).toSet
+    val batchExpired = batch.filterNot(_.getBoolean(7)).map(_.getLong(0)).toSet
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cep").toString
+    val q = graft.streaming.TwsCep.episodes(
+        input.toDS().toDF("event_id", "user_id", "ms", "event_type")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        Seq("view", "click", "purchase"), windowSecs = 100L,
+        delay = "50 seconds")
+      .writeStream.format("memory").queryName("cep")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      def feed(ids: Long*): Unit = {
+        val byId = rows.map(r => r._1 -> r).toMap
+        input.addData(ids.map { i =>
+          val (id, u, s, ty) = byId(i); (id, u, ms(s), ty) })
+        q.processAllAvailable()
+      }
+      // b1: everything EXCEPT user1's click@20 (and the pre-trigger
+      // click) — an eager matcher would bind click@30 here
+      feed(101L, 103L, 104L, 200L, 300L, 400L, 402L, 401L, 403L)
+      // b2: the late-but-in-watermark click@20 + user2's click
+      feed(100L, 102L, 201L)
+      assert(spark.table("cep").isEmpty, "nothing may emit before the watermark")
+      // b3: the far purchase advances the watermark past every window
+      feed(202L)
+      input.addData((900L, 9L, ms(6000L), "view")) // tick, stays open
+      q.processAllAvailable()
+      val got = spark.table("cep")
+        .filter(col("user_id") < 9).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](3),
+          r.getBoolean(4))).toSet
+      val want = Set(
+        (1L, 101L, Seq(102L, 104L), true),  // late click@20 outbinds click@30
+        (2L, 200L, Seq(201L), false),       // purchase misses the window
+        (3L, 300L, Seq(), false),           // dangling chain
+        (4L, 400L, Seq(401L, 403L), true))  // instant tie → smallest id
+      assert(got == want, s"stream $got != $want")
+      // batch parity: completed episodes equal bit-for-bit; expired
+      // triggers equal the batch completed=false trigger set
+      val streamCompleted = got.filter(_._4).map(g => (g._1, g._2, g._3.toSeq))
+      assert(streamCompleted == batchCompleted,
+        s"completed parity broke: $streamCompleted vs $batchCompleted")
+      assert(got.filterNot(_._4).map(_._2) == batchExpired,
+        "expired trigger sets diverge from batch")
+    } finally q.stop()
+    }
+  }
+
   test("TwsTrending sharded fan-out: merged per-shard candidates equal the unsharded top-k") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
