@@ -291,6 +291,55 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Fixed-round SYNCHRONOUS label propagation on the undirected
+    * simple graph (direction/multiplicity dropped, self-loops
+    * excluded) — the cheap community detector (near-linear per round):
+    * every node starts labeled with itself, and each round
+    * simultaneously adopts the most frequent label among its
+    * neighbors' PREVIOUS labels, ties broken by the smaller label —
+    * so the update is a pure function of the prior round and any
+    * engine reproduces it exactly (asynchronous LPA is
+    * execution-order-dependent; this is deliberately the
+    * deterministic synchronous form, and an unrolled SQL oracle
+    * replays it round for round).
+    *
+    * The per-node argmax is `min(struct(-count, label))` — a
+    * PARTIAL-AGGREGABLE min, so each round is exactly two map-side-
+    * combined aggregations keyed on (node, label) then node, plus one
+    * join of the 2-column label frame against the neighbor list
+    * (shuffled on the neighbor key). No windows, no driver state;
+    * per-round frames are eagerly materialized (localCheckpoint — the
+    * iterative-lineage convention of [[pageRank]]/[[hits]]). Skewed
+    * degree is the usual aggregation-skew case (AQE/salting).
+    * Fixed small round budget: label mass moves one hop per round,
+    * and synchronous LPA is known to oscillate rather than converge —
+    * production runs cap rounds anyway. */
+  def labelProp(edges: DataFrame, srcCol: String, dstCol: String,
+                iters: Int = 2): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val nbr = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .cache()
+    var lab = nbr.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      // every node has >= 1 neighbor (it came from an edge), so the
+      // inner join preserves the node set round to round
+      lab = nbr.join(lab.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("k"), col("label").as("label"))).as("m"))
+        .select(col("node"), col("m.label").as("label"))
+        .localCheckpoint()
+    }
+    nbr.unpersist()
+    lab
+  }
+
   /** Fixed-iteration weighted HITS (hubs & authorities, Kleinberg) in
     * integer micro-units — the bipartite-role twin of [[pageRank]]:
     * a node is a good HUB when it points at good authorities and a

@@ -349,6 +349,19 @@ object AnalyticsQueries {
         k = 3, rounds = 4)
     },
 
+    // B62 — COMMUNITY labels by synchronous label propagation (2
+    // rounds) on the word-adjacency graph: the near-linear community
+    // detector (Raghavan et al.) in its deterministic synchronous
+    // form — each node adopts the most frequent neighbor label from
+    // the PREVIOUS round, smaller label on ties, so the oracle
+    // replays the unrolled rounds exactly (Graph.labelProp). The
+    // per-node argmax is a partial-aggregable min(struct), never a
+    // window.
+    "label_prop" -> { (s, d) =>
+      graft.operators.Graph.labelProp(wordAdjacencyEdges(s, d), "src", "dst",
+        iters = 2)
+    },
+
     // B52 — co-occurrence LIFT: event-type pairs done by the same
     // user, set-based (the size-2 frequent-itemset / market-basket
     // view; B29's adjacency only sees consecutive events), ranked by
@@ -465,6 +478,93 @@ object AnalyticsQueries {
         .filter(col("dur_secs") > 0)
         .select(col("user_id"), col("n_spans"), col("dur_secs"),
           col("vt_sum"), expr("vt_sum div dur_secs").as("twap_cents"))
+    },
+
+    // B63 — EWMA spike detection, integer-exact: per user, the
+    // geometric-weight mean of the previous 4 observations (weights
+    // 8/4/2/1 newest-first, missing lags dropped from numerator AND
+    // denominator) flags any event whose value exceeds 3× it — the
+    // streaming-shaped anomaly rule a global 2σ (B28) can't express
+    // (it adapts per user, per instant). EXACTNESS: values in cents,
+    // the mean kept as the (num, den) PAIR and the threshold
+    // cross-multiplied (cents·den > 3·num) so no engine ever divides
+    // — bit-identical everywhere. ONE user-keyed shuffle; the four
+    // lags share the (user | ts, event_id) sort.
+    "ewma_anomaly" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        .withColumn("l1", lag(col("cents"), 1).over(byUser))
+        .withColumn("l2", lag(col("cents"), 2).over(byUser))
+        .withColumn("l3", lag(col("cents"), 3).over(byUser))
+        .withColumn("l4", lag(col("cents"), 4).over(byUser))
+        .select(col("user_id"), col("event_id"), col("ts"), col("cents"),
+          (coalesce(col("l1") * 8, lit(0L)) + coalesce(col("l2") * 4, lit(0L)) +
+            coalesce(col("l3") * 2, lit(0L)) + coalesce(col("l4"), lit(0L)))
+            .as("ewma_num"),
+          (when(col("l1").isNotNull, 8L).otherwise(0L) +
+            when(col("l2").isNotNull, 4L).otherwise(0L) +
+            when(col("l3").isNotNull, 2L).otherwise(0L) +
+            when(col("l4").isNotNull, 1L).otherwise(0L)).as("ewma_den"))
+        .filter(col("ewma_den") > 0 &&
+          col("cents") * col("ewma_den") > col("ewma_num") * 3)
+    },
+
+    // B64 — LAST-TOUCH revenue ATTRIBUTION: each purchase credits the
+    // most recent strictly-preceding click's campaign (props.k mod 4;
+    // no preceding click → 'direct') — the marketing-analytics join
+    // funnels/cohorts don't answer ("which channel closed the
+    // sale?"). The carry is ONE running last(ignoreNulls) window over
+    // the strictly-preceding frame — never a per-purchase lookup join
+    // — then a tiny channel aggregation: one user-keyed shuffle
+    // total, same posture at any event volume.
+    "attribution" -> { (s, d) =>
+      val carry = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+          when(col("event_type") === "click",
+            concat(lit("ch_"),
+              (get_json_object(col("props"), "$.k").cast("long") % 4)
+                .cast("string"))).as("click_ch"))
+        .withColumn("channel",
+          coalesce(last(col("click_ch"), ignoreNulls = true).over(carry),
+            lit("direct")))
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("rev_cents"))
+    },
+
+    // B65 — incremental MAINTENANCE OF A JOIN VIEW: the
+    // nation × order-month revenue view V = orders ⋈ customer ⋈
+    // nation is kept current by merging the base state with the view
+    // of a NEW ORDERS BATCH only (ΔV = Δorders ⋈ dims — joins
+    // distribute over union, so merge ≡ recompute; the oracle IS the
+    // full recompute). B49 maintains additive aggregates; this is
+    // the join-view form — the increment path scans ONLY the delta
+    // and the broadcast dimension frame, never the base fact: cost
+    // O(|Δ| + |view keys|) per maintenance run at any base size.
+    "incr_join_merge" -> { (s, d) =>
+      val dims = Tables.customer(s, d)
+        .join(Tables.nation(s, d),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("o_custkey"), col("n_name"))
+      def view(df: DataFrame): DataFrame =
+        df.join(broadcast(dims), "o_custkey")
+          .groupBy(col("n_name"),
+            substring(col("o_orderdate").cast("string"), 1, 7).as("ym"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+              .cast("long")).as("rev_cents"))
+      val orders = Tables.orders(s, d)
+      graft.operators.IncrementalAgg.mergeAdditive(
+        view(orders.filter(col("o_orderkey") % 10 =!= 0)),
+        view(orders.filter(col("o_orderkey") % 10 === 0)),
+        Seq("n_name", "ym"))
     },
 
     // B58 — CEP-style EPISODE matching (skip-till-next-match): per
@@ -631,6 +731,20 @@ object AnalyticsQueries {
        |  WHERE EXISTS (SELECT 1 FROM ${cur}_k x WHERE x.node = u.a)
        |    AND EXISTS (SELECT 1 FROM ${cur}_k y WHERE y.node = u.b))""".stripMargin
 
+  /** One unrolled synchronous label-propagation round for the B62
+    * oracle: neighbor-label counts from `prev`, then the per-node
+    * argmax under (count desc, label asc) — the same unique winner
+    * the engine's min(struct(-c, label)) picks. */
+  private def lpRoundSql(prev: String, cur: String): String =
+    s"""c_$cur AS (
+       |  SELECT n.node, l.label, CAST(count(*) AS BIGINT) AS c
+       |  FROM nbr n JOIN $prev l ON n.nbr = l.node GROUP BY 1, 2),
+       |$cur AS (
+       |  SELECT node, label FROM (
+       |    SELECT node, label, row_number() OVER (
+       |      PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+       |    FROM c_$cur) WHERE rn = 1)""".stripMargin
+
   /** One unrolled PageRank iteration for the B50 oracle: `cur` from
     * `prev` with the exact integer-div update the engine uses,
     * including the dangling-mass share (rank on nodes with no
@@ -794,6 +908,76 @@ object AnalyticsQueries {
       |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
       |  SELECT a AS node FROM u4 UNION ALL SELECT b FROM u4)
       |GROUP BY 1""".stripMargin,
+
+    // B62: two unrolled synchronous LPA rounds over the same
+    // word-adjacency base; deterministic ties → identical frames.
+    "label_prop" -> s"""
+      |WITH $WordAdjSql,
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e0 WHERE src <> dst),
+      |nbr AS (SELECT a AS node, b AS nbr FROM und
+      |        UNION ALL SELECT b, a FROM und),
+      |l0 AS (SELECT DISTINCT node, node AS label FROM nbr),
+      |${lpRoundSql("l0", "l1")},
+      |${lpRoundSql("l1", "l2")}
+      |SELECT node, label FROM l2""".stripMargin,
+
+    // B63: identical lag/coalesce formulation; the cross-multiplied
+    // threshold keeps both engines division-free.
+    "ewma_anomaly" -> """
+      WITH b AS (
+        SELECT user_id, ts, event_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      l AS (
+        SELECT user_id, ts, event_id, cents,
+               lag(cents, 1) OVER w AS l1, lag(cents, 2) OVER w AS l2,
+               lag(cents, 3) OVER w AS l3, lag(cents, 4) OVER w AS l4
+        FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT user_id, event_id, ts, cents,
+               CAST(coalesce(l1 * 8, 0) + coalesce(l2 * 4, 0)
+                    + coalesce(l3 * 2, 0) + coalesce(l4, 0) AS BIGINT) AS ewma_num,
+               CAST(CASE WHEN l1 IS NOT NULL THEN 8 ELSE 0 END
+                    + CASE WHEN l2 IS NOT NULL THEN 4 ELSE 0 END
+                    + CASE WHEN l3 IS NOT NULL THEN 2 ELSE 0 END
+                    + CASE WHEN l4 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS ewma_den
+        FROM l)
+      SELECT user_id, event_id, ts, cents, ewma_num, ewma_den
+      FROM s WHERE ewma_den > 0 AND cents * ewma_den > ewma_num * 3""",
+
+    // B64: the same strictly-preceding IGNORE NULLS carry; DuckDB's
+    // last_value(IGNORE NULLS) over the 1-PRECEDING frame is the
+    // exact twin of Spark's last(ignoreNulls) over rowsBetween(-∞,-1).
+    "attribution" -> """
+      WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CASE WHEN event_type = 'click'
+                    THEN 'ch_' || CAST(CAST(props ->> '$.k' AS BIGINT) % 4 AS VARCHAR)
+               END AS click_ch
+        FROM events),
+      att AS (
+        SELECT *, coalesce(last_value(click_ch IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               'direct') AS channel
+        FROM ev)
+      SELECT channel, count(*) AS n_purchases,
+             CAST(sum(cents) AS BIGINT) AS rev_cents
+      FROM att WHERE event_type = 'purchase' GROUP BY 1""",
+
+    // B65: the oracle IS the full recompute — merge ≡ recompute is
+    // the operator's contract (joins distribute over union).
+    "incr_join_merge" -> """
+      SELECT n_name, substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS ym,
+             count(*) AS n_orders,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS rev_cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2""",
 
     // B53: same unrolled min-fold as graph_reach — the frontier-delta
     // engine must produce identical distances — over the word-adjacency

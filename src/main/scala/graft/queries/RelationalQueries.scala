@@ -364,6 +364,38 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_in_window"), sumDbl6(col("value")).as("sum_value"))
     },
 
+    // B61 — PARETO FRONT (2-D skyline): the parts no other part
+    // dominates (size ≥, price ≤, strict somewhere) — the
+    // multi-objective shortlist operator ("cheapest at every capacity
+    // tier") behind build-vs-buy dashboards. NOT the quadratic
+    // dominance join: a part is on the front iff it is cheapest AT
+    // its size and strictly cheaper than every strictly-larger size's
+    // cheapest — so ONE map-side-combined (size → min price) agg,
+    // one running-min walk over the DISTINCT-SIZE frame (bounded by
+    // the size vocabulary, ~50 rows at any corpus scale — the
+    // vocab-window contract; never a window over raw parts), and one
+    // broadcast join back. The ORACLE is the O(n²) NOT EXISTS
+    // dominance definition itself — independent formulation, same
+    // frame. Equal (size, price) twins are mutually non-dominating:
+    // both stay, both engines.
+    "pareto_front" -> { (s, d) =>
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("long").as("p_size"),
+          col("p_retailprice").cast(DecimalType(18, 2)).as("price"))
+      val minp = p.groupBy(col("p_size")).agg(min(col("price")).as("minp"))
+      val strictlyLarger = Window.orderBy(col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val front = minp
+        .withColumn("prevmin", min(col("minp")).over(strictlyLarger))
+        .filter(col("prevmin").isNull || col("minp") < col("prevmin"))
+        .select(col("p_size"), col("minp").as("price"))
+      p.join(broadcast(front), Seq("p_size", "price"))
+        // dominance compared in exact decimals; final cast to double
+        // only for the cross-engine rendering (the suite convention)
+        .select(col("p_partkey"), col("p_size"),
+          col("price").cast("double").as("price"))
+    },
+
     // B13 — exact distinct aggregation (Spark expands to a two-phase
     // agg; distinct keys shuffle once).
     "distinct_agg" -> { (s, d) =>
@@ -425,6 +457,20 @@ object RelationalQueries {
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracles: Map[String, String] = Map(
+    // B61: the O(n²) dominance definition — deliberately NOT the
+    // engine's sorted-walk plan, so the skyline semantics themselves
+    // are what's cross-checked.
+    "pareto_front" -> """
+      WITH p AS (
+        SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+               CAST(p_retailprice AS DECIMAL(18,2)) AS price
+        FROM part)
+      SELECT x.p_partkey, x.p_size, CAST(x.price AS DOUBLE) AS price FROM p x
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p y
+        WHERE y.p_size >= x.p_size AND y.price <= x.price
+          AND (y.p_size > x.p_size OR y.price < x.price))""",
+
     // B14: each engine checks its OWN sketches against its OWN exact
     // answers and publishes the bound booleans — the sketch values
     // themselves are engine-specific and never cross the compare.

@@ -156,7 +156,97 @@ object ScaleQueries {
           expr(s"coalesce($est <= cnt, false)").as("underest_ok"),
           expr(s"(cnt - coalesce($est, CAST(0 AS BIGINT))) * 17 <= n")
             .as("bound_ok"))
+    },
+
+    // C81 — referential-integrity AUDIT across the warehouse: orphan
+    // counts + ppm for every FK edge of the schema (the "can these
+    // tables be joined without silent row loss" gate that runs before
+    // any enrichment pipeline is trusted; the events→customer edge is
+    // a SOFT key and really does orphan). Each constraint is ONE
+    // left-anti join folded straight into a count — map-side-combined,
+    // nothing wide materialized: bounded dims (nation/region) pin the
+    // broadcast side explicitly, fact↔fact edges (lineitem→orders,
+    // events→customer) shuffle on the key like any equi-join and AQE
+    // handles skew. Orphan counts come back as one-row frames and
+    // union into the audit report — rows = #constraints, at any scale.
+    "ri_audit" -> { (s, d) =>
+      def audit(name: String, child: DataFrame, ck: String,
+                parent: DataFrame, pk: String, bcastParent: Boolean): DataFrame = {
+        val par0 = parent.select(col(pk).as(ck)).distinct()
+        val par = if (bcastParent) broadcast(par0) else par0
+        val orphan = child.select(col(ck)).filter(col(ck).isNotNull)
+          .join(par, Seq(ck), "left_anti")
+          .agg(count(lit(1)).as("n_orphan"))
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(broadcast(orphan))
+          .select(lit(name).as("constraint_name"), col("n_child"),
+            col("n_orphan"),
+            expr("n_orphan * 1000000 div n_child").as("orphan_ppm"))
+      }
+      val li = Tables.lineitem(s, d)
+      audit("lineitem.l_orderkey->orders.o_orderkey",
+          li, "l_orderkey", Tables.orders(s, d), "o_orderkey", bcastParent = false)
+        .unionByName(audit("lineitem.l_partkey->part.p_partkey",
+          li, "l_partkey", Tables.part(s, d), "p_partkey", bcastParent = false))
+        .unionByName(audit("orders.o_custkey->customer.c_custkey",
+          Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey",
+          bcastParent = false))
+        .unionByName(audit("customer.c_nationkey->nation.n_nationkey",
+          Tables.customer(s, d), "c_nationkey", Tables.nation(s, d),
+          "n_nationkey", bcastParent = true))
+        .unionByName(audit("supplier.s_nationkey->nation.n_nationkey",
+          Tables.supplier(s, d), "s_nationkey", Tables.nation(s, d),
+          "n_nationkey", bcastParent = true))
+        .unionByName(audit("nation.n_regionkey->region.r_regionkey",
+          Tables.nation(s, d), "n_regionkey", Tables.region(s, d),
+          "r_regionkey", bcastParent = true))
+        .unionByName(audit("events.user_id->customer.c_custkey",
+          Tables.events(s, d), "user_id", Tables.customer(s, d), "c_custkey",
+          bcastParent = false))
+    },
+
+    // C82 — BENFORD first-digit audit of order totals: observed
+    // first-significant-digit shares vs the Benford expectation, both
+    // in integer ppm — the classic synthetic-data / fraud smell test
+    // (a generator that draws totals uniformly fails it loudly, which
+    // is itself the finding on this corpus). The digit derives from
+    // the INTEGER part's decimal string (first char) — no log10
+    // float edge cases — so every engine bins identically; expected
+    // shares are pinned integer constants (⌊log10(1+1/d)·10⁶⌋,
+    // summing to 999 995 — floor dust documented). ONE scan into a
+    // 9-key map-side-combined agg; the total re-aggregates the
+    // 9-row frame (broadcast back, guarded-crossJoin convention).
+    "benford_audit" -> { (s, d) =>
+      val digits = Tables.orders(s, d)
+        .select(floor(col("o_totalprice")).cast("long").as("n0"))
+        .filter(col("n0") >= 1)
+        .select(substring(col("n0").cast("string"), 1, 1).cast("long").as("digit"))
+      val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("n"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("digit"), col("cnt"),
+          expr("cnt * 1000000 div n").as("obs_ppm"),
+          expr(BenfordCase).as("benford_ppm"))
+        .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
     })
+
+  /** ⌊log10(1+1/d)·10⁶⌋ for d = 1…9 — shared verbatim by the engine
+    * projection and the DuckDB oracle (both dialects parse it). */
+  private val BenfordCase =
+    "CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938" +
+      " WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946" +
+      " WHEN 7 THEN 57991 WHEN 8 THEN 51152 ELSE 45757 END AS BIGINT)"
+
+  /** One FK-edge block of the C81 oracle. */
+  private def riSql(name: String, child: String, ck: String,
+                    parent: String, pk: String): String =
+    s"""SELECT '$name' AS constraint_name, n_child, n_orphan,
+       |       n_orphan * 1000000 // n_child AS orphan_ppm
+       |FROM (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM $child c
+       |   WHERE c.$ck IS NOT NULL AND NOT EXISTS (
+       |     SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)) AS n_orphan)""".stripMargin
 
   /** DuckDB twin of TextAnalysis.visibleText over SQL fragment `x`:
     * tags → spaces, the six entities decoded (amp last), whitespace
@@ -335,5 +425,36 @@ object ScaleQueries {
       |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM stream GROUP BY 1)
       |SELECT term, cnt, TRUE AS captured, TRUE AS underest_ok,
       |       TRUE AS bound_ok
-      |FROM c CROSS JOIN n WHERE cnt * 17 > n.n""".stripMargin)
+      |FROM c CROSS JOIN n WHERE cnt * 17 > n.n""".stripMargin,
+
+    // C81: NOT EXISTS per FK edge — the anti-join definition itself.
+    "ri_audit" -> Seq(
+      riSql("lineitem.l_orderkey->orders.o_orderkey",
+        "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      riSql("lineitem.l_partkey->part.p_partkey",
+        "lineitem", "l_partkey", "part", "p_partkey"),
+      riSql("orders.o_custkey->customer.c_custkey",
+        "orders", "o_custkey", "customer", "c_custkey"),
+      riSql("customer.c_nationkey->nation.n_nationkey",
+        "customer", "c_nationkey", "nation", "n_nationkey"),
+      riSql("supplier.s_nationkey->nation.n_nationkey",
+        "supplier", "s_nationkey", "nation", "n_nationkey"),
+      riSql("nation.n_regionkey->region.r_regionkey",
+        "nation", "n_regionkey", "region", "r_regionkey"),
+      riSql("events.user_id->customer.c_custkey",
+        "events", "user_id", "customer", "c_custkey"))
+      .mkString("\n", "\nUNION ALL\n", ""),
+
+    // C82: same integer-string digit bin and pinned ppm constants.
+    "benford_audit" -> s"""
+      |WITH digits AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+      |           1, 1) AS BIGINT) AS digit
+      |  FROM orders WHERE CAST(floor(o_totalprice) AS BIGINT) >= 1),
+      |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM digits GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+      |SELECT digit, cnt, cnt * 1000000 // n AS obs_ppm,
+      |       $BenfordCase AS benford_ppm,
+      |       abs(cnt * 1000000 // n - $BenfordCase) AS dev_ppm
+      |FROM c CROSS JOIN t""".stripMargin)
 }

@@ -678,4 +678,145 @@ class OperatorSpec extends SparkTestBase {
         base, delta.withColumnRenamed("s", "t"), Seq("k"))
     }
   }
+
+  test("labelProp: synchronous rounds, (count desc, label asc) ties — bridged triangles") {
+    import spark.implicits._
+    // triangles {1,2,3} and {5,6,7} bridged by 3–5. Hand-unrolled:
+    // round 1 is all singleton counts → every node takes its smallest
+    // neighbor (1→2, 2→1, 3→1, 5→3, 6→5, 7→5); round 2 then exercises
+    // BOTH tie arms: node 5 sees {1, 5, 5} and frequency (5×2) beats
+    // the smaller label 1, node 2 sees {2, 1} and the tie falls to the
+    // smaller label 1.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 5L)).toDF("src", "dst")
+    val r2 = graft.operators.Graph.labelProp(edges, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 3L, 7L -> 3L), r2)
+  }
+
+  test("pareto_front equals the O(n²) dominance definition; front non-empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val got = SparkEntry.queries("pareto_front")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val parts = sources.Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_size").cast("long"),
+        col("p_retailprice").cast(DecimalType(18, 2)))
+      .as[(Long, Long, java.math.BigDecimal)].collect()
+    val want = parts.filter { case (_, s, p) =>
+      !parts.exists { case (_, s2, p2) =>
+        s2 >= s && p2.compareTo(p) <= 0 && (s2 > s || p2.compareTo(p) < 0) }
+    }.map(t => (t._1, t._2, t._3.doubleValue)).toSet
+    assert(got == want, s"got=$got want=$want")
+    assert(got.nonEmpty)
+  }
+
+  test("ewma_anomaly equals a per-user sequential replay of the 8/4/2/1 rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val rows = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("long"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    val weights = Seq(8L, 4L, 2L, 1L)
+    val want = rows.groupBy(_._1).iterator.flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      sorted.indices.flatMap { i =>
+        val (_, ts, id, c) = sorted(i)
+        val lags = (1 to 4).flatMap(k =>
+          if (i - k >= 0) Some((sorted(i - k)._4, weights(k - 1))) else None)
+        val num = lags.map { case (lc, w) => lc * w }.sum
+        val den = lags.map(_._2).sum
+        if (den > 0 && c * den > num * 3) Some((u, id, ts, c, num, den)) else None
+      }
+    }.toSet
+    val got = SparkEntry.queries("ewma_anomaly")(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts").cast("long"),
+        col("cents"), col("ewma_num"), col("ewma_den"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want && want.nonEmpty, s"got ${got.size} want ${want.size}")
+  }
+
+  test("attribution equals a per-user sequential carry replay; direct bucket exists") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val rows = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("long"), col("event_id"),
+        col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long"),
+        get_json_object(col("props"), "$.k").cast("long"))
+      .as[(Long, Long, Long, String, Long, Long)].collect()
+    val buckets = collection.mutable.Map.empty[String, (Long, Long)]
+    rows.groupBy(_._1).foreach { case (_, evs) =>
+      var carry = "direct"
+      evs.sortBy(e => (e._2, e._3)).foreach { case (_, _, _, typ, cents, k) =>
+        if (typ == "purchase") {
+          val (n, s) = buckets.getOrElse(carry, (0L, 0L))
+          buckets(carry) = (n + 1, s + cents)
+        }
+        if (typ == "click") carry = s"ch_${k % 4}"
+      }
+    }
+    val got = SparkEntry.queries("attribution")(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == buckets.toMap, s"got $got want $buckets")
+    assert(got.contains("direct"))
+  }
+
+  test("incr_join_merge: base+delta merge equals the one-shot full recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dims = sources.Tables.customer(spark, sfDir)
+      .join(sources.Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("o_custkey"), col("n_name"))
+    val full = sources.Tables.orders(spark, sfDir)
+      .join(broadcast(dims), "o_custkey")
+      .groupBy(col("n_name"),
+        substring(col("o_orderdate").cast("string"), 1, 7).as("ym"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("rev_cents"))
+      .as[(String, String, Long, Long)].collect().toSet
+    val got = SparkEntry.queries("incr_join_merge")(spark, sfDir)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == full && full.nonEmpty)
+  }
+
+  test("ri_audit: counts match direct anti-join counts on every edge") {
+    import spark.implicits._
+    val got = SparkEntry.queries("ri_audit")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.size == 7)
+    // hard TPC-H FK edges generate clean → zero orphans, zero ppm
+    got.filter(!_._1.startsWith("events.")).foreach { case (k, (n, orph, ppm)) =>
+      assert(n > 0 && orph == 0L && ppm == 0L, s"$k: $n/$orph/$ppm")
+    }
+    // the soft events edge must equal the directly-computed anti count
+    val ev = sources.Tables.events(spark, sfDir)
+    val wantOrph = ev.join(
+      sources.Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("user_id")).distinct(),
+      Seq("user_id"), "left_anti").count()
+    val (nEv, orphEv, ppmEv) = got("events.user_id->customer.c_custkey")
+    assert(nEv == ev.count() && orphEv == wantOrph &&
+      ppmEv == orphEv * 1000000L / nEv)
+  }
+
+  test("benford_audit: bins partition the rows, ppm floors sum to ~1e6, constants pinned") {
+    import spark.implicits._
+    val got = SparkEntry.queries("benford_audit")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got.keySet == (1L to 9L).toSet, got.keySet)
+    val nRows = sources.Tables.orders(spark, sfDir)
+      .filter(floor(col("o_totalprice")) >= 1).count()
+    assert(got.values.map(_._1).sum == nRows)
+    val ppmSum = got.values.map(_._2).sum
+    assert(ppmSum > 999990L && ppmSum <= 1000000L, ppmSum)
+    assert(got(1L)._3 == 301029L && got(9L)._3 == 45757L)
+    got.foreach { case (_, (_, obs, ben, dev)) => assert(dev == (obs - ben).abs) }
+  }
 }

@@ -480,6 +480,34 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"unbroadcast cross join:\n$plan")
   }
 
+  test("pareto_front: front joins back as broadcast; the only window runs over the size frame") {
+    val plan = planOf(SparkEntry.queries("pareto_front")(spark, sfDir))
+    // the ~50-row front frame must broadcast back onto parts — a
+    // shuffle join here would repartition the whole part table to
+    // recover 5 rows
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the running-min walk is over the distinct-size aggregate
+    // (size-vocabulary bounded — the global window sits above a
+    // HashAggregate, never above the raw scan), and the raw parts are
+    // never globally sorted
+    // (tree prints parent-first, so the feeding aggregate appears
+    // BELOW the Window line)
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx > 0 && plan.indexOf("HashAggregate", winIdx) > 0,
+      s"size-frame aggregate must feed the window:\n$plan")
+  }
+
+  test("ri_audit: every FK edge checks as an anti join; bounded dims broadcast") {
+    val plan = planOf(SparkEntry.queries("ri_audit")(spark, sfDir))
+    // 7 constraints → 7 anti joins (LeftAnti under either join impl)
+    assert("LeftAnti".r.findAllIn(plan).size >= 7,
+      s"expected 7 anti joins:\n$plan")
+    // the nation/region parents pin the broadcast side explicitly
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("fanOut gates on scan parallelism: no-op on pre-split input") {
     val docs = sources.Tables.documents(spark, sfDir)
     val par = spark.sparkContext.defaultParallelism
