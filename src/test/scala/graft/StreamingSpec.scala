@@ -1355,6 +1355,78 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("TwsSessionize: watermark-final sessions equal batch islands; " +
+    "gap-equal joins, out-of-order fragments merge") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTwsConf {
+    val B = 1704067200L // 2024-01-01 UTC, seconds
+    def ms(s: Long) = (B + s) * 1000L
+    val Gap = 1800L
+    // user1: 0 → 1800 (diff == gap JOINS) → 3601 (diff == gap+1 SPLITS)
+    // user2: @100 arrives FIRST, @50 arrives a batch later (late in
+    //        event time, inside the watermark) — one [50,100] session;
+    //        an arrival-order sessionizer emits two singletons
+    val rows = Seq(
+      (10L, 1L, 0L), (11L, 1L, 1800L), (12L, 1L, 3601L),
+      (20L, 2L, 100L), (21L, 2L, 50L))
+    // batch truth: the B32 gap-island rule on the same frame
+    val batchDf = rows.map { case (id, u, s) =>
+      (id, u, new java.sql.Timestamp(ms(s))) }
+      .toDF("event_id", "user_id", "ts")
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val batch = batchDf
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("ts").cast("long") -
+          lag(col("ts"), 1).over(byUser).cast("long") > Gap).as("gap"))
+      .select(col("user_id"), col("ts"),
+        sum(when(col("gap"), 1L).otherwise(0L)).over(byUser).as("sid"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).cast("long").as("s"), max(col("ts")).cast("long").as("e"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), (col("s") * 1000).as("start_ms"),
+        (col("e") * 1000).as("end_ms"), col("n"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val input = MemoryStream[(Long, Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val q = graft.streaming.TwsSessionize.sessions(
+        input.toDS().toDF("event_id", "user_id", "ms")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        gapSecs = Gap, delay = "100 seconds")
+      .writeStream.format("memory").queryName("sess")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      def feed(ids: Long*): Unit = {
+        val byId = rows.map(r => r._1 -> r).toMap
+        input.addData(ids.map { i =>
+          val (id, u, s) = byId(i); (id, u, ms(s)) })
+        q.processAllAvailable()
+      }
+      feed(10L, 20L)        // wm → 0s: nothing final
+      feed(21L, 11L)        // the late fragment + the gap-equal joiner; wm → 1700s
+      assert(spark.table("sess").isEmpty,
+        "nothing may emit before the watermark passes end + gap")
+      feed(12L)             // wm → 3501s: user2's [50,100] closes (timer 1901)
+      val mid = spark.table("sess").as[(Long, Long, Long, Long)].collect().toSet
+      assert(mid == Set((2L, ms(50L), ms(100L), 2L)),
+        s"mid-stream close mismatch: $mid")
+      input.addData((90L, 9L, ms(10000L))) // tick: wm → 9900s, user1 closes
+      q.processAllAvailable()
+      val got = spark.table("sess").filter(col("user_id") < 9)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set(
+        (1L, ms(0L), ms(1800L), 2L),   // gap-equal event JOINED
+        (1L, ms(3601L), ms(3601L), 1L), // gap+1 split into a singleton
+        (2L, ms(50L), ms(100L), 2L)),  // out-of-order fragments merged
+        s"stream sessions $got")
+      assert(got == batch, s"batch parity broke: $got vs $batch")
+    } finally q.stop()
+    }
+  }
+
   test("TwsTrending sharded fan-out: merged per-shard candidates equal the unsharded top-k") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
