@@ -340,6 +340,53 @@ object Graph {
     lab
   }
 
+  /** Per-community NEWMAN MODULARITY of a node-labeling over the
+    * undirected simple graph, in exact integers: for community c with
+    * m_c intra-community edges and degree mass d_c on a graph of m
+    * edges, `q_scaled = 4·m·m_c − d_c²` — modularity × 4m² with the
+    * division deferred (Q = Σ_c q_scaled / (4m²)), so the partition
+    * quality is cross-engine bit-exact with no floats. Q ≈ 0 means
+    * the partition is no better than a random cut with the same
+    * degree sequence — the audit every community detector
+    * ([[labelProp]]) needs before its output is trusted.
+    *
+    * Overflow: 4·m·m_c ≤ 4m² and d_c² ≤ (2m)², so 63 bits hold to
+    * m ≈ 1.5·10⁹ edges; beyond that, partition the graph or lift to
+    * DECIMAL(38,0). Scale: one edge→label join pair keyed on the
+    * node ids (intra counts), one both-endpoints degree aggregation
+    * joined to labels, and the edge total broadcast back as a
+    * one-row frame — nothing driver-side. `labels` is a
+    * (node, label) frame covering every edge endpoint. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val lab = labels.select(col(labels.columns(0)).as("node"),
+      col(labels.columns(1)).as("label"))
+    val mrow = und.agg(count(lit(1)).as("m"))
+    val intra = und
+      .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
+      .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("intra_edges"))
+    und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .join(lab, "node")
+      .groupBy(col("label"))
+      .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+      .join(intra, Seq("label"), "left")
+      .crossJoin(broadcast(mrow))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("deg_sum"),
+        (coalesce(col("intra_edges"), lit(0L)) * col("m") * 4 -
+          col("deg_sum") * col("deg_sum")).as("q_scaled"))
+  }
+
   /** Fixed-iteration weighted HITS (hubs & authorities, Kleinberg) in
     * integer micro-units — the bipartite-role twin of [[pageRank]]:
     * a node is a good HUB when it points at good authorities and a

@@ -362,6 +362,67 @@ object AnalyticsQueries {
         iters = 2)
     },
 
+    // B66 — MODULARITY of the B62 communities, exact integers: per
+    // community, q_scaled = 4·m·m_c − d_c² (modularity × 4m² — the
+    // Newman Q with the division deferred: Q = Σ q_scaled / (4m²)),
+    // so partition quality is cross-engine bit-exact with no floats —
+    // computed for BOTH propagation rounds, because that comparison
+    // is the operator's whole point: on this dense word graph round 2
+    // OVER-COLLAPSES to one community (Σ q_scaled = 0 — definitionally
+    // no better than random) while round 1's partition scores
+    // positive, which is exactly the audit that tells a user when to
+    // stop propagating. Shapes: labels from the same propagation as
+    // B62 (the round-1 frame is the round-2 input — computed once),
+    // per round one edge→label join pair (intra counts) + one degree
+    // agg joined to labels, edge total broadcast back
+    // (guarded-crossJoin). All node-keyed shuffles; nothing
+    // driver-side.
+    "modularity_score" -> { (s, d) =>
+      val edges = wordAdjacencyEdges(s, d).cache()
+      def modOf(iters: Int): DataFrame =
+        graft.operators.Graph
+          .modularity(edges, "src", "dst",
+            graft.operators.Graph.labelProp(edges, "src", "dst", iters))
+          .select(lit(iters.toLong).as("round"), col("label"), col("n_nodes"),
+            col("intra_edges"), col("deg_sum"), col("q_scaled"))
+      modOf(1).unionByName(modOf(2))
+    },
+
+    // B67 — A/B conversion LIFT with a division-free significance
+    // statistic: users split by id parity, per-variant distinct-user
+    // conversion (a HIGH-VALUE purchase, value > 150 — "any purchase"
+    // saturates at 100% on this corpus and the statistic degenerates
+    // to 0; the premium threshold keeps per-user conversion in the
+    // discriminative range), conv in ppm, and the 2×2 chi-square
+    // derived in PURE DOUBLE arithmetic from exact integer cell
+    // counts (the grouped_corr convention — identical inputs +
+    // identical expression order ⇒ identical bits on any engine; the
+    // cell-product denominator would overflow int64 at ~10⁵ users,
+    // so the doubles are the scale-correct form, not a shortcut).
+    // ONE user-keyed agg (map-side combined) → 2-row variant agg →
+    // one-row report.
+    "ab_lift" -> { (s, d) =>
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150.0,
+          1L).otherwise(0L)).as("converted"))
+        .select((col("user_id") % 2).as("variant"), col("converted"))
+      perUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+        .agg(sum(when(col("variant") === 0, col("n_users"))).as("users_a"),
+          sum(when(col("variant") === 0, col("n_conv"))).as("conv_a"),
+          sum(when(col("variant") === 1, col("n_users"))).as("users_b"),
+          sum(when(col("variant") === 1, col("n_conv"))).as("conv_b"))
+        .select(col("users_a"), col("conv_a"), col("users_b"), col("conv_b"),
+          expr("conv_a * 1000000 div users_a").as("conv_ppm_a"),
+          expr("conv_b * 1000000 div users_b").as("conv_ppm_b"),
+          expr("conv_a * (users_b - conv_b) - conv_b * (users_a - conv_a)")
+            .as("delta"))
+        .select(col("users_a"), col("conv_a"), col("users_b"), col("conv_b"),
+          col("conv_ppm_a"), col("conv_ppm_b"),
+          expr(Chi2Sql).as("chi2"))
+    },
+
     // B52 — co-occurrence LIFT: event-type pairs done by the same
     // user, set-based (the size-2 frequent-itemset / market-basket
     // view; B29's adjacency only sees consecutive events), ranked by
@@ -731,6 +792,21 @@ object AnalyticsQueries {
        |  WHERE EXISTS (SELECT 1 FROM ${cur}_k x WHERE x.node = u.a)
        |    AND EXISTS (SELECT 1 FROM ${cur}_k y WHERE y.node = u.b))""".stripMargin
 
+  /** The B67 2×2 chi-square over exact integer cells (users_a, conv_a,
+    * users_b, conv_b, delta) in pure double arithmetic — shared
+    * VERBATIM by the engine projection and the DuckDB oracle so the
+    * operation order (hence every IEEE rounding) is identical. */
+  private val Chi2Sql: String =
+    """CASE WHEN conv_a + conv_b = 0
+      |       OR users_a + users_b - conv_a - conv_b = 0
+      |       OR users_a = 0 OR users_b = 0 THEN CAST(0 AS DOUBLE)
+      |     ELSE (CAST(users_a + users_b AS DOUBLE)
+      |           * (CAST(delta AS DOUBLE) * CAST(delta AS DOUBLE)))
+      |          / (((CAST(users_a AS DOUBLE) * CAST(users_b AS DOUBLE))
+      |              * CAST(conv_a + conv_b AS DOUBLE))
+      |             * CAST(users_a + users_b - conv_a - conv_b AS DOUBLE))
+      |END""".stripMargin
+
   /** One unrolled synchronous label-propagation round for the B62
     * oracle: neighbor-label counts from `prev`, then the per-node
     * argmax under (count desc, label asc) — the same unique winner
@@ -744,6 +820,23 @@ object AnalyticsQueries {
        |    SELECT node, label, row_number() OVER (
        |      PARTITION BY node ORDER BY c DESC, label ASC) AS rn
        |    FROM c_$cur) WHERE rn = 1)""".stripMargin
+
+  /** One per-partition modularity block of the B66 oracle over label
+    * frame `lab` (expects `und`, `deg`, `mm` in scope). */
+  private def modRoundSql(lab: String, round: Int): String =
+    s"""intra_$round AS (
+       |  SELECT la.label AS label, CAST(count(*) AS BIGINT) AS intra_edges
+       |  FROM und u JOIN $lab la ON u.a = la.node JOIN $lab lb ON u.b = lb.node
+       |  WHERE la.label = lb.label GROUP BY 1),
+       |mod_$round AS (
+       |  SELECT CAST($round AS BIGINT) AS round, ds.label, ds.n_nodes,
+       |         coalesce(i.intra_edges, 0) AS intra_edges, ds.deg_sum,
+       |         coalesce(i.intra_edges, 0) * mm.m * 4 - ds.deg_sum * ds.deg_sum
+       |           AS q_scaled
+       |  FROM (SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS deg_sum,
+       |               CAST(count(*) AS BIGINT) AS n_nodes
+       |        FROM deg d JOIN $lab l ON d.node = l.node GROUP BY 1) ds
+       |  LEFT JOIN intra_$round i ON ds.label = i.label CROSS JOIN mm)""".stripMargin
 
   /** One unrolled PageRank iteration for the B50 oracle: `cur` from
     * `prev` with the exact integer-div update the engine uses,
@@ -921,6 +1014,53 @@ object AnalyticsQueries {
       |${lpRoundSql("l0", "l1")},
       |${lpRoundSql("l1", "l2")}
       |SELECT node, label FROM l2""".stripMargin,
+
+    // B66: same unrolled LPA rounds, then the integer modularity
+    // identity q_scaled = 4·m·m_c − d_c² per community.
+    "modularity_score" -> s"""
+      |WITH $WordAdjSql,
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e0 WHERE src <> dst),
+      |nbr AS (SELECT a AS node, b AS nbr FROM und
+      |        UNION ALL SELECT b, a FROM und),
+      |l0 AS (SELECT DISTINCT node, node AS label FROM nbr),
+      |${lpRoundSql("l0", "l1")},
+      |${lpRoundSql("l1", "l2")},
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      |        GROUP BY 1),
+      |${modRoundSql("l1", 1)},
+      |${modRoundSql("l2", 2)}
+      |SELECT * FROM mod_1 UNION ALL SELECT * FROM mod_2""".stripMargin,
+
+    // B67: identical cell derivation; chi2 shares the verbatim double
+    // expression with the engine.
+    "ab_lift" -> s"""
+      |WITH pu AS (
+      |  SELECT user_id,
+      |         max(CASE WHEN event_type = 'purchase' AND value > 150.0
+      |                  THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY 1),
+      |g AS (
+      |  SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n_users,
+      |         CAST(sum(converted) AS BIGINT) AS n_conv
+      |  FROM pu GROUP BY 1),
+      |r AS (
+      |  SELECT CAST(sum(CASE WHEN variant = 0 THEN n_users END) AS BIGINT) AS users_a,
+      |         CAST(sum(CASE WHEN variant = 0 THEN n_conv END) AS BIGINT) AS conv_a,
+      |         CAST(sum(CASE WHEN variant = 1 THEN n_users END) AS BIGINT) AS users_b,
+      |         CAST(sum(CASE WHEN variant = 1 THEN n_conv END) AS BIGINT) AS conv_b
+      |  FROM g),
+      |r2 AS (
+      |  SELECT *, conv_a * (users_b - conv_b) - conv_b * (users_a - conv_a)
+      |              AS delta
+      |  FROM r)
+      |SELECT users_a, conv_a, users_b, conv_b,
+      |       conv_a * 1000000 // users_a AS conv_ppm_a,
+      |       conv_b * 1000000 // users_b AS conv_ppm_b,
+      |       $Chi2Sql AS chi2
+      |FROM r2""".stripMargin,
 
     // B63: identical lag/coalesce formulation; the cross-multiplied
     // threshold keeps both engines division-free.

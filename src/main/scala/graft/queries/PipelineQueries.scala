@@ -448,6 +448,29 @@ object PipelineQueries {
         "vec_id", "embedding", "label", k = 10)
     },
 
+    // C83 — LEAVE-ONE-OUT EVALUATION of the C54 classifier: every
+    // vector with vec_id < 200 is classified by its 10 nearest
+    // OTHER vectors (knnClassify already excludes the query id — the
+    // proper LOO protocol), then confusioned against its true label —
+    // the (true, predicted, n) matrix every weak-supervision loop
+    // reads before trusting propagated labels. Same cosine/vote/tie
+    // contracts as C54, so the whole prediction path is value-checked,
+    // not just the 8-query probe. The label join and the matrix agg
+    // add one broadcast join + one ≤|labels|²-key aggregation on top
+    // of the classifier's own shapes.
+    "knn_eval" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val loo = emb.filter(col("vec_id") < 200)
+      val pred = Similarity.knnClassify(emb,
+        loo.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", "label", k = 10)
+      pred
+        .join(broadcast(loo.select(col("vec_id").as("query_id"),
+          col("label").cast("long").as("true_label"))), "query_id")
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // C6 — random-hyperplane LSH ANN + rerank (rows + SimilaritySpec).
     "embed_lsh_ann" -> { (s, d) =>
       // The scale configuration: 8 planes → 256 buckets shrink the
@@ -1220,6 +1243,29 @@ object PipelineQueries {
       |             row_number() OVER (PARTITION BY query_id
       |               ORDER BY n_votes DESC, label ASC) AS vrn FROM v)
       |SELECT query_id, label AS pred_label, n_votes FROM p WHERE vrn = 1""".stripMargin,
+
+    // C83: the C54 prediction SQL widened to the vec_id < 200 LOO
+    // population, joined back to truth and confusioned.
+    "knn_eval" -> s"""
+      |WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 200),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+      |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s),
+      |v AS (
+      |  SELECT query_id, CAST(e.label AS BIGINT) AS label, count(*) AS n_votes
+      |  FROM r JOIN embeddings e ON r.neighbor_id = e.vec_id
+      |  WHERE rn <= 10
+      |  GROUP BY 1, 2),
+      |p AS (SELECT query_id, label, n_votes,
+      |             row_number() OVER (PARTITION BY query_id
+      |               ORDER BY n_votes DESC, label ASC) AS vrn FROM v)
+      |SELECT CAST(t.label AS BIGINT) AS true_label, p.label AS pred_label,
+      |       count(*) AS n
+      |FROM p JOIN embeddings t ON p.query_id = t.vec_id
+      |WHERE vrn = 1 GROUP BY 1, 2""".stripMargin,
 
     // Mirrors lshTopK(numPlanes = 8, multiprobe = 1): Spark explodes
     // the query bucket over XOR masks of popcount <= 1, which joins

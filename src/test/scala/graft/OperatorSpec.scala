@@ -805,6 +805,62 @@ class OperatorSpec extends SparkTestBase {
       ppmEv == orphEv * 1000000L / nEv)
   }
 
+  test("modularity: two disjoint triangles — round-2 labels score the textbook Q = 1/2") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 6L), (6L, 7L), (7L, 5L))
+      .toDF("src", "dst")
+    val lab2 = graft.operators.Graph.labelProp(edges, "src", "dst", iters = 2)
+    val got2 = graft.operators.Graph.modularity(edges, "src", "dst", lab2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // per triangle: m_c = 3, d_c = 6, m = 6 → q_scaled = 72 − 36 = 36;
+    // Σ q_scaled / (4m²) = 72/144 = 1/2 — the two-clique textbook value
+    assert(got2 == Set((1L, 3L, 3L, 6L, 36L), (5L, 3L, 3L, 6L, 36L)), got2)
+    // round 1 under-merges (each triangle splits 1+2) → strictly lower Q
+    val lab1 = graft.operators.Graph.labelProp(edges, "src", "dst", iters = 1)
+    val q1 = graft.operators.Graph.modularity(edges, "src", "dst", lab1)
+      .agg(sum(col("q_scaled"))).as[Long].head()
+    assert(q1 == 8L, s"round-1 Σq_scaled $q1")
+  }
+
+  test("ab_lift equals a direct per-user replay; chi2 derives from the exact cells") {
+    import spark.implicits._
+    val rows = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect()
+    val conv = rows.groupBy(_._1).toSeq.map { case (u, es) =>
+      (u % 2, es.exists(e => e._2 == "purchase" && e._3 > 150.0)) }
+    val (ua, ca) = (conv.count(_._1 == 0).toLong,
+      conv.count(c => c._1 == 0 && c._2).toLong)
+    val (ub, cb) = (conv.count(_._1 == 1).toLong,
+      conv.count(c => c._1 == 1 && c._2).toLong)
+    val row = SparkEntry.queries("ab_lift")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().head
+    assert((row._1, row._2, row._3, row._4) == ((ua, ca, ub, cb)), row)
+    assert(row._5 == ca * 1000000L / ua && row._6 == cb * 1000000L / ub)
+    // the spec mirrors the engine's exact double evaluation order
+    val delta = (ca * (ub - cb) - cb * (ua - ca)).toDouble
+    val want =
+      if (ca + cb == 0 || ua + ub - ca - cb == 0) 0.0
+      else (ua + ub).toDouble * (delta * delta) /
+        (((ua.toDouble * ub.toDouble) * (ca + cb).toDouble) *
+          (ua + ub - ca - cb).toDouble)
+    assert(row._7 == want, s"chi2 ${row._7} vs $want")
+  }
+
+  test("knn_eval: confusion marginals equal the LOO population truth counts") {
+    import spark.implicits._
+    val got = SparkEntry.queries("knn_eval")(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    val truth = sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 200)
+      .select(col("label").cast("long").as("l"))
+      .groupBy(col("l")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val rowSums = got.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._3).sum }
+    assert(rowSums == truth, s"marginals $rowSums vs $truth")
+    assert(got.map(_._3).sum == truth.values.sum)
+  }
+
   test("benford_audit: bins partition the rows, ppm floors sum to ~1e6, constants pinned") {
     import spark.implicits._
     val got = SparkEntry.queries("benford_audit")(spark, sfDir)
