@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge-list frames — the same
@@ -315,7 +315,15 @@ object Graph {
     * and synchronous LPA is known to oscillate rather than converge —
     * production runs cap rounds anyway. */
   def labelProp(edges: DataFrame, srcCol: String, dstCol: String,
-                iters: Int = 2): DataFrame = {
+                iters: Int = 2): DataFrame =
+    labelPropTrace(edges, srcCol, dstCol, iters).last
+
+  /** [[labelProp]] with every round's label frame returned (index 0 =
+    * round 1) — each round computed ONCE and localCheckpointed, so a
+    * caller comparing partitions across rounds (the modularity audit)
+    * pays no recomputation. */
+  def labelPropTrace(edges: DataFrame, srcCol: String, dstCol: String,
+                     iters: Int): Seq[DataFrame] = {
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -326,6 +334,7 @@ object Graph {
       .cache()
     var lab = nbr.select(col("node")).distinct()
       .select(col("node"), col("node").as("label"))
+    val trace = Vector.newBuilder[DataFrame]
     for (_ <- 1 to iters) {
       // every node has >= 1 neighbor (it came from an edge), so the
       // inner join preserves the node set round to round
@@ -335,9 +344,10 @@ object Graph {
         .agg(min(struct((-col("c")).as("k"), col("label").as("label"))).as("m"))
         .select(col("node"), col("m.label").as("label"))
         .localCheckpoint()
+      trace += lab
     }
     nbr.unpersist()
-    lab
+    trace.result()
   }
 
   /** Per-community NEWMAN MODULARITY of a node-labeling over the
@@ -358,34 +368,95 @@ object Graph {
     * one-row frame — nothing driver-side. `labels` is a
     * (node, label) frame covering every edge endpoint. */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
-                 labels: DataFrame): DataFrame = {
+                 labels: DataFrame): DataFrame =
+    modularityRounds(edges, srcCol, dstCol, Seq(1L -> labels)).drop("round")
+
+  /** [[modularity]] for SEVERAL partitions of the same graph (the
+    * round-by-round audit of [[labelPropTrace]]): the undirected
+    * frame, the degree frame and the edge total are built ONCE and
+    * shared across every partition; output carries a `round` column
+    * tagging each labeling. */
+  def modularityRounds(edges: DataFrame, srcCol: String, dstCol: String,
+                       labelRounds: Seq[(Long, DataFrame)]): DataFrame = {
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-    val lab = labels.select(col(labels.columns(0)).as("node"),
-      col(labels.columns(1)).as("label"))
+      .distinct().cache()
     val mrow = und.agg(count(lit(1)).as("m"))
-    val intra = und
-      .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
-      .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
-      .filter(col("la") === col("lb"))
-      .groupBy(col("la").as("label")).agg(count(lit(1)).as("intra_edges"))
-    und.select(col("a").as("node"))
+    val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      .join(lab, "node")
-      .groupBy(col("label"))
-      .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
-      .join(intra, Seq("label"), "left")
-      .crossJoin(broadcast(mrow))
-      .select(col("label"), col("n_nodes"),
-        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
-        col("deg_sum"),
-        (coalesce(col("intra_edges"), lit(0L)) * col("m") * 4 -
-          col("deg_sum") * col("deg_sum")).as("q_scaled"))
+    val out = labelRounds.map { case (round, labels) =>
+      val lab = labels.select(col(labels.columns(0)).as("node"),
+        col(labels.columns(1)).as("label"))
+      val intra = und
+        .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
+        .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("label")).agg(count(lit(1)).as("intra_edges"))
+      deg.join(lab, "node")
+        .groupBy(col("label"))
+        .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+        .join(intra, Seq("label"), "left")
+        .crossJoin(broadcast(mrow))
+        .select(lit(round).as("round"), col("label"), col("n_nodes"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+          col("deg_sum"),
+          (coalesce(col("intra_edges"), lit(0L)) * col("m") * 4 -
+            col("deg_sum") * col("deg_sum")).as("q_scaled"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    und.unpersist()
+    out
   }
+
+  /** DEGREE ASSORTATIVITY (Newman's r) of the undirected simple
+    * graph: the Pearson correlation of endpoint degrees over the
+    * symmetrized edge set (both orientations) — "do hubs link to
+    * hubs?" in one number (social graphs r > 0; word/web/biological
+    * graphs r < 0). Moments accumulate as exact DECIMAL(38,0)
+    * (order-independent at any scale); the statistic derives in pure
+    * double arithmetic from those exact inputs via [[AssortSql]], so
+    * any engine produces identical bits (sqrt is IEEE
+    * correctly-rounded). Zero degree variance (regular graphs) guards
+    * to r = 0. Output: one row (n, r_assort), n = 2m samples.
+    *
+    * Scale: one distinct, one degree aggregation, two node-keyed
+    * joins of the 16-byte degree frame, one map-side-combined moment
+    * aggregation — no windows, nothing driver-side. */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val pairs = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(col("da"), col("db"))
+    val sym = pairs.select(col("da").as("x"), col("db").as("y"))
+      .unionByName(pairs.select(col("db").as("x"), col("da").as("y")))
+    val d38 = (c: Column) =>
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double")
+    sym.agg(count(lit(1)).as("n"),
+        d38(col("x")).as("sx"), d38(col("y")).as("sy"),
+        d38(col("x") * col("y")).as("sxy"),
+        d38(col("x") * col("x")).as("sxx"),
+        d38(col("y") * col("y")).as("syy"))
+      .select(col("n"), expr(AssortSql).as("r_assort"))
+  }
+
+  /** The assortativity statistic over the exact moment columns —
+    * shared VERBATIM with the SQL oracle so the double operation
+    * order (hence every IEEE rounding) is identical on both engines. */
+  val AssortSql: String =
+    """CASE WHEN sxx - sx * sx / n = 0 OR syy - sy * sy / n = 0
+      |     THEN CAST(0 AS DOUBLE)
+      |     ELSE (sxy - sx * sy / n)
+      |          / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+      |END""".stripMargin
 
   /** Fixed-iteration weighted HITS (hubs & authorities, Kleinberg) in
     * integer micro-units — the bipartite-role twin of [[pageRank]]:

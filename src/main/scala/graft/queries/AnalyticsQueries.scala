@@ -379,13 +379,51 @@ object AnalyticsQueries {
     // driver-side.
     "modularity_score" -> { (s, d) =>
       val edges = wordAdjacencyEdges(s, d).cache()
-      def modOf(iters: Int): DataFrame =
-        graft.operators.Graph
-          .modularity(edges, "src", "dst",
-            graft.operators.Graph.labelProp(edges, "src", "dst", iters))
-          .select(lit(iters.toLong).as("round"), col("label"), col("n_nodes"),
-            col("intra_edges"), col("deg_sum"), col("q_scaled"))
-      modOf(1).unionByName(modOf(2))
+      val rounds = graft.operators.Graph
+        .labelPropTrace(edges, "src", "dst", iters = 2)
+      val out = graft.operators.Graph.modularityRounds(edges, "src", "dst",
+        Seq(1L -> rounds(0), 2L -> rounds(1)))
+      edges.unpersist()
+      out
+    },
+
+    // B68 — degree ASSORTATIVITY of the word-adjacency graph: the
+    // Pearson correlation of endpoint degrees over the symmetrized
+    // edge set (both orientations — Newman's r), the one-number
+    // answer to "do hubs link to hubs?" (social graphs r > 0; word /
+    // web / biological graphs r < 0 — hubs surrounded by leaves).
+    // The B33 exactness convention: moments Σx, Σy, Σxy, Σx², Σy²
+    // accumulate as exact DECIMAL(38,0) (order-independent), the
+    // statistic derives in pure double arithmetic from identical
+    // exact inputs — bit-identical on any engine; zero degree
+    // variance guards to r = 0 (complete-regular graphs). Shapes: one
+    // distinct, one degree agg, two node-keyed joins of the 16-byte
+    // degree frame, one map-side-combined moment agg.
+    "assortativity" -> { (s, d) =>
+      graft.operators.Graph.assortativity(wordAdjacencyEdges(s, d), "src", "dst")
+    },
+
+    // B69 — per-user event-rate BURST hours: hours where a user's
+    // event count exceeds 2× their own mean per-ACTIVE-hour rate —
+    // the per-entity rate-spike alarm (bot surges, runaway clients)
+    // that global outlier rules (B28) miss because every user has a
+    // different baseline. Integer-exact: the comparison
+    // cross-multiplies (n·active_hours > 2·total), so no engine
+    // divides. ONE corpus-scan (user, hour) agg (map-side combined),
+    // a users-sized re-aggregation of that frame, and a user-keyed
+    // join of the two bounded frames — never a window over raw
+    // events.
+    "burst_hours" -> { (s, d) =>
+      val perHour = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          expr("CAST(ts AS BIGINT) div 3600").as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val perUser = perHour.groupBy(col("user_id"))
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("active_hours"))
+      perHour.join(perUser, "user_id")
+        .filter(col("n") * col("active_hours") > col("total") * 2)
+        .select(col("user_id"), col("hour"), col("n"), col("total"),
+          col("active_hours"))
     },
 
     // B67 — A/B conversion LIFT with a division-free significance
@@ -1033,6 +1071,46 @@ object AnalyticsQueries {
       |${modRoundSql("l1", 1)},
       |${modRoundSql("l2", 2)}
       |SELECT * FROM mod_1 UNION ALL SELECT * FROM mod_2""".stripMargin,
+
+    // B68: same moments (HUGEINT-exact, cast to double), same verbatim
+    // r expression over the symmetrized edge set.
+    "assortativity" -> s"""
+      |WITH $WordAdjSql,
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e0 WHERE src <> dst),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      |        GROUP BY 1),
+      |dpairs AS (
+      |  SELECT da.deg AS da, db.deg AS db
+      |  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
+      |sym AS (SELECT da AS x, db AS y FROM dpairs
+      |        UNION ALL SELECT db, da FROM dpairs),
+      |mom AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+      |         CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+      |         CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy,
+      |         CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
+      |         CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy
+      |  FROM sym)
+      |SELECT n, ${graft.operators.Graph.AssortSql} AS r_assort FROM mom""".stripMargin,
+
+    // B69: identical cross-multiplied rate comparison — division-free.
+    "burst_hours" -> """
+      WITH ph AS (
+        -- epoch_us is integer-exact; // floors like Spark's
+        -- cast-to-long-then-div (epoch() DOUBLE would ROUND on cast)
+        SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      pu AS (
+        SELECT user_id, CAST(sum(n) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS active_hours
+        FROM ph GROUP BY 1)
+      SELECT ph.user_id, ph.hour, ph.n, pu.total, pu.active_hours
+      FROM ph JOIN pu USING (user_id)
+      WHERE ph.n * pu.active_hours > pu.total * 2""",
 
     // B67: identical cell derivation; chi2 shares the verbatim double
     // expression with the engine.

@@ -861,6 +861,38 @@ class OperatorSpec extends SparkTestBase {
     assert(got.map(_._3).sum == truth.values.sum)
   }
 
+  test("assortativity: star is perfectly disassortative (−1), regular graphs guard to 0") {
+    import spark.implicits._
+    // star K1,3: hub degree 3, leaves 1 → every sample pairs (3,1) or
+    // (1,3) → r = −1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val rs = graft.operators.Graph.assortativity(star, "src", "dst")
+      .as[(Long, Double)].collect().head
+    assert(rs == ((6L, -1.0)), rs)
+    // K3 is 2-regular: zero degree variance → the guard arm, r = 0
+    val k3 = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val rk = graft.operators.Graph.assortativity(k3, "src", "dst")
+      .as[(Long, Double)].collect().head
+    assert(rk == ((6L, 0.0)), rk)
+  }
+
+  test("burst_hours: flags exactly the hours above 2x the user's active-hour mean") {
+    import spark.implicits._
+    val rows = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("long"))
+      .as[(Long, Long)].collect().map { case (u, s) => (u, s / 3600L) }
+    val want = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).iterator.flatMap { case (u, hours) =>
+        val total = hours.values.sum
+        val active = hours.size.toLong
+        hours.collect { case ((_, h), n) if n * active > total * 2 =>
+          (u, h, n, total, active) }
+      }.toSet
+    val got = SparkEntry.queries("burst_hours")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+  }
+
   test("benford_audit: bins partition the rows, ppm floors sum to ~1e6, constants pinned") {
     import spark.implicits._
     val got = SparkEntry.queries("benford_audit")(spark, sfDir)

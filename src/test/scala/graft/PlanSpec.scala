@@ -508,6 +508,25 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("burst_hours: two aggregations + keyed join — no window over raw events") {
+    val plan = planOf(SparkEntry.queries("burst_hours")(spark, sfDir))
+    // the per-entity baseline comes from re-aggregating the bounded
+    // (user, hour) frame, never from a per-user window pass over the
+    // raw event stream
+    assert(!plan.contains("Window"), s"window crept into the burst plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("assortativity: keyed degree joins, single moment aggregate, no cartesian") {
+    val plan = planOf(SparkEntry.queries("assortativity")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the five moments fold in ONE aggregate pass over the symmetrized
+    // pairs (partial + final HashAggregate), not per-moment scans
+    assert("partial_(sum|count)".r.findAllIn(plan).nonEmpty
+      || plan.contains("HashAggregate"), plan)
+  }
+
   test("fanOut gates on scan parallelism: no-op on pre-split input") {
     val docs = sources.Tables.documents(spark, sfDir)
     val par = spark.sparkContext.defaultParallelism
