@@ -686,6 +686,71 @@ object AnalyticsQueries {
           col("s2_id").as("p_id"), col("completed"))
     },
 
+    // B70 — WINDOWED FUNNEL depth (the ClickHouse-windowFunnel
+    // shape): per user, the deepest view→click→purchase prefix
+    // reachable with every step inside 3600s of ITS OWN view trigger
+    // — B26's funnel measures global stage populations with no
+    // window; this scores each user by their best windowed run.
+    // Reuses the B58 as-of chain VERBATIM (one operator, two
+    // consumers — binding bugs can't diverge between them): depth
+    // re-checks each binding against the trigger window, then one
+    // user-keyed max. Costs nothing beyond B58's own shuffles plus a
+    // map-side-combined agg.
+    "window_funnel" -> { (s, d) =>
+      val W = 3600L
+      val ep = graft.operators.Cep.nextMatchEpisodes(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"), windowSecs = W)
+      val inWin = (c: Column) => c.isNotNull &&
+        c.cast("long") - col("trigger_ts").cast("long") <= W
+      ep.select(col("user_id"),
+          (lit(1L) + when(inWin(col("s1_ts")), 1L).otherwise(0L)
+            + when(inWin(col("s2_ts")) && inWin(col("s1_ts")), 1L)
+              .otherwise(0L)).as("depth"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_triggers"), max(col("depth")).as("max_depth"))
+    },
+
+    // B71 — WINSORIZED mean per event type: clip values at the exact
+    // [P5, P95] percentile_disc bounds, then average — the robust
+    // mean dashboards want when a few extreme ticks poison avg()
+    // (B48 flags outliers; this SUMMARIZES with them neutralized).
+    // Integer-exact end to end: cents, disc bounds from the B34
+    // cumulative walk over the DISTINCT-value frame (the only
+    // corpus-sized stage is the map-side-combined (type, cents)
+    // count), clamp-sum re-aggregates that same bounded frame with
+    // the bounds broadcast back — the corpus is scanned ONCE, and no
+    // raw-row sort ever happens.
+    "winsorized_stats" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .select(col("event_type"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("c"))
+      val byType = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      val bounds = counts
+        .withColumn("cum", sum(col("c"))
+          .over(byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c"))
+          .over(byType.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") >= expr("(n + 19) div 20"), col("cents")))
+            .as("p05_cents"),
+          min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("cents")))
+            .as("p95_cents"),
+          max(col("n")).as("n"))
+      counts.join(broadcast(bounds), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(col("p05_cents")).as("p05_cents"),
+          max(col("p95_cents")).as("p95_cents"),
+          sum(col("c") *
+            greatest(least(col("cents"), col("p95_cents")), col("p05_cents")))
+            .as("wins_sum"))
+        .select(col("event_type"), col("n"), col("p05_cents"),
+          col("p95_cents"), expr("wins_sum div n").as("wins_mean_cents"))
+    },
+
     // B57 — interval-intersection ALIGNMENT (Windows.intervalAlign)
     // of two per-user timelines: activity sessions (B32's 1800s-gap
     // islands) × error islands (3600s-gap islands over error events)
@@ -829,6 +894,37 @@ object AnalyticsQueries {
        |  SELECT u.a, u.b FROM $prev u
        |  WHERE EXISTS (SELECT 1 FROM ${cur}_k x WHERE x.node = u.a)
        |    AND EXISTS (SELECT 1 FROM ${cur}_k y WHERE y.node = u.b))""".stripMargin
+
+  /** The B58 skip-till-next as-of chain as oracle CTEs (ends at
+    * `s2b`: one row per view trigger with its click/purchase
+    * bindings) — shared verbatim by the cep_episodes and
+    * window_funnel oracles so both replay identical bindings. */
+  private val CepChainSql: String =
+    """v AS (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events
+      |      WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+      |      WHERE event_type = 'purchase'),
+      |s1 AS (SELECT v.event_id, v.user_id, v.ts, min(c.c_ts) AS c_ts
+      |       FROM v LEFT JOIN c ON c.user_id = v.user_id AND c.c_ts >= v.ts
+      |       GROUP BY 1, 2, 3),
+      |s1b AS (SELECT s1.event_id, s1.user_id, s1.ts, s1.c_ts,
+      |               min(c.c_id) AS c_id
+      |        FROM s1 LEFT JOIN c ON c.user_id = s1.user_id
+      |                           AND c.c_ts = s1.c_ts
+      |        GROUP BY 1, 2, 3, 4),
+      |s2 AS (SELECT b.event_id, b.user_id, b.ts, b.c_ts, b.c_id,
+      |              min(p.p_ts) AS p_ts
+      |       FROM s1b b LEFT JOIN p ON p.user_id = b.user_id
+      |                             AND b.c_ts IS NOT NULL
+      |                             AND p.p_ts >= b.c_ts
+      |       GROUP BY 1, 2, 3, 4, 5),
+      |s2b AS (SELECT s2.event_id, s2.user_id, s2.ts, s2.c_ts, s2.c_id,
+      |               s2.p_ts, min(p.p_id) AS p_id
+      |        FROM s2 LEFT JOIN p ON p.user_id = s2.user_id
+      |                           AND p.p_ts = s2.p_ts
+      |        GROUP BY 1, 2, 3, 4, 5, 6)""".stripMargin
 
   /** The B67 2×2 chi-square over exact integer cells (users_a, conv_a,
     * users_b, conv_b, delta) in pure double arithmetic — shared
@@ -1344,36 +1440,31 @@ object AnalyticsQueries {
 
     // B58: each as-of step replayed as min-over-candidates (ts first,
     // then smallest id at that ts — the forward tie-break contract).
-    "cep_episodes" -> """
-      |WITH v AS (SELECT event_id, user_id, ts FROM events
-      |           WHERE event_type = 'view'),
-      |c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events
-      |      WHERE event_type = 'click'),
-      |p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
-      |      WHERE event_type = 'purchase'),
-      |s1 AS (SELECT v.event_id, v.user_id, v.ts, min(c.c_ts) AS c_ts
-      |       FROM v LEFT JOIN c ON c.user_id = v.user_id AND c.c_ts >= v.ts
-      |       GROUP BY 1, 2, 3),
-      |s1b AS (SELECT s1.event_id, s1.user_id, s1.ts, s1.c_ts,
-      |               min(c.c_id) AS c_id
-      |        FROM s1 LEFT JOIN c ON c.user_id = s1.user_id
-      |                           AND c.c_ts = s1.c_ts
-      |        GROUP BY 1, 2, 3, 4),
-      |s2 AS (SELECT b.event_id, b.user_id, b.ts, b.c_ts, b.c_id,
-      |              min(p.p_ts) AS p_ts
-      |       FROM s1b b LEFT JOIN p ON p.user_id = b.user_id
-      |                             AND b.c_ts IS NOT NULL
-      |                             AND p.p_ts >= b.c_ts
-      |       GROUP BY 1, 2, 3, 4, 5),
-      |s2b AS (SELECT s2.event_id, s2.user_id, s2.ts, s2.c_ts, s2.c_id,
-      |               s2.p_ts, min(p.p_id) AS p_id
-      |        FROM s2 LEFT JOIN p ON p.user_id = s2.user_id
-      |                           AND p.p_ts = s2.p_ts
-      |        GROUP BY 1, 2, 3, 4, 5, 6)
+    "cep_episodes" -> s"""
+      |WITH $CepChainSql
       |SELECT event_id, user_id, ts, c_ts, c_id, p_ts, p_id,
       |       p_ts IS NOT NULL AND date_diff('second', ts, p_ts) <= 3600
       |         AS completed
       |FROM s2b""".stripMargin,
+
+    // B70: depth from the SAME as-of chain (CTEs shared verbatim with
+    // the B58 oracle), per-step window membership re-checked.
+    "window_funnel" -> s"""
+      |WITH $CepChainSql,
+      |dep AS (
+      |  SELECT user_id,
+      |         CAST(1
+      |           + CASE WHEN c_ts IS NOT NULL
+      |                   AND date_diff('second', ts, c_ts) <= 3600
+      |                  THEN 1 ELSE 0 END
+      |           + CASE WHEN p_ts IS NOT NULL
+      |                   AND date_diff('second', ts, p_ts) <= 3600
+      |                   AND date_diff('second', ts, c_ts) <= 3600
+      |                  THEN 1 ELSE 0 END AS BIGINT) AS depth
+      |  FROM s2b)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_triggers,
+      |       CAST(max(depth) AS BIGINT) AS max_depth
+      |FROM dep GROUP BY 1""".stripMargin,
 
     // B57: both island derivations replayed (the proven B32 pairing of
     // date_diff-seconds vs cast-long diffs), then the overlap join.
@@ -1559,6 +1650,32 @@ object AnalyticsQueries {
     "value_histogram" -> """
       SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n
       FROM events GROUP BY 1, 2""",
+
+    // B71: same distinct-value walk, ceil-rank disc bounds, clamp-sum.
+    "winsorized_stats" -> """
+      WITH counts AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type, cents, c,
+               CAST(sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM counts),
+      bounds AS (
+        SELECT event_type,
+               min(CASE WHEN cum >= (n + 19) // 20 THEN cents END) AS p05_cents,
+               min(CASE WHEN cum >= (19 * n + 19) // 20 THEN cents END) AS p95_cents,
+               max(n) AS n
+        FROM cum GROUP BY 1)
+      SELECT c.event_type, max(b.n) AS n,
+             max(b.p05_cents) AS p05_cents, max(b.p95_cents) AS p95_cents,
+             CAST(sum(c.c * greatest(least(c.cents, b.p95_cents), b.p05_cents))
+               AS BIGINT) // max(b.n) AS wins_mean_cents
+      FROM counts c JOIN bounds b USING (event_type)
+      GROUP BY 1""",
 
     "equi_depth_quartiles" -> """
       WITH counts AS (

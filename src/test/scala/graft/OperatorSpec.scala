@@ -893,6 +893,51 @@ class OperatorSpec extends SparkTestBase {
     assert(got == want, s"got ${got.size} want ${want.size}")
   }
 
+  test("window_funnel: depths derive from the cep_episodes bindings (shared chain)") {
+    import spark.implicits._
+    val eps = SparkEntry.queries("cep_episodes")(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("long"),
+        col("c_ts").cast("long"), col("p_ts").cast("long"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+    val want = eps.groupBy(_._1).view.mapValues { rows =>
+      val depths = rows.map { case (_, t, c, p) =>
+        val cIn = c.exists(_ - t <= 3600L)
+        val pIn = p.exists(_ - t <= 3600L) && cIn
+        1L + (if (cIn) 1L else 0L) + (if (pIn) 1L else 0L)
+      }
+      (rows.length.toLong, depths.max)
+    }.toMap
+    val got = SparkEntry.queries("window_funnel")(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    // sf0.001's 15 users never close view→click→purchase inside one
+    // window; depth-2 runs (view→click in-window) must still appear
+    assert(got.values.exists(_._2 >= 2L), "some user should reach depth 2")
+  }
+
+  test("winsorized_stats: clamped mean replay with ceil-rank disc bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val rows = sources.Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+      .as[(String, Long)].collect()
+    val want = rows.groupBy(_._1).view.mapValues { es =>
+      val v = es.map(_._2).sorted
+      val n = v.length.toLong
+      def disc(rank: Long) = v((rank - 1).toInt)
+      val p05 = disc((n + 19) / 20)
+      val p95 = disc((19 * n + 19) / 20)
+      val winsSum = v.map(x => math.max(math.min(x, p95), p05)).sum
+      (n, p05, p95, winsSum / n)
+    }.toMap
+    val got = SparkEntry.queries("winsorized_stats")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("benford_audit: bins partition the rows, ppm floors sum to ~1e6, constants pinned") {
     import spark.implicits._
     val got = SparkEntry.queries("benford_audit")(spark, sfDir)
