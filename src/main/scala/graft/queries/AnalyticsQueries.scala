@@ -686,6 +686,55 @@ object AnalyticsQueries {
           col("s2_id").as("p_id"), col("completed"))
     },
 
+    // B72 — ROLLING 7-DAY RETENTION: for each activity day D, the
+    // share of D's active users also active on D+7 — THE product
+    // health metric, and the rolling complement of B27's
+    // signup-anchored cohort triangle (every day is an anchor, not
+    // just the signup week). Day = epoch-seconds div 86400 (integer,
+    // timezone-free — hour()/date_trunc would drag session-TZ
+    // semantics into the oracle seam). ONE distinct (user, day)
+    // shuffle — frames after that are (users × active days), not
+    // events; the D→D+7 lookup is a self equi-join on (user, day+7),
+    // key-shuffled; ppm by integer division.
+    "rolling_retention" -> { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("CAST(ts AS BIGINT) div 86400").as("day"))
+        .distinct()
+      val future = ud.select(col("user_id"), (col("day") - 7).as("day"))
+        .distinct()
+      ud.join(future.withColumn("retained", lit(1L)),
+          Seq("user_id", "day"), "left")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          coalesce(sum(col("retained")), lit(0L)).as("n_retained"))
+        .select(col("day"), col("n_active"), col("n_retained"),
+          expr("n_retained * 10000 div n_active").as("ret_bp"))
+    },
+
+    // B73 — HOUR-OF-DAY SEASONALITY profile: each event type's
+    // activity share per hour-of-day in ppm, with deviation from the
+    // uniform 1/24 — the shape check that catches a broken ingest
+    // clock or a bot source (organic traffic has a diurnal curve;
+    // uniform IS the anomaly on real data, and this synthetic corpus
+    // fails that check loudly — the finding). Hour-of-day =
+    // (epoch div 3600) mod 24, integer and timezone-free. ONE
+    // corpus-scan map-side-combined agg into a ≤ types×24 frame; the
+    // type totals re-aggregate that bounded frame (broadcast back,
+    // guarded-crossJoin convention — zero second scans).
+    "seasonality_profile" -> { (s, d) =>
+      val hod = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("(CAST(ts AS BIGINT) div 3600) % 24").as("hod"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val tot = hod.groupBy(col("event_type")).agg(sum(col("n")).as("total"))
+      hod.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("hod"), col("n"),
+          expr("n * 1000000 div total").as("share_ppm"))
+        .withColumn("dev_ppm", abs(col("share_ppm") - lit(41666L)))
+    },
+
     // B70 — WINDOWED FUNNEL depth (the ClickHouse-windowFunnel
     // shape): per user, the deepest view→click→purchase prefix
     // reachable with every step inside 3600s of ITS OWN view trigger
@@ -1650,6 +1699,34 @@ object AnalyticsQueries {
     "value_histogram" -> """
       SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n
       FROM events GROUP BY 1, 2""",
+
+    // B72: same integer epoch-day buckets and D+7 self-join.
+    "rolling_retention" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events),
+      fut AS (SELECT DISTINCT user_id, day - 7 AS day FROM ud),
+      j AS (
+        SELECT ud.day,
+               CASE WHEN fut.user_id IS NULL THEN 0 ELSE 1 END AS retained
+        FROM ud LEFT JOIN fut ON ud.user_id = fut.user_id
+                             AND ud.day = fut.day)
+      SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(retained) AS BIGINT) AS n_retained,
+             CAST(sum(retained) AS BIGINT) * 10000 // count(*) AS ret_bp
+      FROM j GROUP BY 1""",
+
+    // B73: same integer hour-of-day derivation and ppm shares.
+    "seasonality_profile" -> """
+      WITH h AS (
+        SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+            FROM h GROUP BY 1)
+      SELECT h.event_type, h.hod, h.n, h.n * 1000000 // t.total AS share_ppm,
+             abs(h.n * 1000000 // t.total - 41666) AS dev_ppm
+      FROM h JOIN t USING (event_type)""",
 
     // B71: same distinct-value walk, ceil-rank disc bounds, clamp-sum.
     "winsorized_stats" -> """

@@ -938,6 +938,43 @@ class OperatorSpec extends SparkTestBase {
     assert(got == want, s"got $got want $want")
   }
 
+  test("rolling_retention: D to D+7 replay; every activity day reported") {
+    import spark.implicits._
+    val ud = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("long"))
+      .as[(Long, Long)].collect()
+      .map { case (u, s) => (u, s / 86400L) }.toSet
+    val byDay = ud.groupBy(_._2)
+    val want = byDay.map { case (day, active) =>
+      val retained = active.count(a => ud.contains((a._1, day + 7))).toLong
+      (day, active.size.toLong, retained,
+        retained * 10000L / active.size)
+    }.toSet
+    val got = SparkEntry.queries("rolling_retention")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    assert(got.map(_._1) == byDay.keySet, "every activity day must report")
+  }
+
+  test("seasonality_profile: shares partition each type's mass; hod in [0,24)") {
+    import spark.implicits._
+    val got = SparkEntry.queries("seasonality_profile")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.forall(r => r._2 >= 0 && r._2 < 24))
+    val totals = sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val byType = got.groupBy(_._1)
+    assert(byType.view.mapValues(_.map(_._3).sum).toMap == totals,
+      "per-type hour masses must sum to the type totals")
+    // ppm floors: each type's shares sum to 1e6 minus floor dust (< 24)
+    byType.foreach { case (t, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s > 1000000L - 24 && s <= 1000000L, s"$t share sum $s")
+      rows.foreach(r => assert(r._5 == (r._4 - 41666L).abs))
+    }
+  }
+
   test("benford_audit: bins partition the rows, ppm floors sum to ~1e6, constants pinned") {
     import spark.implicits._
     val got = SparkEntry.queries("benford_audit")(spark, sfDir)

@@ -527,6 +527,21 @@ class PlanSpec extends SparkTestBase {
       || plan.contains("HashAggregate"), plan)
   }
 
+  test("seasonality_profile: totals re-aggregate the checkpointed frame — zero second scans") {
+    val plan = planOf(SparkEntry.queries("seasonality_profile")(spark, sfDir))
+    // the hod frame is localCheckpointed; everything above it reads
+    // the in-memory RDD — no parquet scan may appear (C77 posture)
+    assert(!plan.toLowerCase.contains("filescan"),
+      s"corpus rescan after the hod checkpoint:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("rolling_retention: distinct once, keyed self-join, no window and no cartesian") {
+    val plan = planOf(SparkEntry.queries("rolling_retention")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("fanOut gates on scan parallelism: no-op on pre-split input") {
     val docs = sources.Tables.documents(spark, sfDir)
     val par = spark.sparkContext.defaultParallelism
