@@ -686,6 +686,46 @@ object AnalyticsQueries {
           col("s2_id").as("p_id"), col("completed"))
     },
 
+    // B74 — TIME-TO-CONVERT by cohort week: per user, the lag from
+    // their FIRST view to the first purchase strictly after it,
+    // rolled up to exact disc quartiles per first-view week — "is
+    // conversion getting slower for newer cohorts", the longitudinal
+    // read B26/B27 (populations, retention) don't give. All times as
+    // floor-seconds longs (the tz-free convention); quartiles via
+    // the B34 cumulative walk over the (week, lag) DISTINCT frame —
+    // bounded by converting users, never a raw-event sort. Two
+    // filtered min-aggs + one user-keyed join + the bounded walk.
+    "conversion_lag" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts").cast("long")).as("t_view"))
+      val lags = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast("long").as("tp"))
+        .join(fv, "user_id").filter(col("tp") > col("t_view"))
+        .groupBy(col("user_id"), col("t_view"))
+        .agg(min(col("tp")).as("t_buy"))
+        .select(expr("t_view div 604800").as("week"),
+          (col("t_buy") - col("t_view")).as("lag_secs"))
+      val counts = lags.groupBy(col("week"), col("lag_secs"))
+        .agg(count(lit(1)).as("c"))
+      val byWeek = Window.partitionBy(col("week")).orderBy(col("lag_secs"))
+      counts
+        .withColumn("cum", sum(col("c"))
+          .over(byWeek.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c"))
+          .over(byWeek.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .groupBy(col("week"))
+        .agg(max(col("n")).as("n_users"),
+          min(when(col("cum") >= expr("(n + 3) div 4"), col("lag_secs")))
+            .as("q25_secs"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("lag_secs")))
+            .as("q50_secs"),
+          min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("lag_secs")))
+            .as("q75_secs"))
+    },
+
     // B72 — ROLLING 7-DAY RETENTION: for each activity day D, the
     // share of D's active users also active on D+7 — THE product
     // health metric, and the rolling complement of B27's
@@ -1699,6 +1739,34 @@ object AnalyticsQueries {
     "value_histogram" -> """
       SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n
       FROM events GROUP BY 1, 2""",
+
+    // B74: floor-second epochs on both sides, same walk.
+    "conversion_lag" -> """
+      WITH fv AS (
+        SELECT user_id, min(epoch_us(ts) // 1000000) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      fb AS (
+        SELECT e.user_id, fv.t_view, min(epoch_us(e.ts) // 1000000) AS t_buy
+        FROM events e JOIN fv ON e.user_id = fv.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) // 1000000 > fv.t_view
+        GROUP BY 1, 2),
+      lags AS (
+        SELECT t_view // 604800 AS week, t_buy - t_view AS lag_secs FROM fb),
+      counts AS (
+        SELECT week, lag_secs, CAST(count(*) AS BIGINT) AS c
+        FROM lags GROUP BY 1, 2),
+      cum AS (
+        SELECT week, lag_secs, c,
+               CAST(sum(c) OVER (PARTITION BY week ORDER BY lag_secs
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(c) OVER (PARTITION BY week) AS BIGINT) AS n
+        FROM counts)
+      SELECT week, max(n) AS n_users,
+             min(CASE WHEN cum >= (n + 3) // 4 THEN lag_secs END) AS q25_secs,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN lag_secs END) AS q50_secs,
+             min(CASE WHEN cum >= (3 * n + 3) // 4 THEN lag_secs END) AS q75_secs
+      FROM cum GROUP BY 1""",
 
     // B72: same integer epoch-day buckets and D+7 self-join.
     "rolling_retention" -> """

@@ -471,6 +471,42 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // C84 — N-GRAM NOVELTY of an increment: per source, the share of
+    // the delta batch's distinct word-3-grams NOT present anywhere in
+    // the base corpus — the "is this crawl increment actually new"
+    // gate that runs before an increment earns its storage (a mirror
+    // re-crawl scores ~0; fresh content scores high). Base/delta
+    // split by doc_id mod 10 (the suite's increment convention).
+    // Shapes: grams build IN-SCAN (transform HOF, no per-token
+    // shuffle), ONE distinct per side keyed on the gram, one
+    // gram-keyed LEFT ANTI join, then source-keyed counts — at
+    // production scale the gram key swaps to fingerprint64 (8-byte
+    // shuffle, Dedup's convention); the oracle-checked form keeps
+    // raw strings so DuckDB can replay it.
+    "ngram_novelty" -> { (s, d) =>
+      val docs = Tables.fanOut(Tables.documents(s, d))
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("source"), split(col("text"), " ").as("t"))
+        .select(col("source"), explode(expr(
+          """CASE WHEN size(t) < 3 THEN array()
+            |ELSE transform(sequence(0, size(t) - 3),
+            |  i -> concat_ws(' ', t[i], t[i + 1], t[i + 2])) END"""
+            .stripMargin)).as("g"))
+        .filter(length(col("g")) > 2)
+      val base = grams(docs.filter(col("doc_id") % 10 =!= 0))
+        .select(col("g")).distinct()
+      val delta = grams(docs.filter(col("doc_id") % 10 === 0))
+        .select(col("source"), col("g")).distinct()
+      val novel = delta.join(base, Seq("g"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_novel"))
+      delta.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+        .join(novel, Seq("source"), "left")
+        .select(col("source"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          expr("coalesce(n_novel, CAST(0 AS BIGINT)) * 1000000 div n_grams")
+            .as("novel_ppm"))
+    },
+
     // C6 — random-hyperplane LSH ANN + rerank (rows + SimilaritySpec).
     "embed_lsh_ann" -> { (s, d) =>
       // The scale configuration: 8 planes → 256 buckets shrink the
@@ -1243,6 +1279,30 @@ object PipelineQueries {
       |             row_number() OVER (PARTITION BY query_id
       |               ORDER BY n_votes DESC, label ASC) AS vrn FROM v)
       |SELECT query_id, label AS pred_label, n_votes FROM p WHERE vrn = 1""".stripMargin,
+
+    // C84: same in-list 3-gram build, distinct, anti-join, ppm.
+    "ngram_novelty" -> """
+      |WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, source, unnest(list_transform(
+      |           range(0, greatest(len(t) - 2, 0)),
+      |           i -> t[CAST(i + 1 AS INT)] || ' ' || t[CAST(i + 2 AS INT)]
+      |                || ' ' || t[CAST(i + 3 AS INT)])) AS g
+      |  FROM toks),
+      |gf AS (SELECT doc_id, source, g FROM grams WHERE length(g) > 2),
+      |base AS (SELECT DISTINCT g FROM gf WHERE doc_id % 10 <> 0),
+      |delta AS (SELECT DISTINCT source, g FROM gf WHERE doc_id % 10 = 0),
+      |novel AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_novel
+      |  FROM delta d WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.g = d.g)
+      |  GROUP BY 1)
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS n_grams,
+      |       coalesce(max(n.n_novel), 0) AS n_novel,
+      |       coalesce(max(n.n_novel), 0) * 1000000 // CAST(count(*) AS BIGINT)
+      |         AS novel_ppm
+      |FROM delta d LEFT JOIN novel n ON d.source = n.source
+      |GROUP BY 1""".stripMargin,
 
     // C83: the C54 prediction SQL widened to the vec_id < 200 LOO
     // population, joined back to truth and confusioned.

@@ -975,6 +975,55 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("conversion_lag: first-view to first-later-purchase replay, disc quartiles") {
+    import spark.implicits._
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long"))
+      .as[(Long, String, Long)].collect()
+    val lags = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val tv = views.min
+        val buys = es.filter(e => e._2 == "purchase" && e._3 > tv).map(_._3)
+        if (buys.isEmpty) None else Some((tv / 604800L, buys.min - tv))
+      }
+    }
+    val want = lags.groupBy(_._1).map { case (w, ls) =>
+      val v = ls.map(_._2).sorted
+      val n = v.length.toLong
+      def disc(rank: Long) = v((rank - 1).toInt)
+      (w, n, disc((n + 3) / 4), disc((n + 1) / 2), disc((3 * n + 3) / 4))
+    }.toSet
+    val got = SparkEntry.queries("conversion_lag")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want && want.nonEmpty, s"got $got want $want")
+  }
+
+  test("ngram_novelty: anti-join novelty replay over word 3-grams") {
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    def grams(t: String): Seq[String] = {
+      val w = t.split(" ")
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+        .filter(_.length > 2)
+    }
+    val base = docs.filter(_._1 % 10 != 0).flatMap(d => grams(d._3)).toSet
+    val delta = docs.filter(_._1 % 10 == 0)
+      .flatMap(d => grams(d._3).map(g => (d._2, g))).toSet
+    val want = delta.groupBy(_._1).map { case (src, gs) =>
+      val novel = gs.count(g => !base.contains(g._2)).toLong
+      (src, gs.size.toLong, novel, novel * 1000000L / gs.size)
+    }.toSet
+    val got = SparkEntry.queries("ngram_novelty")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want, s"got $got want $want")
+    // a pure-mirror delta would score 0 — organic deltas must not
+    assert(got.exists(_._3 > 0))
+  }
+
   test("benford_audit: bins partition the rows, ppm floors sum to ~1e6, constants pinned") {
     import spark.implicits._
     val got = SparkEntry.queries("benford_audit")(spark, sfDir)
