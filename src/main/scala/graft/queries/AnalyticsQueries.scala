@@ -686,6 +686,71 @@ object AnalyticsQueries {
           col("s2_id").as("p_id"), col("completed"))
     },
 
+    // B75 — TOP month-over-month revenue MOVERS: per nation, the
+    // month's revenue vs its previous month, globally top-10 by
+    // absolute swing — the "what changed and where" dashboard row.
+    // The corpus-sized stage is ONE map-side-combined
+    // (nation, month) revenue agg; the lag and the ranking windows
+    // run over that bounded nations × months frame (the vocab-window
+    // contract — never raw orders). Ties rank deterministically
+    // (|Δ| desc, nation, ym).
+    "top_movers" -> { (s, d) =>
+      val dims = Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("o_custkey"), col("n_name"))
+      val rev = Tables.orders(s, d)
+        .join(broadcast(dims), "o_custkey")
+        .groupBy(col("n_name"),
+          substring(col("o_orderdate").cast("string"), 1, 7).as("ym"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("rev_cents"))
+      val byNation = Window.partitionBy(col("n_name")).orderBy(col("ym").asc)
+      rev.withColumn("prev_cents", lag(col("rev_cents"), 1).over(byNation))
+        .filter(col("prev_cents").isNotNull)
+        .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(abs(col("delta_cents")).desc,
+            col("n_name").asc, col("ym").asc)).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("n_name"), col("ym"), col("rev_cents"),
+          col("prev_cents"), col("delta_cents"))
+    },
+
+    // B76 — REVENUE GINI per nation: how concentrated is order
+    // revenue across a nation's customers — the inequality summary
+    // behind "is this market a few whales or a broad base" (Gini 0 =
+    // uniform, →1 = one customer is the market). The sorted-rank
+    // formula G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending
+    // per-customer revenue: rank via a PER-NATION window (partitioned
+    // — never global), moments Σx and Σ i·x as exact DECIMAL(38,0)
+    // (order-independent, no int64 ceiling at any customer count),
+    // and the final ratio in pure double arithmetic from those exact
+    // inputs via a verbatim-shared fragment (the B33/B68 convention).
+    // ONE (nation, customer) agg shuffle + the per-nation rank pass
+    // over the customer frame + one moment agg.
+    "revenue_gini" -> { (s, d) =>
+      val dims = Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("o_custkey"), col("n_name"))
+      val custRev = Tables.orders(s, d)
+        .join(broadcast(dims), "o_custkey")
+        .groupBy(col("n_name"), col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("x"))
+      val byNation = Window.partitionBy(col("n_name"))
+        .orderBy(col("x").asc, col("o_custkey").asc)
+      val d38 = (c: Column) => sum(c.cast(DecimalType(38, 0))).cast("double")
+      custRev
+        .withColumn("i", row_number().over(byNation).cast("long"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("x")).as("rev_cents_total"),
+          d38(col("x")).as("sx"),
+          d38(col("i") * col("x")).as("six"))
+        .select(col("n_name"), col("n_custs"), col("rev_cents_total"),
+          expr(GiniSql).as("gini"))
+    },
+
     // B74 — TIME-TO-CONVERT by cohort week: per user, the lag from
     // their FIRST view to the first purchase strictly after it,
     // rolled up to exact disc quartiles per first-view week — "is
@@ -1014,6 +1079,15 @@ object AnalyticsQueries {
       |        FROM s2 LEFT JOIN p ON p.user_id = s2.user_id
       |                           AND p.p_ts = s2.p_ts
       |        GROUP BY 1, 2, 3, 4, 5, 6)""".stripMargin
+
+  /** The B76 Gini ratio over exact moment columns (n_custs, sx, six
+    * — doubles derived from DECIMAL(38,0) sums), shared VERBATIM
+    * with the oracle; a single-customer nation (zero denominator
+    * spread) guards to 0. */
+  private val GiniSql: String =
+    """CASE WHEN n_custs * sx = 0 THEN CAST(0 AS DOUBLE)
+      |     ELSE (2 * six - (n_custs + 1) * sx) / (n_custs * sx)
+      |END""".stripMargin
 
   /** The B67 2×2 chi-square over exact integer cells (users_a, conv_a,
     * users_b, conv_b, delta) in pure double arithmetic — shared
@@ -1739,6 +1813,54 @@ object AnalyticsQueries {
     "value_histogram" -> """
       SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n
       FROM events GROUP BY 1, 2""",
+
+    // B75: same bounded-frame lag/rank windows over the month view.
+    "top_movers" -> """
+      WITH rev AS (
+        SELECT n_name, substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS ym,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      lagged AS (
+        SELECT n_name, ym, rev_cents,
+               lag(rev_cents) OVER (PARTITION BY n_name ORDER BY ym ASC)
+                 AS prev_cents
+        FROM rev),
+      dd AS (SELECT *, rev_cents - prev_cents AS delta_cents
+             FROM lagged WHERE prev_cents IS NOT NULL)
+      SELECT rank, n_name, ym, rev_cents, prev_cents, delta_cents FROM (
+        SELECT *, CAST(row_number() OVER (
+                    ORDER BY abs(delta_cents) DESC, n_name ASC, ym ASC)
+                  AS BIGINT) AS rank
+        FROM dd)
+      WHERE rank <= 10""",
+
+    // B76: same rank pass and HUGEINT-exact moments; gini shares the
+    // verbatim double fragment.
+    "revenue_gini" -> s"""
+      |WITH cr AS (
+      |  SELECT n_name, o_custkey,
+      |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |           AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |              JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT n_name, x,
+      |         CAST(row_number() OVER (PARTITION BY n_name
+      |           ORDER BY x ASC, o_custkey ASC) AS BIGINT) AS i
+      |  FROM cr),
+      |m AS (
+      |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
+      |         CAST(sum(x) AS BIGINT) AS rev_cents_total,
+      |         CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+      |         CAST(sum(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE)
+      |           AS six
+      |  FROM rk GROUP BY 1)
+      |SELECT n_name, n_custs, rev_cents_total, $GiniSql AS gini FROM m"""
+      .stripMargin,
 
     // B74: floor-second epochs on both sides, same walk.
     "conversion_lag" -> """

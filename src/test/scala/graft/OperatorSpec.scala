@@ -1024,6 +1024,60 @@ class OperatorSpec extends SparkTestBase {
     assert(got.exists(_._3 > 0))
   }
 
+  test("top_movers: month-lag replay; deterministic |delta| ranking") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val rev = sources.Tables.orders(spark, sfDir)
+      .join(sources.Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(sources.Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        substring(col("o_orderdate").cast("string"), 1, 7).as("ym"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("rev"))
+      .as[(String, String, Long)].collect()
+    val want = rev.groupBy(_._1).toSeq.flatMap { case (nat, ms) =>
+      val sorted = ms.sortBy(_._2)
+      sorted.zip(sorted.drop(1)).map { case ((_, _, prev), (_, ym, cur)) =>
+        (nat, ym, cur, prev, cur - prev) }
+    }.sortBy(t => (-math.abs(t._5), t._1, t._2)).take(10)
+      .zipWithIndex.map { case ((nat, ym, cur, prev, d), i) =>
+        (i + 1L, nat, ym, cur, prev, d) }.toSet
+    val got = SparkEntry.queries("top_movers")(spark, sfDir)
+      .as[(Long, String, String, Long, Long, Long)].collect().toSet
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("revenue_gini: sorted-rank replay in the engine's exact double order") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val cr = sources.Tables.orders(spark, sfDir)
+      .join(sources.Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(sources.Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("x"))
+      .as[(String, Long, Long)].collect()
+    val want = cr.groupBy(_._1).map { case (nat, cs) =>
+      val sorted = cs.sortBy(c => (c._3, c._2))
+      val n = sorted.length.toLong
+      val sx = sorted.map(c => BigDecimal(c._3)).sum.toDouble
+      val six = sorted.zipWithIndex
+        .map { case (c, i) => BigDecimal(i + 1L) * BigDecimal(c._3) }
+        .sum.toDouble
+      val g = if (n * sx == 0) 0.0 else (2 * six - (n + 1) * sx) / (n * sx)
+      (nat, n, sorted.map(_._3).sum, g)
+    }.toSet
+    val got = SparkEntry.queries("revenue_gini")(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == want, s"got $got want $want")
+    // inequality exists in every nation but stays far from degenerate
+    assert(got.forall(r => r._4 > 0.0 && r._4 < 0.9))
+  }
+
   test("benford_audit: bins partition the rows, ppm floors sum to ~1e6, constants pinned") {
     import spark.implicits._
     val got = SparkEntry.queries("benford_audit")(spark, sfDir)
