@@ -64,16 +64,19 @@ case class MisraGries(
     val v = child.eval(input)
     if (v == null) return buf
     val item = v.asInstanceOf[Long]
-    val cur = buf.getOrNull(item)
-    if (cur != null) buf.update(item, cur + 1L)
-    else if (buf.size < k) buf.update(item, 1L)
-    else {
-      // full table, un-tracked item: decrement every counter, drop zeros
-      val dead = mutable.ArrayBuffer.empty[Long]
-      buf.foreachEntry { (ky, c) =>
-        if (c <= 1L) dead += ky else buf.update(ky, c - 1L)
-      }
-      dead.foreach(buf.remove)
+    // LongMap[Long].getOrNull boxes the primitive default (0L) so it can
+    // NEVER be null — an Option match is the only absence test that keeps
+    // the table bounded at k entries.
+    buf.get(item) match {
+      case Some(c) => buf.update(item, c + 1L)
+      case None if buf.size < k => buf.update(item, 1L)
+      case None =>
+        // full table, un-tracked item: decrement every counter, drop zeros
+        val dead = mutable.ArrayBuffer.empty[Long]
+        buf.foreachEntry { (ky, c) =>
+          if (c <= 1L) dead += ky else buf.update(ky, c - 1L)
+        }
+        dead.foreach(buf.remove)
     }
     buf
   }

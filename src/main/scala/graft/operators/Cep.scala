@@ -39,6 +39,15 @@ object Cep {
                         idCol: String, typeCol: String, steps: Seq[String],
                         windowSecs: Long): DataFrame = {
     require(steps.size >= 2, s"need at least trigger + 1 step, got $steps")
+    // Repeated step types are rejected, not silently mis-bound: each step
+    // binds at-or-after the previous binding's TIMESTAMP without excluding
+    // the previously bound event id, so a pattern like view,click,click
+    // could bind one tied-timestamp click to two consecutive steps — not
+    // valid skip-till-next semantics. Distinct types make the at-or-after
+    // bind exact (a different type can never rebind the previous event).
+    require(steps.distinct.size == steps.size,
+      s"steps must be distinct event types (skip-till-next binds at-or-after " +
+        s"the previous step's ts and would re-bind a tied event), got $steps")
     val trigger = events.filter(col(typeCol) === steps.head)
       .select(col(idCol).as("trigger_id"), col(keyCol).as("k"),
         col(tsCol).cast("timestamp").as("trigger_ts"))

@@ -106,8 +106,15 @@ object TwsCep {
       if (stillOpen.isEmpty) open.clear() else open.put(stillOpen)
       // retention: an event is dead once no live or future episode can
       // bind it — future triggers have ts ≥ watermark, so anything
-      // older than watermark − window is out of every window
-      val horizon = math.max(tv.getCurrentWatermarkInMs() - windowMs, 0L)
+      // older than watermark − window is out of every FUTURE window;
+      // but one watermark jump can cross several timer expiries for this
+      // key, and this (first-firing) invocation must not prune events a
+      // surviving open trigger can still bind — clamp the horizon to the
+      // earliest surviving trigger ts (its window starts there).
+      val openFloor =
+        if (stillOpen.isEmpty) Long.MaxValue else stillOpen.iterator.map(_._2).min
+      val horizon = math.max(
+        math.min(tv.getCurrentWatermarkInMs() - windowMs, openFloor), 0L)
       val keep = events.filter(_._1 >= horizon)
       if (keep.isEmpty) buf.clear() else buf.put(keep)
       out.iterator
@@ -121,6 +128,10 @@ object TwsCep {
                delay: String): Dataset[Episode] = {
     import events.sparkSession.implicits._
     require(steps.size >= 2, s"need at least trigger + 1 step, got $steps")
+    // same restriction as the batch matcher (Cep.nextMatchEpisodes):
+    // repeated step types would let a tied-timestamp event bind twice
+    require(steps.distinct.size == steps.size,
+      s"steps must be distinct event types, got $steps")
     events
       .select(col("user_id").cast("long").as("user_id"),
         col("ts").cast("timestamp").as("ts"),

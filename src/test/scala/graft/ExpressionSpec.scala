@@ -189,6 +189,31 @@ class ExpressionSpec extends SparkTestBase {
     assert(empty.isEmpty)
   }
 
+  test("mg_sketch update-path buffer is bounded by k (no vocabulary blow-up)") {
+    // Drive update() directly with a stream whose distinct-item count far
+    // exceeds k and assert the per-task buffer NEVER exceeds k entries —
+    // this is the bounded-memory contract ("partitions x k pairs cross the
+    // wire"); a broken absence test (e.g. LongMap.getOrNull boxing 0L)
+    // inserts every distinct item and only merge() would prune it back.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val k = 8
+    val mg = graft.functions.MisraGries(BoundReference(0, LongType, nullable = true), k)
+    val buf = mg.createAggregationBuffer()
+    val rnd = new scala.util.Random(7)
+    var i = 0
+    while (i < 20000) {
+      mg.update(buf, InternalRow(rnd.nextInt(5000).toLong))
+      assert(buf.size <= k, s"update-path buffer grew to ${buf.size} > k=$k at row $i")
+      i += 1
+    }
+    // repeated items still count up (the hit branch is live too)
+    val hot = mg.createAggregationBuffer()
+    (1 to 100).foreach(_ => mg.update(hot, InternalRow(42L)))
+    assert(hot(42L) == 100L)
+  }
+
   test("mg_sketch guarantee holds across adversarial partitionings") {
     import spark.implicits._
     // Zipf-ish stream: item i appears 2000/i times for i in 1..40 plus

@@ -185,6 +185,18 @@ class OperatorSpec extends SparkTestBase {
     assert(got == want, s"engine $got != $want")
   }
 
+  test("cep episodes: repeated step types are rejected, not mis-bound") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, new java.sql.Timestamp(1000L), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    // view,click,click could bind one tied-timestamp click to two
+    // consecutive steps — the operator refuses the pattern explicitly
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Cep.nextMatchEpisodes(ev, "user_id", "ts",
+        "event_id", "event_type", Seq("view", "click", "click"), 100L)
+    }
+  }
+
   test("intervalAlign: partial/nested/point-touch overlaps emit, disjoint and cross-key don't") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)

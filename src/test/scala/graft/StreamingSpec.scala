@@ -1355,6 +1355,59 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("TwsCep: one watermark jump over two overlapping triggers keeps " +
+    "the second trigger's bindable events (retention clamps to open episodes)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTwsConf {
+    val B = 1704067200L // 2024-01-01 UTC, seconds
+    def ms(s: Long) = (B + s) * 1000L
+    // TWO view triggers for user 1 whose windows overlap (0 and 50,
+    // window 100s) and binding events inside both windows; then one tick
+    // far in the future so a SINGLE watermark advance crosses BOTH timer
+    // expiries. The first-firing timer must not prune click@60/purchase@70
+    // with the batch watermark (horizon 4900s) while trigger@50 is still
+    // open — the horizon clamps to the earliest surviving trigger ts.
+    val rows = Seq(
+      (1L, 1L, 0L, "view"), (2L, 1L, 50L, "view"),
+      (3L, 1L, 10L, "click"), (4L, 1L, 60L, "click"),
+      (5L, 1L, 70L, "purchase"))
+    val batchDf = rows.map { case (id, u, s, ty) =>
+      (id, u, new java.sql.Timestamp(ms(s)), ty) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val batch = graft.operators.Cep.nextMatchEpisodes(batchDf, "user_id",
+        "ts", "event_id", "event_type", Seq("view", "click", "purchase"), 100L)
+      .collect()
+      .map(r => (r.getLong(0), Seq(r.getLong(4), r.getLong(6)), r.getBoolean(7)))
+      .toSet
+    assert(batch == Set((1L, Seq(3L, 5L), true), (2L, Seq(4L, 5L), true)),
+      s"batch truth moved: $batch")
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cep2").toString
+    val q = graft.streaming.TwsCep.episodes(
+        input.toDS().toDF("event_id", "user_id", "ms", "event_type")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        Seq("view", "click", "purchase"), windowSecs = 100L,
+        delay = "50 seconds")
+      .writeStream.format("memory").queryName("cep_jump")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.map { case (id, u, s, ty) => (id, u, ms(s), ty) })
+      q.processAllAvailable()
+      assert(spark.table("cep_jump").isEmpty, "watermark has not passed yet")
+      input.addData((9L, 9L, ms(5000L), "view")) // one jump past BOTH expiries
+      q.processAllAvailable()
+      val got = spark.table("cep_jump").filter(col("user_id") === 1).collect()
+        .map(r => (r.getLong(1), r.getSeq[Long](3).toSeq, r.getBoolean(4)))
+        .toSet
+      assert(got == batch,
+        s"stream diverged from batch under a multi-expiry watermark jump: $got")
+    } finally q.stop()
+    }
+  }
+
   test("TwsSessionize: watermark-final sessions equal batch islands; " +
     "gap-equal joins, out-of-order fragments merge") {
     import org.apache.spark.sql.functions._
