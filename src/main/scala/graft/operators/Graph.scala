@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Round-lineage truncation for the iterative operators. Default
+    * (`reliable = false`) is `localCheckpoint` — executor-local blocks,
+    * right for plan-depth control but lost with an executor, which on a
+    * 1000-executor cluster would kill a multi-round lineage mid-run.
+    * `reliable = true` switches every per-round materialization to
+    * `checkpoint()` (written to `spark.sparkContext.setCheckpointDir`,
+    * survives executor loss) — the same escape hatch as
+    * [[Dedup.clusterPairs]], output-identical (GraphSpec pins parity
+    * per operator). */
+  private def ckpt(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+
   /** Fixed-iteration weighted PageRank in integer micro-units — the
     * importance ranking for link/transition graphs (crawl frontier
     * prioritization, event-flow hub detection), engine-exact: ranks
@@ -49,7 +61,8 @@ object Graph {
     * in a long-lived session don't accumulate dead cached blocks. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                wCol: String, iters: Int = 3, dampBp: Int = 8500,
-               conserveDangling: Boolean = true): DataFrame = {
+               conserveDangling: Boolean = true,
+               reliableCheckpoint: Boolean = false): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("long").as("w"))
     val nodes = e.select(col("src").as("node"))
@@ -87,9 +100,9 @@ object Graph {
             expr(s"CAST($base AS BIGINT) + (CAST($dampBp AS BIGINT) * " +
               "coalesce(s, CAST(0 AS BIGINT))) div 10000").as("pr"))
         }
-      pr = pr.localCheckpoint()
+      pr = ckpt(pr, reliableCheckpoint)
     }
-    val out = pr.localCheckpoint()
+    val out = ckpt(pr, reliableCheckpoint)
     nodes.unpersist()
     ew.unpersist()
     out
@@ -148,21 +161,21 @@ object Graph {
     * traversal progress). */
   def hopDistanceFrontier(edges: DataFrame, srcCol: String, dstCol: String,
                           seeds: DataFrame, maxHops: Int = 20,
-                          onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+                          onRound: (Int, Long) => Unit = (_, _) => (),
+                          reliableCheckpoint: Boolean = false): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().cache()
-    var dist = seeds.select(col(seeds.columns.head).as("node")).distinct()
-      .withColumn("hops", lit(0L)).localCheckpoint()
+    var dist = ckpt(seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .withColumn("hops", lit(0L)), reliableCheckpoint)
     var frontier = dist
     var hop = 0
     var frontierRows = frontier.count()
     while (hop < maxHops && frontierRows > 0) {
       hop += 1
-      val fresh = frontier.join(e, frontier("node") === e("src"))
+      val fresh = ckpt(frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
         .join(dist.select("node"), Seq("node"), "left_anti")
-        .withColumn("hops", lit(hop.toLong))
-        .localCheckpoint()
+        .withColumn("hops", lit(hop.toLong)), reliableCheckpoint)
       frontierRows = fresh.count()
       onRound(hop, frontierRows)
       if (frontierRows > 0) dist = dist.unionByName(fresh)
@@ -258,12 +271,13 @@ object Graph {
     * leaf tail in the first 1–2 rounds, so small budgets converge;
     * the budget is a cost cap, not a correctness knob. */
   def kcore(edges: DataFrame, srcCol: String, dstCol: String,
-            k: Int = 3, rounds: Int = 4): DataFrame = {
-    var cur = edges
+            k: Int = 3, rounds: Int = 4,
+            reliableCheckpoint: Boolean = false): DataFrame = {
+    var cur = ckpt(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint()
+      .distinct(), reliableCheckpoint)
     var m = cur.count()
     var r = 0
     var converged = false
@@ -273,10 +287,10 @@ object Graph {
         .unionByName(cur.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("node"))
-      val next = cur
+      val next = ckpt(cur
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .localCheckpoint()
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi"),
+        reliableCheckpoint)
       val m2 = next.count()
       converged = m2 == m
       m = m2
@@ -315,15 +329,17 @@ object Graph {
     * and synchronous LPA is known to oscillate rather than converge —
     * production runs cap rounds anyway. */
   def labelProp(edges: DataFrame, srcCol: String, dstCol: String,
-                iters: Int = 2): DataFrame =
-    labelPropTrace(edges, srcCol, dstCol, iters).last
+                iters: Int = 2,
+                reliableCheckpoint: Boolean = false): DataFrame =
+    labelPropTrace(edges, srcCol, dstCol, iters, reliableCheckpoint).last
 
   /** [[labelProp]] with every round's label frame returned (index 0 =
     * round 1) — each round computed ONCE and localCheckpointed, so a
     * caller comparing partitions across rounds (the modularity audit)
     * pays no recomputation. */
   def labelPropTrace(edges: DataFrame, srcCol: String, dstCol: String,
-                     iters: Int): Seq[DataFrame] = {
+                     iters: Int,
+                     reliableCheckpoint: Boolean = false): Seq[DataFrame] = {
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -343,7 +359,7 @@ object Graph {
         .groupBy(col("node"))
         .agg(min(struct((-col("c")).as("k"), col("label").as("label"))).as("m"))
         .select(col("node"), col("m.label").as("label"))
-        .localCheckpoint()
+      lab = ckpt(lab, reliableCheckpoint)
       trace += lab
     }
     nbr.unpersist()
@@ -491,7 +507,8 @@ object Graph {
     * The score frames are nodes × 16 bytes, so the checkpoint cost
     * is the half-round itself, paid exactly once. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           wCol: String, iters: Int = 2): DataFrame = {
+           wCol: String, iters: Int = 2,
+           reliableCheckpoint: Boolean = false): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("long").as("w")).cache()
     val nodes = e.select(col("src").as("node"))
@@ -508,7 +525,7 @@ object Graph {
         .crossJoin(broadcast(asum))
         .select(col("node"),
           expr("coalesce(raw, CAST(0 AS BIGINT)) * 1000000 div tot").as("auth"))
-        .localCheckpoint()
+      auth = ckpt(auth, reliableCheckpoint)
       val hraw = auth.join(e, auth("node") === e("dst"))
         .select(col("src").as("node"), (col("auth") * col("w")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("raw"))
@@ -518,9 +535,9 @@ object Graph {
         .crossJoin(broadcast(hsum))
         .select(col("node"),
           expr("coalesce(raw, CAST(0 AS BIGINT)) * 1000000 div tot").as("hub"))
-        .localCheckpoint()
+      hub = ckpt(hub, reliableCheckpoint)
     }
-    val out = hub.join(auth, Seq("node")).localCheckpoint()
+    val out = ckpt(hub.join(auth, Seq("node")), reliableCheckpoint)
     nodes.unpersist()
     e.unpersist()
     out
