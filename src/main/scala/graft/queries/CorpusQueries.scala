@@ -112,18 +112,28 @@ object CorpusQueries {
     // unigram-perplexity quality proxy (mean corpus-frequency rank of
     // the doc's tokens, milli-units) — rank is monotone in −log p(w),
     // so the filtering order matches perplexity with zero floats.
+    // The STANDING entry runs the open-web form (minCount floor): only
+    // the vocabulary head (corpus count >= 3) enters the unpartitioned
+    // rank window, so its input is bounded by corpus_tokens/3 at any
+    // corpus size — the 100× plan, not just the sf0.1 one. The
+    // minCount=1 curated-corpus form stays available on the operator.
     "rarity_score" -> { (s, d) =>
       TextAnalysis.rarityScore(
-        Tables.fanOut(Tables.documents(s, d)), "text", "doc_id")
+        Tables.fanOut(Tables.documents(s, d)), "text", "doc_id",
+        minCount = 3L)
     },
 
     // C50 — bigram rarity: the 2-gram form of C44 (mean corpus
     // frequency rank of the doc's word BIGRAMS) — the transition-level
     // surprisal proxy that separates fluent-but-incoherent text
-    // (common words, rare transitions) from real prose.
+    // (common words, rare transitions) from real prose. Standing entry
+    // on the minCount floor like C44 — the bigram vocabulary grows
+    // ~linearly with an open-web corpus, so the head floor matters
+    // here even more than for words.
     "bigram_rarity" -> { (s, d) =>
       TextAnalysis.rarityScore(
-        Tables.fanOut(Tables.documents(s, d)), "text", "doc_id", n = 2)
+        Tables.fanOut(Tables.documents(s, d)), "text", "doc_id", n = 2,
+        minCount = 3L)
     },
 
     // C55 — top-50 collocations by fixed-point PMI (count-floored, so
@@ -433,14 +443,20 @@ object CorpusQueries {
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
       |        FROM documents)
       |  WHERE length(word) > 0),
-      |ranked AS (
+      |vocab AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY word),
+      |head AS (
       |  SELECT word,
-      |         CAST(row_number() OVER (ORDER BY count(*) DESC, word) AS BIGINT) AS rank
-      |  FROM words GROUP BY word)
+      |         CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank
+      |  FROM vocab WHERE n >= 3),
+      |dflt AS (
+      |  SELECT CAST(coalesce(max(rank), 0) + 1 AS BIGINT) AS default_rank
+      |  FROM head)
       |SELECT doc_id,
       |       CAST(count(*) AS BIGINT) AS n_tokens,
-      |       CAST(sum(rank) * 1000 // count(*) AS BIGINT) AS mean_rank_milli
-      |FROM words JOIN ranked USING (word)
+      |       CAST(sum(coalesce(rank, default_rank)) * 1000 // count(*)
+      |         AS BIGINT) AS mean_rank_milli
+      |FROM words LEFT JOIN head USING (word) CROSS JOIN dflt
       |GROUP BY 1""".stripMargin,
 
     "bigram_rarity" -> """
@@ -454,14 +470,20 @@ object CorpusQueries {
       |           i -> array_to_string(list_slice(f, CAST(i + 1 AS INT),
       |                                           CAST(i + 2 AS INT)), ' '))) AS word
       |  FROM f),
-      |ranked AS (
+      |vocab AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY word),
+      |head AS (
       |  SELECT word,
-      |         CAST(row_number() OVER (ORDER BY count(*) DESC, word) AS BIGINT) AS rank
-      |  FROM grams GROUP BY word)
+      |         CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank
+      |  FROM vocab WHERE n >= 3),
+      |dflt AS (
+      |  SELECT CAST(coalesce(max(rank), 0) + 1 AS BIGINT) AS default_rank
+      |  FROM head)
       |SELECT doc_id,
       |       CAST(count(*) AS BIGINT) AS n_tokens,
-      |       CAST(sum(rank) * 1000 // count(*) AS BIGINT) AS mean_rank_milli
-      |FROM grams JOIN ranked USING (word)
+      |       CAST(sum(coalesce(rank, default_rank)) * 1000 // count(*)
+      |         AS BIGINT) AS mean_rank_milli
+      |FROM grams LEFT JOIN head USING (word) CROSS JOIN dflt
       |GROUP BY 1""".stripMargin,
 
     "pmi_topk" -> """

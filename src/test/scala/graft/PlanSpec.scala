@@ -238,6 +238,25 @@ class PlanSpec extends SparkTestBase {
       executed.contains("ReusedShuffle"), executed)
   }
 
+  test("rarity standing entries run the head-floored vocab window " +
+    "(bounded input at any corpus size)") {
+    // the unpartitioned rank window is safe ONLY because its input is
+    // the minCount-floored vocabulary head (<= corpus_tokens/minCount);
+    // pin that both standing keys plan a count filter UNDER the window
+    // and broadcast the rank table — the bigram site especially, whose
+    // raw vocabulary grows ~linearly with an open-web corpus
+    for (key <- Seq("rarity_score", "bigram_rarity")) {
+      val q = SparkEntry.queries(key)(spark, sfDir)
+      val plan = formatted(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$key:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$key:\n$plan")
+      // the head floor reached the optimized plan as a filter on the
+      // vocab count feeding the window (not applied after ranking)
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains(">= 3"), s"$key head floor missing:\n$opt")
+    }
+  }
+
   test("approx_sketch: percentile buffers aggregate per GROUP, never per (group, user)") {
     // regression pin for the r11 reshape: fusing countDistinct with
     // the sketch aggs makes Spark's single-distinct rewrite key the
