@@ -149,31 +149,59 @@ object AnnProbe {
         .count()
       (hits / (10.0 * nQ), nn1 / nQ)
     }
+    // The curve runs until it CROSSES the production retrieval contract
+    // (recall@10 ≥ 0.9) so an operating point is on record with its
+    // measured 100× cost — not just the cheap low-recall regimes. On
+    // this corpus the true top-10 sits at cos ≈ 0.32–0.41 (isotropic
+    // synthetic vectors, no cluster structure: top-10 same-label rate
+    // ≈ 0.10 = chance), so per-plane disagreement is ~0.38 and ≥ 0.9
+    // recall necessarily prices in probing most buckets/lists — the
+    // honest cost of the contract on worst-case (separation-free)
+    // geometry; clustered real embeddings cross far cheaper.
     val lsh1x = lshStore("1x", corpora.head._2)
     val lsh100x = lshStore("100x", corpora.last._2)
-    for (mp <- Seq(0, 1, 2, 3)) {
-      val (r10, nn1) = recall(Similarity.lshTopKBucketed(lsh1x, qb,
-        "vec_id", "embedding", k = 10, numPlanes = 8, dim = 64, multiprobe = mp))
-      val cost = run(Similarity.lshTopKBucketed(lsh100x, qb,
-        "vec_id", "embedding", k = 10, numPlanes = 8, dim = 64, multiprobe = mp),
-        passes = 3)
-      println(f"ANNPROBE curve lsh_store multiprobe=$mp recall@10=$r10%5.3f " +
-        f"nn1=$nn1%5.3f cost_100x_q1000=$cost%6.2fs")
+    val bruteCost100x = run(Similarity.bruteForceTopK(
+      emb(corpora.last._2), qb, "vec_id", "embedding", k = 10), passes = 1)
+    var lshOp: Option[(Int, Double, Double)] = None
+    for (mp <- Seq(0, 1, 2, 3, 4, 5, 6)) {
+      if (lshOp.isEmpty) {
+        val (r10, nn1) = recall(Similarity.lshTopKBucketed(lsh1x, qb,
+          "vec_id", "embedding", k = 10, numPlanes = 8, dim = 64, multiprobe = mp))
+        val cost = run(Similarity.lshTopKBucketed(lsh100x, qb,
+          "vec_id", "embedding", k = 10, numPlanes = 8, dim = 64, multiprobe = mp),
+          passes = 3)
+        println(f"ANNPROBE curve lsh_store multiprobe=$mp recall@10=$r10%5.3f " +
+          f"nn1=$nn1%5.3f cost_100x_q1000=$cost%6.2fs")
+        if (r10 >= 0.9) lshOp = Some((mp, r10, cost))
+      }
     }
     val cs1x = cents(corpora.head._2).toSeq
     val cs100x = cents(corpora.last._2).toSeq
     val ivf1x = ivfStore("1x", corpora.head._2)
     val ivf100x = ivfStore("100x", corpora.last._2)
-    for (np <- Seq(1, 2, 4, 8)) {
-      val (r10, nn1) = recall(Similarity.ivfTopKBucketed(ivf1x, qb,
-        "vec_id", "embedding", k = 10, cs1x, nProbe = np,
-        centroidLiteralMax = 16))
-      val cost = run(Similarity.ivfTopKBucketed(ivf100x, qb,
-        "vec_id", "embedding", k = 10, cs100x, nProbe = np,
-        centroidLiteralMax = 16), passes = 3)
-      println(f"ANNPROBE curve ivf_store nProbe=$np%-2d    recall@10=$r10%5.3f " +
-        f"nn1=$nn1%5.3f cost_100x_q1000=$cost%6.2fs")
+    var ivfOp: Option[(Int, Double, Double)] = None
+    for (np <- Seq(1, 2, 4, 8, 16, 32, 48, 56)) {
+      if (ivfOp.isEmpty) {
+        val (r10, nn1) = recall(Similarity.ivfTopKBucketed(ivf1x, qb,
+          "vec_id", "embedding", k = 10, cs1x, nProbe = np,
+          centroidLiteralMax = 16))
+        val cost = run(Similarity.ivfTopKBucketed(ivf100x, qb,
+          "vec_id", "embedding", k = 10, cs100x, nProbe = np,
+          centroidLiteralMax = 16), passes = 3)
+        println(f"ANNPROBE curve ivf_store nProbe=$np%-2d    recall@10=$r10%5.3f " +
+          f"nn1=$nn1%5.3f cost_100x_q1000=$cost%6.2fs")
+        if (r10 >= 0.9) ivfOp = Some((np, r10, cost))
+      }
     }
+    println(f"ANNPROBE brute reference cost_100x_q1000=$bruteCost100x%6.2fs")
+    lshOp.foreach { case (mp, r10, cost) =>
+      println(f"ANNPROBE operating_point lsh_store numPlanes=8 multiprobe=$mp " +
+        f"recall@10=$r10%5.3f cost_100x_q1000=$cost%6.2fs " +
+        f"(${cost / bruteCost100x}%4.2fx of brute)") }
+    ivfOp.foreach { case (np, r10, cost) =>
+      println(f"ANNPROBE operating_point ivf_store nCentroids=64 nProbe=$np " +
+        f"recall@10=$r10%5.3f cost_100x_q1000=$cost%6.2fs " +
+        f"(${cost / bruteCost100x}%4.2fx of brute)") }
     spark.stop()
   }
 }

@@ -19,6 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Published production OPERATING POINT for the LSH store (8 planes):
+    * the probe width at which recall@10 crosses 0.9 against brute force
+    * on the worst-case isotropic corpus (ANNPROBE_r12: recall@10 =
+    * 0.967 at 0.87× brute cost on the 100× store — isotropic synthetic
+    * vectors are the no-structure worst case, so ≥ 0.9 recall prices in
+    * probing most bucket masks; clustered real embeddings cross far
+    * cheaper). nn1 (strong-separation retrieval) is 1.0 at EVERY probe
+    * width. SimilaritySpec pins recall@10 ≥ 0.9 at this point so the
+    * store defaults cannot silently regress. */
+  val LshOperatingMultiprobe = 5
+
+  /** IVF twin of [[LshOperatingMultiprobe]]: probe width as a fraction
+    * of nCentroids at which recall@10 crosses 0.9 on the isotropic
+    * worst case (ANNPROBE_r12: nProbe = 48 of 64 → recall@10 = 0.955
+    * at 0.83× brute). `nProbe = ceil(frac · nCentroids)`. */
+  val IvfOperatingProbeFrac = 0.75
+
+  def ivfOperatingNProbe(nCentroids: Int): Int =
+    math.max(1, math.ceil(IvfOperatingProbeFrac * nCentroids).toInt)
+
   /** Sum of elementwise products as double (floats promote) — the
     * codegen'd native fold (graft.functions.VecDot), bit-identical to
     * the `aggregate(zip_with(...))` formulation it replaced but

@@ -120,6 +120,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean >= 0.9, s"mean recall $mean")
   }
 
+  test("published operating points hold recall@10 >= 0.9 on the isotropic " +
+    "worst case (LSH multiprobe=5, IVF nProbe=0.75*nCentroids)") {
+    // THE production retrieval contract (ANNPROBE_r12): both stores, at
+    // their published operating points, must reach recall@10 >= 0.9 vs
+    // brute force on the no-structure corpus — the floor that keeps the
+    // store defaults from silently regressing. Queries probe the
+    // bucketed-store paths (the production regime), corpus = testdata
+    // embeddings (isotropic: true top-10 at cos ~0.3).
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 11 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    val nQ = queries.count().toDouble
+    val truth = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH store at the operating point
+    val lshStore = Similarity.withLshBucket(emb, "embedding", numPlanes = 8,
+      dim = 64)
+    val lshGot = Similarity.lshTopKBucketed(lshStore, queries, "vec_id",
+        "embedding", k = 10, numPlanes = 8, dim = 64,
+        multiprobe = Similarity.LshOperatingMultiprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRecall = truth.count(lshGot.contains).toDouble / (10.0 * nQ)
+    assert(lshRecall >= 0.9, s"LSH operating-point recall@10 $lshRecall < 0.9")
+    // IVF store at the operating point (64 centroids, broadcast regime)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+      nCentroids = 64).toSeq
+    val ivfStore = Similarity.withIvfLists(emb, "embedding", cents,
+      centroidLiteralMax = 16)
+    val nProbe = Similarity.ivfOperatingNProbe(64)
+    assert(nProbe == 48, s"operating nProbe moved: $nProbe")
+    val ivfGot = Similarity.ivfTopKBucketed(ivfStore, queries, "vec_id",
+        "embedding", k = 10, cents, nProbe = nProbe, centroidLiteralMax = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = truth.count(ivfGot.contains).toDouble / (10.0 * nQ)
+    assert(ivfRecall >= 0.9, s"IVF operating-point recall@10 $ivfRecall < 0.9")
+  }
+
   test("multiprobe=0 equals the plain single-bucket probe") {
     val emb = sources.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 8)
