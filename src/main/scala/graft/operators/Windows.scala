@@ -85,15 +85,33 @@ object Windows {
     * evaluates post-join, so per-key cost is intervals_a × intervals_b
     * FOR THAT KEY — both sides are aggregated interval frames
     * (sessions, eras), orders of magnitude smaller than their event
-    * inputs, and real keys carry few intervals. A key hot enough to
-    * matter is the [[Skew]] salting case, unchanged. Timestamps
-    * compare as integers — engine-exact, SQL-oracle replayable. */
+    * inputs, and real keys carry few intervals. Timestamps
+    * compare as integers — engine-exact, SQL-oracle replayable.
+    *
+    * HOT KEYS: a key owning a large share of either side makes the
+    * key-shuffled join a one-reducer stall (that key's entire
+    * intervals_a × intervals_b product lands on one task). `nSalts > 1`
+    * switches to the [[Skew.saltedJoin]] pair path — the a-side salts
+    * by row hash, the b-side replicates ×nSalts, so the hot key's pair
+    * product spreads across nSalts tasks. Output identical (each (a, b)
+    * pair joins under exactly one salt; OperatorSpec pins equality on
+    * an adversarial frame where one key owns half of all intervals).
+    * The b-side replication costs nSalts× its scan — cheap, interval
+    * frames are small by construction. */
   def intervalAlign(a: DataFrame, b: DataFrame, key: String,
                     aStart: String, aEnd: String,
-                    bStart: String, bEnd: String): DataFrame = {
+                    bStart: String, bEnd: String,
+                    nSalts: Int = 1): DataFrame = {
+    require(nSalts >= 1, s"nSalts ($nSalts) must be >= 1")
     val bb = b.withColumnRenamed(key, "__bk")
-    a.join(bb, col(key) === col("__bk") &&
-        col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+    val joined =
+      if (nSalts == 1)
+        a.join(bb, col(key) === col("__bk") &&
+          col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      else
+        Skew.saltedJoin(a, b, key, nSalts)
+          .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+    joined
       .drop("__bk")
       .withColumn("ov_start", greatest(col(aStart), col(bStart)))
       .withColumn("ov_end", least(col(aEnd), col(bEnd)))

@@ -218,6 +218,40 @@ class OperatorSpec extends SparkTestBase {
     assert(got == want, s"engine $got != $want")
   }
 
+  test("intervalAlign salted path: identical pairs under a key owning " +
+    "half of all intervals; salt reaches the join keys") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // adversarial skew: key 7 owns 50% of BOTH sides (200 of 400
+    // a-intervals, 100 of 200 b-intervals); the rest spread over 200 keys
+    val rnd = new scala.util.Random(3)
+    val aRows = (0 until 200).map(i =>
+        (7L, ts(rnd.nextInt(5000).toLong), ts(rnd.nextInt(5000).toLong + 5000L))) ++
+      (0 until 200).map(i => ((i % 200).toLong + 100L,
+        ts(rnd.nextInt(5000).toLong), ts(rnd.nextInt(5000).toLong + 5000L)))
+    val bRows = (0 until 100).map(i =>
+        (7L, ts(rnd.nextInt(5000).toLong), ts(rnd.nextInt(5000).toLong + 5000L))) ++
+      (0 until 100).map(i => ((i % 200).toLong + 100L,
+        ts(rnd.nextInt(5000).toLong), ts(rnd.nextInt(5000).toLong + 5000L)))
+    val a = aRows.toDF("k", "a_start", "a_end")
+    val b = bRows.toDF("k", "b_start", "b_end")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("k"), col("a_start"), col("a_end"), col("b_start"),
+          col("b_end"), col("ov_start"), col("ov_end"), col("ov_secs"))
+        .collect().map(_.toString).sorted.toSeq
+    val plain = graft.operators.Windows
+      .intervalAlign(a, b, "k", "a_start", "a_end", "b_start", "b_end")
+    val salted = graft.operators.Windows
+      .intervalAlign(a, b, "k", "a_start", "a_end", "b_start", "b_end",
+        nSalts = 8)
+    assert(rows(salted) == rows(plain), "salted pair set diverged")
+    assert(rows(plain).nonEmpty)
+    // the hot key's pair product actually spreads: the salt column is a
+    // join key in the physical plan
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt not in the join keys:\n$plan")
+  }
+
   test("distributionDrift: pooled-shaped group scores floor dust, disjoint group dominates") {
     import spark.implicits._
     // group a: 90+90 rows on buckets 1/2 (shape ≈ pooled); group b:
