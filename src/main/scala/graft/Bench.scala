@@ -65,6 +65,21 @@ object Bench {
       case s if sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse") => s.reverse
       case s => s
     }
+    // HOST-LOAD SENTINEL: one fixed reference query measured before and
+    // after the whole suite, with NO contamination retries (retries
+    // would mask exactly the load the sentinel exists to expose). A
+    // loaded driver host shows up as sentinel drift or a wide sentinel
+    // spread, so the artifact self-identifies instead of needing
+    // next-round adjudication (the r11 driver run recorded 125 s where
+    // quiet same-code runs measured 91–102 s).
+    val SentinelName = "q6_forecast"
+    def sentinelRuns(): Seq[Double] = try {
+      val fn = SparkEntry.queries(SentinelName)
+      Seq.fill(3)(
+        time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())).sorted
+    } catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+    val sentinelFirst = sentinelRuns()
+
     val results = ordered.map { case (name, fn) =>
       def once(): Seq[Double] = try {
         Seq.fill(3)(
@@ -80,10 +95,11 @@ object Bench {
       }
       name -> best
     }
+    val sentinelLast = sentinelRuns()
     spark.stop()
     // report AFTER stop: the compact JSON must be the last line of
     // merged output so the driver's stdout-tail window catches it
-    report(results, sfDir)
+    report(results, sfDir, Some((SentinelName, sentinelFirst, sentinelLast)))
   }
 
   /** Emit the bench result twice:
@@ -99,7 +115,8 @@ object Bench {
     *    alphabetically-sorted query names (`results` is built sorted;
     *    3-decimal floats keep 127 entries near ~900 chars).
     */
-  private[graft] def report(unsorted: Seq[(String, Seq[Double])], sfDir: String): Unit = {
+  private[graft] def report(unsorted: Seq[(String, Seq[Double])], sfDir: String,
+                            sentinel: Option[(String, Seq[Double], Seq[Double])] = None): Unit = {
     // emit name-sorted regardless of measurement order, so the qv
     // array stays aligned with alphabetical query names
     val results = unsorted.sortBy(_._1)
@@ -111,7 +128,12 @@ object Bench {
     // dropped from the total
     val failed = results.collect { case (k, r) if r(1) < 0 => s""""$k"""" }
       .mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
+    val sentinelJson = sentinel.map { case (name, first, last) =>
+      s""""sentinel":{"query":"$name","first":[${first.mkString(",")}],""" +
+        s""""last":[${last.mkString(",")}],"verdict":"${
+          sentinelVerdict(first, last)}"},"""
+    }.getOrElse("")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec",$sentinelJson"queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     writeText(outPath, full)
     // ALSO write a round-versioned copy so no round's per-query data
@@ -120,7 +142,25 @@ object Bench {
     // already committed in cwd, so max+1 names the current round.
     versionedCopy(outPath).foreach(writeText(_, full))
     val qv = results.map { case (_, r) => f"${r(1)}%.3f" }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"queries_file":"$outPath","qv_sorted_by_name":$qv}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,$sentinelJson"queries_file":"$outPath","qv_sorted_by_name":$qv}""")
+  }
+
+  /** Host-load verdict from the two sentinel triples: `loaded` when the
+    * medians drift past 1.5× with an absolute swing over 0.3 s (the
+    * host got busier/quieter mid-suite), `noisy` when either triple's
+    * own min→max spread exceeds 2× with a swing over 0.5 s (transient
+    * contention during a sentinel window), `quiet` otherwise; `unknown`
+    * if a sentinel run crashed. The thresholds sit well above the
+    * ±15 % swing measured on this host for identical code. */
+  private[graft] def sentinelVerdict(first: Seq[Double], last: Seq[Double]): String = {
+    if (first.head < 0 || last.head < 0) return "unknown"
+    val (m1, m2) = (first(1), last(1))
+    val drift = math.max(m1, m2) / math.max(1e-9, math.min(m1, m2))
+    val wideTriple = Seq(first, last).exists(r =>
+      r.head > 0 && r.last / r.head > 2.0 && r.last - r.head > 0.5)
+    if (drift > 1.5 && math.abs(m1 - m2) > 0.3) "loaded"
+    else if (wideTriple) "noisy"
+    else "quiet"
   }
 
   private def writeText(path: String, s: String): Unit =
