@@ -38,6 +38,31 @@ object Sweep100 {
     build(10, "/tmp/sweep_docs10x")
     build(100, "/tmp/sweep_docs100x")
 
+    // PERTURBED decades (r12): the mirror layout is exactly what the
+    // exact-content collapse is designed to exploit — every copy is
+    // byte-identical, so the LSH family measures collapsed growth. The
+    // perturbed variant makes every copy UNIQUE but still a near-dup of
+    // its base (DedupSpec's suffix-chop trick at sweep scale, plus a
+    // per-copy prefix token so no two copies collide): copy i prepends
+    // "v<i>" and chops i % 7 trailing characters. Jaccard vs base stays
+    // ~1 for the 5-gram shingles, nothing collapses, every band bucket
+    // holds the full multiplicity of DISTINCT contents — the
+    // non-collapsible growth the hot-bucket guard must survive alone.
+    def buildPerturbed(mult: Int, dir: String): Unit = {
+      if (new java.io.File(s"$dir/documents.parquet").exists()) return
+      new java.io.File(dir).mkdirs()
+      val d = spark.read.parquet(s"$base/documents.parquet")
+      (0 until mult).map { i =>
+        if (i == 0) d
+        else d.select((col("doc_id") + lit(i * n)).as("doc_id"),
+          concat(lit(s"v$i "),
+            expr(s"substring(text, 1, greatest(char_length(text) - ${i % 7}, 0))"))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+
     def docs(dir: String): DataFrame =
       spark.read.parquet(s"$dir/documents.parquet")
 
@@ -211,6 +236,15 @@ object Sweep100 {
     val opArgs = args.filterNot(_ == "+1000x")
     val selected =
       if (opArgs.isEmpty) all else all.filter(o => opArgs.contains(o._1))
+    // the dedup family additionally sweeps the PERTURBED decades — the
+    // exact-content collapse cannot help there, so these columns price
+    // the banding + hot-bucket guard against non-collapsible growth
+    val perturbedOps = Set("minhash_lsh", "simhash_pairs", "exact_dedup",
+      "cluster_dedup", "minhash_incr")
+    if (selected.exists(o => perturbedOps.contains(o._1))) {
+      buildPerturbed(10, "/tmp/sweep_docs10x_pert")
+      buildPerturbed(100, "/tmp/sweep_docs100x_pert")
+    }
     for ((name, op) <- selected) {
       def run(dir: String, passes: Int = 3): Double = {
         try op(dir).write.format("noop").mode("overwrite").save()
@@ -227,8 +261,13 @@ object Sweep100 {
         val t1000 = run("/tmp/sweep_docs1000x", passes = 1)
         f" 1000x=$t1000%9.2fs r1000=${t1000 / t1}%7.2f"
       } else ""
+      val pert = if (perturbedOps.contains(name)) {
+        val p10 = run("/tmp/sweep_docs10x_pert")
+        val p100 = run("/tmp/sweep_docs100x_pert")
+        f" p10=$p10%7.2fs p100=$p100%8.2fs pr10=${p10 / t1}%5.2f pr100=${p100 / t1}%6.2f"
+      } else ""
       println(f"SWEEP100 $name%-16s 1x=$t1%7.2fs 10x=$t10%7.2fs 100x=$t100%8.2fs " +
-        f"r10=${t10 / t1}%5.2f r100=${t100 / t1}%6.2f" + tail)
+        f"r10=${t10 / t1}%5.2f r100=${t100 / t1}%6.2f" + tail + pert)
     }
     spark.stop()
   }

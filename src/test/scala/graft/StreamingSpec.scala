@@ -1748,6 +1748,104 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("composed curation ingest survives a mid-batch kill: restart from " +
+    "RocksDB checkpoint ends bit-identical to the uninterrupted run") {
+    // CRASH CONSISTENCY for the full production topology (decode →
+    // quality gate → bloom decontam → TwsDedup): the job is killed with
+    // a batch in flight (stop() with undrained data — the StreamTest
+    // StopStream idiom), restarted against the SAME checkpoint + file
+    // sink, fed the remaining data, and the committed output must equal
+    // the uninterrupted run exactly. The parquet sink's _spark_metadata
+    // log is the exactly-once boundary (orphan files from the killed
+    // batch are invisible); the cross-batch pairs (1,6)/(2,6)/(3,7)
+    // only exist if the RocksDB dedup state RESTORED — state loss or
+    // batch replay would both break equality.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTwsConf {
+    val bench = Seq((100L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val bloom = graft.operators.Dedup.buildGramBloom(bench, "text", "doc_id")
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again today",
+      2L -> "the quick brown fox jumps over the lazy cat again and again today",
+      3L -> "structured streaming keeps state in rocksdb across micro batches forever",
+      4L -> "short text",
+      5L -> ("we quote alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa in this evaluation document"),
+      6L -> "the quick brown fox jumps over the lazy dog again and again tonight",
+      7L -> "structured streaming keeps state in rocksdb across micro batches mostly",
+      8L -> "final unique entry mentioning watermarks and windowed aggregations only",
+      9L -> ("students memorize alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa before the test session"),
+      10L -> "tiny")
+    def toJson(d: (Long, String)) = s"""{"doc_id": ${d._1}, "text": "${d._2}"}"""
+    def curate(raw: DataFrame): DataFrame = {
+      val decoded = raw
+        .select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING")).as("d"))
+        .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+      val kept = graft.operators.TextAnalysis
+        .withQualityFlag(decoded, "text", "doc_id", minWords = 8,
+          maxWords = 1000, minWordLenBp = 0, maxWordLenBp = 1000000,
+          minStopwordBp = 0, maxDupBp = 10000)
+        .filter(col("keep")).select("doc_id", "text")
+      graft.operators.Dedup
+        .contaminationFlagBloom(kept, bloom, "text", "doc_id")
+        .filter(!col("contaminated")).select("doc_id", "text")
+    }
+    val store = graft.operators.Dedup
+      .withMinHashSignatures(curate(docs.map(toJson).toDF("value")), "text", "doc_id")
+      .select("id", "hs")
+
+    def runTopology(kill: Boolean): Set[(Long, Long, Long)] = {
+      val input = MemoryStream[String]
+      val pairs = graft.streaming.TwsDedup.verifiedPairs(
+        graft.streaming.TwsDedup.candidatePairs(
+          graft.operators.Dedup.withMinHashSignatures(
+            curate(input.toDF()), "text", "doc_id")),
+        store)
+      val out = java.nio.file.Files.createTempDirectory("graft_crash_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_crash_ck").toString
+      def start() = pairs.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      var q = start()
+      input.addData(docs.take(4).map(toJson): _*)
+      q.processAllAvailable()
+      input.addData(docs.slice(4, 8).map(toJson): _*)
+      if (kill) {
+        // kill with the batch in flight; nothing is drained first
+        Thread.sleep(150)
+        q.stop()
+        // more data arrives while the job is down
+        input.addData(docs.drop(8).map(toJson): _*)
+        q = start() // restart from the same checkpoint + sink log
+        q.processAllAvailable()
+      } else {
+        q.processAllAvailable()
+        input.addData(docs.drop(8).map(toJson): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      // read through the sink's _spark_metadata log — the committed set
+      spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val clean = runTopology(kill = false)
+    val crashed = runTopology(kill = true)
+    assert(clean.map(p => (p._1, p._2)) ==
+      Set((1L, 2L), (1L, 6L), (2L, 6L), (3L, 7L)),
+      s"uninterrupted run moved: $clean")
+    assert(crashed == clean,
+      s"crash-restart diverged: $crashed vs $clean")
+    }
+  }
+
   test("decontam scrub projection is streaming-legal: stateless, matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
