@@ -60,3 +60,26 @@ object SketchProbe {
     spark.stop()
   }
 }
+
+/** Dev probe (r12): minhash_lsh over the PERTURBED 100x corpus with the
+  * hot-bucket guard at maxBucket=50 — the guarded counterpart of the
+  * default-cap run that exhausts local disk (SWEEP100_r12 note). */
+object PerturbedLshProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    val d = spark.read.parquet("/tmp/sweep_docs100x_pert/documents.parquet")
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    def run(): Unit = graft.operators.Dedup
+      .minhashLsh(d, "text", "doc_id", minBp = 8000, maxBucket = 50)
+      .write.format("noop").mode("overwrite").save()
+    run() // warm-up
+    val ts = Seq.fill(3)(time(run())).sorted
+    println(f"PERTURBED_LSH_GUARDED 100x maxBucket=50 median=${ts(1)}%.2fs " +
+      f"[${ts.head}%.2f, ${ts.last}%.2f]")
+    spark.stop()
+  }
+}

@@ -144,7 +144,20 @@ object Dedup {
     *
     * Returns (doc_a, doc_b, jaccard_bp) for verified pairs; the
     * verification Jaccard is exact on shingle-hash sets, so the only
-    * approximation is candidate RECALL (LSH banding). */
+    * approximation is candidate RECALL (LSH banding).
+    *
+    * `maxBucket` TUNING (measured, SWEEP100_r12): the exact-content
+    * collapse only helps when copies are byte-identical. A corpus of
+    * wide NEAR-dup families (mirror sites with per-page edits — they
+    * survive exact dedup) puts the full family width in every band
+    * bucket; at the default cap 1000 a 100-wide family still pairs
+    * w²/2 per bucket and the gram-payload verify shuffle exhausted
+    * local disk at 500k docs, while `maxBucket = 50` (the crawl
+    * posture the clustering path ships) star-pairs those buckets and
+    * ran the same corpus in 32 s. If the downstream contract is
+    * cluster/canonical (connectivity, not the exhaustive pair list),
+    * set the cap near the widest duplicate family you want exhaustive
+    * pairs for, not above it. */
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
                  k: Int = 5, numPerm: Int = 64, bands: Int = 16,
                  minBp: Int = 5000, maxBucket: Int = 1000,
