@@ -104,6 +104,52 @@ object Similarity {
       .select(col("query_id"), col("label").as("pred_label"), col("n_votes"))
   }
 
+  /** Reciprocal-rank fusion of two dense rankers — the hybrid-retrieval
+    * merge step (cosine leg + raw-dot leg here; at production scale each
+    * leg is whatever ANN store serves it, and fusion only ever sees the
+    * per-query top-`k` candidate lists). Scores are the integer RRF
+    * variant `1_000_000 div (rrfK + rank)` summed over the lists that
+    * contain the candidate — pure integer arithmetic, so the fused
+    * ranking is engine-exact; the doubles (cos, dot) only ORDER each
+    * leg and ties break on neighbor id.
+    *
+    * Scale posture: identical to [[bruteForceTopK]] for the scoring
+    * scan (broadcast queries × one corpus pass, both leg ranks share
+    * ONE query-keyed shuffle/sort pair); the fusion itself touches only
+    * queries × ≤2k candidate rows. Swap each leg for its ANN store
+    * ([[lshTopK]]/[[ivfTopK]]) and fusion's cost does not change. */
+  def rrfFusion(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, rrfK: Int = 60, topN: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val byQuery = Window.partitionBy(col("query_id"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dotv", dot(col("qv"), col("cv")))
+      .withColumn("cos", col("dotv") / (col("qn") * col("cn")))
+      .withColumn("rank_cos", row_number().over(
+        byQuery.orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .withColumn("rank_dot", row_number().over(
+        byQuery.orderBy(col("dotv").desc, col("neighbor_id").asc)))
+    scored
+      .withColumn("rrf_score",
+        when(col("rank_cos") <= k, expr(s"1000000 div ($rrfK + rank_cos)"))
+          .otherwise(lit(0L)) +
+        when(col("rank_dot") <= k, expr(s"1000000 div ($rrfK + rank_dot)"))
+          .otherwise(lit(0L)))
+      .filter(col("rrf_score") > 0)
+      .withColumn("fused_rank", row_number().over(
+        byQuery.orderBy(col("rrf_score").desc, col("neighbor_id").asc)))
+      .filter(col("fused_rank") <= topN)
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("rank_cos") <= k, col("rank_cos")).as("rank_cos"),
+        when(col("rank_dot") <= k, col("rank_dot")).as("rank_dot"),
+        col("rrf_score").cast("long").as("rrf_score"),
+        col("fused_rank").cast("long").as("fused_rank"))
+  }
+
   /** Deterministic random hyperplanes: `planes(p)(i)` ~ U(-1, 1)
     * derived from a splitmix-style integer hash — reproducible across
     * runs and engines. */

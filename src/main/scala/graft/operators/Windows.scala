@@ -118,4 +118,40 @@ object Windows {
       .withColumn("ov_secs",
         col("ov_end").cast("long") - col("ov_start").cast("long"))
   }
+
+  /** Merged-interval (union) coverage per key over half-open integer
+    * intervals [start, end): overlapping/adjacent-overlapping
+    * intervals collapse into islands via the classic running-max-end
+    * scan, and the summary reports per-key totals. Intervals with
+    * `start > end` are the caller's bug (not validated here); ties in
+    * (start, end) break on `tieCols`, which must make the ordering a
+    * total order for the island ids to be deterministic.
+    *
+    * Scale: ONE key-partitioned shuffle; the island scan is a single
+    * sorted window pass (two window functions sharing the sort), the
+    * summary a map-side-combined agg — per-key cost is n·log n in that
+    * key's intervals, never pairwise.
+    */
+  def intervalUnion(df: DataFrame, key: String, start: String, end: String,
+                    tieCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = (col(start).asc +: col(end).asc +: tieCols.map(col(_).asc))
+    val byStart = Window.partitionBy(col(key)).orderBy(order: _*)
+    val prevMax = byStart.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = df
+      .withColumn("__prev_end", max(col(end)).over(prevMax))
+      .withColumn("__new_island",
+        when(col("__prev_end").isNull || col(start) > col("__prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("__island_id", sum(col("__new_island")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col("__island_id"))
+      .agg(count(lit(1)).as("__n_iv"), min(col(start)).as("__i0"),
+        max(col(end)).as("__i1"))
+    islands.groupBy(col(key))
+      .agg(sum(col("__n_iv")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__i1") - col("__i0")).as("covered"),
+        (max(col("__i1")) - min(col("__i0"))).as("span"))
+  }
 }

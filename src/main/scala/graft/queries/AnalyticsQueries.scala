@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{AsOfJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, TextAnalysis, Windows}
 import graft.sources.Tables
 
 /** §2.B extension — analytic/time-series operators (B15–B19): CUBE,
@@ -609,6 +609,149 @@ object AnalyticsQueries {
             when(col("l4").isNotNull, 1L).otherwise(0L)).as("ewma_den"))
         .filter(col("ewma_den") > 0 &&
           col("cents") * col("ewma_den") > col("ewma_num") * 3)
+    },
+
+    // B77 — TWO-WINDOW MEAN-SHIFT detection (the bounded-frame,
+    // shuffle-once form of changepoint detection — CUSUM's recursion
+    // doesn't distribute, two sliding sample means do): per user, a
+    // point is a level shift when the mean of the next 8 observations
+    // (current inclusive) moves more than ¢30 against the mean of the
+    // previous 8, both windows full. Cents + cross-multiplied
+    // comparison (|after−before| > 8·3000 on the equal-count sums) so
+    // no engine divides. ONE user-keyed shuffle; frames are ±8 rows —
+    // per-row cost is constant at any corpus size.
+    "mean_shift_detect" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val before = byUser.rowsBetween(-8, -1)
+      val after = byUser.rowsBetween(0, 7)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        .withColumn("before_sum", sum(col("cents")).over(before))
+        .withColumn("before_n", count(lit(1)).over(before))
+        .withColumn("after_sum", sum(col("cents")).over(after))
+        .withColumn("after_n", count(lit(1)).over(after))
+        .filter(col("before_n") === 8 && col("after_n") === 8)
+        .filter(abs(col("after_sum") - col("before_sum")) > lit(8L * 3000L))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("before_sum"), col("after_sum"),
+          expr("CASE WHEN after_sum >= before_sum" +
+            " THEN (after_sum - before_sum) div 8" +
+            " ELSE -((before_sum - after_sum) div 8) END").as("shift_cents"))
+    },
+
+    // B78 — LAG-k AUTOCORRELATION of the hourly volume series, exact:
+    // per event type, the dense hourly spine (sequence between the
+    // type's min/max epoch-hour, gaps = 0) and acf at lags 1..3 from
+    // INTEGER moments only — multiply the centered terms through by n
+    // (n·x−S) so the mean never becomes a float; the bp ratio is the
+    // single sign-handled integer division at the end. The "is this
+    // volume series periodic / sticky" profiler behind capacity
+    // planning and anomaly baselines. Scale: the counts agg is
+    // map-side combined into ≤ types×hours rows; the spine and the
+    // three self-joins all live on that bounded frame, not the corpus.
+    "acf_hourly" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS BIGINT) div 3600").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = counts.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+      val series = spine.join(counts, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("cnt"), lit(0L)).as("x"))
+        .localCheckpoint()
+      val tot = series.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      val byType = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+      val lagged = series
+        .withColumn("x1", lead(col("x"), 1).over(byType))
+        .withColumn("x2", lead(col("x"), 2).over(byType))
+        .withColumn("x3", lead(col("x"), 3).over(byType))
+        .join(broadcast(tot), "event_type")
+        .withColumn("c0", col("n") * col("x") - col("s"))
+      val moments = lagged.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_hours"),
+          sum(col("c0") * col("c0")).as("den"),
+          sum(when(col("x1").isNotNull,
+            col("c0") * (col("n") * col("x1") - col("s")))).as("num1"),
+          sum(when(col("x2").isNotNull,
+            col("c0") * (col("n") * col("x2") - col("s")))).as("num2"),
+          sum(when(col("x3").isNotNull,
+            col("c0") * (col("n") * col("x3") - col("s")))).as("num3"))
+      def bp(num: String): Column =
+        expr(s"CASE WHEN $num >= 0 THEN ($num * 10000) div den" +
+          s" ELSE -((-($num) * 10000) div den) END")
+      // den = 0 only for a degenerate series (every hour identical —
+      // in practice a single-bucket type); acf is undefined there
+      moments.filter(col("den") > 0)
+        .select(col("event_type"), col("n_hours"), col("den"),
+        col("num1"), col("num2"), col("num3"),
+        bp("num1").as("acf1_bp"), bp("num2").as("acf2_bp"),
+        bp("num3").as("acf3_bp"))
+    },
+
+    // B79 — DAILY VOLUME TREND (exact OLS slope over the dense daily
+    // spine): per event type, x = day index from the type's first
+    // day, y = daily count, slope from the closed-form integer
+    // moments n·Σxy−Σx·Σy over n·Σx²−(Σx)² — the "is this source
+    // growing or decaying" gate a mix allocator runs before trusting
+    // a source's share. Same bounded-frame posture as B78: one
+    // map-side-combined count agg, then all algebra on ≤ types×days
+    // rows; the milli-slope is the one sign-handled division.
+    "daily_trend" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS BIGINT) div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = counts.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"), col("d0"),
+          explode(expr("sequence(d0, d1)")).as("day"))
+      val series = spine.join(counts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), (col("day") - col("d0")).as("x"),
+          coalesce(col("cnt"), lit(0L)).as("y"))
+      series.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        // a single-day series has no x-variance — slope undefined
+        .filter(expr("n_days * sxx - sx * sx > 0"))
+        .select(col("event_type"), col("n_days"),
+          (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+          expr("CASE WHEN (n_days * sxy - sx * sy) >= 0" +
+            " THEN ((n_days * sxy - sx * sy) * 1000) div (n_days * sxx - sx * sx)" +
+            " ELSE -((-(n_days * sxy - sx * sy) * 1000) div (n_days * sxx - sx * sx)) END")
+            .as("slope_milli"))
+    },
+
+    // B80 — INTERVAL UNION (merged coverage) per supplier: each
+    // lineitem opens a deterministic in-transit window
+    // [ship_day, ship_day + 1 + orderkey % 14) in epoch days;
+    // overlaps merge into islands via the classic running-max-end
+    // scan, and the report is per-supplier coverage vs span — the
+    // gaps-and-islands union B18/B32 (gap fill, sessionize) don't
+    // express (intervals OVERLAP here; sessions only chain points).
+    // ONE supplier-keyed shuffle; the island scan is a single sorted
+    // window pass, integers end to end.
+    "interval_union" -> { (s, d) =>
+      val intervals = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          // l_shipdate loads as TIMESTAMP_NTZ; with the session pinned
+          // UTC the LTZ hop is value-exact and matches epoch_us // 1e6
+          expr("CAST(CAST(l_shipdate AS TIMESTAMP) AS BIGINT) div 86400")
+            .as("start_day"))
+        .withColumn("end_day",
+          col("start_day") + lit(1L) + pmod(col("l_orderkey"), lit(14L)))
+      Windows.intervalUnion(intervals, "l_suppkey", "start_day", "end_day",
+          Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_suppkey"), col("n_intervals"), col("n_islands"),
+          col("covered").as("covered_days"), col("span").as("span_days"))
+        .withColumn("coverage_bp",
+          expr("covered_days * 10000 div span_days"))
     },
 
     // B64 — LAST-TOUCH revenue ATTRIBUTION: each purchase credits the
@@ -1422,6 +1565,132 @@ object AnalyticsQueries {
         FROM l)
       SELECT user_id, event_id, ts, cents, ewma_num, ewma_den
       FROM s WHERE ewma_den > 0 AND cents * ewma_den > ewma_num * 3""",
+
+    // B77: identical two-frame window algebra, cents in, the one
+    // sign-handled division at the end.
+    "mean_shift_detect" -> """
+      WITH b AS (
+        SELECT user_id, ts, event_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      w AS (
+        SELECT user_id, ts, event_id,
+               CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS BIGINT) AS before_sum,
+               count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS before_n,
+               CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS BIGINT) AS after_sum,
+               count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS after_n
+        FROM b)
+      SELECT user_id, event_id, ts, before_sum, after_sum,
+             CASE WHEN after_sum >= before_sum
+                  THEN (after_sum - before_sum) // 8
+                  ELSE -((before_sum - after_sum) // 8) END AS shift_cents
+      FROM w
+      WHERE before_n = 8 AND after_n = 8
+        AND abs(after_sum - before_sum) > 24000""",
+
+    // B78: dense spine via generate_series, centered moments scaled
+    // through by n so everything stays integer until the final bp.
+    "acf_hourly" -> """
+      WITH counts AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      rng AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+              FROM counts GROUP BY 1),
+      spine AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM rng),
+      series AS (
+        SELECT sp.event_type, sp.h, coalesce(c.cnt, 0) AS x
+        FROM spine sp LEFT JOIN counts c
+          ON sp.event_type = c.event_type AND sp.h = c.h),
+      tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS s
+              FROM series GROUP BY 1),
+      lagged AS (
+        SELECT se.event_type, t.n, t.s, se.x,
+               lead(x, 1) OVER w AS x1, lead(x, 2) OVER w AS x2,
+               lead(x, 3) OVER w AS x3
+        FROM series se JOIN tot t USING (event_type)
+        WINDOW w AS (PARTITION BY se.event_type ORDER BY se.h)),
+      cc AS (SELECT event_type, n, s, x1, x2, x3, n * x - s AS c0 FROM lagged),
+      m AS (
+        SELECT event_type, max(n) AS n_hours,
+               CAST(sum(c0 * c0) AS BIGINT) AS den,
+               CAST(sum(CASE WHEN x1 IS NOT NULL THEN c0 * (n * x1 - s) END) AS BIGINT) AS num1,
+               CAST(sum(CASE WHEN x2 IS NOT NULL THEN c0 * (n * x2 - s) END) AS BIGINT) AS num2,
+               CAST(sum(CASE WHEN x3 IS NOT NULL THEN c0 * (n * x3 - s) END) AS BIGINT) AS num3
+        FROM cc GROUP BY 1)
+      SELECT event_type, n_hours, den, num1, num2, num3,
+             CASE WHEN num1 >= 0 THEN (num1 * 10000) // den
+                  ELSE -((-num1 * 10000) // den) END AS acf1_bp,
+             CASE WHEN num2 >= 0 THEN (num2 * 10000) // den
+                  ELSE -((-num2 * 10000) // den) END AS acf2_bp,
+             CASE WHEN num3 >= 0 THEN (num3 * 10000) // den
+                  ELSE -((-num3 * 10000) // den) END AS acf3_bp
+      FROM m WHERE den > 0""",
+
+    // B79: same spine, closed-form OLS moments, one division.
+    "daily_trend" -> """
+      WITH counts AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      rng AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+              FROM counts GROUP BY 1),
+      spine AS (SELECT event_type, d0,
+                       unnest(generate_series(d0, d1)) AS day FROM rng),
+      series AS (
+        SELECT sp.event_type, sp.day - sp.d0 AS x, coalesce(c.cnt, 0) AS y
+        FROM spine sp LEFT JOIN counts c
+          ON sp.event_type = c.event_type AND sp.day = c.day),
+      m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM series GROUP BY 1)
+      SELECT event_type, n_days,
+             n_days * sxy - sx * sy AS slope_num,
+             n_days * sxx - sx * sx AS slope_den,
+             CASE WHEN n_days * sxy - sx * sy >= 0
+                  THEN ((n_days * sxy - sx * sy) * 1000) // (n_days * sxx - sx * sx)
+                  ELSE -((-(n_days * sxy - sx * sy) * 1000) // (n_days * sxx - sx * sx))
+                  END AS slope_milli
+      FROM m WHERE n_days * sxx - sx * sx > 0""",
+
+    // B80: running-max-end island scan over the same unique total
+    // order; everything integer epoch days.
+    "interval_union" -> """
+      WITH iv AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               epoch_us(l_shipdate) // 86400000000 AS start_day,
+               epoch_us(l_shipdate) // 86400000000 + 1 + l_orderkey % 14 AS end_day
+        FROM lineitem),
+      w AS (
+        SELECT *,
+               max(end_day) OVER (PARTITION BY l_suppkey
+                 ORDER BY start_day, end_day, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM iv),
+      f AS (SELECT *, CASE WHEN prev_end IS NULL OR start_day > prev_end
+                           THEN 1 ELSE 0 END AS new_island FROM w),
+      g AS (SELECT *, sum(new_island) OVER (PARTITION BY l_suppkey
+              ORDER BY start_day, end_day, l_orderkey, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+            FROM f),
+      i AS (SELECT l_suppkey, island_id, count(*) AS n_iv,
+                   min(start_day) AS i0, max(end_day) AS i1
+            FROM g GROUP BY 1, 2)
+      SELECT l_suppkey, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+             CAST(count(*) AS BIGINT) AS n_islands,
+             CAST(sum(i1 - i0) AS BIGINT) AS covered_days,
+             CAST(max(i1) - min(i0) AS BIGINT) AS span_days,
+             CAST(sum(i1 - i0) AS BIGINT) * 10000 //
+               CAST(max(i1) - min(i0) AS BIGINT) AS coverage_bp
+      FROM i GROUP BY 1""",
 
     // B64: the same strictly-preceding IGNORE NULLS carry; DuckDB's
     // last_value(IGNORE NULLS) over the 1-PRECEDING frame is the

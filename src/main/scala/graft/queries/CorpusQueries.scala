@@ -23,6 +23,25 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // C88 — TOKENIZER FERTILITY profile per (source, lang): tokens /
+    // chars ratios (whitespace tokens, the C9 convention) — the
+    // per-language cost sheet a token-budgeted mix allocator reads
+    // (a language whose chars-per-token runs high pays more compute
+    // per character of coverage). Pure scan-local projections into a
+    // map-side-combined ≤ sources×langs aggregation; integer ratios.
+    "token_fertility" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          expr("CAST(size(filter(split(text, ' '), t -> length(t) > 0)) AS BIGINT)")
+            .as("toks"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"),
+          sum(col("chars")).as("n_chars"))
+        .withColumn("tokens_per_kchar", expr("tokens * 1000 div n_chars"))
+        .withColumn("chars_per_token_milli", expr("n_chars * 1000 div tokens"))
+    },
+
     // C39 — duplicated-span measurement (Lee et al. 2022): per doc,
     // the fraction of its distinct word-6-grams shared with any OTHER
     // doc, in basis points. Runs over the perturbed near-dup corpus
@@ -264,6 +283,23 @@ object CorpusQueries {
       |LEFT JOIN drops d USING (doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // C88: same whitespace-token and strlen conventions.
+    "token_fertility" -> """
+      WITH t AS (
+        SELECT source, lang,
+               CAST(len(list_filter(string_split(text, ' '),
+                 x -> length(x) > 0)) AS BIGINT) AS toks,
+               CAST(strlen(text) AS BIGINT) AS chars
+        FROM documents)
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS tokens,
+             CAST(sum(chars) AS BIGINT) AS n_chars,
+             CAST(sum(toks) AS BIGINT) * 1000 //
+               CAST(sum(chars) AS BIGINT) AS tokens_per_kchar,
+             CAST(sum(chars) AS BIGINT) * 1000 //
+               CAST(sum(toks) AS BIGINT) AS chars_per_token_milli
+      FROM t GROUP BY 1, 2""",
 
     // The oracle groups grams as STRINGS where the engine groups
     // 64-bit fingerprints — identical up to a ~1e-9 hash collision,

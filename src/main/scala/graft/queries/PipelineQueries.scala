@@ -471,6 +471,50 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // C85 — RECIPROCAL-RANK FUSION of two dense retrieval legs
+    // (cosine + raw dot product — they genuinely disagree when norms
+    // vary): the hybrid-retrieval merge every production stack runs
+    // between its rankers and its consumer. Integer RRF
+    // (1e6 div (60 + rank), summed over the lists that contain the
+    // candidate, contributions gated at each leg's top-10) so the
+    // fused ranking is engine-exact; doubles only order the legs.
+    // Scale: one corpus scan scores both legs (shared query-keyed
+    // shuffle, two in-partition sorts); fusion sees queries × ≤2k
+    // candidate rows no matter the corpus size.
+    "rrf_fusion" -> { (s, d) =>
+      Similarity.rrfFusion(Tables.embeddings(s, d), embQueries(s, d),
+        "vec_id", "embedding", k = 10)
+    },
+
+    // C86 — RETRIEVAL EVALUATION (MRR@10 / hits@1/5/10) of the C54
+    // retrieval path under the LOO protocol: per query (vec_id < 200)
+    // the rank of the first same-label neighbor in the top-10, folded
+    // per true label into exact integers — reciprocal ranks scaled by
+    // 2520 (= lcm 1..10) so MRR sums are integers, not floats. This is
+    // the scorecard that decides whether the ANN store's operating
+    // point actually serves weak supervision / semantic dedup. Cost:
+    // the C83 ranking plus one queries×k-sized label join and a
+    // ≤|labels| aggregation.
+    "mrr_eval" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val loo = emb.filter(col("vec_id") < 200)
+      val topk = Similarity.bruteForceTopK(emb,
+        loo.select(col("vec_id"), col("embedding")), "vec_id", "embedding", k = 10)
+      val lbl = emb.select(col("vec_id"), col("label").cast("long"))
+      val firstRel = topk
+        .join(broadcast(lbl.toDF("neighbor_id", "n_label")), "neighbor_id")
+        .join(broadcast(lbl.toDF("query_id", "true_label")), "query_id")
+        .groupBy(col("query_id"), col("true_label"))
+        .agg(min(when(col("n_label") === col("true_label"), col("rn")))
+          .as("first_rel"))
+      firstRel.groupBy(col("true_label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("first_rel") === 1, 1L).otherwise(0L)).as("hits1"),
+          sum(when(col("first_rel") <= 5, 1L).otherwise(0L)).as("hits5"),
+          sum(when(col("first_rel").isNotNull, 1L).otherwise(0L)).as("hits10"),
+          sum(coalesce(expr("2520 div first_rel"), lit(0L))).as("mrr_x2520"))
+    },
+
     // C84 — N-GRAM NOVELTY of an increment: per source, the share of
     // the delta batch's distinct word-3-grams NOT present anywhere in
     // the base corpus — the "is this crawl increment actually new"
@@ -545,6 +589,32 @@ object PipelineQueries {
     // metadata + per-partition decode stub).
     "multimodal_meta" -> { (s, d) =>
       Multimodal.decodeMeta(Multimodal.synthesize(Tables.documents(s, d))).toDF()
+    },
+
+    // C87 — MULTIMODAL exact dedup: the media twin of C1, keyed on
+    // the PAYLOAD content hash (md5 of the opaque bytes) — the pass
+    // every image/audio ingest runs before any decode is paid, since
+    // re-crawled media duplicates byte-for-byte far more often than
+    // text does. Corpus = media table + two mirror shells (the suite's
+    // re-crawl convention), groups report copies + wasted bytes. Only
+    // (md5, n_bytes, doc_id) ever shuffles — 16-byte keys, payloads
+    // stay in the scan — so the plan is the C1 plan regardless of
+    // payload size.
+    "media_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val mirror = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 4000000L)
+      val mirror2 = docs.filter(col("doc_id") % 20 === 0)
+        .withColumn("doc_id", col("doc_id") + 8000000L)
+      val media = Multimodal.synthesize(
+        docs.unionByName(mirror).unionByName(mirror2)).toDF()
+      media.select(col("doc_id"), md5(col("payload")).as("payload_md5"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .groupBy(col("payload_md5"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canon_id"),
+          max(col("n_bytes")).as("bytes_each"))
+        .filter(col("n_copies") >= 2)
+        .withColumn("wasted_bytes", (col("n_copies") - 1) * col("bytes_each"))
     },
 
     // C12 — per-label embedding profile, integer-exact so the oracle
@@ -1304,6 +1374,61 @@ object PipelineQueries {
       |FROM delta d LEFT JOIN novel n ON d.source = n.source
       |GROUP BY 1""".stripMargin,
 
+    // C85: both leg ranks from one scored CTE, integer RRF gated at
+    // each leg's top-10, fused rank re-ranked on the integer score.
+    "rrf_fusion" -> s"""
+      |WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id, ${dotSql("qv", "cv")} AS dotv,
+      |         ${cosSql("qv", "cv")} AS cos
+      |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY query_id
+      |          ORDER BY cos DESC, neighbor_id ASC) AS rank_cos,
+      |        row_number() OVER (PARTITION BY query_id
+      |          ORDER BY dotv DESC, neighbor_id ASC) AS rank_dot
+      |      FROM s),
+      |f AS (SELECT query_id, neighbor_id,
+      |        CASE WHEN rank_cos <= 10 THEN rank_cos END AS in_cos,
+      |        CASE WHEN rank_dot <= 10 THEN rank_dot END AS in_dot,
+      |        CAST(CASE WHEN rank_cos <= 10 THEN 1000000 // (60 + rank_cos) ELSE 0 END +
+      |             CASE WHEN rank_dot <= 10 THEN 1000000 // (60 + rank_dot) ELSE 0 END
+      |             AS BIGINT) AS rrf_score
+      |      FROM r),
+      |g AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY rrf_score DESC, neighbor_id ASC) AS fused_rank
+      |      FROM f WHERE rrf_score > 0)
+      |SELECT query_id, neighbor_id, in_cos AS rank_cos, in_dot AS rank_dot,
+      |       rrf_score, CAST(fused_rank AS BIGINT) AS fused_rank
+      |FROM g WHERE fused_rank <= 10""".stripMargin,
+
+    // C86: the C83 LOO ranking folded into per-label retrieval
+    // scorecards; reciprocal ranks scaled by 2520 stay integer.
+    "mrr_eval" -> s"""
+      |WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 200),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+      |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s),
+      |fr AS (
+      |  SELECT r.query_id, CAST(t.label AS BIGINT) AS true_label,
+      |         min(CASE WHEN CAST(e.label AS BIGINT) = CAST(t.label AS BIGINT)
+      |                  THEN rn END) AS first_rel
+      |  FROM r JOIN embeddings e ON r.neighbor_id = e.vec_id
+      |         JOIN embeddings t ON r.query_id = t.vec_id
+      |  WHERE rn <= 10
+      |  GROUP BY 1, 2)
+      |SELECT true_label,
+      |       CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(CASE WHEN first_rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
+      |       CAST(sum(CASE WHEN first_rel <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits5,
+      |       CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
+      |       CAST(sum(coalesce(2520 // first_rel, 0)) AS BIGINT) AS mrr_x2520
+      |FROM fr GROUP BY 1""".stripMargin,
+
     // C83: the C54 prediction SQL widened to the vec_id < 200 LOO
     // population, joined back to truth and confusioned.
     "knn_eval" -> s"""
@@ -2035,6 +2160,26 @@ object PipelineQueries {
       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
       |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s)
       |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 10""".stripMargin,
+
+    // C87: same corpus construction; DuckDB md5 over the text bytes
+    // equals Spark md5 over the binary payload (the payload IS the
+    // UTF-8 text bytes; ASCII corpus, so strlen = octet_length — the
+    // C11 convention).
+    "media_dedup" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 8000000, text FROM documents WHERE doc_id % 20 = 0),
+      g AS (
+        SELECT md5(text) AS payload_md5, CAST(count(*) AS BIGINT) AS n_copies,
+               min(doc_id) AS canon_id,
+               CAST(max(strlen(text)) AS BIGINT) AS bytes_each
+        FROM corpus GROUP BY 1)
+      SELECT payload_md5, n_copies, canon_id, bytes_each,
+             (n_copies - 1) * bytes_each AS wasted_bytes
+      FROM g WHERE n_copies >= 2""",
 
     "multimodal_meta" -> """
       |SELECT doc_id,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Skew, TextAnalysis}
@@ -27,6 +28,35 @@ object ScaleQueries {
     "bm25_topk" -> { (s, d) =>
       TextAnalysis.bm25TopK(Tables.fanOut(Tables.documents(s, d)),
         "text", "doc_id", QueryTerms, k = 10)
+    },
+
+    // C89 — JOIN-CARDINALITY audit for a many-to-many pair join
+    // (per-user view × purchase — the funnel-pair-join planner
+    // question C46's single-table profile can't answer): exact output
+    // size Σ n_view(u)·n_purchase(u) plus the top-20 contributing
+    // keys with share — the "will this join explode, and on which
+    // keys" gate that decides salting/pre-aggregation BEFORE the join
+    // runs. Cost: two map-side-combined per-key counts + a count-table
+    // join — never the pair join itself; the rank window runs over the
+    // ≤|keys| profile frame, not the corpus.
+    "join_card_est" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val l = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_left"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_right"))
+      val per = l.join(r, "user_id")
+        .withColumn("out_rows", col("n_left") * col("n_right"))
+        .localCheckpoint()
+      val tot = per.agg(sum(col("out_rows")).as("total_rows"))
+      per
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("out_rows").desc, col("user_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .crossJoin(broadcast(tot))
+        .select(col("user_id"), col("n_left"), col("n_right"), col("out_rows"),
+          col("rank"), col("total_rows"),
+          expr("out_rows * 10000 div total_rows").as("share_bp"))
     },
 
     // C46 — key-occupancy profile of orders by customer: top-20 keys
@@ -288,6 +318,22 @@ object ScaleQueries {
       |SELECT doc_id, score, n_terms,
       |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
       |FROM scored QUALIFY rank <= 10""".stripMargin,
+
+    // C89: count tables joined, exact products, global rank over the
+    // profile frame.
+    "join_card_est" -> """
+      WITH l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_left
+                 FROM events WHERE event_type = 'view' GROUP BY 1),
+      r AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_right
+            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      p AS (SELECT l.user_id, n_left, n_right, n_left * n_right AS out_rows
+            FROM l JOIN r USING (user_id)),
+      t AS (SELECT CAST(sum(out_rows) AS BIGINT) AS total_rows FROM p)
+      SELECT user_id, n_left, n_right, out_rows,
+             CAST(row_number() OVER (ORDER BY out_rows DESC, user_id)
+               AS BIGINT) AS rank,
+             total_rows, out_rows * 10000 // total_rows AS share_bp
+      FROM p CROSS JOIN t QUALIFY rank <= 20""",
 
     "key_skew_profile" -> """WITH counts AS (
       |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),

@@ -218,6 +218,46 @@ class OperatorSpec extends SparkTestBase {
     assert(got == want, s"engine $got != $want")
   }
 
+  test("intervalUnion: hand-built islands — overlap merges, gap splits, " +
+    "containment collapses") {
+    import spark.implicits._
+    // key 1: [0,10) + [5,15) merge (covered 15), [20,25) separate;
+    // key 2: [0,100) contains [10,20) — one island, covered 100
+    val df = Seq(
+      (1L, 0L, 10L, 1L), (1L, 5L, 15L, 2L), (1L, 20L, 25L, 3L),
+      (2L, 0L, 100L, 4L), (2L, 10L, 20L, 5L)
+    ).toDF("k", "s", "e", "tie")
+    val got = graft.operators.Windows.intervalUnion(df, "k", "s", "e", Seq("tie"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((3L, 2L, 20L, 25L)), s"key 1: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 100L, 100L)), s"key 2: ${got(2L)}")
+  }
+
+  test("intervalUnion matches a Scala brute-force sweep on random intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map { i =>
+      val s = rnd.nextInt(200).toLong
+      (rnd.nextInt(8).toLong, s, s + 1 + rnd.nextInt(30), i.toLong)
+    }
+    val got = graft.operators.Windows
+      .intervalUnion(rows.toDF("k", "s", "e", "tie"), "k", "s", "e", Seq("tie"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    rows.groupBy(_._1).foreach { case (k, iv) =>
+      val pts = iv.flatMap(r => r._2 until r._3).toSet
+      // brute force: mark covered integer points; islands = runs
+      val covered = pts.size.toLong
+      val span = iv.map(_._3).max - iv.map(_._2).min
+      val nIslands = pts.toSeq.sorted
+        .foldLeft((0L, Long.MinValue)) { case ((n, prev), p) =>
+          (if (p == prev + 1) n else n + 1, p)
+        }._1
+      assert(got(k) == ((iv.size.toLong, nIslands, covered, span)), s"key $k")
+    }
+  }
+
   test("intervalAlign salted path: identical pairs under a key owning " +
     "half of all intervals; salt reaches the join keys") {
     import spark.implicits._

@@ -50,6 +50,53 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  private def dotd(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0
+    for (i <- a.indices) d += a(i).toDouble * b(i)
+    d
+  }
+
+  test("rrfFusion matches Scala brute-force integer RRF over both legs") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 4)
+    val k = 10
+    val got = Similarity.rrfFusion(emb, queries, "vec_id", "embedding", k = k)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(5)).map(r => (r.getLong(1), r.getLong(4))).toSeq
+      }
+    for (q <- 0L until 4L) {
+      val others = vecs.toSeq.filter(_._1 != q)
+      def ranks(score: Long => Double): Map[Long, Int] =
+        others.map { case (id, _) => (id, score(id)) }
+          .sortBy { case (id, s) => (-s, id) }
+          .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+      val rc = ranks(id => cos(vecs(q), vecs(id)))
+      val rd = ranks(id => dotd(vecs(q), vecs(id)))
+      def contrib(r: Int): Long = if (r <= k) 1000000L / (60 + r) else 0L
+      val fused = others.map(_._1)
+        .map(id => (id, contrib(rc(id)) + contrib(rd(id))))
+        .filter(_._2 > 0)
+        .sortBy { case (id, s) => (-s, id) }.take(10)
+      assert(got(q) == fused, s"query $q")
+    }
+  }
+
+  test("rrfFusion: a doc outside both legs' top-k never appears") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 4)
+    val rows = Similarity.rrfFusion(emb, queries, "vec_id", "embedding", k = 10)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val inCos = !r.isNullAt(2)
+      val inDot = !r.isNullAt(3)
+      assert(inCos || inDot, s"row $r fused with zero contributions")
+      assert(r.getLong(4) > 0)
+    }
+  }
+
   test("lshTopK returns correctly ranked subsets with reasonable recall") {
     val emb = sources.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 8)
