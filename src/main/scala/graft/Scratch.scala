@@ -9,11 +9,17 @@ object Scratch {
     println("ENTRY rows: " + df.count())
     df.show(3, false)
     // drive any query by name: runMain graft.Scratch <key> [sfDir]
-    args.headOption.foreach { key =>
+    // prefix the key with explain: to print the formatted plan instead
+    args.headOption.foreach { key0 =>
+      val explain = key0.startsWith("explain:")
+      val key = key0.stripPrefix("explain:")
       val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
       val q = SparkEntry.queries(key)(spark, dir)
-      println(s"QUERY $key rows: " + q.count())
-      q.show(5, false)
+      if (explain) q.explain("formatted")
+      else {
+        println(s"QUERY $key rows: " + q.count())
+        q.show(5, false)
+      }
     }
     spark.stop()
   }

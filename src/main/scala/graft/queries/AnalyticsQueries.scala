@@ -754,6 +754,48 @@ object AnalyticsQueries {
           expr("covered_days * 10000 div span_days"))
     },
 
+    // B81 — LINEAR MULTI-TOUCH ATTRIBUTION: each purchase splits its
+    // revenue across ALL strictly-preceding clicks proportionally to
+    // each channel's touch count (no preceding click → 'direct') —
+    // the multi-touch complement of B64's last-touch winner-takes-all.
+    // Exactness: per-(purchase, channel) credit is the integer
+    // truncation cents·k div n (the division dust stays un-credited —
+    // documented, deterministic); the per-channel cumulative counts
+    // are FOUR conditional sums over ONE shared strictly-preceding
+    // frame (channels are a bounded vocabulary by construction), so
+    // the whole carry costs one user-keyed shuffle + one sort like
+    // B64, and the credit explode is purchases × ≤5 rows.
+    "multi_touch_attribution" -> { (s, d) =>
+      val carry = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+          when(col("event_type") === "click",
+            get_json_object(col("props"), "$.k").cast("long") % 4).as("ck"))
+      val withCounts = (0 until 4).foldLeft(base) { (df, i) =>
+        // empty strictly-preceding frame sums to NULL, not 0
+        df.withColumn(s"n$i",
+          coalesce(sum(when(col("ck") === i, 1L).otherwise(0L)).over(carry),
+            lit(0L)))
+      }
+      withCounts.filter(col("event_type") === "purchase")
+        .withColumn("n_total", col("n0") + col("n1") + col("n2") + col("n3"))
+        .select(col("cents"), col("n_total"),
+          explode(expr("CASE WHEN n_total = 0" +
+            " THEN map('direct', CAST(1 AS BIGINT))" +
+            " ELSE map('ch_0', n0, 'ch_1', n1, 'ch_2', n2, 'ch_3', n3) END"))
+            .as(Seq("channel", "k")))
+        .filter(col("k") > 0)
+        .withColumn("credit",
+          when(col("channel") === "direct", col("cents"))
+            .otherwise(expr("cents * k div n_total")))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touched_purchases"),
+          sum(col("credit")).as("credit_cents"))
+    },
+
     // B64 — LAST-TOUCH revenue ATTRIBUTION: each purchase credits the
     // most recent strictly-preceding click's campaign (props.k mod 4;
     // no preceding click → 'direct') — the marketing-analytics join
@@ -1691,6 +1733,41 @@ object AnalyticsQueries {
              CAST(sum(i1 - i0) AS BIGINT) * 10000 //
                CAST(max(i1) - min(i0) AS BIGINT) AS coverage_bp
       FROM i GROUP BY 1""",
+
+    // B81: four conditional sums over the same strictly-preceding
+    // frame, channel unpivot via UNION ALL, integer-truncated credit.
+    "multi_touch_attribution" -> """
+      WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CASE WHEN event_type = 'click'
+                    THEN CAST(props ->> '$.k' AS BIGINT) % 4 END AS ck
+        FROM events),
+      w AS (
+        SELECT *,
+          CAST(sum(CASE WHEN ck = 0 THEN 1 ELSE 0 END) OVER win AS BIGINT) AS n0,
+          CAST(sum(CASE WHEN ck = 1 THEN 1 ELSE 0 END) OVER win AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN ck = 2 THEN 1 ELSE 0 END) OVER win AS BIGINT) AS n2,
+          CAST(sum(CASE WHEN ck = 3 THEN 1 ELSE 0 END) OVER win AS BIGINT) AS n3
+        FROM ev WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      p AS (SELECT cents, coalesce(n0, 0) AS n0, coalesce(n1, 0) AS n1,
+                   coalesce(n2, 0) AS n2, coalesce(n3, 0) AS n3,
+                   coalesce(n0, 0) + coalesce(n1, 0) + coalesce(n2, 0)
+                     + coalesce(n3, 0) AS n_total
+            FROM w WHERE event_type = 'purchase'),
+      u AS (
+        SELECT 'direct' AS channel, CAST(1 AS BIGINT) AS k, cents, n_total
+        FROM p WHERE n_total = 0
+        UNION ALL SELECT 'ch_0', n0, cents, n_total FROM p WHERE n_total > 0
+        UNION ALL SELECT 'ch_1', n1, cents, n_total FROM p WHERE n_total > 0
+        UNION ALL SELECT 'ch_2', n2, cents, n_total FROM p WHERE n_total > 0
+        UNION ALL SELECT 'ch_3', n3, cents, n_total FROM p WHERE n_total > 0)
+      SELECT channel, CAST(count(*) AS BIGINT) AS n_touched_purchases,
+             CAST(sum(CASE WHEN channel = 'direct' THEN cents
+                           ELSE cents * k // n_total END) AS BIGINT)
+               AS credit_cents
+      FROM u WHERE k > 0 GROUP BY 1""",
 
     // B64: the same strictly-preceding IGNORE NULLS carry; DuckDB's
     // last_value(IGNORE NULLS) over the 1-PRECEDING frame is the

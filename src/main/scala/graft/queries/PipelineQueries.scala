@@ -515,6 +515,29 @@ object PipelineQueries {
           sum(coalesce(expr("2520 div first_rel"), lit(0L))).as("mrr_x2520"))
     },
 
+    // C91 — CONFIDENCE CALIBRATION of the C54 classifier: accuracy
+    // per vote-count bin over the C83 LOO population — "is a 9-vote
+    // prediction actually more trustworthy than a 5-vote one", the
+    // check that turns n_votes into a usable confidence threshold for
+    // weak supervision. Pure integers (count bins, correct counts,
+    // ppm); cost is C83's ranking plus a broadcast truth join and a
+    // ≤k-row aggregation.
+    "knn_calibration" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val loo = emb.filter(col("vec_id") < 200)
+      val pred = Similarity.knnClassify(emb,
+        loo.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", "label", k = 10)
+      pred
+        .join(broadcast(loo.select(col("vec_id").as("query_id"),
+          col("label").cast("long").as("true_label"))), "query_id")
+        .groupBy(col("n_votes"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("acc_ppm", expr("n_correct * 1000000 div n_queries"))
+    },
+
     // C84 — N-GRAM NOVELTY of an increment: per source, the share of
     // the delta batch's distinct word-3-grams NOT present anywhere in
     // the base corpus — the "is this crawl increment actually new"
@@ -1372,6 +1395,34 @@ object PipelineQueries {
       |       coalesce(max(n.n_novel), 0) * 1000000 // CAST(count(*) AS BIGINT)
       |         AS novel_ppm
       |FROM delta d LEFT JOIN novel n ON d.source = n.source
+      |GROUP BY 1""".stripMargin,
+
+    // C91: the C83 prediction chain, binned by vote count.
+    "knn_calibration" -> s"""
+      |WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 200),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+      |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s),
+      |v AS (
+      |  SELECT query_id, CAST(e.label AS BIGINT) AS label, count(*) AS n_votes
+      |  FROM r JOIN embeddings e ON r.neighbor_id = e.vec_id
+      |  WHERE rn <= 10
+      |  GROUP BY 1, 2),
+      |p AS (SELECT query_id, label, n_votes,
+      |             row_number() OVER (PARTITION BY query_id
+      |               ORDER BY n_votes DESC, label ASC) AS vrn FROM v),
+      |pred AS (SELECT query_id, label AS pred_label,
+      |                CAST(n_votes AS BIGINT) AS n_votes FROM p WHERE vrn = 1)
+      |SELECT n_votes, CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(CASE WHEN pred_label = CAST(t.label AS BIGINT)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |       CAST(sum(CASE WHEN pred_label = CAST(t.label AS BIGINT)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) * 1000000 //
+      |         CAST(count(*) AS BIGINT) AS acc_ppm
+      |FROM pred JOIN embeddings t ON pred.query_id = t.vec_id
       |GROUP BY 1""".stripMargin,
 
     // C85: both leg ranks from one scored CTE, integer RRF gated at

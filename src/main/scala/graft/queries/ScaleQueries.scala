@@ -59,6 +59,53 @@ object ScaleQueries {
           expr("out_rows * 10000 div total_rows").as("share_bp"))
     },
 
+    // C90 — ZONE-MAP SKIPPING audit: how much of a scan a date
+    // predicate could prune under a hash file layout vs a
+    // range-clustered one — the measured "is the clustered write
+    // worth it" answer behind Sinks.writeClustered/Z-order (file
+    // min/max stats ARE the parquet row-group zone maps). Files are
+    // modeled as 32 buckets: multiplicative-hash ids vs ntile over
+    // the clustering order (the audit's global sort IS what a range
+    // write pays); predicate = the 30-day mid-range window. Per
+    // (layout, file): min/max/rows — a ≤ 2×32 frame; the report
+    // crossJoins the one-row bounds (guarded-broadcast convention).
+    "zonemap_audit" -> { (s, d) =>
+      val rows = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(CAST(l_shipdate AS TIMESTAMP) AS BIGINT) div 86400")
+            .as("day"))
+      val hashed = rows.withColumn("layout", lit("hash"))
+        .withColumn("file_id",
+          pmod(col("l_orderkey") % 1000003L * 2654435761L + col("l_linenumber"),
+            lit(32L)))
+      val ranged = rows.withColumn("layout", lit("range"))
+        .withColumn("file_id", ntile(32).over(
+          Window.orderBy(col("day").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc)).cast("long"))
+      val files = hashed.unionByName(ranged)
+        .groupBy(col("layout"), col("file_id"))
+        .agg(count(lit(1)).as("n_rows"), min(col("day")).as("min_day"),
+          max(col("day")).as("max_day"))
+        .localCheckpoint()
+      val bounds = files.agg(min(col("min_day")).as("mn"),
+          max(col("max_day")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("lo"),
+          expr("(mn + mx) div 2 + 29").as("hi"))
+      files.crossJoin(broadcast(bounds))
+        .withColumn("skipped",
+          (col("max_day") < col("lo") || col("min_day") > col("hi"))
+            .cast("long"))
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_files"), sum(col("skipped")).as("files_skipped"),
+          sum(col("n_rows")).as("total_rows"),
+          sum(when(col("skipped") === 1, col("n_rows")).otherwise(0L))
+            .as("rows_skipped"))
+        .select(col("layout"), col("n_files"), col("files_skipped"),
+          expr("files_skipped * 10000 div n_files").as("file_skip_bp"),
+          col("total_rows"), col("rows_skipped"),
+          expr("rows_skipped * 10000 div total_rows").as("row_skip_bp"))
+    },
+
     // C46 — key-occupancy profile of orders by customer: top-20 keys
     // with corpus share (bp) and multiple-of-mean weight (milli) —
     // the measurement that decides salting/broadcast before a big
@@ -334,6 +381,40 @@ object ScaleQueries {
                AS BIGINT) AS rank,
              total_rows, out_rows * 10000 // total_rows AS share_bp
       FROM p CROSS JOIN t QUALIFY rank <= 20""",
+
+    // C90: same bucket models (multiplicative hash on bounded
+    // residues — no overflow either engine; ntile over the unique
+    // clustering order), same mid-range predicate.
+    "zonemap_audit" -> """
+      WITH rws AS (
+        SELECT l_orderkey, l_linenumber,
+               epoch_us(l_shipdate) // 86400000000 AS day
+        FROM lineitem),
+      h AS (SELECT 'hash' AS layout,
+                   (l_orderkey % 1000003 * 2654435761 + l_linenumber) % 32
+                     AS file_id, day FROM rws),
+      r AS (SELECT 'range' AS layout,
+                   CAST(ntile(32) OVER (ORDER BY day, l_orderkey, l_linenumber)
+                     AS BIGINT) AS file_id, day FROM rws),
+      u AS (SELECT * FROM h UNION ALL SELECT * FROM r),
+      files AS (SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+                       min(day) AS min_day, max(day) AS max_day
+                FROM u GROUP BY 1, 2),
+      b AS (SELECT (min(min_day) + max(max_day)) // 2 AS lo,
+                   (min(min_day) + max(max_day)) // 2 + 29 AS hi FROM files)
+      SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN max_day < lo OR min_day > hi
+                           THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+             CAST(sum(CASE WHEN max_day < lo OR min_day > hi
+                           THEN 1 ELSE 0 END) AS BIGINT) * 10000 //
+               CAST(count(*) AS BIGINT) AS file_skip_bp,
+             CAST(sum(n_rows) AS BIGINT) AS total_rows,
+             CAST(sum(CASE WHEN max_day < lo OR min_day > hi
+                           THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+             CAST(sum(CASE WHEN max_day < lo OR min_day > hi
+                           THEN n_rows ELSE 0 END) AS BIGINT) * 10000 //
+               CAST(sum(n_rows) AS BIGINT) AS row_skip_bp
+      FROM files CROSS JOIN b GROUP BY 1""",
 
     "key_skew_profile" -> """WITH counts AS (
       |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),
