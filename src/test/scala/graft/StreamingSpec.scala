@@ -1480,6 +1480,78 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("TwsMeanShift: watermark-final flags equal the batch two-window " +
+    "frames; arrival order and slicing don't leak") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTwsConf {
+    val B = 1704067200L // 2024-01-01 UTC, seconds
+    def ms(s: Long) = (B + s) * 1000L
+    // user 1: 20 events 10s apart, cents steps 1000 → 10000 at idx 10
+    val rows = (0 until 20).map { i =>
+      (100L + i, 1L, i * 10L, if (i < 10) 1000L else 10000L)
+    }
+    // batch truth: the B77 window frames on the same data
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val before = byUser.rowsBetween(-8, -1)
+    val after = byUser.rowsBetween(0, 7)
+    val batch = rows.map { case (id, u, s, c) =>
+        (id, u, new java.sql.Timestamp(ms(s)), c) }
+      .toDF("event_id", "user_id", "ts", "cents")
+      .withColumn("before_sum", sum(col("cents")).over(before))
+      .withColumn("before_n", count(lit(1)).over(before))
+      .withColumn("after_sum", sum(col("cents")).over(after))
+      .withColumn("after_n", count(lit(1)).over(after))
+      .filter(col("before_n") === 8 && col("after_n") === 8)
+      .filter(abs(col("after_sum") - col("before_sum")) > lit(24000L))
+      .select(col("user_id"), col("event_id"), col("ts").cast("long") * 1000,
+        col("before_sum"), col("after_sum"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "the planted step must flag in batch")
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_shift").toString
+    val q = graft.streaming.TwsMeanShift.shifts(
+        input.toDS().toDF("event_id", "user_id", "ms", "cents")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        delay = "60 seconds")
+      .writeStream.format("memory").queryName("shift")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      def feed(data: Seq[(Long, Long, Long, Long)]): Unit = {
+        input.addData(data.map { case (id, u, s, c) => (id, u, ms(s), c) })
+        q.processAllAvailable()
+      }
+      // slice out of order: idx 0..12 arrive first but SHUFFLED, the
+      // tail 13..19 a batch later, with idx 11 held back into batch 2
+      // (late in event time vs batch 1's max, inside the watermark)
+      val held = rows(11)
+      val b1 = scala.util.Random.shuffle(
+        rows.take(13).filterNot(_ == held)).toSeq
+      feed(b1)
+      feed(rows.drop(13) :+ held)
+      // tick 1 fires batch 1's timer (expiry B+120.001 ≤ wm B+130):
+      // every point it finalizes lacks 8 before-context events → no
+      // flags may emit even though the full step is in the buffer.
+      // (Tick stays at B+220 so the post-batch watermark B+160 is
+      // still below batch 2's timer — the no-data micro-batch must
+      // not finalize the followers yet.)
+      feed(Seq((900L, 9L, 220L, 0L)))
+      assert(spark.table("shift").filter(col("user_id") === 1L).isEmpty,
+        "nothing may emit before the watermark passes the 8th follower")
+      // tick 2 fires batch 2's timer → all points final
+      feed(Seq((901L, 9L, 1000L, 0L)))
+      val got = spark.table("shift").filter(col("user_id") === 1L)
+        .select(col("user_id"), col("event_id"), col("ms"),
+          col("before_sum"), col("after_sum"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == batch, s"batch parity broke: $got vs $batch")
+    } finally q.stop()
+    }
+  }
+
   test("TwsTrending sharded fan-out: merged per-shard candidates equal the unsharded top-k") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
