@@ -38,7 +38,13 @@ object SweepEvents {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
     val keys = Seq("ewma_anomaly", "attribution", "burst_hours", "ab_lift",
-      "window_funnel", "winsorized_stats", "twap_value", "cep_episodes")
+      "window_funnel", "winsorized_stats", "twap_value", "cep_episodes",
+      // r12 stretch: per-user two-window frames, the multi-touch
+      // carry, the bounded hourly/daily spine profilers, and the
+      // count-table join audit (its rank runs over per-user keys —
+      // WindowGroupLimit top-k, growing with the user axis)
+      "mean_shift_detect", "multi_touch_attribution", "acf_hourly",
+      "daily_trend", "join_card_est")
     for (k <- keys) {
       val fn = SparkEntry.queries(k)
       val t = Seq(base, "/tmp/sweep_ev10x", "/tmp/sweep_ev100x").map { dir =>

@@ -796,6 +796,32 @@ object AnalyticsQueries {
           sum(col("credit")).as("credit_cents"))
     },
 
+    // B82 — event-time LATENESS profile (watermark sizing): per event
+    // type, how stale events run against the per-key running max
+    // event time in INGEST order (event_id = the arrival proxy; the
+    // per-user frame is exactly the per-key watermark a keyed
+    // stateful operator experiences) — the measurement that decides
+    // every `withWatermark(delay)` in streaming/: too small drops
+    // data, too large bloats state. Integer floor-second lateness,
+    // share + tail-share in bp; ONE user-keyed shuffle, running max
+    // over the shared sort, map-side-combined profile agg.
+    "lateness_profile" -> { (s, d) =>
+      val byArrival = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("CAST(ts AS BIGINT)").as("sec"))
+        .withColumn("late_s", max(col("sec")).over(byArrival) - col("sec"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_s") > 0, 1L).otherwise(0L)).as("n_late"),
+          max(col("late_s")).as("max_late_s"),
+          sum(when(col("late_s") > 600, 1L).otherwise(0L)).as("n_late_10m"))
+        .withColumn("late_bp", expr("n_late * 10000 div n_events"))
+        .withColumn("late_10m_bp", expr("n_late_10m * 10000 div n_events"))
+    },
+
     // B64 — LAST-TOUCH revenue ATTRIBUTION: each purchase credits the
     // most recent strictly-preceding click's campaign (props.k mod 4;
     // no preceding click → 'direct') — the marketing-analytics join
@@ -1733,6 +1759,31 @@ object AnalyticsQueries {
              CAST(sum(i1 - i0) AS BIGINT) * 10000 //
                CAST(max(i1) - min(i0) AS BIGINT) AS coverage_bp
       FROM i GROUP BY 1""",
+
+    // B82: same per-user running max in event_id order, floor-second
+    // epochs (the epoch_us // 1e6 seam).
+    "lateness_profile" -> """
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts) // 1000000 AS sec
+        FROM events),
+      w AS (
+        SELECT event_type,
+               max(sec) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - sec
+                 AS late_s
+        FROM e)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+             CAST(max(late_s) AS BIGINT) AS max_late_s,
+             CAST(sum(CASE WHEN late_s > 600 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late_10m,
+             CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               * 10000 // CAST(count(*) AS BIGINT) AS late_bp,
+             CAST(sum(CASE WHEN late_s > 600 THEN 1 ELSE 0 END) AS BIGINT)
+               * 10000 // CAST(count(*) AS BIGINT) AS late_10m_bp
+      FROM w GROUP BY 1""",
 
     // B81: four conditional sums over the same strictly-preceding
     // frame, channel unpivot via UNION ALL, integer-truncated credit.

@@ -200,6 +200,45 @@ object ScaleQueries {
         "source", "len_bucket")
     },
 
+    // C92 — KS DRIFT per source: two-sample Kolmogorov–Smirnov
+    // distance (bp-quantized: both CDFs floor to basis points before
+    // the max-diff — documented, deterministic) between each source's
+    // doc-length distribution and the REST of the corpus, over C77's
+    // log2 token buckets — the one-number "is this source shaped like
+    // the rest" test that complements C77's per-bucket share profile
+    // (KS localizes nothing but ranks sources by divergence and feeds
+    // a threshold). All frames bounded: counts collapse to
+    // sources×buckets, the spine is that same cross (broadcast), cum
+    // sums run per source over ≤ buckets rows.
+    "ks_drift" -> { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .select(col("source"),
+          (length(bin(greatest(size(split(col("text"), " ")).cast("long"),
+            lit(1L)))) - 1).cast("long").as("len_bucket"))
+        .groupBy(col("source"), col("len_bucket")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tot = counts.groupBy(col("len_bucket")).agg(sum(col("c")).as("ct"))
+      val spine = counts.select(col("source")).distinct()
+        .crossJoin(broadcast(tot))
+      val cumW = Window.partitionBy(col("source"))
+        .orderBy(col("len_bucket").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val grand = counts.agg(sum(col("c")).as("n_all"))
+      val perSrc = counts.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      spine.join(counts, Seq("source", "len_bucket"), "left")
+        .select(col("source"), col("len_bucket"), col("ct"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("cum_s", sum(col("c")).over(cumW))
+        .withColumn("cum_all", sum(col("ct")).over(cumW))
+        .crossJoin(broadcast(grand))
+        .join(broadcast(perSrc), "source")
+        .withColumn("diff_bp",
+          abs(expr("cum_s * 10000 div n_s") -
+            expr("(cum_all - cum_s) * 10000 div (n_all - n_s)")))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_docs"), max(col("diff_bp")).as("ks_bp"))
+    },
+
     // C79 — heavy hitters by MISRA–GRIES sketch (functions.MisraGries
     // via mg_sketch, k = 16), B14-style bounded verification: the
     // engine computes its own sketch AND its own exact counts, then
@@ -381,6 +420,39 @@ object ScaleQueries {
                AS BIGINT) AS rank,
              total_rows, out_rows * 10000 // total_rows AS share_bp
       FROM p CROSS JOIN t QUALIFY rank <= 20""",
+
+    // C92: same log2 buckets as C77, dense source×bucket spine,
+    // bp-floored CDFs, max diff.
+    "ks_drift" -> """
+      WITH b AS (
+        SELECT source, CAST(length(bin(n_tok)) - 1 AS BIGINT) AS len_bucket,
+               CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT source,
+                     greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1)
+                       AS n_tok
+              FROM documents)
+        GROUP BY 1, 2),
+      tot AS (SELECT len_bucket, CAST(sum(c) AS BIGINT) AS ct
+              FROM b GROUP BY 1),
+      spine AS (SELECT source, len_bucket, ct
+                FROM (SELECT DISTINCT source FROM b) CROSS JOIN tot),
+      sc AS (
+        SELECT sp.source, sp.len_bucket, sp.ct, coalesce(b.c, 0) AS c
+        FROM spine sp LEFT JOIN b
+          ON sp.source = b.source AND sp.len_bucket = b.len_bucket),
+      cum AS (
+        SELECT source, len_bucket, ct, c,
+               CAST(sum(c) OVER w AS BIGINT) AS cum_s,
+               CAST(sum(ct) OVER w AS BIGINT) AS cum_all
+        FROM sc WINDOW w AS (PARTITION BY source ORDER BY len_bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      g AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM b),
+      ps AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM b GROUP BY 1)
+      SELECT cum.source, max(ps.n_s) AS n_docs,
+             CAST(max(abs(cum_s * 10000 // n_s -
+               (cum_all - cum_s) * 10000 // (n_all - n_s))) AS BIGINT) AS ks_bp
+      FROM cum CROSS JOIN g JOIN ps ON cum.source = ps.source
+      GROUP BY 1""",
 
     // C90: same bucket models (multiplicative hash on bounded
     // residues — no overflow either engine; ntile over the unique
