@@ -150,6 +150,61 @@ object Similarity {
         col("fused_rank").cast("long").as("fused_rank"))
   }
 
+  /** MMR (maximal-marginal-relevance) diversity re-rank: greedily pick
+    * `pick` of each query's top-`poolK` cosine candidates, each round
+    * taking the candidate maximizing 0.7·relevance − 0.3·max-sim-to-
+    * already-picked — the diversity-aware sampling step a training-
+    * data retrieval layer runs so k near-identical passages don't eat
+    * the whole budget. Ties break on neighbor id; the doubles only
+    * ORDER (identical expression trees both engines), the output is
+    * pure ids + rounds.
+    *
+    * Scale posture: the candidate pool is per-query bounded (poolK),
+    * so the pairwise-sim frame is queries × poolK² and every greedy
+    * round joins frames of that size — the corpus is touched only by
+    * the candidate search (swap [[bruteForceTopK]] for an ANN store
+    * at scale; the MMR cost is unchanged). The greedy loop is `pick`
+    * DataFrame stages — no driver-side collect. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, poolK: Int = 20, pick: Int = 5): DataFrame = {
+    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, poolK)
+      .localCheckpoint()
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    val cv = cand.join(vecs, col("neighbor_id") === col("vid"))
+      .select(col("query_id"), col("neighbor_id"), col("vv"))
+    // oracle-shared tree: dot/(sqrt(dot)·sqrt(dot)) per pair
+    val ps = cv.as("x").join(cv.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.neighbor_id") =!= col("y.neighbor_id"))
+      .select(col("x.query_id").as("query_id"),
+        col("x.neighbor_id").as("a"), col("y.neighbor_id").as("b"),
+        (dot(col("x.vv"), col("y.vv")) /
+          (sqrt(dot(col("x.vv"), col("x.vv"))) *
+            sqrt(dot(col("y.vv"), col("y.vv"))))).as("sim"))
+      .localCheckpoint()
+    var picked = cand.filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("round"))
+    for (r <- 2 to pick) {
+      val prev = picked
+      val maxsim = ps
+        .join(prev.select(col("query_id"), col("neighbor_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a")).agg(max(col("sim")).as("maxsim"))
+      val next = cand
+        .join(prev.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .join(maxsim.withColumnRenamed("a", "neighbor_id"),
+          Seq("query_id", "neighbor_id"))
+        .withColumn("score", lit(0.7) * col("cos") - lit(0.3) * col("maxsim"))
+        .withColumn("prn", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+        .filter(col("prn") === 1)
+        .select(col("query_id"), col("neighbor_id"), lit(r.toLong).as("round"))
+      picked = picked.unionByName(next)
+    }
+    picked
+  }
+
   /** Deterministic random hyperplanes: `planes(p)(i)` ~ U(-1, 1)
     * derived from a splitmix-style integer hash — reproducible across
     * runs and engines. */

@@ -538,6 +538,20 @@ object PipelineQueries {
         .withColumn("acc_ppm", expr("n_correct * 1000000 div n_queries"))
     },
 
+    // C94 — MMR DIVERSITY top-k (`Similarity.mmrTopK`): greedy
+    // maximal-marginal-relevance over each query's top-20 cosine
+    // pool, 5 picks at 0.7·rel − 0.3·max-sim-to-picked — the
+    // diversity-aware retrieval sampling that stops k near-identical
+    // passages eating a training-data budget. Doubles only order
+    // (identical trees both engines); output is ids + rounds. The
+    // pairwise-sim frame is queries × poolK² and every greedy round
+    // joins frames of that size — corpus cost is the candidate
+    // search only (ANN store at scale).
+    "topk_diverse" -> { (s, d) =>
+      Similarity.mmrTopK(Tables.embeddings(s, d), embQueries(s, d),
+        "vec_id", "embedding", poolK = 20, pick = 5)
+    },
+
     // C84 — N-GRAM NOVELTY of an increment: per source, the share of
     // the delta batch's distinct word-3-grams NOT present anywhere in
     // the base corpus — the "is this crawl increment actually new"
@@ -1424,6 +1438,49 @@ object PipelineQueries {
       |         CAST(count(*) AS BIGINT) AS acc_ppm
       |FROM pred JOIN embeddings t ON pred.query_id = t.vec_id
       |GROUP BY 1""".stripMargin,
+
+    // C94: the greedy unrolled — picked_r builds on picked_{r-1},
+    // each round an argmax over the remaining pool with the same
+    // 0.7·rel − 0.3·maxsim tree.
+    "topk_diverse" -> {
+      val rounds = (2 to 5).map { r =>
+        s"""s$r AS (
+           |  SELECT c.query_id, c.neighbor_id,
+           |         0.7 * c.cos - 0.3 * max(ps.sim) AS score
+           |  FROM cand c
+           |  JOIN ps ON ps.query_id = c.query_id AND ps.a = c.neighbor_id
+           |  JOIN picked${r - 1} pk ON pk.query_id = ps.query_id
+           |                        AND pk.neighbor_id = ps.b
+           |  WHERE NOT EXISTS (SELECT 1 FROM picked${r - 1} p2
+           |                    WHERE p2.query_id = c.query_id
+           |                      AND p2.neighbor_id = c.neighbor_id)
+           |  GROUP BY 1, 2, c.cos),
+           |p$r AS (SELECT query_id, neighbor_id, CAST($r AS BIGINT) AS round
+           |        FROM s$r QUALIFY row_number() OVER (PARTITION BY query_id
+           |          ORDER BY score DESC, neighbor_id) = 1),
+           |picked$r AS (SELECT * FROM picked${r - 1}
+           |             UNION ALL SELECT * FROM p$r)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      |WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      |c0 AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |scd AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+      |        FROM c0 CROSS JOIN q WHERE neighbor_id <> query_id),
+      |cand AS (SELECT * FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM scd) WHERE rn <= 20),
+      |cvv AS (SELECT c.query_id, c.neighbor_id, e.embedding AS v
+      |        FROM cand c JOIN embeddings e ON c.neighbor_id = e.vec_id),
+      |ps AS (SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+      |              ${cosSql("x.v", "y.v")} AS sim
+      |       FROM cvv x JOIN cvv y ON x.query_id = y.query_id
+      |                            AND x.neighbor_id <> y.neighbor_id),
+      |p1 AS (SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS round
+      |       FROM cand WHERE rn = 1),
+      |picked1 AS (SELECT * FROM p1),
+      |$rounds
+      |SELECT query_id, neighbor_id, round FROM picked5""".stripMargin
+    },
 
     // C85: both leg ranks from one scored CTE, integer RRF gated at
     // each leg's top-10, fused rank re-ranked on the integer score.

@@ -166,6 +166,50 @@ object TrainingQueries {
     // corpus; no second corpus scan), membership is the
     // multiplicative-hash threshold — no RNG, any engine reproduces
     // the sample row-for-row. Thresholds broadcast; one corpus scan.
+    // C93 — WATER-FILLING budget allocator: distribute a doc budget
+    // across sources, no source above its cap, surplus split evenly
+    // among the uncapped (the max-min fair quota C38's temperature
+    // sampling doesn't give: temperature shapes PROPORTIONS, water-
+    // filling enforces a hard budget with caps). The textbook
+    // iterative algorithm in CLOSED FORM: sort caps ascending; k* =
+    // the FIRST k where cap_k exceeds the per-remaining-source level
+    // (budget − cum_before) div (n−k+1); sources before k* are
+    // binding (take their cap), the rest take the level at k* — the
+    // k*-first contract makes integer floors engine-exact, and the
+    // division dust (≤ n−k* docs) stays unallocated, documented. All
+    // windows run over the ≤|sources| cap frame (vocab-window
+    // contract); the corpus is touched once for the counts.
+    "water_fill_alloc" -> { (s, d) =>
+      // allocate across LANGUAGES (genuinely asymmetric caps — en
+      // dominates): small languages bind at their size, the dominant
+      // one takes the remaining level; budget = 80% of the corpus so
+      // both branches exercise
+      val caps = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("cap"))
+        .localCheckpoint()
+      val tot = caps.agg(sum(col("cap")).as("total"), count(lit(1)).as("n"))
+      val byCap = Window.orderBy(col("cap").asc, col("lang").asc)
+      val cum = caps.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("total * 4 div 5"))
+        .withColumn("k", row_number().over(byCap).cast("long"))
+        .withColumn("cum_before", coalesce(
+          sum(col("cap")).over(byCap.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("level_k", expr("(budget - cum_before) div (n - k + 1)"))
+        .withColumn("fail", col("cap") > col("level_k"))
+        .localCheckpoint()
+      val ks = cum.agg(min(when(col("fail"), col("k"))).as("kstar"))
+      val cum2 = cum.crossJoin(broadcast(ks))
+      val lvl = cum2
+        .agg(max(when(col("k") === col("kstar"), col("level_k"))).as("level"))
+      cum2.crossJoin(broadcast(lvl))
+        .withColumn("binding", col("kstar").isNull || col("k") < col("kstar"))
+        .withColumn("alloc",
+          when(col("binding"), col("cap")).otherwise(col("level")))
+        .select(col("lang"), col("cap"), col("k"), col("budget"),
+          col("binding"), col("alloc"))
+    },
+
     "mix_temperature" -> { (s, d) =>
       val target = 200.0
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
@@ -401,6 +445,33 @@ object TrainingQueries {
       |           END AS n_chunks
       |    FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |          FROM documents)))""".stripMargin,
+
+    // C93: same closed form; level_k never reaches the output where
+    // floors could differ on negatives (binding rows take cap, the
+    // rest take the level at k*, which is ≥ 0 by construction).
+    "water_fill_alloc" -> """
+      WITH caps AS (SELECT lang, CAST(count(*) AS BIGINT) AS cap
+                    FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(cap) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n FROM caps),
+      c AS (
+        SELECT lang, cap, total * 4 // 5 AS budget, n,
+               CAST(row_number() OVER ord AS BIGINT) AS k,
+               CAST(coalesce(sum(cap) OVER (ord ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM caps CROSS JOIN t
+        WINDOW ord AS (ORDER BY cap, lang)),
+      f AS (SELECT *, (budget - cum_before) // (n - k + 1) AS level_k,
+                   cap > (budget - cum_before) // (n - k + 1) AS fail
+            FROM c),
+      ks AS (SELECT min(CASE WHEN fail THEN k END) AS kstar FROM f),
+      lv AS (SELECT max(CASE WHEN f.k = ks.kstar THEN level_k END) AS level
+             FROM f CROSS JOIN ks)
+      SELECT lang, cap, k, budget,
+             (ks.kstar IS NULL OR k < ks.kstar) AS binding,
+             CASE WHEN ks.kstar IS NULL OR k < ks.kstar
+                  THEN cap ELSE lv.level END AS alloc
+      FROM f CROSS JOIN ks CROSS JOIN lv""",
 
     "mix_temperature" -> """
       |WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
