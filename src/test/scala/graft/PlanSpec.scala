@@ -578,4 +578,53 @@ class PlanSpec extends SparkTestBase {
     assert(planOf(gated).linesIterator.count(_.contains("Exchange")) ==
       planOf(preSplit).linesIterator.count(_.contains("Exchange")))
   }
+
+  test("rrf_fusion: queries broadcast, both leg ranks share ONE " +
+    "query-keyed shuffle, fused top-N plans as WindowGroupLimit") {
+    val df = SparkEntry.queries("rrf_fusion")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"query set not broadcast:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"both leg ranks must share one shuffle, " +
+      s"got $shuffles in:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"fused rank filter should push a group limit:\n$plan")
+  }
+
+  test("interval_union: one key shuffle; island scan and summary " +
+    "reuse the sort") {
+    val df = SparkEntry.queries("interval_union")(spark, sfDir)
+    val plan = planOf(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // one window shuffle on the key + the island-id groupBy reuses
+    // the same partitioning (islands keyed by (key, island_id) hash
+    // to a superset — Spark may add one agg exchange, never more)
+    assert(shuffles <= 2, s"$shuffles shuffles in:\n$plan")
+    assert("Window".r.findAllIn(plan).size >= 1)
+  }
+
+  test("acf_hourly / daily_trend: all algebra runs on the bounded " +
+    "spine frame — totals broadcast back, no second corpus scan") {
+    for (k <- Seq("acf_hourly", "daily_trend")) {
+      val plan = planOf(SparkEntry.queries(k)(spark, sfDir))
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastExchange"), s"$k: totals not broadcast:\n$plan")
+      // the corpus scan happened once at spine materialization
+      // (localCheckpoint → ExistingRDD) or feeds exactly one agg
+      assert(!plan.contains("SortMergeJoin"),
+        s"$k: bounded-frame joins must not sort-merge:\n$plan")
+    }
+  }
+
+  test("zonemap_audit: the profile and report frames stay bounded — " +
+    "the only corpus-wide sort is the modeled range layout's ntile") {
+    val df = SparkEntry.queries("zonemap_audit")(spark, sfDir)
+    val plan = planOf(df)
+    // ntile over the clustering order = exactly one global sort window
+    assert("Exchange SinglePartition".r.findAllIn(plan).size <= 2,
+      s"only the ntile (and the one-row bounds agg) may single-partition:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"bounds must broadcast:\n$plan")
+  }
 }
