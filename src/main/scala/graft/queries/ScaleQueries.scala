@@ -64,11 +64,16 @@ object ScaleQueries {
     // range-clustered one — the measured "is the clustered write
     // worth it" answer behind Sinks.writeClustered/Z-order (file
     // min/max stats ARE the parquet row-group zone maps). Files are
-    // modeled as 32 buckets: multiplicative-hash ids vs ntile over
-    // the clustering order (the audit's global sort IS what a range
-    // write pays); predicate = the 30-day mid-range window. Per
-    // (layout, file): min/max/rows — a ≤ 2×32 frame; the report
-    // crossJoins the one-row bounds (guarded-broadcast convention).
+    // modeled as 32 buckets: multiplicative-hash ids vs cumulative
+    // row-count allocation of WHOLE DAYS to files (what a
+    // range-clustered writer actually produces — it splits on the
+    // clustering key's value boundaries, not mid-key). The only
+    // global window runs over the per-day aggregate — calendar-
+    // bounded (~2.5k rows at any corpus size), never the corpus —
+    // and the day→file map broadcasts back. Predicate = the 30-day
+    // mid-range window. Per (layout, file): min/max/rows — a ≤ 2×32
+    // frame; the report takes the predicate bounds from a global
+    // window over that bounded frame (no second corpus pass).
     "zonemap_audit" -> { (s, d) =>
       val rows = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -78,20 +83,32 @@ object ScaleQueries {
         .withColumn("file_id",
           pmod(col("l_orderkey") % 1000003L * 2654435761L + col("l_linenumber"),
             lit(32L)))
-      val ranged = rows.withColumn("layout", lit("range"))
-        .withColumn("file_id", ntile(32).over(
-          Window.orderBy(col("day").asc, col("l_orderkey").asc,
-            col("l_linenumber").asc)).cast("long"))
+      // day-granular range allocation: file_id from the cumulative
+      // row count BEFORE each day, over the day spine only
+      val daySpine = Window.orderBy(col("day").asc)
+      val dayFiles = rows.groupBy(col("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("day"),
+          coalesce(sum(col("n")).over(
+              daySpine.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .as("cum_before"),
+          sum(col("n")).over(daySpine.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)).as("total"))
+        .select(col("day"), expr("cum_before * 32 div total").as("file_id"))
+      val ranged = rows.join(broadcast(dayFiles), Seq("day"))
+        .withColumn("layout", lit("range"))
       val files = hashed.unionByName(ranged)
         .groupBy(col("layout"), col("file_id"))
         .agg(count(lit(1)).as("n_rows"), min(col("day")).as("min_day"),
           max(col("day")).as("max_day"))
-        .localCheckpoint()
-      val bounds = files.agg(min(col("min_day")).as("mn"),
-          max(col("max_day")).as("mx"))
-        .select(expr("(mn + mx) div 2").as("lo"),
-          expr("(mn + mx) div 2 + 29").as("hi"))
-      files.crossJoin(broadcast(bounds))
+      // predicate bounds from a global window over the ≤ 2×32-row
+      // files frame (bounded input — no second pass over the corpus)
+      val wAll = Window.partitionBy()
+      files
+        .withColumn("mn", min(col("min_day")).over(wAll))
+        .withColumn("mx", max(col("max_day")).over(wAll))
+        .withColumn("lo", expr("(mn + mx) div 2"))
+        .withColumn("hi", expr("(mn + mx) div 2 + 29"))
         .withColumn("skipped",
           (col("max_day") < col("lo") || col("min_day") > col("hi"))
             .cast("long"))
@@ -465,9 +482,15 @@ object ScaleQueries {
       h AS (SELECT 'hash' AS layout,
                    (l_orderkey % 1000003 * 2654435761 + l_linenumber) % 32
                      AS file_id, day FROM rws),
-      r AS (SELECT 'range' AS layout,
-                   CAST(ntile(32) OVER (ORDER BY day, l_orderkey, l_linenumber)
-                     AS BIGINT) AS file_id, day FROM rws),
+      dc AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM rws GROUP BY 1),
+      dfm AS (SELECT day,
+                     CAST(coalesce(sum(n) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) * 32
+                       // CAST(sum(n) OVER () AS BIGINT) AS file_id
+              FROM dc),
+      r AS (SELECT 'range' AS layout, dfm.file_id, rws.day
+            FROM rws JOIN dfm USING (day)),
       u AS (SELECT * FROM h UNION ALL SELECT * FROM r),
       files AS (SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
                        min(day) AS min_day, max(day) AS max_day

@@ -617,14 +617,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("zonemap_audit: the profile and report frames stay bounded — " +
-    "the only corpus-wide sort is the modeled range layout's ntile") {
+  test("zonemap_audit: no corpus-wide single-partition stage — the " +
+    "range model's only global window runs over the day spine") {
     val df = SparkEntry.queries("zonemap_audit")(spark, sfDir)
     val plan = planOf(df)
-    // ntile over the clustering order = exactly one global sort window
+    // the day-spine cumulative window + the one-row bounds agg are the
+    // only single-partition stages; both have calendar/constant-bounded
+    // input, so the budget holds at any corpus size
     assert("Exchange SinglePartition".r.findAllIn(plan).size <= 2,
-      s"only the ntile (and the one-row bounds agg) may single-partition:\n$plan")
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"), s"bounds must broadcast:\n$plan")
+      s"only the day-spine window and the bounds agg may single-partition:\n$plan")
+    // the day→file_id map joins back by broadcast, never sort-merge
+    assert(plan.contains("BroadcastHashJoin"),
+      s"day→file map must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-side sort-merge join:\n$plan")
   }
 }
