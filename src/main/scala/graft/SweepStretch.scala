@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** Dev-only 1×/10×/100× sweep (not part of the library surface) for
+  * the r12 stretch keys that SweepEvents does not cover: the
+  * retrieval scorecards (rrf_fusion, mrr_eval, knn_calibration,
+  * topk_diverse — embeddings-derived, fixed probe batches over a
+  * growing store), the documents-derived curation profilers
+  * (media_dedup, token_fertility, ks_drift, water_fill_alloc) and the
+  * events-derived interval_union / lateness_profile. Each decade dir
+  * is composed by symlink: documents/embeddings from the Sweep100
+  * mirror builders, events from the SweepEvents builders, every other
+  * table at 1× — so a key scales exactly the tables it reads, the
+  * way a production store grows under fixed probe traffic.
+  */
+object SweepStretch {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    val base = "/root/testdata/sf0.1"
+    val n = 5000000L
+
+    def buildDocs(mult: Int, dir: String): Unit = {
+      new java.io.File(dir).mkdirs()
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        val docs = spark.read.parquet(s"$base/documents.parquet")
+        (0 until mult).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * n)))
+          .reduce(_ unionByName _)
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        val emb = spark.read.parquet(s"$base/embeddings.parquet")
+        (0 until mult).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * n)))
+          .reduce(_ unionByName _)
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+    }
+    def buildEvents(mult: Int, dir: String): Unit = {
+      if (new java.io.File(s"$dir/events.parquet").exists()) return
+      new java.io.File(dir).mkdirs()
+      val ev = spark.read.parquet(s"$base/events.parquet")
+      (0 until mult).map(i => ev
+          .withColumn("event_id", col("event_id") + lit(i * n))
+          .withColumn("user_id", col("user_id") + lit(i * n)))
+        .reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    buildDocs(10, "/tmp/sweep_docs10x"); buildDocs(100, "/tmp/sweep_docs100x")
+    buildEvents(10, "/tmp/sweep_ev10x"); buildEvents(100, "/tmp/sweep_ev100x")
+
+    val tables = ("region nation customer supplier part orders lineitem " +
+      "events documents embeddings").split(" ")
+    def compose(mult: Int, dir: String): Unit = {
+      new java.io.File(dir).mkdirs()
+      for (t <- tables) {
+        val link = Paths.get(s"$dir/$t.parquet")
+        if (!Files.exists(link)) {
+          val target = t match {
+            case "documents" | "embeddings" => s"/tmp/sweep_docs${mult}x/$t.parquet"
+            case "events" => s"/tmp/sweep_ev${mult}x/$t.parquet"
+            case _ => s"$base/$t.parquet"
+          }
+          Files.createSymbolicLink(link, Paths.get(target))
+        }
+      }
+    }
+    compose(10, "/tmp/sweep_str10x"); compose(100, "/tmp/sweep_str100x")
+
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    val defaults = Seq("rrf_fusion", "mrr_eval", "knn_calibration",
+      "topk_diverse", "media_dedup", "token_fertility", "ks_drift",
+      "water_fill_alloc", "interval_union", "lateness_profile")
+    val keys = if (args.isEmpty) defaults else args.toSeq
+    for (k <- keys) {
+      val fn = SparkEntry.queries(k)
+      val t = Seq(base, "/tmp/sweep_str10x", "/tmp/sweep_str100x").map { dir =>
+        Seq.fill(3)(time(fn(spark, dir).write.format("noop")
+          .mode("overwrite").save())).sorted.apply(1)
+      }
+      println(f"SWEEPSTR $k%-22s 1x=${t(0)}%6.2f  10x=${t(1)}%6.2f  " +
+        f"100x=${t(2)}%7.2f  ratio100=${t(2) / t(0)}%5.1f")
+    }
+    spark.stop()
+  }
+}

@@ -440,7 +440,8 @@ object Graph {
     * Scale: one distinct, one degree aggregation, two node-keyed
     * joins of the 16-byte degree frame, one map-side-combined moment
     * aggregation — no windows, nothing driver-side. */
-  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -462,6 +463,64 @@ object Graph {
         d38(col("x") * col("x")).as("sxx"),
         d38(col("y") * col("y")).as("syy"))
       .select(col("n"), expr(AssortSql).as("r_assort"))
+  }
+
+  /** Top-k node pairs by COMMON-NEIGHBOR JACCARD — the classic
+    * link-prediction / entity-similarity score: for a pair {u,v},
+    * |N(u)∩N(v)| / |N(u)∪N(v)| over the undirected simple graph.
+    *
+    * Common-neighbor counting is a wedge enumeration: every shared
+    * neighbor w contributes one wedge u–w–v, so the apex self-join
+    * does Σ deg(w)² work — quadratic in each apex's degree, which a
+    * hub turns into a stall (degree 10⁶ → 10¹² wedges). Degree
+    * orientation does NOT apply here (it keeps only the wedges at a
+    * pair's orientation-minimal apex — fine for triangle CLOSURE,
+    * an undercount for neighbor INTERSECTION), so the guard is the
+    * idf-style one every production similarity pipeline uses:
+    * apexes with degree > `maxApexDeg` are excluded from wedge
+    * generation (a stopword-grade hub connects everything and
+    * carries no pair signal — same reasoning as the df cap on the
+    * sparse-retrieval postings join). The guard is part of the
+    * operator CONTRACT, not an approximation knob the result hides:
+    * both engines apply it identically, union sizes use the EXACT
+    * uncapped degrees, and capped-common ≤ min(deg) keeps the score
+    * in [0, 1].
+    *
+    * Exact integers (common count, degrees, jaccard in bp via
+    * cross-multiplied integer division). Scale: one distinct, one
+    * degree agg, the capped apex self-join (Σ_{deg≤cap} deg² ≤
+    * cap·m), one pair-keyed count agg, two node-keyed degree joins
+    * of the bounded pair frame, TakeOrdered top-k — no windows,
+    * nothing driver-side. */
+  def commonNeighborJaccard(edges: DataFrame, srcCol: String, dstCol: String,
+      maxApexDeg: Long, k: Int): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().cache()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // adjacency both directions, apexes over the cap dropped BEFORE
+    // the self-join — the only stage whose cost is degree-quadratic
+    val adj = und.select(col("a").as("w"), col("b").as("x"))
+      .unionByName(und.select(col("b").as("w"), col("a").as("x")))
+      .join(deg.filter(col("deg") <= maxApexDeg)
+        .select(col("node").as("w")), "w")
+    val common = adj.select(col("w"), col("x").as("u"))
+      .join(adj.select(col("w"), col("x").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+    val out = common
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("common"), col("du"), col("dv"),
+        expr("common * 10000 div (du + dv - common)").as("jaccard_bp"))
+      .orderBy(col("jaccard_bp").desc, col("common").desc,
+        col("u").asc, col("v").asc)
+      .limit(k)
+    und.unpersist()
+    out
   }
 
   /** The assortativity statistic over the exact moment columns —

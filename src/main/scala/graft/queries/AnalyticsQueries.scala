@@ -130,6 +130,54 @@ object AnalyticsQueries {
       TextAnalysis.jsonKeyProfile(enriched, "props2")
     },
 
+    // B78 — JSON SCHEMA DRIFT between two feed generations: the
+    // alarm that catches a producer-side migration (key renamed,
+    // value retyped, optional field appearing/vanishing) before a
+    // downstream parser does. Generations are the event_id-parity
+    // halves with a synthesized migration the profiler must surface:
+    // the new half renames `flag` → `flag2` and retypes `k` from
+    // integer to a non-numeric string (the engine profiles the
+    // string RENDERING, so the synthetic type change is "v<n>" —
+    // honest within jsonKeyProfile's documented no-lookalike
+    // contract). Per key: presence share (bp, per-half denominators)
+    // and the type mix on both sides, plus the presence delta — a
+    // rename shows as −bp on one key and +bp on another; the retype
+    // as the numeric column collapsing into string. Shapes: TWO
+    // jsonKeyProfile passes (scan + key-keyed agg each, totals
+    // broadcast back) and one key-keyed full-outer join of two
+    // vocabulary-sized frames.
+    "json_drift" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      def propsOf(newGen: Boolean) = concat(
+        lit("{\"k\": "),
+        if (newGen)
+          concat(lit("\"v"), (col("event_id") % 97).cast("string"), lit("\""))
+        else (col("event_id") % 97).cast("string"),
+        when(col("event_id") % 3 === 0,
+          concat(lit(", \"tag\": \"t"), (col("event_id") % 5).cast("string"),
+            lit("\""))).otherwise(lit("")),
+        when(col("event_id") % 7 === 0,
+          concat(lit(", \"" + (if (newGen) "flag2" else "flag") + "\": "),
+            when(col("event_id") % 2 === 0, lit("true")).otherwise(lit("false"))))
+          .otherwise(lit("")),
+        lit("}"))
+      val oldP = TextAnalysis.jsonKeyProfile(
+        ev.filter(col("event_id") % 2 === 0).select(propsOf(false).as("p")), "p")
+      val newP = TextAnalysis.jsonKeyProfile(
+        ev.filter(col("event_id") % 2 === 1).select(propsOf(true).as("p")), "p")
+      oldP.select(col("key"), col("n_present").as("old_present"),
+          col("present_bp").as("old_bp"), col("n_numeric").as("old_numeric"),
+          col("n_bool").as("old_bool"), col("n_string").as("old_string"))
+        .join(newP.select(col("key"), col("n_present").as("new_present"),
+          col("present_bp").as("new_bp"), col("n_numeric").as("new_numeric"),
+          col("n_bool").as("new_bool"), col("n_string").as("new_string")),
+          Seq("key"), "full_outer")
+        .select(col("key") +: Seq("old_present", "old_bp", "old_numeric",
+          "old_bool", "old_string", "new_present", "new_bp", "new_numeric",
+          "new_bool", "new_string").map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .withColumn("delta_bp", col("new_bp") - col("old_bp"))
+    },
+
     // B23 — explicit GROUPING SETS with grouping_id: chosen combos
     // only (status totals, priority totals, grand total).
     "grouping_sets" -> { (s, d) =>
@@ -203,6 +251,32 @@ object AnalyticsQueries {
         .filter((col("value") - col("mu")) * (col("value") - col("mu")) >
           lit(4.0) * (col("ex2") - col("mu") * col("mu")))
         .select(col("event_id"), col("event_type"), col("value"))
+    },
+
+    // B79 — SEASONAL outliers: B28 with the baseline moved to the
+    // (event_type, hour-of-day) cohort — "is this value anomalous
+    // FOR 3AM", the deseasonalized alarm that a global per-type gate
+    // cannot raise (a nightly batch spike is normal at 02:00 and an
+    // incident at 14:00; B28 averages the two into neither). Same
+    // exactness recipe: decimal-exact moment sums per cohort, the
+    // threshold compared in double on identical trees both engines.
+    // Shapes: ONE corpus-scan (type, hod) moment agg (map-side
+    // combined, ≤ types×24 rows), broadcast back against the scan —
+    // no windows, no second corpus pass.
+    "seasonal_outliers" -> { (s, d) =>
+      val dec6 = (c: Column) => c.cast(DecimalType(18, 6))
+      val e = Tables.events(s, d)
+        .withColumn("hod", expr("CAST(ts AS BIGINT) div 3600 % 24"))
+      val stats = e.groupBy(col("event_type"), col("hod")).agg(
+        count(lit(1)).as("n"),
+        sum(dec6(col("value"))).cast("double").as("s1"),
+        sum(dec6(col("value")) * dec6(col("value"))).cast("double").as("s2"))
+        .select(col("event_type"), col("hod"),
+          (col("s1") / col("n")).as("mu"), (col("s2") / col("n")).as("ex2"))
+      e.join(broadcast(stats), Seq("event_type", "hod"))
+        .filter((col("value") - col("mu")) * (col("value") - col("mu")) >
+          lit(4.0) * (col("ex2") - col("mu") * col("mu")))
+        .select(col("event_id"), col("event_type"), col("hod"), col("value"))
     },
 
     // B48 — MAD-based robust outliers: B28's mean/stddev gate is
@@ -401,6 +475,24 @@ object AnalyticsQueries {
     // degree frame, one map-side-combined moment agg.
     "assortativity" -> { (s, d) =>
       graft.operators.Graph.assortativity(wordAdjacencyEdges(s, d), "src", "dst")
+    },
+
+    // B77 — LINK-PREDICTION top-20 node pairs by common-neighbor
+    // JACCARD on the word-adjacency graph — "which two entities share
+    // the most context without being the same" (related-entity
+    // suggestion, record-linkage candidate scoring). Wedge
+    // enumeration is degree-QUADRATIC at each apex and orientation
+    // does not help intersection counts, so the operator's contract
+    // includes the idf-style hub guard: apexes with degree >
+    // maxApexDeg generate no wedges (stopword-grade hubs connect
+    // everything and carry no pair signal); union sizes stay exact.
+    // At sf0.01 the cap (25) BINDS — the word graph's median degree
+    // is 29 — so the oracle exercises the guarded contract, not the
+    // unguarded fiction. Integers only; deterministic top-k order
+    // (bp, common, pair). (Graph.commonNeighborJaccard)
+    "node_jaccard" -> { (s, d) =>
+      graft.operators.Graph.commonNeighborJaccard(wordAdjacencyEdges(s, d),
+        "src", "dst", maxApexDeg = 25L, k = 20)
     },
 
     // B69 — per-user event-rate BURST hours: hours where a user's
@@ -1566,6 +1658,27 @@ object AnalyticsQueries {
       |  FROM sym)
       |SELECT n, ${graft.operators.Graph.AssortSql} AS r_assort FROM mom""".stripMargin,
 
+    // B77: same undirected base + degree frame; capped apexes (deg ≤
+    // 25) generate the wedges, exact degrees size the union.
+    "node_jaccard" -> s"""
+      |WITH $WordAdjSql,
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e0 WHERE src <> dst),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      |        GROUP BY 1),
+      |adj AS (SELECT t.w, t.x FROM (
+      |          SELECT a AS w, b AS x FROM und
+      |          UNION ALL SELECT b, a FROM und) t
+      |        JOIN deg ON t.w = deg.node WHERE deg.deg <= 25),
+      |cmn AS (SELECT a1.x AS u, a2.x AS v, CAST(count(*) AS BIGINT) AS common
+      |        FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
+      |        GROUP BY 1, 2)
+      |SELECT u, v, common, du.deg AS du, dv.deg AS dv,
+      |       common * 10000 // (du.deg + dv.deg - common) AS jaccard_bp
+      |FROM cmn JOIN deg du ON u = du.node JOIN deg dv ON v = dv.node
+      |ORDER BY jaccard_bp DESC, common DESC, u, v LIMIT 20""".stripMargin,
+
     // B69: identical cross-multiplied rate comparison — division-free.
     "burst_hours" -> """
       WITH ph AS (
@@ -1915,6 +2028,22 @@ object AnalyticsQueries {
       FROM events e JOIN stats USING (event_type)
       WHERE (value - mu) * (value - mu) > 4.0 * (ex2 - mu * mu)""",
 
+    // B79: same moment trees per (type, hour-of-day) cohort.
+    "seasonal_outliers" -> """
+      WITH e AS (
+        SELECT event_id, event_type,
+               epoch_us(ts) // 3600000000 % 24 AS hod, value
+        FROM events),
+      stats AS (
+        SELECT event_type, hod,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu,
+               CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                    AS DOUBLE) / count(*) AS ex2
+        FROM e GROUP BY 1, 2)
+      SELECT event_id, e.event_type, e.hod, value
+      FROM e JOIN stats USING (event_type, hod)
+      WHERE (value - mu) * (value - mu) > 4.0 * (ex2 - mu * mu)""",
+
     // quantile_cont ≡ Spark's exact `percentile`: both interpolate at
     // p·(n−1); over integer micro-units every interpolated value is a
     // dyadic rational both engines represent exactly.
@@ -2198,6 +2327,70 @@ object AnalyticsQueries {
              CAST(sum(CASE WHEN t NOT IN ('UBIGINT', 'BIGINT', 'DOUBLE', 'BOOLEAN') THEN 1 ELSE 0 END) AS BIGINT) AS n_string
       FROM kv CROSS JOIN n
       GROUP BY 1, n_rows""",
+
+    // B78: same two per-half profiles (json_type on the parsed value,
+    // equivalent under the no-lookalike contract), full-outer on key.
+    "json_drift" -> """
+      WITH xo AS (
+        SELECT '{"k": ' || CAST(event_id % 97 AS VARCHAR) ||
+               CASE WHEN event_id % 3 = 0
+                    THEN ', "tag": "t' || CAST(event_id % 5 AS VARCHAR) || '"'
+                    ELSE '' END ||
+               CASE WHEN event_id % 7 = 0
+                    THEN ', "flag": ' || CASE WHEN event_id % 2 = 0
+                                             THEN 'true' ELSE 'false' END
+                    ELSE '' END || '}' AS p
+        FROM events WHERE event_id % 2 = 0),
+      xn AS (
+        SELECT '{"k": "v' || CAST(event_id % 97 AS VARCHAR) || '"' ||
+               CASE WHEN event_id % 3 = 0
+                    THEN ', "tag": "t' || CAST(event_id % 5 AS VARCHAR) || '"'
+                    ELSE '' END ||
+               CASE WHEN event_id % 7 = 0
+                    THEN ', "flag2": ' || CASE WHEN event_id % 2 = 0
+                                              THEN 'true' ELSE 'false' END
+                    ELSE '' END || '}' AS p
+        FROM events WHERE event_id % 2 = 1),
+      nro AS (SELECT count(*) AS n_rows FROM xo),
+      nrn AS (SELECT count(*) AS n_rows FROM xn),
+      kvo AS (SELECT k, json_type(p, '$.' || k) AS t
+              FROM (SELECT p, unnest(json_keys(p)) AS k FROM xo)),
+      kvn AS (SELECT k, json_type(p, '$.' || k) AS t
+              FROM (SELECT p, unnest(json_keys(p)) AS k FROM xn)),
+      po AS (SELECT k AS key, CAST(count(*) AS BIGINT) AS old_present,
+               CAST(count(*) * 10000 // n_rows AS BIGINT) AS old_bp,
+               CAST(sum(CASE WHEN t IN ('UBIGINT', 'BIGINT', 'DOUBLE')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS old_numeric,
+               CAST(sum(CASE WHEN t = 'BOOLEAN' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS old_bool,
+               CAST(sum(CASE WHEN t NOT IN
+                 ('UBIGINT', 'BIGINT', 'DOUBLE', 'BOOLEAN')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS old_string
+             FROM kvo CROSS JOIN nro GROUP BY 1, n_rows),
+      pn AS (SELECT k AS key, CAST(count(*) AS BIGINT) AS new_present,
+               CAST(count(*) * 10000 // n_rows AS BIGINT) AS new_bp,
+               CAST(sum(CASE WHEN t IN ('UBIGINT', 'BIGINT', 'DOUBLE')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS new_numeric,
+               CAST(sum(CASE WHEN t = 'BOOLEAN' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS new_bool,
+               CAST(sum(CASE WHEN t NOT IN
+                 ('UBIGINT', 'BIGINT', 'DOUBLE', 'BOOLEAN')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS new_string
+             FROM kvn CROSS JOIN nrn GROUP BY 1, n_rows)
+      SELECT coalesce(po.key, pn.key) AS key,
+             CAST(coalesce(old_present, 0) AS BIGINT) AS old_present,
+             CAST(coalesce(old_bp, 0) AS BIGINT) AS old_bp,
+             CAST(coalesce(old_numeric, 0) AS BIGINT) AS old_numeric,
+             CAST(coalesce(old_bool, 0) AS BIGINT) AS old_bool,
+             CAST(coalesce(old_string, 0) AS BIGINT) AS old_string,
+             CAST(coalesce(new_present, 0) AS BIGINT) AS new_present,
+             CAST(coalesce(new_bp, 0) AS BIGINT) AS new_bp,
+             CAST(coalesce(new_numeric, 0) AS BIGINT) AS new_numeric,
+             CAST(coalesce(new_bool, 0) AS BIGINT) AS new_bool,
+             CAST(coalesce(new_string, 0) AS BIGINT) AS new_string,
+             CAST(coalesce(new_bp, 0) - coalesce(old_bp, 0) AS BIGINT)
+               AS delta_bp
+      FROM po FULL OUTER JOIN pn ON po.key = pn.key""",
 
     "grouping_sets" -> """
       SELECT o_orderstatus, o_orderpriority,

@@ -361,6 +361,40 @@ object ScaleQueries {
           expr("cnt * 1000000 div n").as("obs_ppm"),
           expr(BenfordCase).as("benford_ppm"))
         .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+    },
+
+    // C95 — FUNCTIONAL-DEPENDENCY audit: for each candidate FD
+    // X → Y, how many X-keys map to more than one Y and how many
+    // rows sit in those violating keys — the data-quality check that
+    // decides whether a column can be NORMALIZED OUT (snapshotted
+    // into a dim, deduplicated, used as a merge key) before anyone
+    // builds on a dependency that only mostly holds. The audited
+    // candidates are the ones a TPC-H-ish modeler would actually
+    // ask: does returnflag ride the order (no — it's per line), is a
+    // part single-sourced (no — parts ship from many suppliers),
+    // does a customer always order at one priority (no). Shapes, per
+    // FD: ONE two-level aggregation — distinct (X, Y) partial-aggs
+    // map-side, the key frame re-aggregates to four counters; no
+    // windows, no joins, three independent agg pipelines unioned.
+    // Violation share in integer bp.
+    "fd_audit" -> { (s, d) =>
+      def check(df: DataFrame, xc: String, yc: String, name: String) =
+        df.groupBy(col(xc))
+          .agg(countDistinct(col(yc)).as("dv"), count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("dv") > 1, 1L).otherwise(0L)).as("violating_keys"),
+            sum(when(col("dv") > 1, col("n")).otherwise(0L))
+              .as("violating_rows"),
+            sum(col("n")).as("n_rows"))
+          .select(lit(name).as("fd"), col("n_keys"), col("violating_keys"),
+            col("violating_rows"), col("n_rows"),
+            expr("violating_rows * 10000 div n_rows").as("violation_bp"))
+      check(Tables.lineitem(s, d), "l_orderkey", "l_returnflag",
+          "l_orderkey->l_returnflag")
+        .unionByName(check(Tables.lineitem(s, d), "l_partkey", "l_suppkey",
+          "l_partkey->l_suppkey"))
+        .unionByName(check(Tables.orders(s, d), "o_custkey", "o_orderpriority",
+          "o_custkey->o_orderpriority"))
     })
 
   /** ⌊log10(1+1/d)·10⁶⌋ for d = 1…9 — shared verbatim by the engine
@@ -678,5 +712,26 @@ object ScaleQueries {
       |SELECT digit, cnt, cnt * 1000000 // n AS obs_ppm,
       |       $BenfordCase AS benford_ppm,
       |       abs(cnt * 1000000 // n - $BenfordCase) AS dev_ppm
-      |FROM c CROSS JOIN t""".stripMargin)
+      |FROM c CROSS JOIN t""".stripMargin,
+
+    // C95: same two-level aggregation per candidate FD.
+    "fd_audit" -> Seq(
+      fdSql("lineitem", "l_orderkey", "l_returnflag"),
+      fdSql("lineitem", "l_partkey", "l_suppkey"),
+      fdSql("orders", "o_custkey", "o_orderpriority"))
+      .mkString("\n", "\nUNION ALL\n", ""))
+
+  /** One candidate-FD block of the C95 oracle. */
+  private def fdSql(table: String, x: String, y: String): String =
+    s"""SELECT '$x->$y' AS fd, CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(sum(CASE WHEN dv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS violating_keys,
+       |  CAST(sum(CASE WHEN dv > 1 THEN n ELSE 0 END) AS BIGINT)
+       |    AS violating_rows,
+       |  CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN dv > 1 THEN n ELSE 0 END) AS BIGINT) * 10000 //
+       |    CAST(sum(n) AS BIGINT) AS violation_bp
+       |FROM (SELECT $x, CAST(count(DISTINCT $y) AS BIGINT) AS dv,
+       |        CAST(count(*) AS BIGINT) AS n
+       |      FROM $table GROUP BY 1)""".stripMargin
 }

@@ -691,6 +691,40 @@ class OperatorSpec extends SparkTestBase {
     assert(graft.operators.Graph.triangleCounts(path, "src", "dst").count() == 0L)
   }
 
+  test("commonNeighborJaccard: exact scores uncapped; the apex-degree " +
+    "guard drops hub-mediated wedges but keeps exact union sizes") {
+    import spark.implicits._
+    // degrees: 0,1,2 → 3; 3 → 4; 4 → 1 (pendant off the hub 3)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (0L, 3L)).toDF("src", "dst")
+    def rows(maxDeg: Long, k: Int) =
+      graft.operators.Graph.commonNeighborJaccard(edges, "src", "dst",
+        maxApexDeg = maxDeg, k = k)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // cap above every degree: plain exact Jaccard for all 9 co-visible
+    // pairs (hand-computed)
+    val un = rows(100L, 20).map(r => (r._1, r._2) -> (r._3, r._6)).toMap
+    assert(un == Map(
+      (0L, 1L) -> (2L, 5000L), (0L, 2L) -> (2L, 5000L), (1L, 2L) -> (2L, 5000L),
+      (0L, 3L) -> (2L, 4000L), (1L, 3L) -> (2L, 4000L), (2L, 3L) -> (2L, 4000L),
+      (0L, 4L) -> (1L, 3333L), (1L, 4L) -> (1L, 3333L), (2L, 4L) -> (1L, 3333L)),
+      s"uncapped scores: $un")
+    // cap = 3 excludes node 3 (deg 4) as an apex: pairs only co-seen
+    // through the hub vanish (x,4); triangle pairs lose the hub wedge
+    // but keep their own. The capped common also sizes the union
+    // (du+dv-common), so the guarded score is conservatively LOWER
+    // than exact (1/(3+3-1) = 2000bp, not 1/4): dropped hub wedges
+    // never inflate a pair's similarity
+    val capped = rows(3L, 20).map(r => (r._1, r._2) -> (r._3, r._6)).toMap
+    assert(capped == Map(
+      (0L, 1L) -> (1L, 2000L), (0L, 2L) -> (1L, 2000L), (1L, 2L) -> (1L, 2000L),
+      (0L, 3L) -> (2L, 4000L), (1L, 3L) -> (2L, 4000L), (2L, 3L) -> (2L, 4000L)),
+      s"capped scores: $capped")
+    // deterministic top-k order: bp desc, common desc, then the pair
+    val top = rows(3L, 3).map(r => (r._1, r._2)).toSeq
+    assert(top == Seq((0L, 3L), (1L, 3L), (2L, 3L)), s"top-3 order: $top")
+  }
+
   test("kcore: peels leaf chain to the triangle; capped budget equals unrolled peels") {
     import spark.implicits._
     // triangle 0-1-2 with a 4-link chain hanging off node 2: each

@@ -617,6 +617,39 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("node_jaccard: top-k is TakeOrdered, never a global sort; no " +
+    "single-partition stage anywhere in the wedge pipeline") {
+    val df = SparkEntry.queries("node_jaccard")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition TakeOrdered:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"wedge pipeline must stay partitioned:\n$plan")
+  }
+
+  test("seasonal_outliers: one corpus aggregation with map-side combine, " +
+    "cohort stats broadcast back — no window, no second shuffle of events") {
+    val df = SparkEntry.queries("seasonal_outliers")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"moment agg must partial-aggregate map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cohort stats must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"no window over the event log:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"stats join must not sort-merge:\n$plan")
+  }
+
+  test("fd_audit: every FD check partial-aggregates (expand/distinct " +
+    "two-phase), no joins and no windows") {
+    val df = SparkEntry.queries("fd_audit")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"two-level agg expected:\n$plan")
+    assert(!plan.contains("Join"), s"FD checks are join-free:\n$plan")
+    assert(!plan.contains("Window"), s"FD checks are window-free:\n$plan")
+  }
+
   test("zonemap_audit: no corpus-wide single-partition stage — the " +
     "range model's only global window runs over the day spine") {
     val df = SparkEntry.queries("zonemap_audit")(spark, sfDir)
