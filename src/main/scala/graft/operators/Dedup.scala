@@ -21,6 +21,28 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Default hot-bucket cap for the MinHash-LSH family — the measured
+    * CRAWL POSTURE (SWEEP100_r12/r13). The guard trades the exhaustive
+    * pair LIST for O(w) star pairs in any (band, band_hash) bucket or
+    * exact-content group wider than the cap; connectivity — hence
+    * [[clusterPairs]] components, canonical choice, and every
+    * drop-decision built on clusters — is preserved exactly, and
+    * buckets at or below the cap are UNGUARDED (output identical to
+    * all-pairs). Recall contract: a pair of DISTINCT contents
+    * co-bucketed only inside a hot bucket may be missed as an explicit
+    * pair; [[hotBucketStats]] quantifies that exposure per run (empty
+    * result = guarded output == unguarded).
+    *
+    * Why 50 and not the old 1000: SWEEP100_r12 measured the default
+    * 1000 exhausting local disk in the verify shuffle on a PERTURBED
+    * (non-collapsible — mirrors with per-page edits, the real crawl
+    * shape) 100× corpus, while 50 ran the same corpus in ~32 s. A
+    * scale-safe default must be the one that survives the adversarial
+    * corpus; callers wanting exhaustive pairs for wider duplicate
+    * families opt UP explicitly, sized to the widest family they can
+    * afford w²/2 pairs for. */
+  val DefaultMaxBucket: Int = 50
+
   /** Policy for the exact-content collapse pre-pass of the MinHash
     * LSH family ([[minhashLshFromSignatures]],
     * [[minhashLshIncremental]]).
@@ -146,21 +168,23 @@ object Dedup {
     * verification Jaccard is exact on shingle-hash sets, so the only
     * approximation is candidate RECALL (LSH banding).
     *
-    * `maxBucket` TUNING (measured, SWEEP100_r12): the exact-content
-    * collapse only helps when copies are byte-identical. A corpus of
-    * wide NEAR-dup families (mirror sites with per-page edits — they
+    * `maxBucket` TUNING (measured, SWEEP100_r12; default
+    * [[DefaultMaxBucket]] = 50 since r13): the exact-content collapse
+    * only helps when copies are byte-identical. A corpus of wide
+    * NEAR-dup families (mirror sites with per-page edits — they
     * survive exact dedup) puts the full family width in every band
-    * bucket; at the default cap 1000 a 100-wide family still pairs
+    * bucket; at the old cap 1000 a 100-wide family still paired
     * w²/2 per bucket and the gram-payload verify shuffle exhausted
-    * local disk at 500k docs, while `maxBucket = 50` (the crawl
-    * posture the clustering path ships) star-pairs those buckets and
-    * ran the same corpus in 32 s. If the downstream contract is
-    * cluster/canonical (connectivity, not the exhaustive pair list),
-    * set the cap near the widest duplicate family you want exhaustive
-    * pairs for, not above it. */
+    * local disk at 500k docs, while the cap at 50 (now the default —
+    * the crawl posture) star-pairs those buckets and ran the same
+    * corpus in 32 s. If the downstream contract is cluster/canonical
+    * (connectivity, not the exhaustive pair list), the default is
+    * right; raise the cap only to the widest duplicate family you
+    * want exhaustive pairs for — see [[DefaultMaxBucket]] for the
+    * recall contract. */
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
                  k: Int = 5, numPerm: Int = 64, bands: Int = 16,
-                 minBp: Int = 5000, maxBucket: Int = 1000,
+                 minBp: Int = 5000, maxBucket: Int = DefaultMaxBucket,
                  collapse: Collapse = Collapse.Auto): DataFrame = {
     // Resolve Auto HERE, where text is still in hand: the probe hashes
     // the raw text column (one scan, no shingling) instead of the
@@ -246,7 +270,7 @@ object Dedup {
     * buckets fell back to O(w) star pairing — an empty result means
     * the guarded output is identical to unguarded all-pairs. */
   def hotBucketStats(sigs: DataFrame, bands: Int = 16, numPerm: Int = 64,
-                     maxBucket: Int = 1000): DataFrame =
+                     maxBucket: Int = DefaultMaxBucket): DataFrame =
     minhashBuckets(sigs, bands, numPerm)
       .groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("w"))
@@ -405,7 +429,7 @@ object Dedup {
     * production shape — all are column-pruned parquet scans. */
   def minhashLshFromSignatures(sigs: DataFrame, bands: Int = 16,
                                minBp: Int = 5000, numPerm: Int = 64,
-                               maxBucket: Int = 1000,
+                               maxBucket: Int = DefaultMaxBucket,
                                collapse: Collapse = Collapse.Auto): DataFrame = {
     require(numPerm % bands == 0 && numPerm > 0,
       s"numPerm ($numPerm) must be a positive multiple of bands ($bands)")
@@ -437,7 +461,7 @@ object Dedup {
     * wider than `maxBucket` is represented by its min-id doc only. */
   def minhashLshIncremental(newSigs: DataFrame, corpusSigs: DataFrame,
                             bands: Int = 16, minBp: Int = 5000,
-                            numPerm: Int = 64, maxBucket: Int = 1000,
+                            numPerm: Int = 64, maxBucket: Int = DefaultMaxBucket,
                             collapse: Collapse = Collapse.Auto): DataFrame = {
     // Adaptive as in [[minhashLshFromSignatures]]: when BOTH sides
     // probe copy-free the plain pre-collapse plan runs (zero extra
@@ -1077,22 +1101,55 @@ object Dedup {
       h => graft.GraftFunctions.bloom_might_contain(bloomBytes, h),
       textCol, idCol, n)
 
+  /** Above this many probe fingerprints
+    * [[trimContamProjectionExact]] abandons the plan-literal
+    * membership for the broadcast-semi-join interval form — the same
+    * enforced-cap pattern as `Similarity.CentroidLiteralMax` (C28).
+    * An `array_contains(lit(...))` membership array rides the
+    * serialized expression tree of EVERY task; at benchmark-suite
+    * size (thousands of grams, ≤ 8 bytes each) that is noise, but a
+    * large benchmark union (10⁷ grams ≈ 80 MB) would bloat every
+    * task binary — the broadcast relation ships once per executor
+    * instead. 4096 grams × 8 bytes = 32 KB of plan literal, safely
+    * inside codegen/serialization comfort. */
+  val ProbeLiteralMax: Int = 4096
+
   /** The EXACT sibling of [[trimContamProjection]]: probe-gram
     * membership against the literal fingerprint array
     * ([[probeGramHashes]]) instead of a Bloom filter — output is
     * value-identical to the composed [[contamSpanIntervals]] +
     * [[trimSpans]] path (spec-asserted), still one shuffle-free
-    * projection. Use it while the benchmark suite's distinct grams fit
-    * a plan literal (8 bytes/gram — eval suites are thousands of
-    * grams); switch to the Bloom form beyond that, accepting its
-    * over-trim. Note the Bloom form's REAL fp floor: Spark's sketch
-    * uses Kirsch–Mitzenmacher double hashing, which floors measured fp
-    * around 1e-4 on small filters no matter how low the requested fpp
-    * (measured: 1e-4 at fpp=1e-9, 242 items) — that is phantom trims
-    * at corpus scale, which is why the exact form exists. */
+    * projection while the suite's distinct grams fit a plan literal
+    * (≤ `probeLiteralMax`, default [[ProbeLiteralMax]] — eval suites
+    * are thousands of grams). ABOVE the cap the operator auto-switches
+    * to the broadcast-semi-join interval regime (gram positions
+    * left-semi-joined against the broadcast fingerprint relation →
+    * merged spans → [[trimSpans]]): still exact, value-identical
+    * output (spec-pinned both regimes), but a join+window plan rather
+    * than a pure projection — the batch path for probe sets too big
+    * to embed per-task; streaming frames at that size take the Bloom
+    * form, accepting its over-trim. Note the Bloom form's REAL fp
+    * floor: Spark's sketch uses Kirsch–Mitzenmacher double hashing,
+    * which floors measured fp around 1e-4 on small filters no matter
+    * how low the requested fpp (measured: 1e-4 at fpp=1e-9, 242
+    * items) — that is phantom trims at corpus scale, which is why the
+    * exact form exists. */
   def trimContamProjectionExact(docs: DataFrame, probeHashes: Array[Long],
                                 textCol: String, idCol: String,
-                                n: Int = 8): DataFrame = {
+                                n: Int = 8,
+                                probeLiteralMax: Int = ProbeLiteralMax): DataFrame = {
+    if (probeHashes.length > probeLiteralMax) {
+      // join regime: exact membership via a broadcast left-semi join
+      // of the 8-byte gram-position frame — the probe set never
+      // enters any task's expression tree
+      val ss = docs.sparkSession
+      import ss.implicits._
+      val probeDf = probeHashes.toSeq.toDF("g")
+      val iv = gramPositions(docs, textCol, idCol, n)
+        .join(broadcast(probeDf), Seq("g"), "left_semi")
+        .select(col("id"), col("pos").as("s"), (col("pos") + lit(n - 1)).as("e"))
+      return trimSpans(docs, mergeSpanIntervals(iv, idCol), textCol, idCol)
+    }
     // bloom-prefiltered exact membership: the common non-hit gram pays
     // O(1) hash probes; only bloom-positives (true hits + the ~1e-2
     // fp tail) pay the O(|suite|) literal scan — fp cannot survive the

@@ -494,10 +494,16 @@ object Graph {
     * nothing driver-side. */
   def commonNeighborJaccard(edges: DataFrame, srcCol: String, dstCol: String,
       maxApexDeg: Long, k: Int): DataFrame = {
+    // eager localCheckpoint (NOT cache+unpersist — a lazy cache that
+    // is unpersisted before the result materializes never populates,
+    // and the distinct recomputes for every consumer): the m×16-byte
+    // edge frame materializes once and feeds the degree agg plus both
+    // wedge sides, while the RESULT plan stays lazy so the top-k
+    // still plans as TakeOrderedAndProject (PlanSpec pins it)
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct().cache()
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -519,7 +525,6 @@ object Graph {
       .orderBy(col("jaccard_bp").desc, col("common").desc,
         col("u").asc, col("v").asc)
       .limit(k)
-    und.unpersist()
     out
   }
 

@@ -130,7 +130,7 @@ object AnalyticsQueries {
       TextAnalysis.jsonKeyProfile(enriched, "props2")
     },
 
-    // B78 — JSON SCHEMA DRIFT between two feed generations: the
+    // C96 — JSON SCHEMA DRIFT between two feed generations: the
     // alarm that catches a producer-side migration (key renamed,
     // value retyped, optional field appearing/vanishing) before a
     // downstream parser does. Generations are the event_id-parity
@@ -253,7 +253,7 @@ object AnalyticsQueries {
         .select(col("event_id"), col("event_type"), col("value"))
     },
 
-    // B79 — SEASONAL outliers: B28 with the baseline moved to the
+    // B84 — SEASONAL outliers: B28 with the baseline moved to the
     // (event_type, hour-of-day) cohort — "is this value anomalous
     // FOR 3AM", the deseasonalized alarm that a global per-type gate
     // cannot raise (a nightly batch spike is normal at 02:00 and an
@@ -477,7 +477,7 @@ object AnalyticsQueries {
       graft.operators.Graph.assortativity(wordAdjacencyEdges(s, d), "src", "dst")
     },
 
-    // B77 — LINK-PREDICTION top-20 node pairs by common-neighbor
+    // B83 — LINK-PREDICTION top-20 node pairs by common-neighbor
     // JACCARD on the word-adjacency graph — "which two entities share
     // the most context without being the same" (related-entity
     // suggestion, record-linkage candidate scoring). Wedge
@@ -736,10 +736,18 @@ object AnalyticsQueries {
     // B78 — LAG-k AUTOCORRELATION of the hourly volume series, exact:
     // per event type, the dense hourly spine (sequence between the
     // type's min/max epoch-hour, gaps = 0) and acf at lags 1..3 from
-    // INTEGER moments only — multiply the centered terms through by n
+    // exact moments only — multiply the centered terms through by n
     // (n·x−S) so the mean never becomes a float; the bp ratio is the
-    // single sign-handled integer division at the end. The "is this
-    // volume series periodic / sticky" profiler behind capacity
+    // single sign-handled integral division at the end. The centered
+    // term c0 = n·x−S itself fits Long at any real corpus (hours are
+    // calendar-bounded, so n·x ≤ 10^5 · corpus/hours ≲ 10^15), but
+    // the second moments Σc0² grow ~ n³·Var(hourly count) — Long
+    // wraps silently past ~10^18 while the DuckDB oracle's HUGEINT
+    // sum errors, an engine/oracle divergence at 100x sweep scale.
+    // So den/num accumulate in DECIMAL(38,0) (exact to 10^38,
+    // order-independent) and surface as DOUBLE per the QueryMath
+    // convention; the oracle mirrors with HUGEINT → DOUBLE. The "is
+    // this volume series periodic / sticky" profiler behind capacity
     // planning and anomaly baselines. Scale: the counts agg is
     // map-side combined into ≤ types×hours rows; the spine and the
     // three self-joins all live on that bounded frame, not the corpus.
@@ -764,23 +772,27 @@ object AnalyticsQueries {
         .withColumn("x3", lead(col("x"), 3).over(byType))
         .join(broadcast(tot), "event_type")
         .withColumn("c0", col("n") * col("x") - col("s"))
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
       val moments = lagged.groupBy(col("event_type"))
         .agg(max(col("n")).as("n_hours"),
-          sum(col("c0") * col("c0")).as("den"),
+          sum(d38(col("c0")) * d38(col("c0"))).as("den"),
           sum(when(col("x1").isNotNull,
-            col("c0") * (col("n") * col("x1") - col("s")))).as("num1"),
+            d38(col("c0")) * d38(col("n") * col("x1") - col("s")))).as("num1"),
           sum(when(col("x2").isNotNull,
-            col("c0") * (col("n") * col("x2") - col("s")))).as("num2"),
+            d38(col("c0")) * d38(col("n") * col("x2") - col("s")))).as("num2"),
           sum(when(col("x3").isNotNull,
-            col("c0") * (col("n") * col("x3") - col("s")))).as("num3"))
+            d38(col("c0")) * d38(col("n") * col("x3") - col("s")))).as("num3"))
       def bp(num: String): Column =
         expr(s"CASE WHEN $num >= 0 THEN ($num * 10000) div den" +
           s" ELSE -((-($num) * 10000) div den) END")
       // den = 0 only for a degenerate series (every hour identical —
       // in practice a single-bucket type); acf is undefined there
       moments.filter(col("den") > 0)
-        .select(col("event_type"), col("n_hours"), col("den"),
-        col("num1"), col("num2"), col("num3"),
+        .select(col("event_type"), col("n_hours"),
+        col("den").cast("double").as("den"),
+        col("num1").cast("double").as("num1"),
+        col("num2").cast("double").as("num2"),
+        col("num3").cast("double").as("num3"),
         bp("num1").as("acf1_bp"), bp("num2").as("acf2_bp"),
         bp("num3").as("acf3_bp"))
     },
@@ -1658,7 +1670,7 @@ object AnalyticsQueries {
       |  FROM sym)
       |SELECT n, ${graft.operators.Graph.AssortSql} AS r_assort FROM mom""".stripMargin,
 
-    // B77: same undirected base + degree frame; capped apexes (deg ≤
+    // B83: same undirected base + degree frame; capped apexes (deg ≤
     // 25) generate the wedges, exact degrees size the union.
     "node_jaccard" -> s"""
       |WITH $WordAdjSql,
@@ -1796,21 +1808,24 @@ object AnalyticsQueries {
                lead(x, 3) OVER w AS x3
         FROM series se JOIN tot t USING (event_type)
         WINDOW w AS (PARTITION BY se.event_type ORDER BY se.h)),
-      cc AS (SELECT event_type, n, s, x1, x2, x3, n * x - s AS c0 FROM lagged),
+      cc AS (SELECT event_type, n, s, x1, x2, x3,
+                    CAST(n * x - s AS HUGEINT) AS c0 FROM lagged),
       m AS (
         SELECT event_type, max(n) AS n_hours,
-               CAST(sum(c0 * c0) AS BIGINT) AS den,
-               CAST(sum(CASE WHEN x1 IS NOT NULL THEN c0 * (n * x1 - s) END) AS BIGINT) AS num1,
-               CAST(sum(CASE WHEN x2 IS NOT NULL THEN c0 * (n * x2 - s) END) AS BIGINT) AS num2,
-               CAST(sum(CASE WHEN x3 IS NOT NULL THEN c0 * (n * x3 - s) END) AS BIGINT) AS num3
+               sum(c0 * c0) AS den,
+               sum(CASE WHEN x1 IS NOT NULL THEN c0 * (n * x1 - s) END) AS num1,
+               sum(CASE WHEN x2 IS NOT NULL THEN c0 * (n * x2 - s) END) AS num2,
+               sum(CASE WHEN x3 IS NOT NULL THEN c0 * (n * x3 - s) END) AS num3
         FROM cc GROUP BY 1)
-      SELECT event_type, n_hours, den, num1, num2, num3,
-             CASE WHEN num1 >= 0 THEN (num1 * 10000) // den
-                  ELSE -((-num1 * 10000) // den) END AS acf1_bp,
-             CASE WHEN num2 >= 0 THEN (num2 * 10000) // den
-                  ELSE -((-num2 * 10000) // den) END AS acf2_bp,
-             CASE WHEN num3 >= 0 THEN (num3 * 10000) // den
-                  ELSE -((-num3 * 10000) // den) END AS acf3_bp
+      SELECT event_type, n_hours,
+             CAST(den AS DOUBLE) AS den, CAST(num1 AS DOUBLE) AS num1,
+             CAST(num2 AS DOUBLE) AS num2, CAST(num3 AS DOUBLE) AS num3,
+             CASE WHEN num1 >= 0 THEN CAST((num1 * 10000) // den AS BIGINT)
+                  ELSE CAST(-((-num1 * 10000) // den) AS BIGINT) END AS acf1_bp,
+             CASE WHEN num2 >= 0 THEN CAST((num2 * 10000) // den AS BIGINT)
+                  ELSE CAST(-((-num2 * 10000) // den) AS BIGINT) END AS acf2_bp,
+             CASE WHEN num3 >= 0 THEN CAST((num3 * 10000) // den AS BIGINT)
+                  ELSE CAST(-((-num3 * 10000) // den) AS BIGINT) END AS acf3_bp
       FROM m WHERE den > 0""",
 
     // B79: same spine, closed-form OLS moments, one division.
@@ -2028,7 +2043,7 @@ object AnalyticsQueries {
       FROM events e JOIN stats USING (event_type)
       WHERE (value - mu) * (value - mu) > 4.0 * (ex2 - mu * mu)""",
 
-    // B79: same moment trees per (type, hour-of-day) cohort.
+    // B84: same moment trees per (type, hour-of-day) cohort.
     "seasonal_outliers" -> """
       WITH e AS (
         SELECT event_id, event_type,
@@ -2328,7 +2343,7 @@ object AnalyticsQueries {
       FROM kv CROSS JOIN n
       GROUP BY 1, n_rows""",
 
-    // B78: same two per-half profiles (json_type on the parsed value,
+    // C96: same two per-half profiles (json_type on the parsed value,
     // equivalent under the no-lookalike contract), full-outer on key.
     "json_drift" -> """
       WITH xo AS (

@@ -506,8 +506,9 @@ object ScaleQueries {
       GROUP BY 1""",
 
     // C90: same bucket models (multiplicative hash on bounded
-    // residues — no overflow either engine; ntile over the unique
-    // clustering order), same mid-range predicate.
+    // residues — no overflow either engine; range layout via the
+    // day-granular cumulative file allocation, a window over the
+    // calendar-bounded per-day aggregate), same mid-range predicate.
     "zonemap_audit" -> """
       WITH rws AS (
         SELECT l_orderkey, l_linenumber,

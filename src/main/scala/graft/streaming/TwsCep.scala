@@ -72,8 +72,9 @@ object TwsCep {
           val at = ms + windowMs + 1
           if (timers.add(at)) getHandle.registerTimer(at)
         }
-        // a type may be both trigger and later step; buffer covers
-        // every later-step binding independently of the trigger path
+        // step types are distinct by contract (episodes() requires
+        // it), so the trigger type is never also a later step; the
+        // buffer covers later-step bindings only
         if (later.contains(r.event_type))
           buf.appendValue((ms, r.event_id, r.event_type))
       }

@@ -173,6 +173,38 @@ class CorpusQueriesSpec extends SparkTestBase {
       "bloom form under-trimmed somewhere")
   }
 
+  test("probe-literal cap: join regime above ProbeLiteralMax, identical output " +
+      "(r12 verdict item 4)") {
+    import spark.implicits._
+    val base = collectDocs(docs().filter(col("doc_id") < 150))
+    val probeRows = collectDocs(docs()
+      .filter(col("doc_id") % 97 === 0 && col("doc_id") < 400))
+    val fragment = probeRows.head._2.split(" ").take(10).mkString(" ")
+    val corpus = base.map { case (id, t) =>
+      if (id % 11 == 4) (id, s"$t $fragment") else (id, t)
+    }
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val probeDf = probeRows.toDF("doc_id", "text")
+    val hashes = Dedup.probeGramHashes(probeDf, "text", "doc_id", n = 8)
+    assert(Dedup.ProbeLiteralMax == 4096)
+    // literal regime (cap far above the suite) vs FORCED join regime
+    // (cap 0): value-identical trims — the cap changes plan shape only
+    val literal = Dedup.trimContamProjectionExact(corpusDf, hashes,
+      "text", "doc_id", n = 8, probeLiteralMax = Int.MaxValue)
+    val joined = Dedup.trimContamProjectionExact(corpusDf, hashes,
+      "text", "doc_id", n = 8, probeLiteralMax = 0)
+    val litSet = literal
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val joinSet = joined
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(litSet == joinSet && litSet.exists(_._3 > 0L))
+    // the join regime's plan must carry NO array_contains literal —
+    // the probe set rides a broadcast relation, not every task binary
+    val joinPlan = joined.queryExecution.optimizedPlan.toString
+    assert(!joinPlan.contains("array_contains"), joinPlan.take(2000))
+    assert(joinPlan.contains("LeftSemi"), joinPlan.take(2000))
+  }
+
   test("tfIdfTopK matches naive integer TF-IDF ranking") {
     val all = collectDocs(docs())
     val n = all.size.toLong

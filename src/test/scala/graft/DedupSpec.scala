@@ -269,6 +269,45 @@ class DedupSpec extends SparkTestBase {
     assert(sGuarded == sUnguarded && sGuarded.nonEmpty)
   }
 
+  test("DEFAULT maxBucket is the scale-safe crawl posture (r12 verdict item 3)") {
+    import spark.implicits._
+    // SWEEP100_r12 measured default=1000 exhausting local disk on a
+    // perturbed non-collapsible 100x corpus; the shipped default must
+    // be the guarded posture. Pin the value AND the behavior it buys:
+    // a 200-wide near-dup family (wider than the cap, NOT exact
+    // copies — each doc perturbed, so the collapse can't save it)
+    // star-pairs under pure default config instead of pairing w²/2.
+    assert(Dedup.DefaultMaxBucket == 50)
+    val docs = spark.range(0, 200).select(col("id").as("doc_id"),
+      concat(lit("one mirrored page body shared across the whole family "
+        + "with enough repeated shingle mass to band together tail "),
+        col("id").cast("string")).as("text"))
+      .unionByName(Seq((900L, "a completely unrelated document about gardens"))
+        .toDF("doc_id", "text"))
+    val guarded = Dedup.minhashLsh(docs, "text", "doc_id", minBp = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unguarded = Dedup.minhashLsh(docs, "text", "doc_id", minBp = 8000,
+        maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the recall contract: hot buckets star-pair, so the DEFAULT
+    // config emits a small fraction of the ~w²/2 exhaustive list
+    // (per-band sub-buckets below the cap may still all-pair — the
+    // guard bounds PER-BUCKET output, it is not a global pair cap)
+    assert(unguarded.size > 15000, s"family failed to pair: ${unguarded.size}")
+    assert(guarded.size < unguarded.size / 10,
+      s"default config emitted ${guarded.size} of ${unguarded.size} pairs — guard inert")
+    // connectivity (the cluster/canonical contract) is fully preserved:
+    // guarded clusters == unguarded clusters, one component, canonical 0
+    def clustersOf(pairs: Set[(Long, Long)]) = {
+      import spark.implicits._
+      Dedup.clusterPairs(pairs.toSeq.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val labels = clustersOf(guarded)
+    assert(labels == clustersOf(unguarded))
+    assert(labels.size == 200 && labels.values.forall(_ == 0L))
+  }
+
   test("simhash hot-bucket guard: duplicate-heavy corpus stays O(k)") {
     import spark.implicits._
     val page = "identical mirror page text for the simhash banding path"

@@ -416,4 +416,111 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("TwsCep property run: 100 random multi-trigger schedules under a random " +
+      "micro-batch slicing equal the batch matcher (r12 verdict item 7)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // RocksDB provider + tiny shuffle width, as the TwsCep parity tests
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(shufKey, "2")
+    try {
+      // 100 independent random schedules (state is per-key, so one
+      // streaming query over 100 keys IS 100 schedules): 5-30 events
+      // per key, multiple view triggers with overlapping windows,
+      // noise types, tied timestamps all arise at these densities.
+      val rnd = new Random(101)
+      val B = 1704067200L // 2024-01-01 UTC, seconds
+      def ms(sec: Long) = (B + sec) * 1000L
+      val types = Vector("view", "click", "purchase", "noise")
+      var nextId = 1L
+      val events: Seq[(Long, Long, Long, String)] = (1 to 100).flatMap { u =>
+        val n = 5 + rnd.nextInt(26)
+        Seq.fill(n) {
+          val id = nextId; nextId += 1
+          (id, u.toLong, rnd.nextInt(400).toLong, types(rnd.nextInt(types.size)))
+        }
+      }
+      // batch truth over the identical frame
+      val batchDf = events.map { case (id, u, sec, ty) =>
+        (id, u, new Timestamp(ms(sec)), ty) }
+        .toDF("event_id", "user_id", "ts", "event_type")
+      val batch = graft.operators.Cep.nextMatchEpisodes(batchDf, "user_id",
+          "ts", "event_id", "event_type", Seq("view", "click", "purchase"), 100L)
+        .collect()
+      val batchCompleted = batch.filter(_.getBoolean(7))
+        .map(r => (r.getLong(1), r.getLong(0), Seq(r.getLong(4), r.getLong(6))))
+        .toSet
+      val batchExpired = batch.filterNot(_.getBoolean(7)).map(_.getLong(0)).toSet
+      // arrival order = event time + random jitter STRICTLY below the
+      // 50 s delay (so no event is ever watermark-dropped — batch sees
+      // everything, parity must be exact), then a random slicing into
+      // micro-batches: every batch boundary is a random watermark jump,
+      // including jumps across several timer expiries at once (the r12
+      // retention-horizon fix's scenario).
+      val arrivals = events
+        .map(e => (e, e._3 + rnd.nextInt(50)))
+        .sortBy { case ((id, _, _, _), a) => (a, id) }
+        .map(_._1)
+      val nBatches = 6 + rnd.nextInt(7)
+      val cuts = (Seq(0, arrivals.size) ++
+        Seq.fill(nBatches - 1)(rnd.nextInt(arrivals.size + 1))).sorted
+      val slices = cuts.zip(cuts.tail).map { case (a, b) => arrivals.slice(a, b) }
+        .filter(_.nonEmpty)
+      assert(slices.size >= 5, s"degenerate slicing: ${slices.size} batches")
+      val input = MemoryStream[(Long, Long, Long, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_cep_prop").toString
+      val q = graft.streaming.TwsCep.episodes(
+          input.toDS().toDF("event_id", "user_id", "ms", "event_type")
+            .withColumn("ts", timestamp_millis(col("ms"))),
+          Seq("view", "click", "purchase"), windowSecs = 100L,
+          delay = "50 seconds")
+        .writeStream.format("memory").queryName("cep_prop")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      try {
+        slices.foreach { sl =>
+          input.addData(sl.map { case (id, u, sec, ty) => (id, u, ms(sec), ty) })
+          q.processAllAvailable()
+        }
+        // final tick flushes every open window past its timer
+        input.addData((999999L, 9999L, ms(10000L), "view"))
+        q.processAllAvailable()
+        val got = spark.table("cep_prop").filter(col("user_id") < 9999L)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](3).toSeq,
+            r.getBoolean(4)))
+          .toSet
+        // completed episodes: bit-for-bit (key, trigger, bound step ids)
+        val streamCompleted = got.filter(_._4).map(g => (g._1, g._2, g._3))
+        assert(streamCompleted == batchCompleted,
+          s"completed parity broke on ${
+            (streamCompleted -- batchCompleted) ++ (batchCompleted -- streamCompleted)
+          }")
+        // expired episodes: identical trigger set (binding columns are
+        // window-truncated by contract, so ids only)
+        val streamExpired = got.filterNot(_._4).map(_._2)
+        assert(streamExpired == batchExpired,
+          s"expired trigger sets diverge: ${
+            (streamExpired -- batchExpired) ++ (batchExpired -- streamExpired)
+          }")
+        assert(streamCompleted.nonEmpty && streamExpired.nonEmpty,
+          "degenerate run: one of the outcome classes is empty")
+      } finally q.stop()
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+      spark.conf.set(shufKey, prevShuf)
+    }
+  }
 }

@@ -1958,4 +1958,61 @@ class StreamingSpec extends SparkTestBase {
       assert(!plan.contains("Exchange"), s"shuffle in plan:\n$plan")
     } finally q.stop()
   }
+
+  test("TwsAnnProbe: stream-accumulated LSH and IVF probes equal the one-shot " +
+      "batch probe over the union of micro-batches (r12 verdict item 9)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Sim = graft.operators.Similarity
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val allQueries = emb.filter(col("vec_id") < 24)
+      .select(col("vec_id"), col("embedding"))
+    val qRows = allQueries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // LSH store once (the persisted-store shape; localCheckpoint stands
+    // in for the parquet read-back the production path does)
+    val lshStore = Sim.withLshBucket(emb, "embedding", numPlanes = 4)
+      .localCheckpoint()
+    val batchLsh = Sim.lshTopKBucketed(lshStore, allQueries, "vec_id",
+        "embedding", k = 10, numPlanes = 4, multiprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // IVF store at the broadcast-centroid regime
+    val cents = Sim.ivfCentroids(emb, "vec_id", "embedding", nCentroids = 16).toSeq
+    val ivfStore = Sim.withIvfLists(emb, "embedding", cents).localCheckpoint()
+    val batchIvf = Sim.ivfTopKBucketed(ivfStore, allQueries, "vec_id",
+        "embedding", k = 10, cents, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // stream the same queries in 3 micro-batches through each probe
+    val lshIn = MemoryStream[(Long, Array[Float])]
+    val lshAcc = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val lshQ = graft.streaming.TwsAnnProbe.lshProbeWriter(
+        lshIn.toDS().toDF("vec_id", "embedding"), lshStore, "vec_id",
+        "embedding", k = 10, numPlanes = 4, multiprobe = 1) { (res, _) =>
+      lshAcc ++= res.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    }.option("checkpointLocation",
+      java.nio.file.Files.createTempDirectory("graft_lsh_probe").toString).start()
+    try {
+      qRows.grouped((qRows.length + 2) / 3).foreach { g =>
+        lshIn.addData(g.toSeq); lshQ.processAllAvailable()
+      }
+    } finally lshQ.stop()
+    assert(lshAcc.toSet == batchLsh && batchLsh.nonEmpty,
+      s"LSH stream/batch diverged: ${(lshAcc.toSet -- batchLsh) ++ (batchLsh -- lshAcc)}")
+    val ivfIn = MemoryStream[(Long, Array[Float])]
+    val ivfAcc = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val ivfQ = graft.streaming.TwsAnnProbe.ivfProbeWriter(
+        ivfIn.toDS().toDF("vec_id", "embedding"), ivfStore, "vec_id",
+        "embedding", k = 10, cents, nProbe = 4) { (res, _) =>
+      ivfAcc ++= res.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    }.option("checkpointLocation",
+      java.nio.file.Files.createTempDirectory("graft_ivf_probe").toString).start()
+    try {
+      qRows.grouped((qRows.length + 2) / 3).foreach { g =>
+        ivfIn.addData(g.toSeq); ivfQ.processAllAvailable()
+      }
+    } finally ivfQ.stop()
+    assert(ivfAcc.toSet == batchIvf && batchIvf.nonEmpty,
+      s"IVF stream/batch diverged: ${(ivfAcc.toSet -- batchIvf) ++ (batchIvf -- ivfAcc)}")
+  }
 }
