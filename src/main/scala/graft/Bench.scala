@@ -133,8 +133,26 @@ object Bench {
         s""""last":[${last.mkString(",")}],"verdict":"${
           sentinelVerdict(first, last)}"},"""
     }.getOrElse("")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec",$sentinelJson"queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // r-over-r drift column (r12 verdict item 10): per-key ratio of
+    // this run's median to the PREVIOUS round's, read from the last
+    // committed round-versioned full artifact. The full per-key table
+    // goes in the FULL artifact; the compact stdout line carries a
+    // BOUNDED summary (median ratio + named drifters past 1.5× with a
+    // >0.2 s absolute swing) — a second 193-entry array would push the
+    // line past the driver's 2000-char stdout tail and head-truncate
+    // the JSON (the r7/r8 failure mode this split exists to avoid).
+    val prev = previousRoundMedians(outPath)
+    val vsPrevFull = prev.map { case (tag, pm) =>
+      val ratios = results.flatMap { case (k, r) =>
+        pm.get(k).filter(p => p > 0 && r(1) >= 0)
+          .map(p => k -> r(1) / p) }
+      val rj = ratios.map { case (k, x) => f""""$k":$x%.3f""" }
+        .mkString("{", ",", "}")
+      (tag, ratios, s""""qv_vs_prev":{"vs":"$tag","ratios":$rj},""")
+    }
+    val vsPrevFullJson = vsPrevFull.map(_._3).getOrElse("")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec",$sentinelJson$vsPrevFullJson"queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
     writeText(outPath, full)
     // ALSO write a round-versioned copy so no round's per-query data
     // lives only in the git history of the overwritten BENCH_FULL:
@@ -142,7 +160,18 @@ object Bench {
     // already committed in cwd, so max+1 names the current round.
     versionedCopy(outPath).foreach(writeText(_, full))
     val qv = results.map { case (_, r) => f"${r(1)}%.3f" }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,$sentinelJson"queries_file":"$outPath","qv_sorted_by_name":$qv}""")
+    val vsPrevCompact = vsPrevFull.map { case (tag, ratios, _) =>
+      val sortedR = ratios.map(_._2).sorted
+      val med = if (sortedR.isEmpty) 1.0 else sortedR(sortedR.size / 2)
+      val drifters = ratios.filter { case (k, x) =>
+        val p = prev.get._2(k)
+        (x > 1.5 || x < 1.0 / 1.5) && math.abs(results.toMap.apply(k)(1) - p) > 0.2
+      }.sortBy(-_._2)
+      val dj = drifters.map { case (k, x) => f""""$k":$x%.2f""" }
+        .mkString("{", ",", "}")
+      f""""qv_vs_prev":{"vs":"$tag","n":${ratios.size},"median":$med%.3f,"drifters":$dj},"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,$sentinelJson$vsPrevCompact"queries_file":"$outPath","qv_sorted_by_name":$qv}""")
   }
 
   /** Host-load verdict from the two sentinel triples: `loaded` when the
@@ -161,6 +190,38 @@ object Bench {
     if (drift > 1.5 && math.abs(m1 - m2) > 0.3) "loaded"
     else if (wideTriple) "noisy"
     else "quiet"
+  }
+
+  /** The previous round's per-query medians: the highest-numbered
+    * committed `{base}_rNN.json` sibling of `outPath`, its `"queries"`
+    * object parsed with a flat regex (keys are `[a-z0-9_]+`, values
+    * plain decimals — the exact shape [[report]] writes; no JSON lib
+    * needed for a format we own). None when no prior artifact exists
+    * (round 1, or run outside the repo root). */
+  private[graft] def previousRoundMedians(
+      outPath: String): Option[(String, Map[String, Double])] = {
+    val dot = outPath.lastIndexOf('.')
+    val base = if (dot < 0) outPath else outPath.substring(0, dot)
+    val name = new java.io.File(base).getName
+    val re = (java.util.regex.Pattern.quote(name) + "_r(\\d+)\\.json").r
+    val dir = Option(new java.io.File(outPath).getAbsoluteFile.getParentFile)
+    val prior = dir.map(d => Option(d.listFiles()).toSeq.flatten).getOrElse(Seq())
+      .flatMap(f => re.findFirstMatchIn(f.getName)
+        .map(m => (m.group(1).toInt, f)))
+    if (prior.isEmpty) return None
+    val (nn, f) = prior.maxBy(_._1)
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val qStart = txt.indexOf("\"queries\":{")
+      if (qStart < 0) return None
+      val qEnd = txt.indexOf('}', qStart)
+      val body = txt.substring(qStart + "\"queries\":{".length, qEnd)
+      val pairRe = """"([a-z0-9_]+)":(-?[0-9.eE+-]+)""".r
+      val m = pairRe.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      if (m.isEmpty) None else Some((f"r$nn%02d", m))
+    } catch { case _: Throwable => None }
   }
 
   private def writeText(path: String, s: String): Unit =

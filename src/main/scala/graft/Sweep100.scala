@@ -233,7 +233,53 @@ object Sweep100 {
     // timed ONCE after warm-up (order-of-magnitude ratio, not median)
     val with1000x = args.contains("+1000x")
     if (with1000x) build(1000, "/tmp/sweep_docs1000x")
-    val opArgs = args.filterNot(_ == "+1000x")
+    // r13 (verdict item 8): "+1000xp" pushes the PERTURBED generator
+    // to 1000x — 1000 UNIQUE near-dup variants per base doc, nothing
+    // collapsible, every band bucket 1000 wide — and records the
+    // shuffle/spill budget alongside wall time (a sweep that only
+    // prints seconds hides exactly the disk-exhaustion failure mode
+    // SWEEP100_r12 caught). Guarded LSH + cluster_dedup only: those
+    // are the ops whose cost is the hot-bucket guard's to bound.
+    val with1000xp = args.contains("+1000xp")
+    val budget = new org.apache.spark.scheduler.SparkListener {
+      val shufWrite = new java.util.concurrent.atomic.AtomicLong
+      val spilled = new java.util.concurrent.atomic.AtomicLong
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spilled.addAndGet(m.diskBytesSpilled)
+        }
+      }
+      def mark(): (Long, Long) = (shufWrite.get, spilled.get)
+    }
+    if (with1000xp) {
+      spark.sparkContext.addSparkListener(budget)
+      buildPerturbed(1000, "/tmp/sweep_docs1000x_pert")
+      val pertOps: Seq[(String, String => DataFrame)] = Seq(
+        "minhash_lsh" -> (dir => Dedup.minhashLsh(docs(dir), "text", "doc_id",
+          minBp = 8000)),
+        "cluster_dedup" -> (dir => Dedup.clusterPairs(
+          Dedup.minhashLsh(docs(dir), "text", "doc_id", minBp = 8000),
+          "doc_a", "doc_b")))
+      for ((name, op) <- pertOps) {
+        def one(dir: String): (Double, Double, Double) = {
+          val (w0, s0) = budget.mark()
+          val t = try time(op(dir).write.format("noop").mode("overwrite").save())
+            catch { case e: Throwable =>
+              println(s"SWEEP1000P $name $dir FAILED: ${e.getMessage}")
+              return (-1, -1, -1) }
+          val (w1, s1) = budget.mark()
+          (t, (w1 - w0) / 1e9, (s1 - s0) / 1e9)
+        }
+        val (t1, w1, sp1) = one(base)
+        val (tp, wp, spp) = one("/tmp/sweep_docs1000x_pert")
+        println(f"SWEEP1000P $name%-14s 1x=$t1%7.2fs (shufW=$w1%6.2fGB spill=$sp1%6.2fGB)" +
+          f" p1000=$tp%8.2fs (shufW=$wp%7.2fGB spill=$spp%7.2fGB) pr1000=${tp / t1}%7.2f")
+      }
+    }
+    val opArgs = args.filterNot(a => a == "+1000x" || a == "+1000xp")
     val selected =
       if (opArgs.isEmpty) all else all.filter(o => opArgs.contains(o._1))
     // the dedup family additionally sweeps the PERTURBED decades — the

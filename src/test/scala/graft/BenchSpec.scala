@@ -21,4 +21,26 @@ class BenchSpec extends AnyFunSuite {
     // crashed sentinel → unknown
     assert(v(Seq(-1.0, -1.0, -1.0), Seq(1.0, 1.0, 1.0)) == "unknown")
   }
+
+  test("previousRoundMedians reads the highest committed round's queries table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench").toFile
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        body.getBytes("UTF-8"))
+    val out = new java.io.File(dir, "BENCH_FULL.json").getPath
+    // no prior artifact → None (round 1)
+    assert(Bench.previousRoundMedians(out).isEmpty)
+    write("BENCH_FULL_r05.json",
+      """{"metric":"total","value":2.0,"unit":"sec","queries":{"q1_agg":1.5,"zz":0.25},"sf":"x"}""")
+    write("BENCH_FULL_r04.json",
+      """{"metric":"total","value":9.0,"unit":"sec","queries":{"q1_agg":9.0},"sf":"x"}""")
+    val got = Bench.previousRoundMedians(out)
+    assert(got.contains(("r05", Map("q1_agg" -> 1.5, "zz" -> 0.25))))
+    // a qv_vs_prev block BEFORE the queries table must not confuse the
+    // parse (the shape this round's own artifact will have next round)
+    write("BENCH_FULL_r06.json",
+      """{"metric":"total","value":2.0,"unit":"sec","qv_vs_prev":{"vs":"r05","ratios":{"q1_agg":1.333}},"queries":{"q1_agg":2.0},"sf":"x"}""")
+    assert(Bench.previousRoundMedians(out)
+      .contains(("r06", Map("q1_agg" -> 2.0))))
+  }
 }
