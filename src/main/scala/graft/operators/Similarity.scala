@@ -538,6 +538,134 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  // ──────────────────── Product quantization (PQ) ────────────────────
+
+  /** Deterministic per-subspace PQ codebooks — the train-free seed
+    * form of the product quantizer (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    * vector space splits into `nSub` contiguous subspaces of
+    * `dim / nSub` dims; each subspace gets `nCent` codewords taken
+    * from the corpus itself — the subvectors of the rows ranked first
+    * under a SUBSPACE-SALTED multiplicative id hash (the
+    * [[ivfCentroids]] idiom; the salt decorrelates the books so all
+    * subspaces don't sample the same rows). cid is the 1-based hash
+    * rank, so a SQL oracle re-derives the identical books with one
+    * ORDER BY + row_number per subspace. A k-means refinement per
+    * subspace would drop in unchanged (the encode/score paths need
+    * only SOME fixed books), but its float-accumulation order is
+    * engine-specific — the seed form is what the oracle adjudicates,
+    * the same trade as [[ivfCentroids]].
+    *
+    * The nSub bounded collects are driver-side control plane
+    * (codebook tables always fit — every real PQ broadcasts them);
+    * each is a TakeOrderedAndProject over a column-pruned scan. */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                  nSub: Int = 4, nCent: Int = 16,
+                  dim: Int = 64): Seq[Seq[(Long, Array[Float])]] = {
+    val sd = dim / nSub
+    require(nSub > 0 && nSub * sd == dim,
+      s"dim $dim must split into $nSub equal subspaces")
+    (0 until nSub).map { s =>
+      emb.select(col(idCol).as("id"),
+          slice(col(vecCol), s * sd + 1, sd).as("sv"))
+        .orderBy(((col("id") * lit(2654435761L) + lit(s.toLong * 7919L))
+          % lit(1000000007L)).asc, col("id").asc)
+        .limit(nCent)
+        .collect().zipWithIndex
+        .map { case (r, i) => ((i + 1).toLong, r.getSeq[Float](1).toArray) }
+        .toSeq
+    }
+  }
+
+  /** Float-exact Σx² of a codeword (float multiply per element, double
+    * accumulate — the VecDot/dotSql fold order, so the SQL twin
+    * `dot(cv, cv)` reproduces the exact bits), for the ADC norm. */
+  private def pqNormSq(cv: Array[Float]): Double =
+    cv.foldLeft(0.0)((acc, x) => acc + (x * x).toDouble)
+
+  /** ENCODE: per subspace s, `pq_code_s` = the 1-based cid of the
+    * codeword maximizing dot(v_s, c)/|c| (ties → smallest cid — the
+    * [[ivfListId]] assignment convention, spherical-PQ flavor since
+    * the retrieval metric downstream is cosine). A pure projection:
+    * the corpus is encoded IN its scan, no join, no shuffle — this is
+    * the INGEST step, after which the stored representation is `nSub`
+    * small ints per vector (4 codes ≈ 4 bytes vs 256 bytes of raw
+    * float64[64] — the 64× working-set shrink that makes a 100 TB
+    * embedding store scannable). */
+  def withPqCodes(df: DataFrame, vecCol: String,
+                  books: Seq[Seq[(Long, Array[Float])]],
+                  dim: Int = 64): DataFrame = {
+    val nSub = books.size
+    val sd = dim / nSub
+    books.zipWithIndex.foldLeft(df) { case (d, (cents, s)) =>
+      d.withColumn(s"pq_code_$s",
+        -array_max(array(
+          centScored(slice(col(vecCol), s * sd + 1, sd), cents): _*))
+          .getField("nc"))
+    }
+  }
+
+  /** ADC (asymmetric distance computation) top-k over a PQ-coded
+    * corpus: the query stays EXACT, the corpus is its codes — score =
+    * approx cosine = (Σ_s dot(q_s, codeword_s)) / (|q| ·
+    * √(Σ_s |codeword_s|²)). Per query the nSub×nCent dot products
+    * compute ONCE into lookup-table columns on the (broadcast, bounded
+    * by contract) query side; the corpus-side scan then pays nSub
+    * `element_at` lookups + 3 adds per row and never touches a raw
+    * vector — the memory-bound ANN regime ([[lshTopK]]/[[ivfTopK]]
+    * bound candidate COUNT; PQ bounds BYTES PER CANDIDATE, and the
+    * two compose: IVF-PQ = [[withIvfLists]] partition pruning over a
+    * [[withPqCodes]] store). Both sum orders are fixed left-assoc so
+    * a SQL oracle replays the doubles bit-for-bit; ranking ties (two
+    * corpus rows sharing all nSub codes score identically) break on
+    * neighbor_id — deterministic, and exactly the information PQ
+    * compression erases. Recall is approximate BY DESIGN (quantization
+    * error); SimilaritySpec measures it against brute force and pins
+    * the coded path against a naive reference encoder. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, books: Seq[Seq[(Long, Array[Float])]],
+             dim: Int = 64): DataFrame =
+    pqTopKCoded(withPqCodes(corpus, vecCol, books, dim), queries,
+      idCol, vecCol, k, books, dim)
+
+  /** [[pqTopK]] against a PRE-ENCODED corpus (a frame carrying the
+    * [[withPqCodes]] `pq_code_*` columns, typically a persisted code
+    * store — the production shape, like the bucketed LSH/IVF stores:
+    * encode at ingest, probe forever after without reading vectors).
+    * Identical results to [[pqTopK]] at the same books. */
+  def pqTopKCoded(codedStore: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int,
+                  books: Seq[Seq[(Long, Array[Float])]],
+                  dim: Int = 64): DataFrame = {
+    val nSub = books.size
+    val sd = dim / nSub
+    val coded = codedStore.select(
+      col(idCol).as("neighbor_id") +:
+        (0 until nSub).map(s => col(s"pq_code_$s")): _*)
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val q = books.zipWithIndex.foldLeft(q0) { case (d, (cents, s)) =>
+      d.withColumn(s"lut_$s", array(cents.map { case (_, cv) =>
+        dot(slice(col("qv"), s * sd + 1, sd),
+          array(cv.toSeq.map(lit(_)): _*)) }: _*))
+    }.drop("qv")
+    val num = (0 until nSub).map(s =>
+      element_at(col(s"lut_$s"), col(s"pq_code_$s").cast("int")))
+      .reduceLeft(_ + _)
+    val nsqSum = books.zipWithIndex.map { case (cents, s) =>
+      element_at(typedlit(cents.map(c => pqNormSq(c._2)).toArray),
+        col(s"pq_code_$s").cast("int"))
+    }.reduceLeft(_ + _)
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    coded.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", num / (col("qn") * sqrt(nsqSum)))
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rn"))
+  }
+
   /** Embedding-cosine NEAR-DUP PAIRS: all (a < b) with cosine >=
     * `minCos` — the embedding-space sibling of the MinHash/SimHash
     * text dedup paths, for catching paraphrase/translation near-dups

@@ -1076,6 +1076,23 @@ object PipelineQueries {
         "vec_id", "embedding", k = 10, nCentroids = 160, nProbe = 4)
     },
 
+    // C98 — PRODUCT-QUANTIZATION ADC top-10 (Similarity.pqTopK): the
+    // memory-side ANN regime — corpus stored as 4 codebook codes per
+    // vector (≈4 bytes vs 256 of raw floats), query exact, score =
+    // approx cosine from per-query lookup tables. Codebooks are the
+    // deterministic subspace-salted hash seeds (cid = hash rank), so
+    // the oracle re-derives books, codes, LUT dots and the left-assoc
+    // ADC sum bit-for-bit. LSH/IVF bound candidate COUNT; PQ bounds
+    // BYTES PER CANDIDATE — at 100 TB the scoring scan reads the code
+    // columns only.
+    "embed_pq_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        nSub = 4, nCent = 16, dim = 64)
+      Similarity.pqTopK(emb, embQueries(s, d), "vec_id", "embedding",
+        k = 10, books, dim = 64)
+    },
+
     // C31 — per-domain crawl cap: extract the URL host (portable
     // regexp — identical policy on any engine), then cap every domain
     // at 20 docs chosen by multiplicative-hash order. The standard
@@ -2237,6 +2254,62 @@ object PipelineQueries {
       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
       |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s)
       |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 10""".stripMargin,
+
+    // C98: codebooks re-derived per subspace (salted hash rank =
+    // cid), codes re-assigned, ADC replayed with the engine's exact
+    // left-assoc sum and |q|·√Σnsq denominator — value-exact
+    // including every double.
+    "embed_pq_topk" -> {
+      val sd = 16
+      val books = (0 until 4).map { s =>
+        val salt = s.toLong * 7919L
+        val lo = s * sd + 1
+        val hi = (s + 1) * sd
+        s"""cent$s AS (
+           |  SELECT row_number() OVER (
+           |           ORDER BY (vec_id * 2654435761 + $salt) % 1000000007 ASC,
+           |                    vec_id ASC) AS cid,
+           |         sv AS cv, sqrt(${dotSql("sv", "sv")}) AS cn,
+           |         ${dotSql("sv", "sv")} AS nsq
+           |  FROM (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings
+           |        ORDER BY (vec_id * 2654435761 + $salt) % 1000000007 ASC,
+           |                 vec_id ASC LIMIT 16)),
+           |code$s AS (
+           |  SELECT vec_id, cid AS c$s FROM (
+           |    SELECT e.vec_id, cent$s.cid,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${dotSql(s"e.embedding[$lo:$hi]", s"cent$s.cv")}
+           |                        / cent$s.cn DESC,
+           |                      cent$s.cid ASC) AS r
+           |    FROM embeddings e CROSS JOIN cent$s) WHERE r = 1)""".stripMargin
+      }.mkString(",\n")
+      val lutDots = (0 until 4).map { s =>
+        s"(${dotSql(s"q.embedding[${s * sd + 1}:${(s + 1) * sd}]", s"n$s.cv")})"
+      }.reduceLeft((a, b) => s"($a + $b)")
+      val nsqSum = (0 until 4).map(s => s"n$s.nsq")
+        .reduceLeft((a, b) => s"($a + $b)")
+      s"""
+      |WITH $books,
+      |codes AS (
+      |  SELECT code0.vec_id, c0, c1, c2, c3
+      |  FROM code0 JOIN code1 USING (vec_id) JOIN code2 USING (vec_id)
+      |       JOIN code3 USING (vec_id)),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         $lutDots
+      |           / (sqrt(${dotSql("q.embedding", "q.embedding")})
+      |              * sqrt($nsqSum)) AS adc
+      |  FROM codes c
+      |  JOIN cent0 n0 ON c.c0 = n0.cid
+      |  JOIN cent1 n1 ON c.c1 = n1.cid
+      |  JOIN cent2 n2 ON c.c2 = n2.cid
+      |  JOIN cent3 n3 ON c.c3 = n3.cid
+      |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+      |  WHERE c.vec_id <> q.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY adc DESC, neighbor_id ASC) AS rn FROM s)
+      |SELECT query_id, neighbor_id, adc, rn FROM r WHERE rn <= 10""".stripMargin
+    },
 
     // C28 oracle at the broadcast-regime parameters (160 centroids,
     // 4 probes) — regime choice must not change results.

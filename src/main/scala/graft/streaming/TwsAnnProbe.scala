@@ -65,6 +65,21 @@ object TwsAnnProbe {
         numPlanes, dim, multiprobe), batchId)
     }
 
+  /** Streaming PQ-ADC probe: micro-batch twin of
+    * [[graft.operators.Similarity.pqTopKCoded]] against a pre-encoded
+    * code store (the `withPqCodes` columns — the corpus side never
+    * reads a raw vector; per tick the bounded query batch computes its
+    * lookup tables and the store scan pays `element_at`s only). */
+  def pqProbeWriter(queries: DataFrame, codedStore: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    books: Seq[Seq[(Long, Array[Float])]],
+                    dim: Int = 64)
+                   (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(Similarity.pqTopKCoded(codedStore, batch, idCol, vecCol, k,
+        books, dim), batchId)
+    }
+
   /** Streaming IVF probe: micro-batch twin of
     * [[graft.operators.Similarity.ivfTopKBucketed]] against a
     * pre-assigned `store` (the `withIvfLists` `list_id` column);

@@ -665,4 +665,23 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"),
       s"no corpus-side sort-merge join:\n$plan")
   }
+
+  test("embed_pq_topk: encode is scan-local (no exchange below the scoring " +
+    "join), corpus side reads codes not vectors, one window shuffle") {
+    val df = SparkEntry.queries("embed_pq_topk")(spark, sfDir)
+    val plan = planOf(df)
+    // broadcast-queries scoring scan (the documented guarded-crossJoin
+    // ANN contract) + the per-query top-k window
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("Window \\[".r.findAllIn(plan).size == 1, plan)
+    // rank-limit pushdown: partial WindowGroupLimit prunes to k rows
+    // per query BEFORE the exchange — the top-k never shuffles the
+    // full scored scan
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the only exchanges: the window's hash partitioning (plus AQE
+    // bookkeeping) — encoding must never shuffle the corpus
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"$exchanges hash exchanges in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

@@ -420,4 +420,65 @@ class SimilaritySpec extends SparkTestBase {
       assert(math.abs(centroid.head - expect0) < 1e-9, s"label $lbl dim 0")
     }
   }
+
+  test("PQ: deterministic books, naive-reference encoding parity, coded-store " +
+      "probe equality, measured recall vs brute (r13 C98)") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      nSub = 4, nCent = 16, dim = 64)
+    // shape + determinism: 4 books x 16 codewords of 16 dims, cid = 1..16,
+    // and a second derivation is bit-identical
+    assert(books.size == 4 && books.forall(_.size == 16))
+    assert(books.forall(_.map(_._1) == (1L to 16L)))
+    assert(books.forall(_.forall(_._2.length == 16)))
+    val again = Similarity.pqCodebooks(emb, "vec_id", "embedding", 4, 16, 64)
+    assert(books.zip(again).forall { case (a, b) =>
+      a.zip(b).forall { case ((ci, cv), (di, dv)) => ci == di && cv.sameElements(dv) } })
+    // subspace salt decorrelates: not all books sample the same rows
+    assert(books.map(_.head._2.toSeq).distinct.size > 1)
+    // ENCODE parity with a naive Scala reference (float multiply,
+    // double accumulate — the VecDot fold; score dot/|c|, ties -> min cid)
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      for (i <- a.indices) acc += (a(i) * b(i)).toDouble
+      acc
+    }
+    def refCode(v: Array[Float], s: Int): Long = {
+      val sub = v.slice(s * 16, s * 16 + 16)
+      books(s).map { case (cid, cv) =>
+        (dotD(sub, cv) / math.sqrt(dotD(cv, cv)), cid) }
+        .maxBy { case (sc, cid) => (sc, -cid) }._2
+    }
+    val coded = Similarity.withPqCodes(emb, "embedding", books, dim = 64)
+      .select("vec_id", "pq_code_0", "pq_code_1", "pq_code_2", "pq_code_3")
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for ((id, v) <- vecs) {
+      val want = (0 until 4).map(s => refCode(v, s))
+      assert(coded(id) == want, s"vec $id: ${coded(id)} != $want")
+    }
+    // the code distribution actually uses the books (not one hot code)
+    assert(coded.values.map(_.head).toSet.size > 4)
+    // probe: direct form == persisted-code-store form, sane ranks
+    val queries = emb.filter(col("vec_id") < 8)
+    val direct = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        k = 10, books)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val store = Similarity.withPqCodes(emb, "embedding", books).localCheckpoint()
+    val viaStore = Similarity.pqTopKCoded(store, queries, "vec_id", "embedding",
+        k = 10, books)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(direct == viaStore && direct.size == 80)
+    // recall@10 vs exact brute force — measured and reported; 4x16
+    // spherical PQ on the isotropic worst case keeps limited rank
+    // signal BY DESIGN, so the pin is a sanity floor (far above the
+    // ~0.02 random-10-of-499 baseline), not an operating point
+    val hits = (0L until 8L).map { q =>
+      val truth = bruteTopK(q, 10).toSet
+      direct.filter(_._1 == q).count(p => truth.contains(p._2))
+    }.sum
+    val recall = hits.toDouble / 80.0
+    info(f"PQ(4x16) recall@10 vs brute on isotropic corpus: $recall%.3f")
+    assert(recall >= 0.10, f"PQ recall collapsed: $recall%.3f")
+  }
 }
