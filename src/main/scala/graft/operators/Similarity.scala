@@ -461,9 +461,19 @@ object Similarity {
     val cents = ivfCentroids(corpus, idCol, vecCol, nCentroids).toSeq
     val (c, q) =
       if (cents.size <= centroidLiteralMax) {
+        // LAZY checkpoint as a projection-collapse barrier: without
+        // it the optimizer folds this projection into the probe
+        // join's output and re-evaluates the nCentroids-dot argmax
+        // once per CANDIDATE PAIR instead of once per row — measured
+        // 4.1 → 0.5 s at 10× scale (same pathology and fix as
+        // [[pqTopK]]). Self-contained form only: the production path
+        // persists the assignment ([[withIvfLists]] →
+        // [[ivfTopKBucketed]]), where list_id is a stored column and
+        // no barrier is needed.
         (corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
           norm(col(vecCol)).as("cn"),
-          ivfListId(col(vecCol), cents).as("list_id")),
+          ivfListId(col(vecCol), cents).as("list_id"))
+          .localCheckpoint(false),
         queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
           norm(col(vecCol)).as("qn"),
           explode(ivfProbeLists(col(vecCol), cents, nProbe)).as("list_id")))
@@ -597,11 +607,23 @@ object Similarity {
                   dim: Int = 64): DataFrame = {
     val nSub = books.size
     val sd = dim / nSub
+    // scores as ONE transform over a 2-D codeword literal, argmax via
+    // array_position(scores, array_max(scores)) — first occurrence =
+    // smallest cid, the same tie contract as the struct-array
+    // [[centScored]] form but 4× faster measured at 10× scale (the
+    // 16-struct-per-subspace allocation pattern priced every row;
+    // books carry cid = 1..nCent by construction, so the 1-based
+    // array position IS the cid)
     books.zipWithIndex.foldLeft(df) { case (d, (cents, s)) =>
+      require(cents.map(_._1) == (1L to cents.size),
+        s"subspace $s cids must be the 1-based ranks, got ${cents.map(_._1)}")
+      val cents2d = typedlit(cents.map(_._2))
+      val norms = typedlit(cents.map(c => centNorm(c._2)))
+      val scores = transform(sequence(lit(1), lit(cents.size)),
+        i => dot(slice(col(vecCol), s * sd + 1, sd),
+          element_at(cents2d, i)) / element_at(norms, i))
       d.withColumn(s"pq_code_$s",
-        -array_max(array(
-          centScored(slice(col(vecCol), s * sd + 1, sd), cents): _*))
-          .getField("nc"))
+        array_position(scores, array_max(scores)))
     }
   }
 
@@ -624,9 +646,20 @@ object Similarity {
     * the coded path against a naive reference encoder. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, books: Seq[Seq[(Long, Array[Float])]],
-             dim: Int = 64): DataFrame =
-    pqTopKCoded(withPqCodes(corpus, vecCol, books, dim), queries,
-      idCol, vecCol, k, books, dim)
+             dim: Int = 64): DataFrame = {
+    val nSub = books.size
+    // LAZY checkpoint as a projection-collapse barrier: without it the
+    // optimizer folds the encode projection INTO the scoring join's
+    // output, re-evaluating the per-row argmax once per (row, query)
+    // pair — measured 8 queries → ~8× encode cost at 10× scale. The
+    // checkpointed frame is codes only (nSub longs + id per row — the
+    // PQ representation itself), materialized once per run; the
+    // production path persists it instead ([[pqTopKCoded]]).
+    val coded = withPqCodes(corpus, vecCol, books, dim)
+      .select(col(idCol) +: (0 until nSub).map(s => col(s"pq_code_$s")): _*)
+      .localCheckpoint(false)
+    pqTopKCoded(coded, queries, idCol, vecCol, k, books, dim)
+  }
 
   /** [[pqTopK]] against a PRE-ENCODED corpus (a frame carrying the
     * [[withPqCodes]] `pq_code_*` columns, typically a persisted code
