@@ -699,6 +699,95 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adc"), col("rn"))
   }
 
+  /** IVF-PQ composed ANN — the production 100 TB index shape (Jégou
+    * et al. TPAMI 2011 §V): the coarse quantizer ([[withIvfLists]])
+    * bounds CANDIDATE COUNT (only nProbe inverted lists are scanned
+    * per query batch) and the product quantizer ([[withPqCodes]])
+    * bounds BYTES PER CANDIDATE (the probed lists are read as nSub
+    * small ints per vector, never raw floats). At 100 TB this is the
+    * only regime where probe cost is sub-scan in BOTH dimensions:
+    * IVF-flat still reads full vectors of probed lists; flat PQ still
+    * scans every code. Scoring is the [[pqTopKCoded]] ADC (query
+    * exact, per-query LUTs computed once on the broadcast bounded
+    * query side); list probing is the [[ivfTopKBucketed]] isin-pruned
+    * partition filter. Recall compounds the two approximations (list
+    * pruning × quantization) — measured against brute force in
+    * SimilaritySpec; results are deterministic and a SQL oracle
+    * replays them exactly (both quantizers are the hash-seeded
+    * oracle-derivable forms). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, cents: Seq[(Long, Array[Float])],
+                books: Seq[Seq[(Long, Array[Float])]], nProbe: Int = 2,
+                dim: Int = 64,
+                centroidLiteralMax: Int = CentroidLiteralMax): DataFrame = {
+    val nSub = books.size
+    // same projection-collapse barrier as [[pqTopK]]: the store is
+    // (id, list_id, codes) — the IVF-PQ representation itself — built
+    // in ONE corpus scan (assignment + encode are both projections),
+    // materialized once; production persists it list-partitioned
+    // instead ([[ivfPqTopKCoded]]).
+    val store = withPqCodes(
+        withIvfLists(corpus, vecCol, cents, centroidLiteralMax),
+        vecCol, books, dim)
+      .select(col(idCol) +: col("list_id") +:
+        (0 until nSub).map(s => col(s"pq_code_$s")): _*)
+      .localCheckpoint(false)
+    ivfPqTopKCoded(store, queries, idCol, vecCol, k, cents, books,
+      nProbe, dim, centroidLiteralMax)
+  }
+
+  /** [[ivfPqTopK]] against a PRE-BUILT store (a frame carrying the
+    * [[withIvfLists]] `list_id` and [[withPqCodes]] `pq_code_*`
+    * columns, typically persisted `partitionBy("list_id")` at ingest):
+    * probes read only the probed list directories and only the code
+    * columns. Identical results to [[ivfPqTopK]] at the same
+    * (cents, books, nProbe). */
+  def ivfPqTopKCoded(codedStore: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     cents: Seq[(Long, Array[Float])],
+                     books: Seq[Seq[(Long, Array[Float])]], nProbe: Int = 2,
+                     dim: Int = 64,
+                     centroidLiteralMax: Int = CentroidLiteralMax): DataFrame = {
+    val nSub = books.size
+    val sd = dim / nSub
+    // probe lists per query — literal or broadcast regime, the
+    // [[ivfTopKBucketed]] switch; both output (query_id, qv, qn,
+    // list_id) exploded ×nProbe, qv retained for the LUT fold
+    val q0 =
+      if (cents.size <= centroidLiteralMax)
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          norm(col(vecCol)).as("qn"),
+          explode(ivfProbeLists(col(vecCol), cents, nProbe)).as("list_id"))
+      else ivfProbeBroadcast(queries, idCol, vecCol, cents, nProbe)
+    val q = books.zipWithIndex.foldLeft(q0) { case (d, (bk, s)) =>
+      d.withColumn(s"lut_$s", array(bk.map { case (_, cv) =>
+        dot(slice(col("qv"), s * sd + 1, sd),
+          array(cv.toSeq.map(lit(_)): _*)) }: _*))
+    }.drop("qv")
+    // bounded driver-side probe set (nQueries × nProbe ids) → isin
+    // partition filter on the store, the same control-plane collect
+    // contract as [[ivfTopKBucketed]]
+    val probed = q.select("list_id").distinct().collect().map(_.getLong(0))
+    val c = codedStore.filter(col("list_id").isin(probed: _*)).select(
+      col(idCol).as("neighbor_id") +: col("list_id") +:
+        (0 until nSub).map(s => col(s"pq_code_$s")): _*)
+    val num = (0 until nSub).map(s =>
+      element_at(col(s"lut_$s"), col(s"pq_code_$s").cast("int")))
+      .reduceLeft(_ + _)
+    val nsqSum = books.zipWithIndex.map { case (bk, s) =>
+      element_at(typedlit(bk.map(cv => pqNormSq(cv._2)).toArray),
+        col(s"pq_code_$s").cast("int"))
+    }.reduceLeft(_ + _)
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), "list_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", num / (col("qn") * sqrt(nsqSum)))
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rn"))
+  }
+
   /** Embedding-cosine NEAR-DUP PAIRS: all (a < b) with cosine >=
     * `minCos` — the embedding-space sibling of the MinHash/SimHash
     * text dedup paths, for catching paraphrase/translation near-dups

@@ -105,6 +105,56 @@ object PipelineQueries {
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** C98/C99 shared PQ oracle CTEs — cent0..3 (subspace-salted seed
+    * books, cid = salted hash rank, the `Similarity.pqCodebooks`
+    * derivation) and code0..3 (per-vector argmax code assignment,
+    * ties → smallest cid). 4 subspaces × 16 dims × 16 codewords over
+    * `embeddings`. */
+  private lazy val pqBooksCtesSql: String = {
+    val sd = 16
+    (0 until 4).map { s =>
+      val salt = s.toLong * 7919L
+      val lo = s * sd + 1
+      val hi = (s + 1) * sd
+      s"""cent$s AS (
+         |  SELECT row_number() OVER (
+         |           ORDER BY (vec_id * 2654435761 + $salt) % 1000000007 ASC,
+         |                    vec_id ASC) AS cid,
+         |         sv AS cv, sqrt(${dotSql("sv", "sv")}) AS cn,
+         |         ${dotSql("sv", "sv")} AS nsq
+         |  FROM (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings
+         |        ORDER BY (vec_id * 2654435761 + $salt) % 1000000007 ASC,
+         |                 vec_id ASC LIMIT 16)),
+         |code$s AS (
+         |  SELECT vec_id, cid AS c$s FROM (
+         |    SELECT e.vec_id, cent$s.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dotSql(s"e.embedding[$lo:$hi]", s"cent$s.cv")}
+         |                        / cent$s.cn DESC,
+         |                      cent$s.cid ASC) AS r
+         |    FROM embeddings e CROSS JOIN cent$s) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** The ADC numerator: left-assoc sum of per-subspace LUT dots —
+    * dot(q_s, codeword_s) with the engine's exact fold order. */
+  private def pqLutDotsSql(qv: String): String =
+    (0 until 4).map { s =>
+      s"(${dotSql(s"$qv[${s * 16 + 1}:${(s + 1) * 16}]", s"n$s.cv")})"
+    }.reduceLeft((a, b) => s"($a + $b)")
+
+  /** Left-assoc Σ|codeword_s|² for the ADC denominator. */
+  private val pqNsqSumSql: String =
+    (0 until 4).map(s => s"n$s.nsq").reduceLeft((a, b) => s"($a + $b)")
+
+  /** C100 integer NDCG discount table — w(i) = round(1e6 / log2(i+1))
+    * for ranks 1..10, and its prefix sums (pre(0) = 0). The doubles
+    * exist only HERE, at constant-construction time; both engines see
+    * the same integer literals, so DCG/IDCG sums are engine-exact. */
+  private val ndcgW: Seq[Long] =
+    (1 to 10).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+  private val ndcgPre: Seq[Long] = ndcgW.scanLeft(0L)(_ + _)
+
   /** dot(vec, plane-literal): Spark widens each FLOAT element to DOUBLE
     * before multiplying with the DOUBLE plane value; replicated here
     * with java's shortest-round-trip double literals (DuckDB's parse is
@@ -513,6 +563,52 @@ object PipelineQueries {
           sum(when(col("first_rel") <= 5, 1L).otherwise(0L)).as("hits5"),
           sum(when(col("first_rel").isNotNull, 1L).otherwise(0L)).as("hits10"),
           sum(coalesce(expr("2520 div first_rel"), lit(0L))).as("mrr_x2520"))
+    },
+
+    // C100 — GRADED RETRIEVAL EVAL (NDCG@10) of the LOO retrieval
+    // path: hierarchical relevance — 2 for the query's fine class
+    // (label, vec_id mod 97), 1 for the coarse label, 0 else — the
+    // scorecard MRR@10 (C86) can't express (MRR sees only the FIRST
+    // relevant hit; NDCG prices the whole ranked page and partial
+    // relevance). All fixed-point: discounts are round(1e6/log2(i+1))
+    // integer literals shared with the oracle, IDCG comes in closed
+    // form from the per-class ideal-gain counts via the discount
+    // prefix sums (min(n2,10) twos then coarse ones — no per-query
+    // ideal sort), ndcg = dcg*1e6 div idcg. Cost: the C83 ranking
+    // plus two broadcast label joins and a ≤|classes| ideal table.
+    "ndcg_eval" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val loo = emb.filter(col("vec_id") < 200)
+      val topk = Similarity.bruteForceTopK(emb,
+        loo.select(col("vec_id"), col("embedding")), "vec_id", "embedding", k = 10)
+      val lbl = emb.select(col("vec_id"), col("label").cast("long").as("lab"),
+        (col("vec_id") % 97).as("fine"))
+      val wLit = typedlit(ndcgW.toArray)
+      val preLit = typedlit(ndcgPre.toArray)
+      val gains = topk
+        .join(broadcast(lbl.toDF("neighbor_id", "n_lab", "n_fine")), "neighbor_id")
+        .join(broadcast(lbl.toDF("query_id", "true_label", "q_fine")), "query_id")
+        .withColumn("rel",
+          when(col("n_lab") === col("true_label") &&
+            col("n_fine") === col("q_fine"), 2L)
+            .when(col("n_lab") === col("true_label"), 1L).otherwise(0L))
+        .groupBy(col("query_id"), col("true_label"), col("q_fine"))
+        .agg(sum(col("rel") * element_at(wLit, col("rn"))).as("dcg"))
+      val byClass = lbl.groupBy(col("lab"), col("fine")).agg(count(lit(1)).as("nc"))
+      val byLab = lbl.groupBy(col("lab")).agg(count(lit(1)).as("nl"))
+      val ideal = byClass.join(byLab, "lab")
+        .withColumn("n2c", least(col("nc") - 1, lit(10L)))
+        .withColumn("n12", least(col("nl") - 1, lit(10L)))
+        .select(col("lab").as("true_label"), col("fine").as("q_fine"),
+          (lit(2L) * element_at(preLit, (col("n2c") + 1).cast("int"))
+            + element_at(preLit, (col("n12") + 1).cast("int"))
+            - element_at(preLit, (col("n2c") + 1).cast("int"))).as("idcg"))
+      gains.join(broadcast(ideal), Seq("true_label", "q_fine"))
+        .withColumn("ndcg",
+          when(col("idcg") > 0, expr("(dcg * 1000000) div idcg")).otherwise(0L))
+        .groupBy(col("true_label"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("dcg")).as("dcg_sum"),
+          sum(col("ndcg")).as("ndcg_sum"))
     },
 
     // C91 — CONFIDENCE CALIBRATION of the C54 classifier: accuracy
@@ -1093,6 +1189,24 @@ object PipelineQueries {
         k = 10, books, dim = 64)
     },
 
+    // C99 — IVF-PQ composed ANN (Similarity.ivfPqTopK): the coarse
+    // quantizer (C28's 16 seed centroids, nProbe 2) bounds candidate
+    // COUNT, the product quantizer (C98's 4×16 books) bounds BYTES
+    // per candidate — the only regime sub-scan in both dimensions,
+    // i.e. the production 100 TB index shape. Store built in one
+    // corpus scan (list assignment + encode are projections); probes
+    // touch only probed lists' code columns. The oracle composes the
+    // C28 and C98 CTEs — list pruning AND quantization replayed, so
+    // the match is exact including the compounded recall.
+    "embed_ivfpq_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16).toSeq
+      val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        nSub = 4, nCent = 16, dim = 64)
+      Similarity.ivfPqTopK(emb, embQueries(s, d), "vec_id", "embedding",
+        k = 10, cents, books, nProbe = 2, dim = 64)
+    },
+
     // C31 — per-domain crawl cap: extract the URL host (portable
     // regexp — identical policy on any engine), then cap every domain
     // at 20 docs chosen by multiplicative-hash order. The standard
@@ -1553,6 +1667,48 @@ object PipelineQueries {
       |       CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
       |       CAST(sum(coalesce(2520 // first_rel, 0)) AS BIGINT) AS mrr_x2520
       |FROM fr GROUP BY 1""".stripMargin,
+
+    // C100: the C83 LOO ranking scored with the shared integer
+    // discount literals; IDCG replayed from the same closed-form
+    // prefix-sum expression over the (label, fine-class) histograms.
+    "ndcg_eval" -> s"""
+      |WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 200),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+      |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s),
+      |g AS (
+      |  SELECT r.query_id, CAST(t.label AS BIGINT) AS true_label,
+      |         t.vec_id % 97 AS q_fine,
+      |         sum((CASE WHEN CAST(e.label AS BIGINT) = CAST(t.label AS BIGINT)
+      |                        AND e.vec_id % 97 = t.vec_id % 97 THEN 2
+      |                   WHEN CAST(e.label AS BIGINT) = CAST(t.label AS BIGINT) THEN 1
+      |                   ELSE 0 END)
+      |             * ${ndcgW.mkString("[", ", ", "]")}[rn]) AS dcg
+      |  FROM r JOIN embeddings e ON r.neighbor_id = e.vec_id
+      |         JOIN embeddings t ON r.query_id = t.vec_id
+      |  WHERE rn <= 10
+      |  GROUP BY 1, 2, 3),
+      |cls AS (SELECT CAST(label AS BIGINT) AS lab, vec_id % 97 AS fine,
+      |               count(*) AS nc
+      |        FROM embeddings GROUP BY 1, 2),
+      |lb AS (SELECT CAST(label AS BIGINT) AS lab, count(*) AS nl
+      |       FROM embeddings GROUP BY 1),
+      |ideal AS (
+      |  SELECT lab, fine,
+      |         2 * pre[least(nc - 1, 10) + 1]
+      |           + pre[least(nl - 1, 10) + 1] - pre[least(nc - 1, 10) + 1] AS idcg
+      |  FROM (SELECT cls.lab, cls.fine, nc, nl,
+      |               ${ndcgPre.mkString("[", ", ", "]")} AS pre
+      |        FROM cls JOIN lb USING (lab)))
+      |SELECT true_label, CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(dcg) AS BIGINT) AS dcg_sum,
+      |       CAST(sum(CASE WHEN idcg > 0 THEN (dcg * 1000000) // idcg
+      |                     ELSE 0 END) AS BIGINT) AS ndcg_sum
+      |FROM g JOIN ideal ON g.true_label = ideal.lab AND g.q_fine = ideal.fine
+      |GROUP BY 1""".stripMargin,
 
     // C83: the C54 prediction SQL widened to the vec_id < 200 LOO
     // population, joined back to truth and confusioned.
@@ -2259,46 +2415,17 @@ object PipelineQueries {
     // cid), codes re-assigned, ADC replayed with the engine's exact
     // left-assoc sum and |q|·√Σnsq denominator — value-exact
     // including every double.
-    "embed_pq_topk" -> {
-      val sd = 16
-      val books = (0 until 4).map { s =>
-        val salt = s.toLong * 7919L
-        val lo = s * sd + 1
-        val hi = (s + 1) * sd
-        s"""cent$s AS (
-           |  SELECT row_number() OVER (
-           |           ORDER BY (vec_id * 2654435761 + $salt) % 1000000007 ASC,
-           |                    vec_id ASC) AS cid,
-           |         sv AS cv, sqrt(${dotSql("sv", "sv")}) AS cn,
-           |         ${dotSql("sv", "sv")} AS nsq
-           |  FROM (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings
-           |        ORDER BY (vec_id * 2654435761 + $salt) % 1000000007 ASC,
-           |                 vec_id ASC LIMIT 16)),
-           |code$s AS (
-           |  SELECT vec_id, cid AS c$s FROM (
-           |    SELECT e.vec_id, cent$s.cid,
-           |           row_number() OVER (PARTITION BY e.vec_id
-           |             ORDER BY ${dotSql(s"e.embedding[$lo:$hi]", s"cent$s.cv")}
-           |                        / cent$s.cn DESC,
-           |                      cent$s.cid ASC) AS r
-           |    FROM embeddings e CROSS JOIN cent$s) WHERE r = 1)""".stripMargin
-      }.mkString(",\n")
-      val lutDots = (0 until 4).map { s =>
-        s"(${dotSql(s"q.embedding[${s * sd + 1}:${(s + 1) * sd}]", s"n$s.cv")})"
-      }.reduceLeft((a, b) => s"($a + $b)")
-      val nsqSum = (0 until 4).map(s => s"n$s.nsq")
-        .reduceLeft((a, b) => s"($a + $b)")
-      s"""
-      |WITH $books,
+    "embed_pq_topk" -> s"""
+      |WITH $pqBooksCtesSql,
       |codes AS (
       |  SELECT code0.vec_id, c0, c1, c2, c3
       |  FROM code0 JOIN code1 USING (vec_id) JOIN code2 USING (vec_id)
       |       JOIN code3 USING (vec_id)),
       |s AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |         $lutDots
+      |         ${pqLutDotsSql("q.embedding")}
       |           / (sqrt(${dotSql("q.embedding", "q.embedding")})
-      |              * sqrt($nsqSum)) AS adc
+      |              * sqrt($pqNsqSumSql)) AS adc
       |  FROM codes c
       |  JOIN cent0 n0 ON c.c0 = n0.cid
       |  JOIN cent1 n1 ON c.c1 = n1.cid
@@ -2308,8 +2435,55 @@ object PipelineQueries {
       |  WHERE c.vec_id <> q.vec_id),
       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
       |                                   ORDER BY adc DESC, neighbor_id ASC) AS rn FROM s)
-      |SELECT query_id, neighbor_id, adc, rn FROM r WHERE rn <= 10""".stripMargin
-    },
+      |SELECT query_id, neighbor_id, adc, rn FROM r WHERE rn <= 10""".stripMargin,
+
+    // C99: the C28 IVF CTEs (cent / assign / qp) composed with the
+    // C98 PQ CTEs — candidates restricted to each query's probed
+    // lists via the assign⋈qp list join, then the same replayed ADC
+    // doubles. Exact including the COMPOUNDED recall (list pruning ×
+    // quantization).
+    "embed_ivfpq_topk" -> s"""
+      |WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cv,
+      |         sqrt(${dotSql("embedding", "embedding")}) AS cn
+      |  FROM embeddings
+      |  ORDER BY (vec_id * 2654435761) % 1000000007 ASC, vec_id ASC LIMIT 16),
+      |assign AS (
+      |  SELECT vec_id, cid AS list_id FROM (
+      |    SELECT e.vec_id, cent.cid,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY ${dotSql("e.embedding", "cent.cv")} / cent.cn DESC,
+      |                      cent.cid ASC) AS r
+      |    FROM embeddings e CROSS JOIN cent) WHERE r = 1),
+      |qp AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, cid AS list_id FROM (
+      |    SELECT q.vec_id, q.embedding, cent.cid,
+      |           row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY ${dotSql("q.embedding", "cent.cv")} / cent.cn DESC,
+      |                      cent.cid ASC) AS r
+      |    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+      |    CROSS JOIN cent) WHERE r <= 2),
+      |$pqBooksCtesSql,
+      |codes AS (
+      |  SELECT code0.vec_id, c0, c1, c2, c3
+      |  FROM code0 JOIN code1 USING (vec_id) JOIN code2 USING (vec_id)
+      |       JOIN code3 USING (vec_id)),
+      |s AS (
+      |  SELECT qp.query_id, c.vec_id AS neighbor_id,
+      |         ${pqLutDotsSql("qp.qv")}
+      |           / (sqrt(${dotSql("qp.qv", "qp.qv")})
+      |              * sqrt($pqNsqSumSql)) AS adc
+      |  FROM codes c
+      |  JOIN assign a ON c.vec_id = a.vec_id
+      |  JOIN qp ON a.list_id = qp.list_id
+      |  JOIN cent0 n0 ON c.c0 = n0.cid
+      |  JOIN cent1 n1 ON c.c1 = n1.cid
+      |  JOIN cent2 n2 ON c.c2 = n2.cid
+      |  JOIN cent3 n3 ON c.c3 = n3.cid
+      |  WHERE c.vec_id <> qp.query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY adc DESC, neighbor_id ASC) AS rn FROM s)
+      |SELECT query_id, neighbor_id, adc, rn FROM r WHERE rn <= 10""".stripMargin,
 
     // C28 oracle at the broadcast-regime parameters (160 centroids,
     // 4 probes) — regime choice must not change results.

@@ -481,4 +481,55 @@ class SimilaritySpec extends SparkTestBase {
     info(f"PQ(4x16) recall@10 vs brute on isotropic corpus: $recall%.3f")
     assert(recall >= 0.10, f"PQ recall collapsed: $recall%.3f")
   }
+
+  test("IVF-PQ: candidates confined to probed lists, coded-store and " +
+      "broadcast-regime equality, compounded recall measured (r13 C99)") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", 4, 16, 64)
+    val queries = emb.filter(col("vec_id") < 8)
+    val direct = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 10, cents, books, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // structural pin: every returned neighbor sits in one of its
+    // query's nProbe probed lists — the IVF pruning actually bounds
+    // the candidate set (a regression to flat-PQ scoring would
+    // surface neighbors from unprobed lists)
+    val listOf = Similarity.withIvfLists(emb, "embedding", cents)
+      .select("vec_id", "list_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probesOf = queries.select(col("vec_id"),
+        Similarity.ivfProbeLists(col("embedding"), cents, 2).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(direct.nonEmpty && direct.forall { case (q, n, _) =>
+      probesOf(q).contains(listOf(n)) },
+      "neighbor outside the query's probed lists")
+    // store form == direct form
+    val store = Similarity.withPqCodes(
+        Similarity.withIvfLists(emb, "embedding", cents), "embedding", books)
+      .select("vec_id", "list_id", "pq_code_0", "pq_code_1", "pq_code_2",
+        "pq_code_3").localCheckpoint()
+    val viaStore = Similarity.ivfPqTopKCoded(store, queries, "vec_id",
+        "embedding", k = 10, cents, books, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(direct == viaStore)
+    // regime invariance: forcing the broadcast probe/assignment path
+    // (centroidLiteralMax below nCentroids) must not change results
+    val bcast = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 10, cents, books, nProbe = 2, centroidLiteralMax = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(direct == bcast)
+    // compounded recall (list pruning x quantization) vs brute:
+    // reported, with a collapse floor only — each stage's own
+    // operating points are pinned in their own specs
+    val hits2 = (0L until 8L).map { q =>
+      val truth = bruteTopK(q, 10).toSet
+      direct.filter(_._1 == q).count(p => truth.contains(p._2))
+    }.sum
+    val n = direct.size
+    val recall2 = hits2.toDouble / n
+    info(f"IVF-PQ(16 lists, nProbe 2, 4x16 books) recall@10 vs brute: " +
+      f"$recall2%.3f over $n pairs")
+    assert(recall2 >= 0.05, f"IVF-PQ recall collapsed: $recall2%.3f")
+  }
 }
