@@ -788,6 +788,43 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adc"), col("rn"))
   }
 
+  /** MUTUAL nearest neighbors across two sources — the bitext-mining /
+    * cross-corpus alignment primitive (Artetxe & Schwenk, ACL 2019
+    * mine with margin scoring over exactly this candidate structure):
+    * pairs (a, b) where b is a's best match in B AND a is b's best
+    * match in A. Mutuality is the classic precision filter — a hub
+    * vector that is "everyone's neighbor" wins at most one partner.
+    *
+    * Blocking is the shared-hyperplane LSH bucket (one equi-join on
+    * the 8-plane sign bucket — candidates ∝ bucket occupancy, never
+    * |A|×|B|); both best-match ranks are computed ON the candidate
+    * set, so recall < 1 by construction (a true pair split across
+    * buckets is missed — raise numPlanes with corpus size exactly as
+    * [[lshTopK]]) while every emitted pair's mutuality and cosine are
+    * exact over the blocked candidates. Two per-key windows (by a_id,
+    * by b_id) on the candidate frame — no corpus-wide ordering.
+    * Ties → smallest partner id, the house contract. */
+  def mutualNearest(a: DataFrame, b: DataFrame, idCol: String,
+                    vecCol: String, numPlanes: Int = 8,
+                    dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val aa = a.select(col(idCol).as("a_id"), col(vecCol).as("av"),
+      norm(col(vecCol)).as("an"), lshBucket(col(vecCol), planes).as("bucket"))
+    val bb = b.select(col(idCol).as("b_id"), col(vecCol).as("bv"),
+      norm(col(vecCol)).as("bn"), lshBucket(col(vecCol), planes).as("bucket"))
+    val cand = aa.join(bb, "bucket")
+      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .select("a_id", "b_id", "cos")
+    val byA = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos").desc, col("b_id").asc)
+    val byB = Window.partitionBy(col("b_id"))
+      .orderBy(col("cos").desc, col("a_id").asc)
+    cand.withColumn("ra", row_number().over(byA))
+      .withColumn("rb", row_number().over(byB))
+      .filter(col("ra") === 1 && col("rb") === 1)
+      .select("a_id", "b_id", "cos")
+  }
+
   /** Embedding-cosine NEAR-DUP PAIRS: all (a < b) with cosine >=
     * `minCos` — the embedding-space sibling of the MinHash/SimHash
     * text dedup paths, for catching paraphrase/translation near-dups

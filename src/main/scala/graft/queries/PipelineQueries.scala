@@ -1207,6 +1207,22 @@ object PipelineQueries {
         k = 10, cents, books, nProbe = 2, dim = 64)
     },
 
+    // C102 — MUTUAL nearest neighbors across two sources (even vs odd
+    // vec_ids stand in for the two corpora): the bitext-mining /
+    // cross-corpus alignment primitive — b is a's best match AND a is
+    // b's; mutuality is the precision filter that stops hub vectors
+    // from pairing with everyone. LSH-bucket blocked (candidates ∝
+    // bucket occupancy, never |A|×|B|); the oracle replays planes,
+    // buckets, cosine fold, and both best-match ranks, so the match
+    // is exact including blocking recall.
+    "mutual_nn" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.mutualNearest(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", numPlanes = 8, dim = 64)
+    },
+
     // C31 — per-domain crawl cap: extract the URL host (portable
     // regexp — identical policy on any engine), then cap every domain
     // at 20 docs chosen by multiplicative-hash order. The standard
@@ -2515,6 +2531,30 @@ object PipelineQueries {
       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
       |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s)
       |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 10""".stripMargin,
+
+    // C102: planes/buckets/cosine replayed (the C6 machinery), both
+    // best-match ranks over the same blocked candidate set, mutual
+    // filter — exact including blocking recall.
+    "mutual_nn" -> {
+      val planes = Similarity.hyperplanes(8, 64)
+      s"""
+      |WITH a AS (SELECT vec_id AS a_id, embedding AS av,
+      |                  ${lshBucketSql("embedding", planes)} AS bucket
+      |           FROM embeddings WHERE vec_id % 2 = 0),
+      |b AS (SELECT vec_id AS b_id, embedding AS bv,
+      |             ${lshBucketSql("embedding", planes)} AS bucket
+      |      FROM embeddings WHERE vec_id % 2 = 1),
+      |cand AS (
+      |  SELECT a_id, b_id, ${cosSql("av", "bv")} AS cos
+      |  FROM a JOIN b USING (bucket)),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY a_id
+      |          ORDER BY cos DESC, b_id ASC) AS ra,
+      |        row_number() OVER (PARTITION BY b_id
+      |          ORDER BY cos DESC, a_id ASC) AS rb
+      |      FROM cand)
+      |SELECT a_id, b_id, cos FROM r WHERE ra = 1 AND rb = 1""".stripMargin
+    },
 
     // C87: same corpus construction; DuckDB md5 over the text bytes
     // equals Spark md5 over the binary payload (the payload IS the

@@ -395,6 +395,41 @@ object ScaleQueries {
           "l_partkey->l_suppkey"))
         .unionByName(check(Tables.orders(s, d), "o_custkey", "o_orderpriority",
           "o_custkey->o_orderpriority"))
+    },
+
+    // C101 — SEQUENCE-GAP audit (CDC completeness): which 1000-id
+    // blocks of the event-id sequence are missing rows, and how many
+    // — the "did every upstream change actually arrive" check a CDC
+    // consumer runs before trusting a snapshot. NO global sort and no
+    // lag window over the corpus (the naive form — the zonemap
+    // lesson): per-BLOCK counts come from one map-side-combined agg;
+    // the block spine is spark.range (a DISTRIBUTED generator, not a
+    // one-task sequence() explode — corpus/1000 rows stay partitioned
+    // at any scale) bounded by the observed [min, max] ids (one
+    // 2-long control-plane collect); a spine⋈agg join then prices
+    // every block, so WHOLLY-missing blocks surface too (a groupBy
+    // alone can't see a block with zero surviving rows). The audited
+    // corpus synthesizes known losses: two ids dropped per block
+    // (%1000 ∈ {7, 113}) and block 5 dropped whole.
+    "seq_gap_audit" -> { (s, d) =>
+      val B = 1000L
+      val ev = Tables.events(s, d)
+        .filter(col("event_id") % B =!= 7 && col("event_id") % B =!= 113 &&
+          expr(s"event_id div $B") =!= 5)
+        .select(col("event_id"))
+      val agg = ev.groupBy(expr(s"event_id div $B").as("block_id"))
+        .agg(count(lit(1)).as("n_present"))
+      val bounds = ev.agg(min(col("event_id")).as("gmin"),
+        max(col("event_id")).as("gmax")).collect()(0)
+      val (gmin, gmax) = (bounds.getLong(0), bounds.getLong(1))
+      s.range(gmin / B, gmax / B + 1).toDF("block_id")
+        .join(agg, Seq("block_id"), "left")
+        .select(col("block_id"),
+          coalesce(col("n_present"), lit(0L)).as("n_present"),
+          (least(col("block_id") * B + (B - 1), lit(gmax))
+            - greatest(col("block_id") * B, lit(gmin)) + 1
+            - coalesce(col("n_present"), lit(0L))).as("n_missing"))
+        .filter(col("n_missing") > 0)
     })
 
   /** ⌊log10(1+1/d)·10⁶⌋ for d = 1…9 — shared verbatim by the engine
@@ -720,7 +755,31 @@ object ScaleQueries {
       fdSql("lineitem", "l_orderkey", "l_returnflag"),
       fdSql("lineitem", "l_partkey", "l_suppkey"),
       fdSql("orders", "o_custkey", "o_orderpriority"))
-      .mkString("\n", "\nUNION ALL\n", ""))
+      .mkString("\n", "\nUNION ALL\n", ""),
+
+    // C101: same synthesized-loss corpus, generate_series spine,
+    // identical block arithmetic.
+    "seq_gap_audit" -> """
+      |WITH RECURSIVE ev AS (SELECT event_id FROM events
+      |            WHERE event_id % 1000 NOT IN (7, 113)
+      |              AND event_id // 1000 <> 5),
+      |bounds AS (SELECT min(event_id) AS gmin, max(event_id) AS gmax FROM ev),
+      |blocks(block_id) AS (
+      |  SELECT gmin // 1000 FROM bounds
+      |  UNION ALL
+      |  SELECT block_id + 1 FROM blocks
+      |  WHERE block_id < (SELECT gmax // 1000 FROM bounds)),
+      |agg AS (SELECT event_id // 1000 AS block_id, count(*) AS n_present
+      |        FROM ev GROUP BY 1),
+      |spine AS (SELECT block_id, gmin, gmax FROM blocks, bounds),
+      |j AS (SELECT s.block_id,
+      |             CAST(coalesce(n_present, 0) AS BIGINT) AS n_present,
+      |             least(s.block_id * 1000 + 999, gmax)
+      |               - greatest(s.block_id * 1000, gmin) + 1
+      |               - coalesce(n_present, 0) AS n_missing
+      |      FROM spine s LEFT JOIN agg USING (block_id))
+      |SELECT block_id, n_present, CAST(n_missing AS BIGINT) AS n_missing
+      |FROM j WHERE n_missing > 0""".stripMargin)
 
   /** One candidate-FD block of the C95 oracle. */
   private def fdSql(table: String, x: String, y: String): String =

@@ -532,4 +532,47 @@ class SimilaritySpec extends SparkTestBase {
       f"$recall2%.3f over $n pairs")
     assert(recall2 >= 0.05, f"IVF-PQ recall collapsed: $recall2%.3f")
   }
+
+  test("mutualNearest matches a Scala reference over the same LSH-blocked " +
+      "candidates; partners are unique and mutual (r13 C102)") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val got = Similarity.mutualNearest(
+        emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", numPlanes = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // parity + one-partner-each (mutual top-1 can match a vector at
+    // most once per side)
+    assert(got.forall { case (a, b, _) => a % 2 == 0 && b % 2 == 1 })
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.map(_._2).distinct.length == got.length)
+    // Scala reference: same planes, same sign buckets, candidates =
+    // same-bucket cross pairs, mutual best match with (cos desc, id
+    // asc) ties — emitted set must be exactly equal
+    val planes = Similarity.hyperplanes(8, 64)
+    def bucket(v: Array[Float]): Long =
+      planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+        val d = p.indices.foldLeft(0.0)((s, j) => s + p(j) * v(j))
+        if (d > 0) acc | (1L << i) else acc
+      }
+    val byBucket = vecs.groupBy { case (_, v) => bucket(v) }
+    val cand = byBucket.values.flatMap { m =>
+      val as = m.keys.filter(_ % 2 == 0); val bs = m.keys.filter(_ % 2 == 1)
+      for (a <- as; b <- bs) yield (a, b, cos(vecs(a), vecs(b)))
+    }.toSeq
+    val bestB = cand.groupBy(_._1).map { case (a, xs) =>
+      a -> xs.minBy { case (_, b, c) => (-c, b) }._2 }
+    val bestA = cand.groupBy(_._2).map { case (b, xs) =>
+      b -> xs.minBy { case (a, _, c) => (-c, a) }._1 }
+    val want = cand.filter { case (a, b, _) =>
+      bestB(a) == b && bestA(b) == a }.map { case (a, b, _) => (a, b) }.toSet
+    assert(got.map(p => (p._1, p._2)).toSet == want)
+    // emitted cosines replay the engine fold exactly (FLOAT multiply,
+    // DOUBLE accumulate — the VecDot order)
+    def vdot(x: Array[Float], y: Array[Float]): Double =
+      x.indices.foldLeft(0.0)((s, i) => s + (x(i) * y(i)).toDouble)
+    assert(got.forall { case (a, b, c) =>
+      c == vdot(vecs(a), vecs(b)) /
+        (math.sqrt(vdot(vecs(a), vecs(a))) * math.sqrt(vdot(vecs(b), vecs(b)))) })
+  }
 }
