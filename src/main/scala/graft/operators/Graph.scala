@@ -528,6 +528,41 @@ object Graph {
     out
   }
 
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang, EPJ B
+    * 2009): RA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/deg(w) — the
+    * common-neighbor count with each shared neighbor discounted by
+    * its degree. Integer-exact: each wedge contributes
+    * `10⁶ div deg(w)` (1/log-weighted Adamic–Adar is NOT
+    * integer-expressible; RA both beats it on link-prediction
+    * benchmarks and stays engine-exact). Identical wedge machinery,
+    * hub guard, and scale shape as [[commonNeighborJaccard]] — the
+    * guard is contract (apexes over `maxApexDeg` generate no
+    * wedges), while the 1/deg weights use the EXACT uncapped
+    * degrees. Deterministic top-k: (ra_ppm desc, common desc, u, v). */
+  def resourceAllocation(edges: DataFrame, srcCol: String, dstCol: String,
+      maxApexDeg: Long, k: Int): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val adj = und.select(col("a").as("w"), col("b").as("x"))
+      .unionByName(und.select(col("b").as("w"), col("a").as("x")))
+      .join(deg.select(col("node").as("w"), col("deg")), "w")
+      .filter(col("deg") <= maxApexDeg)
+    adj.select(col("w"), col("deg"), col("x").as("u"))
+      .join(adj.select(col("w"), col("x").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000 div deg")).as("ra_ppm"))
+      .orderBy(col("ra_ppm").desc, col("common").desc,
+        col("u").asc, col("v").asc)
+      .limit(k)
+  }
+
   /** The assortativity statistic over the exact moment columns —
     * shared VERBATIM with the SQL oracle so the double operation
     * order (hence every IEEE rounding) is identical on both engines. */

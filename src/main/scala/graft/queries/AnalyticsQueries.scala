@@ -797,6 +797,106 @@ object AnalyticsQueries {
         bp("num3").as("acf3_bp"))
     },
 
+    // B85 — FANO-FACTOR overdispersion of hourly event volume per
+    // type (variance-to-mean of the DENSE hour series, zeros
+    // included — B78's spine): Fano ≈ 1 → Poisson-like arrivals,
+    // ≫ 1 → bursty/clustered — the one-number answer to "is this
+    // stream's burstiness real or just volume", feeding the same
+    // capacity/anomaly baselines as B69/B78. Division-free integers:
+    // fano_ppm = (H·Σx² − (Σx)²)·10⁶ div (H·Σx) with Σx² in
+    // DECIMAL(38,0) (exact, order-independent — the B78/HUGEINT
+    // convention); numerator ≥ 0 by Cauchy-Schwarz. ONE corpus agg →
+    // calendar-bounded series → per-type fold.
+    "fano_factor" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS BIGINT) div 3600").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = counts.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+      val series = spine.join(counts, Seq("event_type", "h"), "left")
+        .select(col("event_type"), coalesce(col("cnt"), lit(0L)).as("x"))
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+      series.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("total"),
+          sum(d38(col("x")) * d38(col("x"))).as("ss"))
+        .filter(col("total") > 0)
+        .withColumn("num", d38(col("n_hours")) * col("ss")
+          - d38(col("total")) * d38(col("total")))
+        .withColumn("den", d38(col("n_hours")) * d38(col("total")))
+        .select(col("event_type"), col("n_hours"), col("total"),
+          expr("(num * 1000000) div den").as("fano_ppm"))
+    },
+
+    // B86 — TRANSITION DWELL: B29's Markov edge counts extended with
+    // the time spent on each transition (Σ, max, integer-mean µs) —
+    // the "where do users stall" layer funnel design needs on top of
+    // where they GO (a common A→B edge with a huge dwell is a UX
+    // cliff, not a flow). Same single user-keyed shuffle as B29 (one
+    // lead() window carries both successor type and timestamp);
+    // dwell sums are exact integer µs, mean = sum div n.
+    "transition_dwell" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          lead(col("ts"), 1).over(w).as("next_ts"))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(unix_micros(col("next_ts")) - unix_micros(col("ts")))
+            .as("dwell_us_sum"),
+          max(unix_micros(col("next_ts")) - unix_micros(col("ts")))
+            .as("dwell_us_max"))
+        .withColumn("dwell_us_mean", expr("dwell_us_sum div n"))
+    },
+
+    // B87 — RESOURCE-ALLOCATION link prediction (Zhou, Lü & Zhang,
+    // EPJ B 2009): RA(u,v) = Σ_{w∈N(u)∩N(v)} 1/deg(w) — B83's
+    // common-neighbor count with each shared neighbor DISCOUNTED by
+    // its degree, so a pair sharing three quiet specialists outranks
+    // one sharing three near-hub generalists (RA beats raw counts
+    // and Adamic-Adar on link-prediction benchmarks, and its 1/deg
+    // weight is integer-exact where AA's 1/log deg is not:
+    // ra_ppm = Σ 10⁶ div deg(w)). Same wedge machinery and hub
+    // guard as B83 (apex deg ≤ 25 generates wedges; weights use the
+    // EXACT uncapped degree); deterministic top-20.
+    "resource_alloc" -> { (s, d) =>
+      graft.operators.Graph.resourceAllocation(wordAdjacencyEdges(s, d),
+        "src", "dst", maxApexDeg = 25L, k = 20)
+    },
+
+    // B88 — HHI market concentration (Herfindahl–Hirschman) of order
+    // revenue across customers, per nation: Σ share_bp² over exact
+    // integer cent revenues — the concentration gate ("is this
+    // nation's demand one whale or a thousand minnows") behind the
+    // same skew decisions C46/C89 make for keys, expressed in the
+    // analyst's standard unit (HHI of 10⁴ bp shares; US DoJ calls
+    // > 2500·10⁴ concentrated after rescaling). Floor-dust exact:
+    // share_bp = rev·10⁴ div tot per customer, both engines floor
+    // identically. Two map-side-combined aggs + one broadcast
+    // per-nation total join; no windows.
+    "hhi_concentration" -> { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_custkey"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("rev_cents"))
+      val tot = rev.groupBy(col("nationkey"))
+        .agg(sum(col("rev_cents")).as("tot_cents"),
+          count(lit(1)).as("n_customers"))
+      rev.join(broadcast(tot), "nationkey")
+        .withColumn("share_bp", expr("rev_cents * 10000 div tot_cents"))
+        .groupBy(col("nationkey"))
+        .agg(max(col("n_customers")).as("n_customers"),
+          max(col("tot_cents")).as("tot_cents"),
+          sum(col("share_bp") * col("share_bp")).as("hhi"))
+    },
+
     // B79 — DAILY VOLUME TREND (exact OLS slope over the dense daily
     // spine): per event type, x = day index from the type's first
     // day, y = daily count, slope from the closed-form integer
@@ -1690,6 +1790,85 @@ object AnalyticsQueries {
       |       common * 10000 // (du.deg + dv.deg - common) AS jaccard_bp
       |FROM cmn JOIN deg du ON u = du.node JOIN deg dv ON v = dv.node
       |ORDER BY jaccard_bp DESC, common DESC, u, v LIMIT 20""".stripMargin,
+
+    // B87: same wedge/guard CTEs as B83 with the apex degree carried
+    // into the pair agg; Σ 10⁶ // deg(w) replayed exactly.
+    "resource_alloc" -> s"""
+      |WITH $WordAdjSql,
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e0 WHERE src <> dst),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      |        GROUP BY 1),
+      |adj AS (SELECT t.w, t.x, deg.deg FROM (
+      |          SELECT a AS w, b AS x FROM und
+      |          UNION ALL SELECT b, a FROM und) t
+      |        JOIN deg ON t.w = deg.node WHERE deg.deg <= 25)
+      |SELECT a1.x AS u, a2.x AS v, CAST(count(*) AS BIGINT) AS common,
+      |       CAST(sum(1000000 // a1.deg) AS BIGINT) AS ra_ppm
+      |FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
+      |GROUP BY 1, 2
+      |ORDER BY ra_ppm DESC, common DESC, u, v LIMIT 20""".stripMargin,
+
+    // B85: the B78 dense-series CTEs folded to the three moments;
+    // HUGEINT Σx² mirrors the engine's DECIMAL(38,0).
+    "fano_factor" -> """
+      WITH counts AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      rng AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+              FROM counts GROUP BY 1),
+      spine AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM rng),
+      series AS (
+        SELECT sp.event_type, coalesce(c.cnt, 0) AS x
+        FROM spine sp LEFT JOIN counts c
+          ON sp.event_type = c.event_type AND sp.h = c.h),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+                   CAST(sum(x) AS BIGINT) AS total,
+                   sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS ss
+            FROM series GROUP BY 1)
+      SELECT event_type, n_hours, total,
+             CAST((CAST(n_hours AS HUGEINT) * ss
+                   - CAST(total AS HUGEINT) * CAST(total AS HUGEINT)) * 1000000
+                  // (CAST(n_hours AS HUGEINT) * CAST(total AS HUGEINT))
+                  AS BIGINT) AS fano_ppm
+      FROM m WHERE total > 0""",
+
+    // B86: the B29 lead() window carrying next_ts too; µs sums exact.
+    "transition_dwell" -> """
+      WITH t AS (
+        SELECT event_type,
+               lead(event_type) OVER w AS next_type,
+               lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dwell_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dwell_us) AS BIGINT) AS dwell_us_sum,
+             CAST(max(dwell_us) AS BIGINT) AS dwell_us_max,
+             CAST(sum(dwell_us) AS BIGINT) // CAST(count(*) AS BIGINT)
+               AS dwell_us_mean
+      FROM t WHERE next_type IS NOT NULL
+      GROUP BY 1, 2""",
+
+    // B88: cent-exact revenues, floored bp shares, Σ share² per
+    // nation.
+    "hhi_concentration" -> """
+      WITH rev AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_custkey,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      tot AS (SELECT nationkey, CAST(sum(rev_cents) AS BIGINT) AS tot_cents,
+                     CAST(count(*) AS BIGINT) AS n_customers
+              FROM rev GROUP BY 1)
+      SELECT rev.nationkey, max(n_customers) AS n_customers,
+             max(tot_cents) AS tot_cents,
+             CAST(sum((rev_cents * 10000 // tot_cents)
+                      * (rev_cents * 10000 // tot_cents)) AS BIGINT) AS hhi
+      FROM rev JOIN tot USING (nationkey)
+      GROUP BY 1""",
 
     // B69: identical cross-multiplied rate comparison — division-free.
     "burst_hours" -> """
