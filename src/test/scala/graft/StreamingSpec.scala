@@ -1552,6 +1552,57 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("TwsSeqGap: watermark-final per-block completeness equals the " +
+    "interior-block truth; premature timers defer; dupes go negative") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTwsConf {
+    val B = 1704067200L // 2024-01-01 UTC, seconds
+    def ms(s: Long) = (B + s) * 1000L
+    // ids 0..39 (blocks 0..3 at blockSize 10), ts = B + id seconds;
+    // drops {7, 13, 23} and a duplicated 25 — so per-block truth is
+    // (0,9,1) (1,9,1) (2,10,0) (3,10,0): the dup REFILLS block 2's
+    // dropped id count-wise (the stream counts deliveries, not
+    // distinct ids — that is the at-least-once visibility the batch
+    // groupBy can't have)
+    val ids = (0L until 40L).filterNot(Set(7L, 13L, 23L)) :+ 25L
+    val truth = ids.groupBy(_ / 10).map { case (b, xs) =>
+      (b, xs.size.toLong, 10L - xs.size) }.toSet
+    val input = MemoryStream[(Long, Long)] // (event_id, eventTimeMs)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_seqgap").toString
+    val q = graft.streaming.TwsSeqGap.audit(
+        input.toDS().toDF("event_id", "ms")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        blockSize = 10L, settleSecs = 30L, delay = "60 seconds")
+      .writeStream.format("memory").queryName("seqgap")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      def feed(data: Seq[Long]): Unit = {
+        input.addData(data.map(id => (id, ms(id))))
+        q.processAllAvailable()
+      }
+      // id 9 held into batch 2: it EXTENDS block 0's horizon, so the
+      // batch-1 timer (B+8+31) must defer to the batch-2 one (B+40)
+      feed(scala.util.Random.shuffle(ids.filterNot(_ == 9L)).toSeq)
+      feed(Seq(9L))
+      // tick 1 → watermark B+39: fires block 0's stale timer only —
+      // it must DEFER (9's arrival moved finality to B+40)
+      input.addData(Seq((990L, ms(99))))
+      q.processAllAvailable()
+      assert(spark.table("seqgap").filter(col("block_id") < 4).isEmpty,
+        "no block may finalize before its newest row settles")
+      // tick 2 → watermark B+140: every data block final
+      input.addData(Seq((991L, ms(200))))
+      q.processAllAvailable()
+      val got = spark.table("seqgap").filter(col("block_id") < 4)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == truth, s"completeness parity broke: $got vs $truth")
+    } finally q.stop()
+    }
+  }
+
   test("TwsTrending sharded fan-out: merged per-shard candidates equal the unsharded top-k") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
