@@ -75,7 +75,14 @@ object SweepStretch {
     }
     val defaults = Seq("rrf_fusion", "mrr_eval", "knn_calibration",
       "topk_diverse", "media_dedup", "token_fertility", "ks_drift",
-      "water_fill_alloc", "interval_union", "lateness_profile")
+      "water_fill_alloc", "interval_union", "lateness_profile",
+      // r13 additions: fixed probe batches over a growing store
+      // (embed_pq_topk, embed_ivfpq_topk, ndcg_eval), events-derived
+      // audits (seq_gap_audit, fano_factor, transition_dwell), and
+      // the vocab-bound word-graph ranker (resource_alloc — mirrored
+      // docs add no distinct edges, only token-stage cost)
+      "embed_pq_topk", "embed_ivfpq_topk", "ndcg_eval", "seq_gap_audit",
+      "fano_factor", "transition_dwell", "resource_alloc")
     val keys = if (args.isEmpty) defaults else args.toSeq
     for (k <- keys) {
       val fn = SparkEntry.queries(k)
@@ -85,6 +92,25 @@ object SweepStretch {
       }
       println(f"SWEEPSTR $k%-22s 1x=${t(0)}%6.2f  10x=${t(1)}%6.2f  " +
         f"100x=${t(2)}%7.2f  ratio100=${t(2) / t(0)}%5.1f")
+    }
+    // mutual_nn sweeps at the SCALED operating point, not the fixed
+    // standing-key planes: symmetric LSH blocking pairs BOTH sides, so
+    // fixed planes at 100× corpus means 100× bucket occupancy and
+    // ~10⁴× candidate pairs — the documented "numPlanes scales with
+    // the corpus" contract is the production posture (≈ +log₂(growth)
+    // planes holds occupancy, hence candidates-per-bucket, flat).
+    if (args.isEmpty || args.contains("mutual_nn")) {
+      import graft.operators.Similarity
+      for ((dir, mult, planes) <- Seq((base, 1, 8),
+          ("/tmp/sweep_str10x", 10, 12), ("/tmp/sweep_str100x", 100, 15))) {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val t = Seq.fill(3)(time(
+          Similarity.mutualNearest(emb.filter(col("vec_id") % 2 === 0),
+              emb.filter(col("vec_id") % 2 === 1),
+              "vec_id", "embedding", numPlanes = planes, dim = 64)
+            .write.format("noop").mode("overwrite").save())).sorted.apply(1)
+        println(f"SWEEPSTR mutual_nn/p$planes%-12s ${mult}x=$t%6.2f")
+      }
     }
     spark.stop()
   }

@@ -788,6 +788,24 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adc"), col("rn"))
   }
 
+  /** Sentinel for [[mutualNearest]]'s plane count: derive from the
+    * corpus via [[planesForCorpus]]. */
+  val AutoPlanes: Int = -1
+
+  /** Planes holding mean LSH bucket occupancy at ~`targetOccupancy`
+    * for an `n`-vector corpus: the smallest p ≥ 8 with n/2ᵖ ≤ target
+    * (capped at 24 — beyond that hamming-0 blocking recall collapses
+    * and multiprobe is the right tool). Occupancy is what symmetric
+    * pair-blocking SQUARES into candidates, so this is the knob that
+    * keeps [[mutualNearest]] linear-ish under corpus growth
+    * (SWEEPSTR_r13: 8→12→15 planes across 1×/10×/100× measured
+    * 0.29/1.40/4.28 s vs 31× for fixed 8). */
+  def planesForCorpus(n: Long, targetOccupancy: Long = 4L): Int = {
+    var p = 8
+    while (p < 24 && (n >> p) > targetOccupancy) p += 1
+    p
+  }
+
   /** MUTUAL nearest neighbors across two sources — the bitext-mining /
     * cross-corpus alignment primitive (Artetxe & Schwenk, ACL 2019
     * mine with margin scoring over exactly this candidate structure):
@@ -805,9 +823,18 @@ object Similarity {
     * by b_id) on the candidate frame — no corpus-wide ordering.
     * Ties → smallest partner id, the house contract. */
   def mutualNearest(a: DataFrame, b: DataFrame, idCol: String,
-                    vecCol: String, numPlanes: Int = 8,
+                    vecCol: String, numPlanes: Int = AutoPlanes,
                     dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
+    // AUTO default is the scale-safe posture (the Dedup maxBucket
+    // lesson): symmetric blocking squares bucket occupancy into
+    // candidate pairs, so FIXED planes at a grown corpus is the
+    // measured anti-pattern (SWEEPSTR_r13: fixed 8 planes = 31× time
+    // for 100× data; occupancy-scaled = 15×). The preflight is two
+    // column-pruned counts — control-plane, like the Collapse probe.
+    val p =
+      if (numPlanes == AutoPlanes) planesForCorpus(a.count() + b.count())
+      else numPlanes
+    val planes = hyperplanes(p, dim)
     val aa = a.select(col(idCol).as("a_id"), col(vecCol).as("av"),
       norm(col(vecCol)).as("an"), lshBucket(col(vecCol), planes).as("bucket"))
     val bb = b.select(col(idCol).as("b_id"), col(vecCol).as("bv"),

@@ -868,6 +868,31 @@ object AnalyticsQueries {
         "src", "dst", maxApexDeg = 25L, k = 20)
     },
 
+    // B89 — LOCAL CLUSTERING COEFFICIENT per node: cc = 2·tri(v) /
+    // (deg(v)·(deg(v)−1)) in ppm over the word-adjacency graph — the
+    // node-level "is my neighborhood a clique or a star" statistic
+    // (B55 counts triangles, B68 summarizes mixing globally; cc is
+    // what spam/community detectors threshold PER NODE — a high-deg
+    // low-cc node is a hub/bridge, high-cc a clique member). Exact
+    // integers: B55's once-per-triangle count joined to the uncapped
+    // degree frame, floor division; nodes in no triangle are absent
+    // (B55's contract), deg ≥ 2 guaranteed there. Cost on top of
+    // B55: one node-keyed join of two vocab-bounded frames.
+    "clustering_coeff" -> { (s, d) =>
+      val edges = wordAdjacencyEdges(s, d)
+      val und = edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val deg = und.select(col("a").as("node"))
+        .unionByName(und.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      graft.operators.Graph.triangleCounts(edges, "src", "dst")
+        .join(deg, "node")
+        .select(col("node"), col("n_tri"), col("deg"),
+          expr("(2 * n_tri * 1000000) div (deg * (deg - 1))").as("cc_ppm"))
+    },
+
     // B88 — HHI market concentration (Herfindahl–Hirschman) of order
     // revenue across customers, per nation: Σ share_bp² over exact
     // integer cent revenues — the concentration gate ("is this
@@ -1699,6 +1724,33 @@ object AnalyticsQueries {
       |  UNION ALL SELECT v FROM tri
       |  UNION ALL SELECT w FROM tri)
       |GROUP BY 1""".stripMargin,
+
+    // B89: the B55 triangle CTEs joined back to the degree frame;
+    // floor-division ppm replayed.
+    "clustering_coeff" -> s"""
+      |WITH $WordAdjSql,
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e0 WHERE src <> dst),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      |        GROUP BY 1),
+      |o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+      |                  THEN u.a ELSE u.b END AS f,
+      |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+      |                  THEN u.b ELSE u.a END AS t
+      |      FROM und u JOIN deg da ON u.a = da.node
+      |                 JOIN deg db ON u.b = db.node),
+      |tri AS (SELECT o1.f, o1.t AS v, o2.t AS w
+      |        FROM o o1 JOIN o o2 ON o1.f = o2.f AND o1.t < o2.t
+      |        JOIN und ON und.a = o1.t AND und.b = o2.t),
+      |nt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+      |         SELECT f AS node FROM tri
+      |         UNION ALL SELECT v FROM tri
+      |         UNION ALL SELECT w FROM tri)
+      |       GROUP BY 1)
+      |SELECT node, n_tri, deg,
+      |       (2 * n_tri * 1000000) // (deg * (deg - 1)) AS cc_ppm
+      |FROM nt JOIN deg USING (node)""".stripMargin,
 
     // B56: four unrolled peel rounds; a converged engine run and the
     // full unroll re-derive the same fixpoint frame.

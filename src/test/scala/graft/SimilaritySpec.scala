@@ -574,5 +574,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.forall { case (a, b, c) =>
       c == vdot(vecs(a), vecs(b)) /
         (math.sqrt(vdot(vecs(a), vecs(a))) * math.sqrt(vdot(vecs(b), vecs(b)))) })
+    // scale-safe default: AUTO derives occupancy-held planes (the
+    // SWEEPSTR_r13 posture) — at this corpus it resolves to 8, so the
+    // auto run must equal the explicit one; the curve itself is pinned
+    // at the sizes the sweep measured
+    assert(Similarity.planesForCorpus(500) == 8)
+    assert(Similarity.planesForCorpus(50000) == 14)
+    assert(Similarity.planesForCorpus(5000000) == 20)
+    assert(Similarity.planesForCorpus(Long.MaxValue) == 24)
+    val auto = Similarity.mutualNearest(
+        emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == got.map(p => (p._1, p._2)).toSet)
   }
 }
