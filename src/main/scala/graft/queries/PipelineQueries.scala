@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.GraftFunctions
 import graft.operators.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -962,6 +963,96 @@ object PipelineQueries {
         length(col("dirty")).as("n_dirty"),
         length(TextAnalysis.scrubPii(
           TextAnalysis.normalizeWhitespace(col("dirty")))).as("n_clean"))
+    },
+
+    // C103 — PII DENSITY profile per source: how much redactable
+    // material (emails, long digit runs — C16's exact patterns) each
+    // source carries, BEFORE scrubbing — the triage view that decides
+    // which sources need the expensive scrub pass at all, and the
+    // regression alarm when a crawler starts ingesting a dump of
+    // account pages. Same synthesized dirty corpus as C16 (doc_id % 5
+    // injected) so the profile is non-trivial; regexp_count is
+    // scan-speed, one map-side-combined agg, integers only.
+    "pii_density" -> { (s, d) =>
+      val dirty = Tables.documents(s, d).select(col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("  Contact: user"), col("doc_id"),
+              lit("@example.com   or  12345678901 .")))
+            .otherwise(lit(""))).as("dirty"))
+      dirty
+        .select(col("source"),
+          expr("regexp_count(dirty, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')")
+            .as("n_email"),
+          expr("regexp_count(dirty, '[0-9]{7,}')").as("n_num"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_email") > 0, 1L).otherwise(0L)).as("docs_email"),
+          sum(col("n_email")).as("total_emails"),
+          sum(when(col("n_num") > 0, 1L).otherwise(0L)).as("docs_num"),
+          sum(col("n_num")).as("total_nums"))
+    },
+
+    // C104 — LABEL-NOISE flags (confident-learning style, Northcutt
+    // et al. JAIR 2021's intuition as a filter): LOO points whose
+    // k-NN neighborhood votes for a DIFFERENT label than their own
+    // at ≥ 4 of 10 — against the ~1-of-10 expectation under this
+    // corpus's 10-label isotropic prior, a strong relative signal
+    // (on a clustered real corpus the threshold rises with the
+    // base vote rate) — the standing candidates for relabeling /
+    // dropping before the corpus trains anything. Reuses
+    // the C54 classifier verbatim (so the vote/tie contracts are
+    // already value-pinned); one broadcast truth join + a filter on
+    // top. Deterministic, integers only.
+    "label_noise" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val loo = emb.filter(col("vec_id") < 200)
+      Similarity.knnClassify(emb,
+          loo.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", "label", k = 10)
+        .join(broadcast(loo.select(col("vec_id").as("query_id"),
+          col("label").cast("long").as("true_label"))), "query_id")
+        .filter(col("pred_label") =!= col("true_label") &&
+          col("n_votes") >= 4)
+        .select(col("query_id"), col("true_label"), col("pred_label"),
+          col("n_votes"))
+    },
+
+    // C105 — EMBEDDING CENTROID DRIFT per label between two corpus
+    // halves (even/odd ids stand in for two ingestion batches):
+    // ‖mean_A − mean_B‖² in exact integers — "did this class's
+    // embedding distribution move between crawls", the
+    // embedding-space sibling of C77/C92's scalar drift (a class can
+    // keep its value histograms while its MEANING shifts). Exactness
+    // via the C70 fixed milli-unit grid (floor(x·1000) — a GLOBAL
+    // scale, not C17's per-vector one, so sums are comparable),
+    // cross-multiplied difference (sa·nb − sb·na)² summed over dims
+    // in DECIMAL(38,0), ppm-scaled by (na·nb)². Scale: posexplode
+    // moves (label, side, dim, q) partial sums — dims×labels×2
+    // rows — never whole vectors twice (the labelStats shape).
+    "embed_drift" -> { (s, d) =>
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+      val qd = Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          (col("vec_id") % 2).as("side"),
+          posexplode(expr("transform(embedding, " +
+            "x -> CAST(floor(cast(x AS DOUBLE) * 1000.0) AS BIGINT))"))
+            .as(Seq("dim", "q")))
+      val sums = qd.groupBy(col("label"), col("side"), col("dim"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      val a = sums.filter(col("side") === 0).select(col("label"), col("dim"),
+        col("sq").as("sa"), col("n").as("na"))
+      val b = sums.filter(col("side") === 1).select(col("label"), col("dim"),
+        col("sq").as("sb"), col("n").as("nb"))
+      a.join(b, Seq("label", "dim"))
+        .withColumn("diff", d38(col("sa") * col("nb") - col("sb") * col("na")))
+        .groupBy(col("label"))
+        .agg(max(col("na")).as("n_even"), max(col("nb")).as("n_odd"),
+          sum(col("diff") * col("diff")).as("num"))
+        .withColumn("den", d38(col("n_even")) * d38(col("n_even"))
+          * d38(col("n_odd")) * d38(col("n_odd")))
+        .select(col("label"), col("n_even"), col("n_odd"),
+          expr("(num * 1000000) div den").as("drift_ppm"))
     },
 
     // C15 — per-language uniform doc sample via the reservoir
@@ -2531,6 +2622,81 @@ object PipelineQueries {
       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
       |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s)
       |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 10""".stripMargin,
+
+    // C103: same injected corpus as C16; regexp_extract_all lengths
+    // mirror regexp_count (both non-overlapping greedy scans).
+    "pii_density" -> """
+      |WITH dirty AS (
+      |  SELECT source,
+      |         text || CASE WHEN doc_id % 5 = 0
+      |                      THEN '  Contact: user' || doc_id ||
+      |                           '@example.com   or  12345678901 .'
+      |                      ELSE '' END AS dirty
+      |  FROM documents),
+      |c AS (SELECT source,
+      |        CAST(len(regexp_extract_all(dirty,
+      |          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS BIGINT) AS n_email,
+      |        CAST(len(regexp_extract_all(dirty, '[0-9]{7,}')) AS BIGINT) AS n_num
+      |      FROM dirty)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+      |       CAST(sum(n_email) AS BIGINT) AS total_emails,
+      |       CAST(sum(CASE WHEN n_num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_num,
+      |       CAST(sum(n_num) AS BIGINT) AS total_nums
+      |FROM c GROUP BY 1""".stripMargin,
+
+    // C104: the C83 vote SQL at vrn = 1, filtered to the
+    // strong-disagreement flags.
+    "label_noise" -> s"""
+      |WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 200),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+      |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s),
+      |v AS (
+      |  SELECT query_id, CAST(e.label AS BIGINT) AS label,
+      |         CAST(count(*) AS BIGINT) AS n_votes
+      |  FROM r JOIN embeddings e ON r.neighbor_id = e.vec_id
+      |  WHERE rn <= 10
+      |  GROUP BY 1, 2),
+      |p AS (SELECT query_id, label, n_votes,
+      |             row_number() OVER (PARTITION BY query_id
+      |               ORDER BY n_votes DESC, label ASC) AS vrn FROM v)
+      |SELECT p.query_id, CAST(t.label AS BIGINT) AS true_label,
+      |       p.label AS pred_label, p.n_votes
+      |FROM p JOIN embeddings t ON p.query_id = t.vec_id
+      |WHERE vrn = 1 AND p.label <> CAST(t.label AS BIGINT)
+      |  AND p.n_votes >= 4""".stripMargin,
+
+    // C105: the C70 milli-unit grid, cross-multiplied per-dim
+    // differences squared in HUGEINT, ppm over (na·nb)².
+    "embed_drift" -> """
+      |WITH e AS (
+      |  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS side,
+      |         CAST(u['pos'] AS BIGINT) AS dim, CAST(u['val'] AS BIGINT) AS q
+      |  FROM (SELECT label, vec_id,
+      |          unnest(list_transform(range(0, len(embedding)),
+      |            i -> {'pos': i,
+      |                  'val': CAST(floor(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE)
+      |                                    * 1000.0) AS BIGINT)})) AS u
+      |        FROM embeddings)),
+      |s AS (SELECT label, side, dim, CAST(sum(q) AS BIGINT) AS sq,
+      |             CAST(count(*) AS BIGINT) AS n
+      |      FROM e GROUP BY 1, 2, 3),
+      |j AS (SELECT a.label, a.dim,
+      |             CAST(a.sq * b.n - b.sq * a.n AS HUGEINT) AS diff,
+      |             a.n AS na, b.n AS nb
+      |      FROM s a JOIN s b ON a.label = b.label AND a.dim = b.dim
+      |                       AND a.side = 0 AND b.side = 1),
+      |m AS (SELECT label, max(na) AS n_even, max(nb) AS n_odd,
+      |             sum(diff * diff) AS num
+      |      FROM j GROUP BY 1)
+      |SELECT label, n_even, n_odd,
+      |       CAST((num * 1000000) // (CAST(n_even AS HUGEINT) * n_even
+      |                                * n_odd * n_odd) AS BIGINT) AS drift_ppm
+      |FROM m""".stripMargin,
 
     // C102: planes/buckets/cosine replayed (the C6 machinery), both
     // best-match ranks over the same blocked candidate set, mutual
