@@ -684,4 +684,40 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 1, s"$exchanges hash exchanges in:\n$plan")
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("seq_gap_audit: block spine is a distributed Range, never a " +
+    "one-task explode; no single-partition stage") {
+    val df = SparkEntry.queries("seq_gap_audit")(spark, sfDir)
+    val plan = planOf(df)
+    // spark.range plans as a partitioned Range scan — the spine
+    // generation stays distributed at any corpus span
+    assert(plan.contains("Range ("), s"spine must be spark.range:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"completeness audit must have no single-partition stage:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("embed_ivfpq_topk: probe joins the coded store by list (equi, " +
+    "broadcast), rank-limit prunes before the exchange, no corpus sort") {
+    val df = SparkEntry.queries("embed_ivfpq_topk")(spark, sfDir)
+    val plan = planOf(df)
+    // the list_id equi-join against the (broadcast, bounded) LUT side
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // per-query top-k pruned partially before its shuffle
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert("Window \\[".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
+  test("mutual_nn: bucket equi-join only (no all-pairs), both best-match " +
+    "ranks are the only windows") {
+    val df = SparkEntry.queries("mutual_nn")(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"mutual-NN must block on the bucket, never all-pairs:\n$plan")
+    assert("Window \\[".r.findAllIn(plan).size == 2,
+      s"exactly the two best-match rank windows:\n$plan")
+  }
 }
