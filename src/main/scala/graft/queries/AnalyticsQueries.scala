@@ -893,6 +893,91 @@ object AnalyticsQueries {
           expr("(2 * n_tri * 1000000) div (deg * (deg - 1))").as("cc_ppm"))
     },
 
+    // B90 — CUSUM ALARM (Page 1954, zero-slack one-sided form) per
+    // event type on the dense daily count series: S_i = max(0,
+    // S_{i−1} + (y_i − µ)) flags a SUSTAINED upward shift that B28's
+    // pointwise z-scores and B77's two-window split both miss (ten
+    // days each 10% hot never trips a 3σ gate; CUSUM integrates the
+    // drift). The recursion is NOT a window sum, but the classic
+    // prefix identity S_i = P_i − min(0, min_{j≤i} P_j) with
+    // P = prefix-sum of residuals makes it two running windows over
+    // the per-type CALENDAR-BOUNDED day series (the vocab-window
+    // contract — partitions are ≤ #days rows at any corpus size).
+    // Division-free integers: resid = n·y − total (sums to zero), so
+    // cusum is in units of n·count; the alarm gate cusum > total is
+    // "cumulative excess above the mean exceeds one mean-day of
+    // volume" in those same units. Bounds: |P| ≤ 2·n·total — at
+    // 10¹² events/type over 10⁴ days that is ~10¹⁶, inside BIGINT.
+    "cusum_alarm" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS BIGINT) div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = counts.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+      val series = spine.join(counts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("cnt"), lit(0L)).as("y"))
+      val tot = series.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("y")).as("total"))
+      val wp = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      series.join(broadcast(tot), "event_type")
+        .withColumn("resid", col("n_days") * col("y") - col("total"))
+        .withColumn("pfx", sum(col("resid")).over(wp))
+        .withColumn("cusum",
+          col("pfx") - least(lit(0L), min(col("pfx")).over(wp)))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_days")).as("n_days"), max(col("total")).as("total"),
+          max(col("cusum")).as("max_cusum"),
+          sum(when(col("cusum") > col("total"), 1L).otherwise(0L))
+            .as("n_alarm_days"),
+          coalesce(min(when(col("cusum") > col("total"), col("day"))),
+            lit(-1L)).as("first_alarm_day"))
+    },
+
+    // B91 — DAU/WAU STICKINESS per day: dau = distinct active users,
+    // wau = distinct users active in the trailing 7 days, ratio in
+    // bp — the product-health pulse every growth dashboard leads
+    // with. The rolling DISTINCT is the trap (a naive trailing
+    // count-distinct window re-scans 7 days of user ids per day);
+    // instead each user's active-day sequence becomes disjoint
+    // coverage intervals ([g, min(g+6, next−1)] via one lead() over
+    // the USER-bounded window), intervals become ±1 deltas, and wau
+    // is one running sum over the calendar-bounded day spine — the
+    // B80 sweep-line posture, so the corpus-sized frames only ever
+    // see a user-keyed distinct + map-side-combined aggs. Days in a
+    // dead zone (> 7 days after the last activity) keep wau = 0 and
+    // surface stickiness_bp = −1 rather than dividing.
+    "dau_wau" -> { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr("CAST(ts AS BIGINT) div 86400").as("day"))
+        .distinct()
+      val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val iv = ud
+        .select(col("day").as("cstart"), lead(col("day"), 1).over(wu).as("nx"))
+        .select(col("cstart"),
+          when(col("nx").isNull || col("nx") > col("cstart") + 6,
+            col("cstart") + 6).otherwise(col("nx") - 1).as("cend"))
+      val deltas = iv.select(col("cstart").as("day"), lit(1L).as("delta"))
+        .unionByName(iv.select((col("cend") + 1).as("day"),
+          lit(-1L).as("delta")))
+        .groupBy(col("day")).agg(sum(col("delta")).as("delta"))
+      val spine = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr("sequence(d0, d1)")).as("day"))
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wd = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(deltas, Seq("day"), "left")
+        .select(col("day"), coalesce(col("delta"), lit(0L)).as("delta"))
+        .withColumn("wau", sum(col("delta")).over(wd))
+        .join(dau, Seq("day"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
+          expr("CASE WHEN wau > 0 THEN coalesce(dau, 0L) * 10000 div wau " +
+            "ELSE -1 END").as("stickiness_bp"))
+    },
+
     // B88 — HHI market concentration (Herfindahl–Hirschman) of order
     // revenue across customers, per nation: Σ share_bp² over exact
     // integer cent revenues — the concentration gate ("is this
@@ -1861,6 +1946,72 @@ object AnalyticsQueries {
       |FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
       |GROUP BY 1, 2
       |ORDER BY ra_ppm DESC, common DESC, u, v LIMIT 20""".stripMargin,
+
+    // B90: same dense-series CTEs; the prefix identity
+    // S = P − min(0, running-min P) mirrors the engine's two running
+    // windows; alarm gate cusum > total, first alarm day −1 when none.
+    "cusum_alarm" -> """
+      WITH counts AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      rng AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+              FROM counts GROUP BY 1),
+      spine AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+                FROM rng),
+      series AS (
+        SELECT sp.event_type, sp.day, coalesce(c.cnt, 0) AS y
+        FROM spine sp LEFT JOIN counts c
+          ON sp.event_type = c.event_type AND sp.day = c.day),
+      tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(y) AS BIGINT) AS total
+              FROM series GROUP BY 1),
+      p AS (SELECT s.event_type, s.day, t.n_days, t.total,
+                   CAST(sum(t.n_days * s.y - t.total)
+                        OVER (PARTITION BY s.event_type ORDER BY s.day)
+                        AS BIGINT) AS pfx
+            FROM series s JOIN tot t USING (event_type)),
+      cus AS (SELECT *, pfx - least(CAST(0 AS BIGINT),
+                     min(pfx) OVER (PARTITION BY event_type ORDER BY day))
+                   AS cusum
+              FROM p)
+      SELECT event_type, max(n_days) AS n_days, max(total) AS total,
+             max(cusum) AS max_cusum,
+             CAST(sum(CASE WHEN cusum > total THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarm_days,
+             coalesce(min(CASE WHEN cusum > total THEN day END),
+                      CAST(-1 AS BIGINT)) AS first_alarm_day
+      FROM cus GROUP BY 1""",
+
+    // B91: identical sweep-line — per-user lead() intervals, ±1
+    // deltas, one running sum over the day spine.
+    "dau_wau" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events),
+      iv AS (SELECT user_id, day AS cstart,
+                    CASE WHEN lead(day) OVER w IS NULL
+                           OR lead(day) OVER w > day + 6
+                         THEN day + 6 ELSE lead(day) OVER w - 1 END AS cend
+             FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      deltas AS (
+        SELECT cstart AS day, CAST(1 AS BIGINT) AS delta FROM iv
+        UNION ALL
+        SELECT cend + 1 AS day, CAST(-1 AS BIGINT) AS delta FROM iv),
+      dd AS (SELECT day, CAST(sum(delta) AS BIGINT) AS delta
+             FROM deltas GROUP BY 1),
+      rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+      spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM rng),
+      dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+      wau AS (SELECT sp.day,
+                     CAST(sum(coalesce(dd.delta, 0)) OVER (ORDER BY sp.day)
+                          AS BIGINT) AS wau
+              FROM spine sp LEFT JOIN dd ON sp.day = dd.day)
+      SELECT w.day, coalesce(d.dau, CAST(0 AS BIGINT)) AS dau, w.wau,
+             CASE WHEN w.wau > 0
+                  THEN coalesce(d.dau, 0) * 10000 // w.wau
+                  ELSE CAST(-1 AS BIGINT) END AS stickiness_bp
+      FROM wau w LEFT JOIN dau d ON w.day = d.day""",
 
     // B85: the B78 dense-series CTEs folded to the three moments;
     // HUGEINT Σx² mirrors the engine's DECIMAL(38,0).

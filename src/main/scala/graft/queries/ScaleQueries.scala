@@ -430,6 +430,49 @@ object ScaleQueries {
             - greatest(col("block_id") * B, lit(gmin)) + 1
             - coalesce(col("n_present"), lit(0L))).as("n_missing"))
         .filter(col("n_missing") > 0)
+    },
+
+    // C106 — SHARD PLAN (byte-balanced compaction planner): assign
+    // contiguous doc-id GRANULES to output shards so each shard holds
+    // ~target bytes — the file-compaction/repartition plan a 100 TB
+    // writer computes before rewriting a corpus into uniform ~1 GB
+    // files (small-file storms and 10 GB stragglers both come from
+    // skipping this step). The trap is the running byte offset: a
+    // corpus-wide cumulative sum is the exact single-partition sort
+    // the zonemap rework (C90) removed. Here the prefix sum is
+    // TWO-LEVEL (Blelloch scan shape): granule aggregates (one
+    // map-side-combined agg, corpus/G rows, distributed) roll into
+    // supergranules (corpus/(G·S) rows — at 10¹¹ docs that is ~10⁵
+    // rows for the ONE ordered window), whose exclusive offsets
+    // broadcast back; the granule-local exclusive prefix runs
+    // per-supergranule (≤ S rows a partition). shard = offset div
+    // target — first-fit by byte offset, so both engines floor
+    // identically. Constants are bench-scaled (G=32 docs, 16 KiB
+    // target); production uses G~10⁴, target ~1 GB — same plan.
+    "shard_plan" -> { (s, d) =>
+      val G = 32L; val S = 1024L; val Target = 16384L
+      val g = Tables.documents(s, d)
+        .groupBy(expr(s"doc_id div $G").as("granule_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      val sup = g.groupBy(expr(s"granule_id div $S").as("super_id"))
+        .agg(sum(col("bytes")).as("s_bytes"))
+      val wsup = Window.orderBy(col("super_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val supOff = sup
+        .select(col("super_id"),
+          coalesce(sum(col("s_bytes")).over(wsup), lit(0L)).as("s_off"))
+      val wloc = Window.partitionBy(col("super_id")).orderBy(col("granule_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("super_id", expr(s"granule_id div $S"))
+        .join(broadcast(supOff), "super_id")
+        .withColumn("cum_before",
+          col("s_off") + coalesce(sum(col("bytes")).over(wloc), lit(0L)))
+        .withColumn("shard_id", expr(s"cum_before div $Target"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_granules"), sum(col("n_docs")).as("n_docs"),
+          sum(col("bytes")).as("bytes"),
+          min(col("granule_id")).as("granule_lo"),
+          max(col("granule_id")).as("granule_hi"))
     })
 
   /** ⌊log10(1+1/d)·10⁶⌋ for d = 1…9 — shared verbatim by the engine
@@ -465,6 +508,25 @@ object ScaleQueries {
   private val TermList = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+
+    // C106: the oracle may use the naive single cumulative sum — the
+    // two-level scan is the ENGINE's scale posture, the values agree.
+    "shard_plan" -> """
+      WITH g AS (
+        SELECT doc_id // 32 AS granule_id, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS bytes
+        FROM documents GROUP BY 1),
+      c AS (
+        SELECT *, CAST(coalesce(sum(bytes) OVER (ORDER BY granule_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before
+        FROM g)
+      SELECT cum_before // 16384 AS shard_id,
+             CAST(count(*) AS BIGINT) AS n_granules,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(bytes) AS BIGINT) AS bytes,
+             min(granule_id) AS granule_lo, max(granule_id) AS granule_hi
+      FROM c GROUP BY 1""",
 
     "bm25_topk" -> s"""WITH toks AS (
       |  SELECT doc_id, t AS term FROM (

@@ -523,4 +523,76 @@ class PropertySpec extends SparkTestBase {
       spark.conf.set(shufKey, prevShuf)
     }
   }
+
+  test("cusum prefix identity matches the max(0, S+r) recursion on random series") {
+    // B90's load-bearing rewrite: S_i = max(0, S_{i-1} + r_i) equals
+    // P_i − min(0, min_{j≤i} P_j) with P the prefix sum of r. 200
+    // random integer series (signed residuals, runs of sustained
+    // drift included) vs the literal recursion.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new Random(90)
+    val series = (0 until 200).flatMap { k =>
+      var drift = 0
+      (0 until (5 + rnd.nextInt(60))).zipWithIndex.map { case (_, i) =>
+        if (rnd.nextInt(10) == 0) drift = rnd.nextInt(21) - 10
+        (k.toLong, i.toLong, (rnd.nextInt(41) - 20 + drift).toLong)
+      }
+    }
+    val expected = series.groupBy(_._1).flatMap { case (k, rows) =>
+      var s = 0L
+      rows.sortBy(_._2).map { case (_, i, r) =>
+        s = math.max(0L, s + r); (k, i, s)
+      }
+    }.toSet
+    val wp = Window.partitionBy(col("k")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = series.toDF("k", "i", "r")
+      .withColumn("pfx", sum(col("r")).over(wp))
+      .withColumn("cusum", col("pfx") - least(lit(0L), min(col("pfx")).over(wp)))
+      .select(col("k"), col("i"), col("cusum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("dau_wau sweep-line matches brute-force trailing-7-day distinct counts") {
+    // B91's interval/delta construction vs the definition: for every
+    // spine day d, wau(d) = |{u : u active on some day in [d−6, d]}|,
+    // on a random sparse activity set (gaps > 7 days included so the
+    // dead-zone wau = 0 branch is exercised).
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new Random(91)
+    val active = (for {
+      u <- 0L until 40L
+      _ <- 0 until (1 + rnd.nextInt(8))
+    } yield (u, rnd.nextInt(60).toLong)).distinct
+    val d0 = active.map(_._2).min
+    val d1 = active.map(_._2).max
+    val expected = (d0 to d1).map { day =>
+      day -> active.filter(a => a._2 >= day - 6 && a._2 <= day)
+        .map(_._1).distinct.size.toLong
+    }.toMap
+    val ud = active.toDF("user_id", "day")
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val iv = ud
+      .select(col("day").as("cstart"), lead(col("day"), 1).over(wu).as("nx"))
+      .select(col("cstart"),
+        when(col("nx").isNull || col("nx") > col("cstart") + 6,
+          col("cstart") + 6).otherwise(col("nx") - 1).as("cend"))
+    val deltas = iv.select(col("cstart").as("day"), lit(1L).as("delta"))
+      .unionByName(iv.select((col("cend") + 1).as("day"), lit(-1L).as("delta")))
+      .groupBy(col("day")).agg(sum(col("delta")).as("delta"))
+    val spine = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+    val wd = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = spine.join(deltas, Seq("day"), "left")
+      .select(col("day"), coalesce(col("delta"), lit(0L)).as("delta"))
+      .withColumn("wau", sum(col("delta")).over(wd))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
 }
