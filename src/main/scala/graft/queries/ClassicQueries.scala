@@ -6,11 +6,17 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
-/** §2.B (B38–B45) — the remaining TPC-H-shaped classics expressible on
-  * the driver's tables (no partsupp / commitdate / shipmode columns
-  * exist, so Q2/4/11/12/15/16/20 have no faithful adaptation; with
-  * these eight the suite covers 15 of the 17 classics the schema can
-  * express: Q1,3,5,6,7,8,9,10,13,14,17,18,19,21,22).
+/** §2.B (B38–B45, B92–B98) — the TPC-H-shaped classics. Eight are
+  * near-faithful on the driver's tables (B38–B45); the remaining seven
+  * shapes (Q2/4/11/12/15/16/20) need columns the testdata lacks
+  * (partsupp, l_commitdate/receiptdate, l_shipmode), so B92–B98 keep
+  * each query's SHAPE — the correlation/decorrelation structure, join
+  * graph, and aggregate form — over documented stand-ins: a SUPPLY
+  * view derived from observed lineitems replaces partsupp (per
+  * (part, supplier): min unit price as cost, lifetime quantity as
+  * availability), lateness is l_shipdate > o_orderdate + 60 days, and
+  * l_linestatus stands in for shipmode. With these, all 22 TPC-H
+  * query shapes are present in the suite.
   *
   * Every query follows the repo's decorrelation-by-hand doctrine: the
   * correlated EXISTS / scalar-subquery forms the oracle SQL uses are
@@ -205,6 +211,172 @@ object ClassicQueries {
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("numcust"),
           sumDbl2(col("c_acctbal")).as("totacctbal"))
+    },
+
+    // B92 — TPC-H Q4 shape (order priority checking): orders of one
+    // quarter with AT LEAST ONE late lineitem (shipped > 60 days
+    // after the order date — the commitdate/receiptdate stand-in),
+    // counted per priority. The EXISTS is a LEFT SEMI join with the
+    // lateness predicate inside the join condition, so the probe side
+    // is the quarter-filtered orders (pushed scan) and each order
+    // tests at most its own lines — no distinct, no double-count.
+    "q4_priority_late" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+                col("o_orderdate") < lit("1997-04-01"))
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // B93 — TPC-H Q12 shape (shipping-mode priority audit):
+    // l_linestatus stands in for l_shipmode, lateness as in B92; per
+    // status, how many late 1997 lines carried urgent/high priority
+    // vs not — both counts from ONE conditional aggregation pass over
+    // the single fact join (the Q12 CASE-sum idiom).
+    "q12_late_lines" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+                col("l_shipdate") < lit("1998-01-01"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    },
+
+    // B94 — TPC-H Q15 shape (top supplier): per-supplier revenue over
+    // one quarter, then the supplier(s) achieving the GLOBAL max —
+    // the scalar-max subquery decorrelated to a one-row aggregate
+    // broadcast back (guarded-crossJoin convention). Both sides
+    // compare doubles cast from the SAME exact decimal sums, so the
+    // equality is bit-deterministic; ties all surface (Q15's own
+    // contract).
+    "q15_top_supplier" -> { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+                col("l_shipdate") < lit("1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revenue).cast("double").as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    },
+
+    // B95 — TPC-H Q2 shape (min-cost supplier): for each LARGE
+    // size-15 part, the EUROPE supplier(s) offering the minimum
+    // supply cost, cost taken from the derived SUPPLY view (min
+    // observed unit price per (part, supplier) — the partsupp
+    // stand-in). The correlated scalar-min subquery decorrelates to a
+    // per-part min aggregate joined back (fact never re-shuffled on a
+    // correlation key); dims broadcast. Cost equality happens on the
+    // exact DECIMAL before the final double cast.
+    "q2_min_cost_supp" -> { (s, d) =>
+      val euSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name").as("nation"))
+      val parts = Tables.part(s, d)
+        .filter(col("p_type") === "LARGE" && col("p_size") === 15)
+        .select(col("p_partkey"))
+      val supply = Tables.lineitem(s, d)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(dec2(col("l_extendedprice"))).as("cost"))
+        .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+      val minCost = supply.groupBy(col("l_partkey").as("mc_pk"))
+        .agg(min(col("cost")).as("min_cost"))
+      supply.join(broadcast(minCost),
+          col("l_partkey") === col("mc_pk") && col("cost") === col("min_cost"))
+        .select(col("s_acctbal").cast("double").as("s_acctbal"), col("s_name"),
+          col("nation"), col("l_partkey").as("p_partkey"),
+          col("cost").cast("double").as("supply_cost"))
+    },
+
+    // B96 — TPC-H Q11 shape (important stock): per-part supply value
+    // (exact decimal Σ price·qty over NATION_3 suppliers' observed
+    // lines — the partsupp value stand-in), keeping parts whose value
+    // exceeds 0.1% of the global total. The HAVING-vs-global-scalar
+    // decorrelates to a one-row total broadcast against the per-part
+    // frame; ONE fact aggregation feeds both sides (the per-part
+    // frame re-aggregates for the total — parts-sized, not
+    // fact-sized).
+    "q11_important_value" -> { (s, d) =>
+      val n3supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val value = Tables.lineitem(s, d)
+        .join(broadcast(n3supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_quantity")))
+          .as("value_dec"))
+      val tot = value.agg(sum(col("value_dec")).cast("double").as("total_value"))
+      value.crossJoin(broadcast(tot))
+        .filter(col("value_dec").cast("double") > col("total_value") * 0.001)
+        .select(col("l_partkey").as("p_partkey"),
+          col("value_dec").cast("double").as("value"))
+    },
+
+    // B97 — TPC-H Q16 shape (supplier count by part attribute):
+    // distinct suppliers OBSERVED supplying each (brand, type, size)
+    // bucket — Brand#23 and PROMO parts excluded, "complaint"
+    // suppliers (negative account balance — the comment-LIKE
+    // stand-in) removed by ANTI join BEFORE counting. Supply pairs
+    // are the distinct (part, supplier) projection of the fact table;
+    // the distinct-count shuffles once on the bucket key.
+    "q16_supplier_cnt" -> { (s, d) =>
+      val complainers = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val p = broadcast(Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#23" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 9, 15, 21, 27, 33, 40))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(complainers),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+
+    // B98 — TPC-H Q20 shape (excess availability): EUROPE suppliers
+    // with some ECONOMY part whose 1997 shipments exceed HALF the
+    // pair's lifetime shipped quantity (availqty > ½·year-demand
+    // inverted onto the observed-supply stand-in: "this year moved
+    // more than half of everything this pair ever moved"). Both
+    // nested INs decorrelate: one conditional aggregate computes
+    // lifetime and 1997 quantity in a single pass, the part filter is
+    // a broadcast semi join, and the supplier list is the distinct
+    // qualifying suppkeys semi-joined to the EUROPE dims.
+    "q20_excess_ship" -> { (s, d) =>
+      val econParts = Tables.part(s, d)
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+      val pairQty = Tables.lineitem(s, d)
+        .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec2(col("l_quantity"))).as("qty_total"),
+          sum(when(year(col("l_shipdate")) === 1997, dec2(col("l_quantity")))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).as("qty_1997"))
+        .filter(col("qty_1997") * 2 > col("qty_total"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(pairQty, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
     })
 
   private val Rev =
@@ -309,5 +481,112 @@ object ClassicQueries {
         AND NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c.c_custkey
                           AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
-      GROUP BY 1""")
+      GROUP BY 1""",
+
+    // B92: the literal correlated-EXISTS form of Q4.
+    "q4_priority_late" -> """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o.o_orderkey
+                      AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY 1""",
+
+    // B93: the Q12 CASE-sum idiom, l_linestatus standing in for
+    // shipmode.
+    "q12_late_lines" -> """
+      SELECT l_linestatus,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      GROUP BY 1""",
+
+    // B94: Q15's scalar-max subquery, revenue view inlined.
+    "q15_top_supplier" -> s"""
+      WITH rev AS (
+        SELECT l_suppkey, CAST(sum($Rev) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+
+    // B95: Q2's correlated scalar-min, supply view derived from
+    // observed lineitems (min unit price per (part, supplier)).
+    "q2_min_cost_supp" -> """
+      WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'LARGE' AND p_size = 15
+        GROUP BY 1, 2),
+      eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name AS nation
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+      sc AS (SELECT supply.*, eu.s_name, eu.s_acctbal, eu.nation
+             FROM supply JOIN eu ON l_suppkey = s_suppkey)
+      SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, nation,
+             l_partkey AS p_partkey, CAST(cost AS DOUBLE) AS supply_cost
+      FROM sc
+      WHERE cost = (SELECT min(cost) FROM sc i
+                    WHERE i.l_partkey = sc.l_partkey)""",
+
+    // B96: Q11's HAVING-vs-global-scalar over the derived supply
+    // value.
+    "q11_important_value" -> """
+      WITH v AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(l_quantity AS DECIMAL(18,2))) AS value_dec
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY 1)
+      SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS value
+      FROM v
+      WHERE CAST(value_dec AS DOUBLE) >
+            (SELECT CAST(sum(value_dec) AS DOUBLE) FROM v) * 0.001""",
+
+    // B97: Q16's NOT IN + distinct-count over observed supply pairs;
+    // negative balance stands in for the complaint comment.
+    "q16_supplier_cnt" -> """
+      SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp
+           JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+        AND p_size IN (1, 5, 9, 15, 21, 27, 33, 40)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3""",
+
+    // B98: Q20's nested INs over the observed-supply stand-in.
+    "q20_excess_ship" -> """
+      SELECT s_suppkey, s_name, n_name AS nation
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+        AND s_suppkey IN (
+          SELECT l_suppkey FROM (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_total,
+                   sum(CASE WHEN year(l_shipdate) = 1997
+                            THEN CAST(l_quantity AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_1997
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_type = 'ECONOMY')
+            GROUP BY 1, 2)
+          WHERE qty_1997 * 2 > qty_total)""")
 }
