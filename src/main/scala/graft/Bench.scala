@@ -34,6 +34,20 @@ object Bench {
         .mode("overwrite").save()
       catch { case _: Throwable => }
     }
+    // Drain the warm-up's wake before measuring: 200+ queries leave
+    // tens of GB of young-gen garbage plus weakly-referenced broadcast
+    // / localCheckpoint blocks whose ContextCleaner unpersist only
+    // triggers on a GC. Without this, the first heavy allocator in
+    // measurement order pays the warm-up's deferred GC + cleaner
+    // backlog inside its own timing (r13 adjudication: approx_sketch,
+    // 3rd alphabetically, recorded [11.5, 21.3, 25.1] s at 10x in two
+    // independent full-bench runs vs 2.1 s in an isolated
+    // BenchSubset JVM — min-of-3 polluted, so retries can't save it).
+    // Standard benchmark hygiene: force the GC ourselves, give the
+    // cleaner a moment to process the reference queue, then measure.
+    System.gc()
+    Thread.sleep(3000)
+    System.gc()
 
     // median of three measured passes: min-of-2 is not robust to
     // background machine load on the driver host (a loaded r2 run

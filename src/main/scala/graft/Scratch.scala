@@ -89,3 +89,25 @@ object PerturbedLshProbe {
     spark.stop()
   }
 }
+
+/** Dev probe (r13): full approx_sketch stage breakdown at a given SF
+  * dir — aggregate, exact-distinct, rank-coverage, full query. */
+object SketchStageProbe {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = args.headOption.getOrElse("/tmp/bench10x")
+    def time(label: String)(fn: => Unit): Unit = {
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime(); fn
+        println(f"$label pass$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    time("full_query") {
+      SparkEntry.queries("approx_sketch")(spark, d)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
