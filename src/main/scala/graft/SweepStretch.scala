@@ -49,8 +49,32 @@ object SweepStretch {
         .reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
     }
+    // Orders axis (r13): 100× CUSTOMERS at constant orders-per-customer
+    // and constant part catalog — order/line keys shift per copy, part
+    // keys do not, so baskets multiply while basket SHAPE is constant
+    // (the growth a retailer's fact tables actually see).
+    def buildOrders(mult: Int, dir: String): Unit = {
+      new java.io.File(dir).mkdirs()
+      if (!new java.io.File(s"$dir/orders.parquet").exists()) {
+        val o = spark.read.parquet(s"$base/orders.parquet")
+        (0 until mult).map(i => o
+            .withColumn("o_orderkey", col("o_orderkey") + lit(i * n))
+            .withColumn("o_custkey", col("o_custkey") + lit(i * n)))
+          .reduce(_ unionByName _)
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      }
+      if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
+        val l = spark.read.parquet(s"$base/lineitem.parquet")
+        (0 until mult).map(i => l
+            .withColumn("l_orderkey", col("l_orderkey") + lit(i * n)))
+          .reduce(_ unionByName _)
+          .repartition(32).write.mode("overwrite")
+          .parquet(s"$dir/lineitem.parquet")
+      }
+    }
     buildDocs(10, "/tmp/sweep_docs10x"); buildDocs(100, "/tmp/sweep_docs100x")
     buildEvents(10, "/tmp/sweep_ev10x"); buildEvents(100, "/tmp/sweep_ev100x")
+    buildOrders(10, "/tmp/sweep_ord10x"); buildOrders(100, "/tmp/sweep_ord100x")
 
     val tables = ("region nation customer supplier part orders lineitem " +
       "events documents embeddings").split(" ")
@@ -58,14 +82,18 @@ object SweepStretch {
       new java.io.File(dir).mkdirs()
       for (t <- tables) {
         val link = Paths.get(s"$dir/$t.parquet")
-        if (!Files.exists(link)) {
-          val target = t match {
-            case "documents" | "embeddings" => s"/tmp/sweep_docs${mult}x/$t.parquet"
-            case "events" => s"/tmp/sweep_ev${mult}x/$t.parquet"
-            case _ => s"$base/$t.parquet"
-          }
-          Files.createSymbolicLink(link, Paths.get(target))
+        val target = t match {
+          case "documents" | "embeddings" => s"/tmp/sweep_docs${mult}x/$t.parquet"
+          case "events" => s"/tmp/sweep_ev${mult}x/$t.parquet"
+          case "orders" | "lineitem" => s"/tmp/sweep_ord${mult}x/$t.parquet"
+          case _ => s"$base/$t.parquet"
         }
+        // relink if a prior run's layout pointed this table elsewhere
+        if (Files.isSymbolicLink(link) &&
+            Files.readSymbolicLink(link) != Paths.get(target))
+          Files.delete(link)
+        if (!Files.exists(link))
+          Files.createSymbolicLink(link, Paths.get(target))
       }
     }
     compose(10, "/tmp/sweep_str10x"); compose(100, "/tmp/sweep_str100x")
@@ -82,7 +110,17 @@ object SweepStretch {
       // the vocab-bound word-graph ranker (resource_alloc — mirrored
       // docs add no distinct edges, only token-stage cost)
       "embed_pq_topk", "embed_ivfpq_topk", "ndcg_eval", "seq_gap_audit",
-      "fano_factor", "transition_dwell", "resource_alloc")
+      "fano_factor", "transition_dwell", "resource_alloc",
+      // r13 second wave: events-axis sweep-lines and spines
+      // (cusum_alarm, dau_wau, streak_lengths, peak_concurrency),
+      // orders-axis profiles (rfm_segments, order_gap_stats,
+      // basket_rules — 100× customers, constant basket shape), and
+      // docs-axis layout/graph ops (shard_plan — 100× granules
+      // through the two-level scan; rich_club — mirrored docs add no
+      // distinct edges, only token-stage cost)
+      "cusum_alarm", "dau_wau", "streak_lengths", "peak_concurrency",
+      "rfm_segments", "order_gap_stats", "basket_rules",
+      "shard_plan", "rich_club")
     val keys = if (args.isEmpty) defaults else args.toSeq
     for (k <- keys) {
       val fn = SparkEntry.queries(k)

@@ -978,6 +978,234 @@ object AnalyticsQueries {
             "ELSE -1 END").as("stickiness_bp"))
     },
 
+    // B103 — INTER-ORDER GAP profile per customer: count / sum / max /
+    // integer-mean days between consecutive orders — the churn-model
+    // feature and reorder-cadence baseline (B102 scores recency
+    // once; this measures the customer's own RHYTHM, which is what
+    // "overdue" is relative to). One customer-keyed lag() window
+    // (customer-bounded partitions), deterministic under same-day
+    // orders (ties ordered by order key, gap 0), then one
+    // map-side-combined fold per customer.
+    "order_gap_stats" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"),
+          expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400")
+            .as("day"),
+          col("o_orderkey"))
+        .withColumn("prev", lag(col("day"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("day") - col("prev")).as("gap_days_sum"),
+          max(col("day") - col("prev")).as("gap_days_max"))
+        .withColumn("gap_days_mean", expr("gap_days_sum div n_gaps"))
+    },
+
+    // B104 — MARKET-BASKET rules over order line parts: top-20
+    // part-pair association rules by LIFT (support ≥ 3 baskets),
+    // with confidence both ways — B52 measures event-type cooccurrence
+    // in sessions; this is the retail classic on the ORDER basket
+    // (what to bundle/recommend). Per-basket pair explosion is
+    // basket-bounded (k²/2 for k-line orders — the self-join keys on
+    // the order, never the catalog); lift in exact ppm by
+    // cross-multiplication (cab·N·10⁶ div (ca·cb)), deterministic
+    // top-20 → TakeOrderedAndProject.
+    "basket_rules" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val supp = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      val nOrders = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("part_a"),
+          col("y.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 3)
+        .join(supp.select(col("l_partkey").as("part_a"), col("c").as("ca")),
+          "part_a")
+        .join(supp.select(col("l_partkey").as("part_b"), col("c").as("cb")),
+          "part_b")
+        .crossJoin(broadcast(nOrders)) // guarded: one-row aggregate
+        // lift numerator in DECIMAL(38,0): cab·N·10⁶ passes 2⁶³ once
+        // baskets pass ~3·10⁶ — BIGINT would wrap silently at scale
+        .select(col("part_a"), col("part_b"), col("cab"), col("ca"), col("cb"),
+          expr("CAST(cab AS DECIMAL(38,0)) * n_baskets * 1000000" +
+            " div (CAST(ca AS DECIMAL(38,0)) * cb)").as("lift_ppm"),
+          expr("cab * 10000 div ca").as("conf_a_to_b_bp"),
+          expr("cab * 10000 div cb").as("conf_b_to_a_bp"))
+        .orderBy(col("lift_ppm").desc, col("part_a").asc, col("part_b").asc)
+        .limit(20)
+    },
+
+    // B99 — STREAK LENGTHS: distribution of each user's LONGEST run
+    // of consecutive active days — the engagement metric product
+    // teams headline ("7-day streak") and the one gaps-and-islands
+    // shape the suite lacked at day granularity (B32 sessionizes by
+    // time gap, B72 measures return-on-day-k; neither answers "how
+    // long do users stay daily-active WITHOUT A BREAK"). Classic
+    // island key: day − row_number() is constant exactly on
+    // consecutive-day runs. Both windows are USER-bounded; the
+    // histogram is one map-side-combined fold.
+    "streak_lengths" -> { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr("CAST(ts AS BIGINT) div 86400").as("day"))
+        .distinct()
+      val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      ud.withColumn("island", col("day") - row_number().over(wu))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id")).agg(max(col("len")).as("streak_days"))
+        .groupBy(col("streak_days")).agg(count(lit(1)).as("n_users"))
+    },
+
+    // B100 — PEAK CONCURRENCY per day: the maximum number of
+    // simultaneously-active sessions (B32's 30-minute-gap sessions,
+    // active [first event, last event]) — the capacity number an ops
+    // team sizes connection pools against; B69 finds a USER's hot
+    // hours, this finds the SYSTEM's high-water mark. Sweep-line with
+    // a twist that keeps every frame bounded: ±1 session-boundary
+    // deltas NET-AGGREGATE per epoch second (map-side combine;
+    // concurrency is sampled at second granularity — a same-second
+    // handoff doesn't bump, documented), so the within-day running
+    // sum is a window over ≤ 86 400 rows, and midnight carry-over
+    // comes from the cumulative day-level totals (calendar-bounded
+    // spine) broadcast back — the B80/B91 posture, two-level like
+    // C106. Peak = carry_in + max(0, running max) (the max(0,·)
+    // covers a day whose first net delta is negative — concurrency at
+    // 00:00:00 IS carry_in).
+    "peak_concurrency" -> { (s, d) =>
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("long").as("t"))
+        .withColumn("gap",
+          when(col("t") - lag(col("t"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("t"))) > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("gap")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("t"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+      val deltas = sess.select(col("t0").as("t"), lit(1L).as("delta"))
+        .unionByName(sess.select((col("t1") + 1).as("t"), lit(-1L).as("delta")))
+        .groupBy(col("t")).agg(sum(col("delta")).as("delta"))
+        .withColumn("day", expr("t div 86400"))
+      // true session starts per day (the NET deltas above cancel a
+      // same-second start+end pair, so they can't count starts)
+      val starts = sess.groupBy(expr("t0 div 86400").as("day"))
+        .agg(count(lit(1)).as("n_starts"))
+      val dayTot = deltas.groupBy(col("day"))
+        .agg(sum(col("delta")).as("day_delta"))
+        .join(starts, Seq("day"), "left")
+      val wdays = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = dayTot
+        .select(col("day"), coalesce(col("n_starts"), lit(0L)).as("n_starts"),
+          coalesce(sum(col("day_delta")).over(wdays), lit(0L)).as("carry_in"))
+      val wsec = Window.partitionBy(col("day")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("run", sum(col("delta")).over(wsec))
+        .groupBy(col("day")).agg(max(col("run")).as("max_run"))
+        .join(broadcast(carry), "day")
+        .select(col("day"),
+          (col("carry_in") + greatest(lit(0L), col("max_run")))
+            .as("peak_concurrency"),
+          col("n_starts"))
+    },
+
+    // B101 — RICH-CLUB coefficient φ(k) (Colizza et al., Nature
+    // Physics 2006): among nodes with degree > k, what fraction of
+    // possible edges exist — "do the hubs form a club" (assortativity
+    // B68 asks if hubs PREFER hubs edge-wise; φ(k) asks how DENSE the
+    // hub subgraph is — a club can exist under neutral mixing). Four
+    // standard thresholds k ∈ {2,4,8,16}; per k the node set is a
+    // degree filter on the vocab-bounded degree frame and the edge
+    // count is two semi joins of the undirected edge list — edge-
+    // linear, never pairwise. φ in exact ppm over n_k·(n_k−1)/2.
+    "rich_club" -> { (s, d) =>
+      // eager localCheckpoint: twelve downstream consumers (4 k's ×
+      // {2 semi joins, degree}) must not re-tokenize the corpus (the
+      // B83 commonNeighborJaccard convention)
+      val und = wordAdjacencyEdges(s, d)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint()
+      val deg = und.select(col("a").as("node"))
+        .unionByName(und.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val ks = Seq(2L, 4L, 8L, 16L)
+      ks.map { k =>
+        val club = deg.filter(col("deg") > k).select(col("node"))
+        val e = und
+          .join(club.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(club.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .agg(count(lit(1)).as("n_edges"))
+        val n = club.agg(count(lit(1)).as("n_nodes"))
+        n.crossJoin(broadcast(e)) // guarded: both one-row aggregates
+          .select(lit(k).as("k"), col("n_nodes"), col("n_edges"),
+            when(col("n_nodes") > 1,
+              expr("n_edges * 2 * 1000000 div (n_nodes * (n_nodes - 1))"))
+              .otherwise(lit(0L)).as("phi_ppm"))
+      }.reduce(_ unionByName _)
+    },
+
+    // B102 — RFM SEGMENTS (recency / frequency / monetary quartile
+    // grid): every customer scored 1–4 on days-since-last-order,
+    // order count, and cent-exact lifetime spend, then counted per
+    // (r, f, m) cell — the marketing segmentation standard ("champions"
+    // = high on all three). Quartile thresholds use B34's cum-count
+    // trick over DISTINCT metric values so no corpus-sized sort ever
+    // runs: recency days and order counts are naturally bounded
+    // vocabularies, and monetary is quantized to a $100 grid first
+    // (the documented value-vocabulary contract — the grid, not the
+    // customers, bounds the window frame). Thresholds broadcast back;
+    // bucket = 1 + [v > q25] + [v > q50] + [v > q75], ties floor to
+    // the lower bucket on both engines.
+    "rfm_segments" -> { (s, d) =>
+      val mx = Tables.orders(s, d)
+        .agg(max(expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"))
+          .as("maxday"))
+      val cust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"))
+          .as("lastday"),
+          count(lit(1)).as("freq"),
+          sum((dec2(col("o_totalprice")) * 100).cast("long")).as("cents"))
+        .crossJoin(broadcast(mx)) // guarded: one-row aggregate
+        .select(col("o_custkey"), (col("maxday") - col("lastday")).as("rec"),
+          col("freq"), col("cents"), expr("cents div 10000").as("mgrid"))
+      def quartiles(metric: String): DataFrame = {
+        val counts = cust.groupBy(col(metric).as("v"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("v"))
+        counts
+          .withColumn("cum", sum(col("c"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum(col("c"))
+            .over(w.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .agg(min(when(col("cum") >= expr("(n + 3) div 4"), col("v"))).as(s"${metric}_q25"),
+            min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).as(s"${metric}_q50"),
+            min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("v"))).as(s"${metric}_q75"))
+      }
+      def bucket(metric: String): Column =
+        lit(1L) + when(col(metric) > col(s"${metric}_q25"), 1L).otherwise(0L) +
+          when(col(metric) > col(s"${metric}_q50"), 1L).otherwise(0L) +
+          when(col(metric) > col(s"${metric}_q75"), 1L).otherwise(0L)
+      cust
+        .crossJoin(broadcast(quartiles("rec")))    // guarded: one-row each
+        .crossJoin(broadcast(quartiles("freq")))
+        .crossJoin(broadcast(quartiles("mgrid")))
+        .select(bucket("rec").as("r_q"), bucket("freq").as("f_q"),
+          bucket("mgrid").as("m_q"), col("cents"))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"))
+    },
+
     // B88 — HHI market concentration (Herfindahl–Hirschman) of order
     // revenue across customers, per nation: Σ share_bp² over exact
     // integer cent revenues — the concentration gate ("is this
@@ -1946,6 +2174,168 @@ object AnalyticsQueries {
       |FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
       |GROUP BY 1, 2
       |ORDER BY ra_ppm DESC, common DESC, u, v LIMIT 20""".stripMargin,
+
+    // B103: the lag() window verbatim.
+    "order_gap_stats" -> """
+      WITH g AS (
+        SELECT o_custkey,
+               epoch_us(o_orderdate) // 86400000000 AS day,
+               lag(epoch_us(o_orderdate) // 86400000000) OVER
+                 (PARTITION BY o_custkey
+                  ORDER BY epoch_us(o_orderdate) // 86400000000, o_orderkey)
+                 AS prev
+        FROM orders)
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(day - prev) AS BIGINT) AS gap_days_sum,
+             CAST(max(day - prev) AS BIGINT) AS gap_days_max,
+             CAST(sum(day - prev) AS BIGINT) // CAST(count(*) AS BIGINT)
+               AS gap_days_mean
+      FROM g WHERE prev IS NOT NULL
+      GROUP BY 1""",
+
+    // B104: per-basket pair self-join + cross-multiplied lift.
+    "basket_rules" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      supp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+               FROM li GROUP BY 1),
+      nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+             FROM li),
+      pairs AS (
+        SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS cab
+        FROM li x JOIN li y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3)
+      SELECT part_a, part_b, cab, sa.c AS ca, sb.c AS cb,
+             CAST(CAST(cab AS HUGEINT) * n_baskets * 1000000
+                  // (CAST(sa.c AS HUGEINT) * sb.c) AS BIGINT) AS lift_ppm,
+             cab * 10000 // sa.c AS conf_a_to_b_bp,
+             cab * 10000 // sb.c AS conf_b_to_a_bp
+      FROM pairs JOIN supp sa ON part_a = sa.l_partkey
+                 JOIN supp sb ON part_b = sb.l_partkey, nb
+      ORDER BY lift_ppm DESC, part_a ASC, part_b ASC LIMIT 20""",
+
+    // B99: the day − row_number() island key verbatim.
+    "streak_lengths" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events),
+      isl AS (SELECT user_id,
+                     day - row_number() OVER (PARTITION BY user_id
+                                              ORDER BY day) AS island
+              FROM ud),
+      runs AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+               FROM isl GROUP BY user_id, island),
+      mx AS (SELECT user_id, max(len) AS streak_days FROM runs GROUP BY 1)
+      SELECT streak_days, CAST(count(*) AS BIGINT) AS n_users
+      FROM mx GROUP BY 1""",
+
+    // B100: identical sweep-line — net per-second deltas, day-level
+    // carry-over, within-day running max.
+    "peak_concurrency" -> """
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS t FROM events),
+      g AS (SELECT user_id, t,
+                   CASE WHEN t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS gap
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      sid AS (SELECT user_id, t, sum(gap) OVER (PARTITION BY user_id
+                                                ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM g),
+      sess AS (SELECT user_id, session_id, min(t) AS t0, max(t) AS t1
+               FROM sid GROUP BY 1, 2),
+      deltas AS (
+        SELECT t, CAST(sum(delta) AS BIGINT) AS delta, t // 86400 AS day
+        FROM (SELECT t0 AS t, 1 AS delta FROM sess
+              UNION ALL SELECT t1 + 1, -1 FROM sess)
+        GROUP BY 1),
+      starts AS (SELECT t0 // 86400 AS day, CAST(count(*) AS BIGINT)
+                          AS n_starts
+                 FROM sess GROUP BY 1),
+      daytot AS (SELECT deltas.day, CAST(sum(delta) AS BIGINT) AS day_delta,
+                        coalesce(max(n_starts), 0) AS n_starts
+                 FROM deltas LEFT JOIN starts ON deltas.day = starts.day
+                 GROUP BY 1),
+      carry AS (SELECT day, CAST(n_starts AS BIGINT) AS n_starts,
+                       CAST(coalesce(sum(day_delta) OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS BIGINT) AS carry_in
+                FROM daytot),
+      runs AS (SELECT day, max(run) AS max_run FROM (
+                 SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                 FROM deltas) GROUP BY 1)
+      SELECT r.day, CAST(carry_in + greatest(CAST(0 AS BIGINT), max_run)
+                    AS BIGINT) AS peak_concurrency, n_starts
+      FROM runs r JOIN carry c ON r.day = c.day""",
+
+    // B101: the shared word-adjacency base + per-k degree filter and
+    // double semi join, unioned.
+    "rich_club" -> {
+      val perK = Seq(2, 4, 8, 16).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE deg > $k) AS n_nodes,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM und
+           |   WHERE a IN (SELECT node FROM deg WHERE deg > $k)
+           |     AND b IN (SELECT node FROM deg WHERE deg > $k)) AS n_edges""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $WordAdjSql,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM e0 WHERE src <> dst),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+         |        GROUP BY 1),
+         |base AS ($perK)
+         |SELECT k, n_nodes, n_edges,
+         |       CASE WHEN n_nodes > 1
+         |            THEN n_edges * 2 * 1000000 // (n_nodes * (n_nodes - 1))
+         |            ELSE CAST(0 AS BIGINT) END AS phi_ppm
+         |FROM base""".stripMargin
+    },
+
+    // B102: B34's cum-count quartiles per metric over distinct values
+    // ($100 grid on monetary), bucket by strict-greater thresholds.
+    "rfm_segments" -> """
+      WITH cust AS (
+        SELECT o_custkey,
+               (SELECT max(epoch_us(o_orderdate) // 86400000000)
+                FROM orders)
+                 - max(epoch_us(o_orderdate) // 86400000000) AS rec,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) // 10000 AS mgrid
+        FROM orders GROUP BY 1),
+      qr AS (SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS q25,
+                    min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS q50,
+                    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q75
+             FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                          sum(c) OVER () AS n
+                   FROM (SELECT rec AS v, count(*) AS c FROM cust GROUP BY 1))),
+      qf AS (SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS q25,
+                    min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS q50,
+                    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q75
+             FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                          sum(c) OVER () AS n
+                   FROM (SELECT freq AS v, count(*) AS c FROM cust GROUP BY 1))),
+      qm AS (SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS q25,
+                    min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS q50,
+                    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q75
+             FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                          sum(c) OVER () AS n
+                   FROM (SELECT mgrid AS v, count(*) AS c FROM cust GROUP BY 1)))
+      SELECT CAST(1 + CAST(rec > qr.q25 AS INT) + CAST(rec > qr.q50 AS INT)
+                  + CAST(rec > qr.q75 AS INT) AS BIGINT) AS r_q,
+             CAST(1 + CAST(freq > qf.q25 AS INT) + CAST(freq > qf.q50 AS INT)
+                  + CAST(freq > qf.q75 AS INT) AS BIGINT) AS f_q,
+             CAST(1 + CAST(mgrid > qm.q25 AS INT) + CAST(mgrid > qm.q50 AS INT)
+                  + CAST(mgrid > qm.q75 AS INT) AS BIGINT) AS m_q,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM cust, qr, qf, qm
+      GROUP BY 1, 2, 3""",
 
     // B90: same dense-series CTEs; the prefix identity
     // S = P − min(0, running-min P) mirrors the engine's two running

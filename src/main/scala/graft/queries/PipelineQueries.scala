@@ -325,6 +325,51 @@ object PipelineQueries {
         "doc_a", "doc_b")
     },
 
+    // C108 — NEAR-DUP SIMILARITY HISTOGRAM: exact char-5-gram Jaccard
+    // pair counts in 500-bp bins from 5000 bp up — the threshold-
+    // tuning curve every dedup rollout reads BEFORE picking minBp
+    // ("how many pairs does each threshold delete"); C61 scores one
+    // operating point, this shows the whole knee. Same shingle-hash
+    // candidate machinery as C2 at the lower floor; bins are integer
+    // floors so both engines bucket identically.
+    "near_dup_jaccard_hist" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(corpus(s, d), "text", "doc_id",
+          k = 5, minBp = 5000)
+        .select((expr("jaccard_bp div 500") * 500).as("bin_bp"))
+        .groupBy(col("bin_bp")).agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // C107 — DUP × LENGTH cross-tab: near-dup cluster-size band
+    // against document word-length band — the curation diagnostic
+    // behind "is our duplication concentrated in short boilerplate"
+    // (if it is, a length floor removes most dup mass for free and
+    // the expensive near-dup pass runs on the residue; if it isn't,
+    // dedup must run first). Cluster sizes from the C18 machinery
+    // (signature store — text never enters the pairing), docs outside
+    // any cluster band '1'; length bands at the fixed 30/50/70-word
+    // grid (documented; both engines band identically). Cost on top
+    // of C18: one doc-keyed left join + a 16-cell fold.
+    "dup_length_matrix" -> { (s, d) =>
+      val cl = Dedup.clusterPairs(
+        Dedup.minhashLshFromSignatures(corpusSignatures(s, d), minBp = 8000),
+        "doc_a", "doc_b")
+      val sizes = cl.groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
+      val docSz = cl.join(sizes, "canonical_id").select(col("doc_id"), col("sz"))
+      corpus(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("wl"))
+        .join(docSz, Seq("doc_id"), "left")
+        .select(
+          when(coalesce(col("sz"), lit(1L)) >= 6, "6+")
+            .when(coalesce(col("sz"), lit(1L)) >= 3, "3-5")
+            .when(coalesce(col("sz"), lit(1L)) === 2, "2")
+            .otherwise("1").as("dup_band"),
+          (lit(1L) + when(col("wl") >= 30, 1L).otherwise(0L)
+            + when(col("wl") >= 50, 1L).otherwise(0L)
+            + when(col("wl") >= 70, 1L).otherwise(0L)).as("len_band"))
+        .groupBy(col("dup_band"), col("len_band"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
     // C63 — quality-aware cluster representative: the selection step
     // between clustering and the drop — keep the LONGEST member of
     // each near-dup cluster (ties → min id), singletons themselves.
@@ -1903,6 +1948,58 @@ object PipelineQueries {
       |szs AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz
       |        FROM cl GROUP BY 1)
       |SELECT sz, count(*) AS n_clusters FROM szs GROUP BY 1""".stripMargin,
+
+    // C108: the vpairs construction at the 5000-bp floor, binned.
+    "near_dup_jaccard_hist" -> s"""$CorpusCte,
+      |sh5 AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(0, greatest(length(text) - 4, 0)),
+      |                                         i -> substr(text, i + 1, 5))) AS g
+      |    FROM corpus)),
+      |sz5 AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY 1),
+      |cand5 AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+      |  FROM sh5 x JOIN sh5 y ON x.g = y.g AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT CAST(floor(10000.0 * common / (sa.n + sb.n - common)) AS BIGINT)
+      |           AS jaccard_bp
+      |  FROM cand5
+      |  JOIN sz5 sa ON doc_a = sa.doc_id
+      |  JOIN sz5 sb ON doc_b = sb.doc_id
+      |  WHERE floor(10000.0 * common / (sa.n + sb.n - common)) >= 5000)
+      |SELECT (jaccard_bp // 500) * 500 AS bin_bp,
+      |       CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM jp GROUP BY 1""".stripMargin,
+
+    // C107: the C73 recursive cluster map joined back per doc, docs
+    // outside any cluster banding '1'; same 30/50/70 length grid.
+    "dup_length_matrix" -> s"""WITH RECURSIVE $CorpusBody,
+      |$VerifiedPairsBody,
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      |          UNION SELECT doc_b, doc_a FROM vpairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |cl AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+      |szs AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz
+      |        FROM cl GROUP BY 1),
+      |dsz AS (SELECT cl.id AS doc_id, szs.sz
+      |        FROM cl JOIN szs USING (canonical_id)),
+      |lens AS (SELECT corpus.doc_id,
+      |                CAST(len(string_split(text, ' ')) AS BIGINT) AS wl,
+      |                dsz.sz
+      |         FROM corpus LEFT JOIN dsz USING (doc_id))
+      |SELECT CASE WHEN coalesce(sz, 1) >= 6 THEN '6+'
+      |            WHEN coalesce(sz, 1) >= 3 THEN '3-5'
+      |            WHEN coalesce(sz, 1) = 2 THEN '2' ELSE '1' END AS dup_band,
+      |       CAST(1 + CAST(wl >= 30 AS INT) + CAST(wl >= 50 AS INT)
+      |            + CAST(wl >= 70 AS INT) AS BIGINT)
+      |         AS len_band,
+      |       CAST(count(*) AS BIGINT) AS n_docs
+      |FROM lens GROUP BY 1, 2""".stripMargin,
 
     // C78: cluster-map membership per source; base-id join attributes
     // mirror copies to their origin's source.

@@ -1603,6 +1603,79 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("TwsActiveUsers: watermark-final coverage intervals equal the batch " +
+    "dau_wau interval construction; unexpired days stay pending") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTwsConf {
+    val W = 7L
+    val Day0 = 19723L // 2024-01-01 in epoch days
+    def tsMs(day: Long, secInDay: Long) = (Day0 + day) * 86400000L + secInDay * 1000L
+    // activity: consecutive runs, window-interior gaps, a > W dead
+    // zone (user 3), duplicate same-day events (user 1 day 2)
+    val acts: Seq[(Long, Long)] = Seq(
+      (1L, 0L), (1L, 1L), (1L, 2L), (1L, 2L), (1L, 9L),
+      (2L, 0L), (2L, 4L), (2L, 5L),
+      (3L, 1L), (3L, 15L),
+      (4L, 3L),
+      (5L, 0L), (5L, 6L), (5L, 7L), (5L, 13L))
+    // batch truth: per user sorted distinct days, cend = next-1 when
+    // the next active day lands inside the window, else g+W-1
+    val truth = acts.distinct.groupBy(_._1).flatMap { case (u, rows) =>
+      val days = rows.map(_._2).distinct.sorted
+      days.map { g =>
+        val nx = days.find(_ > g)
+        val cend = nx match {
+          case Some(n) if n <= g + W - 1 => n - 1
+          case _ => g + W - 1
+        }
+        (u, Day0 + g, Day0 + cend) // stream emits absolute epoch days
+      }
+    }.toSet
+    val input = MemoryStream[(Long, Long)] // (user_id, eventTimeMs)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_activeusers").toString
+    val q = graft.streaming.TwsActiveUsers.coverage(
+        input.toDS().toDF("user_id", "ms")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        windowDays = W, settleSecs = 30L, delay = "60 seconds")
+      .writeStream.format("memory").queryName("activeusers")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val r = new scala.util.Random(13)
+      // batch 1: everything up to day 9, shuffled WITHIN the batch —
+      // the watermark only advances after a batch completes, so
+      // intra-batch disorder is legal while a cross-batch shuffle of
+      // a 15-day span against a 60 s allowance would make the older
+      // half watermark-late by contract
+      val (head, tail) = acts.map { case (u, d) => (u, d, tsMs(d, 1L + u)) }
+        .partition(_._2 <= 9L)
+      input.addData(r.shuffle(head).map(a => (a._1, a._3)))
+      q.processAllAvailable()
+      // watermark is now ~day 9: only days 0 and 1 (finality = end of
+      // day g+6 + settle) may have finalized
+      val early = spark.table("activeusers").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(early.forall(_._2 <= Day0 + 1L),
+        s"a day finalized before its window horizon passed: $early")
+      assert(early == truth.filter(_._2 <= Day0 + 1L),
+        s"early-final intervals diverge: $early vs ${
+          truth.filter(_._2 <= Day0 + 1L)}")
+      // batch 2: the day-13/15 stragglers (both above the watermark)
+      input.addData(tail.map(a => (a._1, a._3)))
+      q.processAllAvailable()
+      // watermark far past everything: all intervals final
+      input.addData(Seq((99L, tsMs(40L, 0L))))
+      q.processAllAvailable()
+      val got = spark.table("activeusers").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(got == truth, s"coverage parity broke: ${
+        (got -- truth) ++ (truth -- got)}")
+    } finally q.stop()
+    }
+  }
+
   test("TwsTrending sharded fan-out: merged per-shard candidates equal the unsharded top-k") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
