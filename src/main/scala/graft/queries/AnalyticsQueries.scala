@@ -978,6 +978,59 @@ object AnalyticsQueries {
             "ELSE -1 END").as("stickiness_bp"))
     },
 
+    // B105 — DAILY P95 / SLO BREACH audit per event type: exact p95
+    // of the milli-quantized value per (type, day) via B34's
+    // cum-count trick, folded to the SLO scorecard (days over the
+    // 150.0 threshold, worst day) — the latency-SLO report every ops
+    // review opens with; B28/B48 flag outlier EVENTS, this scores
+    // whole DAYS against a contract. The quantile never sorts rows:
+    // the window frame is the DISTINCT milli-value grid of one
+    // (type, day) (value-RANGE bounded — raw doubles would make the
+    // frame row-sized, the C70 quantization lesson); rank threshold
+    // ceil(0.95·n) = (19n+19) div 20, floor-identical both engines.
+    "daily_p95_slo" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS BIGINT) div 86400").as("day"),
+          expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("v"))
+      val p95 = counts
+        .withColumn("cum", sum(col("c"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c"))
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .groupBy(col("event_type"), col("day"))
+        .agg(min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("v")))
+          .as("p95_milli"))
+      p95.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("p95_milli") > 150000L, 1L).otherwise(0L))
+            .as("breach_days"),
+          max(col("p95_milli")).as("worst_p95_milli"))
+    },
+
+    // B106 — NEW vs RETURNING users per day: dau split into
+    // first-ever-seen and returning — the growth-accounting ledger
+    // (acquisition vs retention) that B91's stickiness ratio sits on
+    // top of. Two map-side-combined aggs (per-user first day; per-day
+    // distinct actives) + one day-keyed join; no windows at all.
+    "new_vs_returning" -> { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr("CAST(ts AS BIGINT) div 86400").as("day"))
+        .distinct()
+      val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("fday"))
+        .groupBy(col("fday").as("day")).agg(count(lit(1)).as("new_users"))
+      ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        .join(first, Seq("day"), "left")
+        .select(col("day"), col("dau"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"),
+          (col("dau") - coalesce(col("new_users"), lit(0L)))
+            .as("returning_users"))
+    },
+
     // B103 — INTER-ORDER GAP profile per customer: count / sum / max /
     // integer-mean days between consecutive orders — the churn-model
     // feature and reorder-cadence baseline (B102 scores recency
@@ -2174,6 +2227,41 @@ object AnalyticsQueries {
       |FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
       |GROUP BY 1, 2
       |ORDER BY ra_ppm DESC, common DESC, u, v LIMIT 20""".stripMargin,
+
+    // B105: the cum-count p95 on the shared milli grid, folded.
+    "daily_p95_slo" -> """
+      WITH counts AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(floor(value * 1000) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2, 3),
+      cum AS (
+        SELECT event_type, day, v,
+               sum(c) OVER (PARTITION BY event_type, day ORDER BY v) AS cum,
+               sum(c) OVER (PARTITION BY event_type, day) AS n
+        FROM counts),
+      p AS (SELECT event_type, day,
+                   min(CASE WHEN cum >= (19 * n + 19) // 20 THEN v END)
+                     AS p95_milli
+            FROM cum GROUP BY 1, 2)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CASE WHEN p95_milli > 150000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS breach_days,
+             CAST(max(p95_milli) AS BIGINT) AS worst_p95_milli
+      FROM p GROUP BY 1""",
+
+    // B106: two aggs + a day join, no windows.
+    "new_vs_returning" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events),
+      nw AS (SELECT fday AS day, CAST(count(*) AS BIGINT) AS new_users
+             FROM (SELECT user_id, min(day) AS fday FROM ud GROUP BY 1)
+             GROUP BY 1),
+      d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1)
+      SELECT d.day, d.dau, coalesce(nw.new_users, 0) AS new_users,
+             d.dau - coalesce(nw.new_users, 0) AS returning_users
+      FROM d LEFT JOIN nw ON d.day = nw.day""",
 
     // B103: the lag() window verbatim.
     "order_gap_stats" -> """

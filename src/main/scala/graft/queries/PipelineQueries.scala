@@ -746,6 +746,27 @@ object PipelineQueries {
       TextAnalysis.langId(Tables.documents(s, d), "text", "doc_id")
     },
 
+    // C109 — LANGUAGE-ID CONFUSION matrix: the C7 detector scored
+    // against the documents table's DECLARED lang column — per
+    // (declared, predicted) cell: count and share of the declared
+    // language in bp — the eval that decides whether the detector can
+    // gate a corpus (C61 publishes the dedup detector's operating
+    // point; this is the same discipline for lang ID). One broadcast
+    // per-declared-total join over the ≤|langs|² matrix; detector
+    // runs in-scan.
+    "lang_id_confusion" -> { (s, d) =>
+      val pred = TextAnalysis.langId(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("pred_lang"))
+      val cells = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))
+      cells.join(broadcast(tot), "lang")
+        .select(col("lang"), col("pred_lang"), col("n_docs"),
+          expr("n_docs * 10000 div n_lang").as("share_bp"))
+    },
+
     // C8 — quality metrics, integer-exact.
     "text_quality" -> { (s, d) =>
       TextAnalysis.quality(Tables.documents(s, d), "text", "doc_id")
@@ -2136,6 +2157,36 @@ object PipelineQueries {
       |       WHEN score_zh > 0 THEN 'zh'
       |       ELSE 'und' END AS pred_lang
       |FROM s""".stripMargin,
+
+    // C109: the lang_id CTE joined to the declared column, with
+    // per-declared totals.
+    "lang_id_confusion" -> s"""
+      |WITH s AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split(text, ' '), t -> t IN (${markerList("en")}))) AS score_en,
+      |    len(list_filter(string_split(text, ' '), t -> t IN (${markerList("de")}))) AS score_de,
+      |    len(list_filter(string_split(text, ' '), t -> t IN (${markerList("es")}))) AS score_es,
+      |    len(list_filter(string_split(text, ' '), t -> t IN (${markerList("fr")}))) AS score_fr,
+      |    len(list_filter(string_split(text, ' '), t -> t IN (${markerList("zh")}))) AS score_zh
+      |  FROM documents),
+      |p AS (
+      |  SELECT lang,
+      |    CASE WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_es
+      |              AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+      |         WHEN score_de > 0 AND score_de >= score_es AND score_de >= score_fr
+      |              AND score_de >= score_zh THEN 'de'
+      |         WHEN score_es > 0 AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+      |         WHEN score_fr > 0 AND score_fr >= score_zh THEN 'fr'
+      |         WHEN score_zh > 0 THEN 'zh'
+      |         ELSE 'und' END AS pred_lang
+      |  FROM s),
+      |cells AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+      |          FROM p GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang
+      |        FROM cells GROUP BY 1)
+      |SELECT cells.lang, pred_lang, n_docs,
+      |       n_docs * 10000 // n_lang AS share_bp
+      |FROM cells JOIN tot ON cells.lang = tot.lang""".stripMargin,
 
     "text_quality" -> s"""
       |SELECT doc_id, n_chars_m, n_words, n_punct, n_digits, n_upper, n_stopwords,
