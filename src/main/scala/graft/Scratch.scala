@@ -111,3 +111,18 @@ object SketchStageProbe {
     spark.stop()
   }
 }
+
+/** Dev probe (r13): print executed plans for the second-wave ops. */
+object PlanPeek {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(8)
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    for (k <- args) {
+      val df = SparkEntry.queries(k)(spark, "/root/testdata/sf0.001")
+      println(s"===== $k =====")
+      println(df.queryExecution.executedPlan.toString.take(4000))
+    }
+    spark.stop()
+  }
+}

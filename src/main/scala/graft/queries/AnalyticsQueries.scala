@@ -1066,8 +1066,12 @@ object AnalyticsQueries {
     // cross-multiplication (cab·N·10⁶ div (ca·cb)), deterministic
     // top-20 → TakeOrderedAndProject.
     "basket_rules" -> { (s, d) =>
+      // eager localCheckpoint: the distinct basket projection feeds
+      // three consumers (support counts, basket total, the pair
+      // self-join twice) — one fact scan, not four
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint()
       val supp = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
       val nOrders = li.select(col("l_orderkey")).distinct()
         .agg(count(lit(1)).as("n_baskets"))
@@ -1231,6 +1235,10 @@ object AnalyticsQueries {
         .crossJoin(broadcast(mx)) // guarded: one-row aggregate
         .select(col("o_custkey"), (col("maxday") - col("lastday")).as("rec"),
           col("freq"), col("cents"), expr("cents div 10000").as("mgrid"))
+        // eager localCheckpoint: four consumers (three quartile
+        // profiles + the bucketing pass) must not re-aggregate the
+        // orders fact — cust is customer-sized, the scan is not
+        .localCheckpoint()
       def quartiles(metric: String): DataFrame = {
         val counts = cust.groupBy(col(metric).as("v"))
           .agg(count(lit(1)).as("c"))

@@ -720,4 +720,45 @@ class PlanSpec extends SparkTestBase {
     assert("Window \\[".r.findAllIn(plan).size == 2,
       s"exactly the two best-match rank windows:\n$plan")
   }
+
+  test("shard_plan: two-level scan — the one single-partition window is " +
+    "the supergranule prefix; local prefix partitions by supergranule") {
+    val df = SparkEntry.queries("shard_plan")(spark, sfDir)
+    val plan = planOf(df)
+    // exactly one SinglePartition exchange: the corpus/(G·S)-row
+    // supergranule frame (the documented bounded stage); the granule
+    // frame must NEVER collapse to one partition
+    assert("Exchange SinglePartition".r.findAllIn(plan).size == 1,
+      s"exactly the supergranule stage may be single-partition:\n$plan")
+    // the local exclusive prefix runs per supergranule
+    assert(plan.contains("], [super_id"),
+      s"granule prefix must partition by super_id:\n$plan")
+    // offsets come back via broadcast, not a shuffle of the granules
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("peak_concurrency: within-day running sum partitions by day; " +
+    "the only single-partition stage is the calendar day spine") {
+    val df = SparkEntry.queries("peak_concurrency")(spark, sfDir)
+    val plan = planOf(df)
+    // the per-second running sum must be keyed by day (≤ 86 400 rows
+    // a partition), never a corpus-ordered global window
+    assert(plan.contains("], [day"),
+      s"within-day window must partition by day:\n$plan")
+    assert("Exchange SinglePartition".r.findAllIn(plan).size == 1,
+      s"only the day-spine carry may be single-partition:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("basket_rules: deterministic top-20 is TakeOrdered, pair counts " +
+    "partial-aggregate before their shuffle") {
+    val df = SparkEntry.queries("basket_rules")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must never be a global sort:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"pair counts must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
