@@ -556,6 +556,96 @@ class PropertySpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("shard_plan two-level prefix equals the naive cumulative assignment") {
+    // C106's load-bearing decomposition: supergranule exclusive
+    // offsets + per-super local prefixes must equal the plain ordered
+    // cumulative sum for ANY byte distribution (empty granules, hot
+    // granules, a granule bigger than the target). Random granule
+    // sizes vs a Scala fold.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new Random(106)
+    val S = 8L; val Target = 1000L
+    // sparse granule ids (gaps!) with occasional giants
+    val g = (0 until 300).map { _ =>
+      (rnd.nextInt(2000).toLong,
+        if (rnd.nextInt(20) == 0) 3000L + rnd.nextInt(5000)
+        else rnd.nextInt(400).toLong)
+    }.groupBy(_._1).map { case (id, xs) => (id, xs.map(_._2).sum) }.toSeq
+    val expected = g.sortBy(_._1).foldLeft((0L, Map.empty[Long, Long])) {
+      case ((off, m), (id, bytes)) => (off + bytes, m + (id -> off / Target))
+    }._2
+    val gdf = g.toDF("granule_id", "bytes")
+    val sup = gdf.groupBy(expr(s"granule_id div $S").as("super_id"))
+      .agg(sum(col("bytes")).as("s_bytes"))
+    val wsup = Window.orderBy(col("super_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val supOff = sup.select(col("super_id"),
+      coalesce(sum(col("s_bytes")).over(wsup), lit(0L)).as("s_off"))
+    val wloc = Window.partitionBy(col("super_id")).orderBy(col("granule_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val got = gdf.withColumn("super_id", expr(s"granule_id div $S"))
+      .join(broadcast(supOff), "super_id")
+      .withColumn("cum_before",
+        col("s_off") + coalesce(sum(col("bytes")).over(wloc), lit(0L)))
+      .select(col("granule_id"), expr(s"cum_before div $Target").as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("peak_concurrency sweep-line matches brute-force per-day maxima") {
+    // B100's second-granularity net-delta semantics vs the definition:
+    // for each day, max over its seconds of |{sessions s : t0 ≤ t ≤
+    // t1}| — including days whose peak is the midnight carry-over.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new Random(100)
+    val Day = 86400L
+    // sessions spanning midnights, zero-length, same-second handoffs
+    val sess = (0 until 200).map { _ =>
+      val t0 = rnd.nextInt(5 * Day.toInt).toLong
+      (t0, t0 + rnd.nextInt(2 * Day.toInt))
+    }
+    val d0 = sess.map(_._1 / Day).min
+    val dEnd = sess.map(s => (s._2 + 1) / Day).max
+    val expected = (d0 to dEnd).flatMap { day =>
+      // concurrency(t) is non-increasing between session starts, so a
+      // day's max occurs at the day's first second or at some start
+      // within the day — evaluate only those candidates
+      val candidates = day * Day +:
+        sess.map(_._1).filter(t => t / Day == day)
+      val peak = candidates.map { t =>
+        sess.count(s => s._1 <= t && t <= s._2).toLong
+      }.max
+      // engine emits only days carrying a boundary delta
+      val hasDelta = sess.exists(s =>
+        s._1 / Day == day || (s._2 + 1) / Day == day)
+      if (hasDelta) Some(day -> peak) else None
+    }.toMap
+    val sdf = sess.toDF("t0", "t1")
+    val deltas = sdf.select(col("t0").as("t"), lit(1L).as("delta"))
+      .unionByName(sdf.select((col("t1") + 1).as("t"), lit(-1L).as("delta")))
+      .groupBy(col("t")).agg(sum(col("delta")).as("delta"))
+      .withColumn("day", expr(s"t div $Day"))
+    val dayTot = deltas.groupBy(col("day")).agg(sum(col("delta")).as("day_delta"))
+    val wdays = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = dayTot.select(col("day"),
+      coalesce(sum(col("day_delta")).over(wdays), lit(0L)).as("carry_in"))
+    val wsec = Window.partitionBy(col("day")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = deltas.withColumn("run", sum(col("delta")).over(wsec))
+      .groupBy(col("day")).agg(max(col("run")).as("max_run"))
+      .join(broadcast(carry), "day")
+      .select(col("day"),
+        (col("carry_in") + greatest(lit(0L), col("max_run"))).as("peak"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"diverging days: ${
+      (got.toSet -- expected.toSet) ++ (expected.toSet -- got.toSet)}")
+  }
+
   test("dau_wau sweep-line matches brute-force trailing-7-day distinct counts") {
     // B91's interval/delta construction vs the definition: for every
     // spine day d, wau(d) = |{u : u active on some day in [d−6, d]}|,
