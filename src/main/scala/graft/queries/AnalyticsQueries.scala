@@ -978,6 +978,27 @@ object AnalyticsQueries {
             "ELSE -1 END").as("stickiness_bp"))
     },
 
+    // B107 — SESSION DEPTH histogram: number of events per session
+    // (B32's 30-minute-gap sessions) folded to a depth distribution —
+    // the engagement-depth read ("are visits one-and-done or
+    // ten-page") that sits between B32's raw session ids and B26's
+    // named funnels. Same single user-keyed sort as B32 (the lag and
+    // the running sum share one window spec), then two
+    // map-side-combined folds; output ≤ max-depth rows.
+    "session_depth_hist" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("ts").cast("long") -
+            lag(col("ts"), 1).over(byUser).cast("long") > 1800L).as("gap"))
+        .select(col("user_id"),
+          sum(when(col("gap"), 1L).otherwise(0L)).over(byUser).as("session_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("depth"))
+        .groupBy(col("depth")).agg(count(lit(1)).as("n_sessions"))
+    },
+
     // B105 — DAILY P95 / SLO BREACH audit per event type: exact p95
     // of the milli-quantized value per (type, day) via B34's
     // cum-count trick, folded to the SLO scorecard (days over the
@@ -2235,6 +2256,24 @@ object AnalyticsQueries {
       |FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
       |GROUP BY 1, 2
       |ORDER BY ra_ppm DESC, common DESC, u, v LIMIT 20""".stripMargin,
+
+    // B107: the B32 session construction folded twice.
+    "session_depth_hist" -> """
+      WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN date_diff('second',
+                      lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC),
+                      ts) > 1800 THEN 1 ELSE 0 END AS gap
+        FROM events),
+      sid AS (SELECT user_id,
+                     sum(gap) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS session_id
+              FROM g),
+      dep AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS depth
+              FROM sid GROUP BY 1, 2)
+      SELECT depth, CAST(count(*) AS BIGINT) AS n_sessions
+      FROM dep GROUP BY 1""",
 
     // B105: the cum-count p95 on the shared milli grid, folded.
     "daily_p95_slo" -> """

@@ -746,6 +746,49 @@ object PipelineQueries {
       TextAnalysis.langId(Tables.documents(s, d), "text", "doc_id")
     },
 
+    // C110 — FRAME-SAMPLE PLAN: the video-decode fan-out shape
+    // (1 payload → N frame rows) as a standing key — every sampled
+    // frame's (doc_id, frame_idx, n_bytes) from the REAL
+    // `Multimodal.sampleFrames` mapPartitions path (frames are
+    // payload slices, the documented codec stub; the row
+    // amplification, stride arithmetic, and iterator batching are the
+    // tested plumbing). frameSize 64 / stride 2; docs shorter than one
+    // frame emit nothing on both engines.
+    "frame_sample_plan" -> { (s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.synthesize(Tables.documents(s, d)),
+          frameSize = 64, stride = 2)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("n_bytes"))
+    },
+
+    // C111 — SOURCE × QUALITY matrix: per (source, stopword-ratio
+    // band) doc counts and within-source shares — the curation
+    // dashboard that decides per-source scrub/filter policy (C62
+    // scores DOCS against their source; this summarizes SOURCES
+    // against the corpus bands). Bands on the 4800/5300/5800-bp grid
+    // (the corpus quartile region — fixed literals so both engines
+    // band identically); detector signals come from the same
+    // withQualityFlag scan C23/C62 use.
+    "source_quality_matrix" -> { (s, d) =>
+      val sig = TextAnalysis
+        .withQualityFlag(Tables.documents(s, d), "text", "doc_id")
+        .select(col("source"), col("stopword_bp"))
+      val cells = sig
+        .select(col("source"),
+          (lit(1L) + when(col("stopword_bp") >= 4800, 1L).otherwise(0L)
+            + when(col("stopword_bp") >= 5300, 1L).otherwise(0L)
+            + when(col("stopword_bp") >= 5800, 1L).otherwise(0L))
+            .as("q_band"))
+        .groupBy(col("source"), col("q_band"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = cells.groupBy(col("source")).agg(sum(col("n_docs")).as("n_src"))
+      cells.join(broadcast(tot), "source")
+        .select(col("source"), col("q_band"), col("n_docs"),
+          expr("n_docs * 10000 div n_src").as("share_bp"))
+    },
+
     // C109 — LANGUAGE-ID CONFUSION matrix: the C7 detector scored
     // against the documents table's DECLARED lang column — per
     // (declared, predicted) cell: count and share of the declared
@@ -2157,6 +2200,36 @@ object PipelineQueries {
       |       WHEN score_zh > 0 THEN 'zh'
       |       ELSE 'und' END AS pred_lang
       |FROM s""".stripMargin,
+
+    // C110: full frames only (floor(bytes/64)), stride-2 indices.
+    "frame_sample_plan" -> """
+      WITH m AS (
+        SELECT doc_id, octet_length(encode(text)) // 64 AS n_frames
+        FROM documents)
+      SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS BIGINT) AS frame_idx,
+             CAST(64 AS BIGINT) AS n_bytes
+      FROM m WHERE n_frames > 0""",
+
+    // C111: the text_quality stopword ratio banded on the fixed grid,
+    // with per-source totals.
+    "source_quality_matrix" -> s"""
+      |WITH sig AS (
+      |  SELECT source,
+      |         CAST(floor(10000.0 * len(list_filter(string_split(text, ' '),
+      |                t -> t IN (${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")})))
+      |              / len(string_split(text, ' '))) AS BIGINT) AS stopword_bp
+      |  FROM documents),
+      |cells AS (
+      |  SELECT source,
+      |         CAST(1 + CAST(stopword_bp >= 4800 AS INT)
+      |                + CAST(stopword_bp >= 5300 AS INT)
+      |                + CAST(stopword_bp >= 5800 AS INT) AS BIGINT) AS q_band,
+      |         CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM sig GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_src
+      |        FROM cells GROUP BY 1)
+      |SELECT cells.source, q_band, n_docs, n_docs * 10000 // n_src AS share_bp
+      |FROM cells JOIN tot ON cells.source = tot.source""".stripMargin,
 
     // C109: the lang_id CTE joined to the declared column, with
     // per-declared totals.
