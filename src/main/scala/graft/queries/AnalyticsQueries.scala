@@ -978,6 +978,41 @@ object AnalyticsQueries {
             "ELSE -1 END").as("stickiness_bp"))
     },
 
+    // B108 — FORECAST BACKTEST per event type: seasonal-naive
+    // (ŷ_d = y_{d−7}) vs naive-1 (ŷ_d = y_{d−1}) scored by integer
+    // MAE-milli over the dense daily series — the backtesting
+    // discipline a capacity planner runs BEFORE trusting any forecast
+    // (if last-week's-value beats yesterday's-value, the series has
+    // weekly structure worth modeling; B79 fits the trend, this
+    // measures PREDICTABILITY). Two lag() columns over one per-type
+    // CALENDAR-BOUNDED window; errors are exact integers, mae_milli =
+    // Σ|err|·1000 div n_eval; eval window = days with both lags.
+    "forecast_backtest" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS BIGINT) div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = counts.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+      val series = spine.join(counts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("cnt"), lit(0L)).as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      series
+        .withColumn("p7", lag(col("y"), 7).over(w))
+        .withColumn("p1", lag(col("y"), 1).over(w))
+        .filter(col("p7").isNotNull && col("p1").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("y") - col("p7"))).as("ae7"),
+          sum(abs(col("y") - col("p1"))).as("ae1"))
+        .select(col("event_type"), col("n_eval"),
+          expr("ae7 * 1000 div n_eval").as("mae7_milli"),
+          expr("ae1 * 1000 div n_eval").as("mae1_milli"),
+          (col("ae7") < col("ae1")).as("weekly_structure"))
+    },
+
     // B107 — SESSION DEPTH histogram: number of events per session
     // (B32's 30-minute-gap sessions) folded to a depth distribution —
     // the engagement-depth read ("are visits one-and-done or
@@ -2256,6 +2291,35 @@ object AnalyticsQueries {
       |FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
       |GROUP BY 1, 2
       |ORDER BY ra_ppm DESC, common DESC, u, v LIMIT 20""".stripMargin,
+
+    // B108: the dense spine + two lags, integer MAE.
+    "forecast_backtest" -> """
+      WITH counts AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      rng AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+              FROM counts GROUP BY 1),
+      spine AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+                FROM rng),
+      series AS (
+        SELECT sp.event_type, sp.day, coalesce(c.cnt, 0) AS y
+        FROM spine sp LEFT JOIN counts c
+          ON sp.event_type = c.event_type AND sp.day = c.day),
+      lagged AS (
+        SELECT event_type, y,
+               lag(y, 7) OVER w AS p7, lag(y, 1) OVER w AS p1
+        FROM series WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+                   CAST(sum(abs(y - p7)) AS BIGINT) AS ae7,
+                   CAST(sum(abs(y - p1)) AS BIGINT) AS ae1
+            FROM lagged WHERE p7 IS NOT NULL AND p1 IS NOT NULL
+            GROUP BY 1)
+      SELECT event_type, n_eval,
+             ae7 * 1000 // n_eval AS mae7_milli,
+             ae1 * 1000 // n_eval AS mae1_milli,
+             ae7 < ae1 AS weekly_structure
+      FROM m""",
 
     // B107: the B32 session construction folded twice.
     "session_depth_hist" -> """
