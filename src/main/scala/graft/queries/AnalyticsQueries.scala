@@ -978,6 +978,32 @@ object AnalyticsQueries {
             "ELSE -1 END").as("stickiness_bp"))
     },
 
+    // B109 — BEHAVIORAL DIVERSITY histogram: per user the
+    // Gini–Simpson index over event-type shares — 1 − Σp², the
+    // probability two random actions differ — banded into quartile
+    // buckets of the ppm scale. The "specialist vs generalist"
+    // behavioural feature (churn models and segment definitions both
+    // consume it); Shannon entropy needs logs, Gini–Simpson is
+    // INTEGER-exact: simpson_ppm = (n² − Σc²)·10⁶ div n², numerator
+    // ≥ 0 by Cauchy–Schwarz. One user-keyed agg pair (type counts →
+    // moment fold), then a 4-cell map-side-combined histogram. Band
+    // edges 780/790/795k sit at this corpus's quartile region (max
+    // possible with 5 types is 800k — a uniform generator compresses
+    // the index's top); fixed literals so both engines band alike.
+    "behavior_diversity" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ss"))
+        .select(expr("(n * n - ss) * 1000000 div (n * n)").as("simpson_ppm"))
+        .select((lit(1L) + when(col("simpson_ppm") >= 780000, 1L).otherwise(0L)
+          + when(col("simpson_ppm") >= 790000, 1L).otherwise(0L)
+          + when(col("simpson_ppm") >= 795000, 1L).otherwise(0L))
+          .as("diversity_band"))
+        .groupBy(col("diversity_band")).agg(count(lit(1)).as("n_users"))
+    },
+
     // B108 — FORECAST BACKTEST per event type: seasonal-naive
     // (ŷ_d = y_{d−7}) vs naive-1 (ŷ_d = y_{d−1}) scored by integer
     // MAE-milli over the dense daily series — the backtesting
@@ -2291,6 +2317,22 @@ object AnalyticsQueries {
       |FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
       |GROUP BY 1, 2
       |ORDER BY ra_ppm DESC, common DESC, u, v LIMIT 20""".stripMargin,
+
+    // B109: the same two-level count fold, integer Simpson.
+    "behavior_diversity" -> """
+      WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(c * c) AS BIGINT) AS ss
+            FROM c GROUP BY 1),
+      sp AS (SELECT (n * n - ss) * 1000000 // (n * n) AS simpson_ppm FROM m)
+      SELECT CAST(1 + CAST(simpson_ppm >= 780000 AS INT)
+                    + CAST(simpson_ppm >= 790000 AS INT)
+                    + CAST(simpson_ppm >= 795000 AS INT) AS BIGINT)
+               AS diversity_band,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM sp GROUP BY 1""",
 
     // B108: the dense spine + two lags, integer MAE.
     "forecast_backtest" -> """

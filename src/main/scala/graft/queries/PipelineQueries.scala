@@ -746,6 +746,26 @@ object PipelineQueries {
       TextAnalysis.langId(Tables.documents(s, d), "text", "doc_id")
     },
 
+    // C112 — CORPUS DIVERSITY per language: Gini–Simpson index over
+    // SOURCE shares (1 − Σp², integer-exact in ppm — B109's identity
+    // on the corpus-composition axis) plus source counts — the
+    // one-number "is this language's data one crawl or a real mix"
+    // gate a mix allocator (C38/C66) checks before trusting a
+    // language's share; C48/C77 compare overlap/drift between two
+    // snapshots, this scores concentration WITHIN one. Two
+    // map-side-combined folds over (lang, source) counts.
+    "corpus_diversity" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sources"), sum(col("c")).as("n_docs"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("lang"), col("n_sources"), col("n_docs"),
+          expr("(n_docs * n_docs - ss) * 1000000 div (n_docs * n_docs)")
+            .as("simpson_ppm"))
+    },
+
     // C110 — FRAME-SAMPLE PLAN: the video-decode fan-out shape
     // (1 payload → N frame rows) as a standing key — every sampled
     // frame's (doc_id, frame_idx, n_bytes) from the REAL
@@ -2200,6 +2220,19 @@ object PipelineQueries {
       |       WHEN score_zh > 0 THEN 'zh'
       |       ELSE 'und' END AS pred_lang
       |FROM s""".stripMargin,
+
+    // C112: same integer Simpson over (lang, source) counts.
+    "corpus_diversity" -> """
+      WITH c AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2)
+      SELECT lang, n_sources, n_docs,
+             (n_docs * n_docs - ss) * 1000000 // (n_docs * n_docs)
+               AS simpson_ppm
+      FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+                   CAST(sum(c) AS BIGINT) AS n_docs,
+                   CAST(sum(c * c) AS BIGINT) AS ss
+            FROM c GROUP BY 1)""",
 
     // C110: full frames only (floor(bytes/64)), stride-2 indices.
     "frame_sample_plan" -> """
