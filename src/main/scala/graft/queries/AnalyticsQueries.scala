@@ -978,6 +978,68 @@ object AnalyticsQueries {
             "ELSE -1 END").as("stickiness_bp"))
     },
 
+    // B110 — CHI-SQUARE INDEPENDENCE of event type × day-of-week:
+    // Pearson's χ² in cross-multiplied integer form — is the traffic
+    // MIX a function of the weekday, the test run before building
+    // per-dow models (B73 profiles each type's shape; this tests
+    // whether the shapes DIFFER). Per cell: ((O·N − R·C)²·1000) div
+    // (N·R·C), each term floored identically on both engines (the
+    // division-free total would square 10²⁴-scale products past
+    // DECIMAL(38) — the per-cell floor is the documented contract;
+    // bound: O·N < 10¹⁹·10¹⁹ per DECIMAL(38,0) term, i.e. corpora to
+    // ~10¹⁸ cell-pairs — past that, coarsen cells). Three
+    // map-side-combined aggs; the R/C/N frames are vocabulary-sized
+    // broadcasts.
+    "chisq_independence" -> { (s, d) =>
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+      val o = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS BIGINT) div 86400 % 7").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val r = o.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+      val c = o.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+      val n = o.agg(sum(col("o")).as("n"))
+      o.join(broadcast(r), "event_type").join(broadcast(c), "dow")
+        .crossJoin(broadcast(n)) // guarded: one-row total
+        .select(col("event_type"), col("dow"), col("o"), col("r"), col("c"),
+          col("n"),
+          ((d38(col("o")) * col("n") - d38(col("r")) * col("c"))
+            * (d38(col("o")) * col("n") - d38(col("r")) * col("c")) * 1000)
+            .as("num"),
+          (d38(col("n")) * col("r") * col("c")).as("den"))
+        .select(expr("num div den").cast("long").as("term_milli"))
+        .agg(sum(col("term_milli")).as("chi2_milli"), count(lit(1)).as("n_cells"))
+    },
+
+    // B111 — MANN–WHITNEY RANK-SUM test (purchase vs view values):
+    // the nonparametric "did the value distribution SHIFT" check that
+    // works when means lie (B67 compares conversion RATES; this
+    // compares whole distributions, outlier-robust). Doubled-U keeps
+    // ties integer-exact: U2 = Σ_v 2·cA(v)·CB_below(v) + cA(v)·cB(v)
+    // (midrank ×2), computed on the shared milli grid — the running
+    // CB_below is one window over the value-RANGE-bounded grid, never
+    // a row sort. Null mean of U2 is nA·nB; the verdict column is the
+    // division-free comparison. Bound: U2 ≤ 2·nA·nB < 2⁶³ to ~2·10⁹
+    // rows per side at any one grid — past that pre-aggregate.
+    "rank_sum_test" -> { (s, d) =>
+      val g = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy(expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("ca"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cb_below", coalesce(sum(col("cb")).over(w), lit(0L)))
+        .select(col("ca"), col("cb"),
+          (col("ca") * col("cb_below") * 2 + col("ca") * col("cb")).as("u2c"))
+        .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+          sum(col("u2c")).as("u2"))
+        .select(col("n_a"), col("n_b"), col("u2"),
+          when(col("u2") > col("n_a") * col("n_b"), "purchase_higher")
+            .when(col("u2") < col("n_a") * col("n_b"), "view_higher")
+            .otherwise("tied").as("shift"))
+    },
+
     // B109 — BEHAVIORAL DIVERSITY histogram: per user the
     // Gini–Simpson index over event-type shares — 1 − Σp², the
     // probability two random actions differ — banded into quartile
@@ -2317,6 +2379,51 @@ object AnalyticsQueries {
       |FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
       |GROUP BY 1, 2
       |ORDER BY ra_ppm DESC, common DESC, u, v LIMIT 20""".stripMargin,
+
+    // B110: HUGEINT per-cell terms, floored identically.
+    "chisq_independence" -> """
+      WITH o AS (
+        SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2),
+      r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
+      c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
+      n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+      cells AS (
+        SELECT CAST((CAST(o.o AS HUGEINT) * n.n - CAST(r.r AS HUGEINT) * c.c)
+                    * (CAST(o.o AS HUGEINT) * n.n - CAST(r.r AS HUGEINT) * c.c)
+                    * 1000
+                    // (CAST(n.n AS HUGEINT) * r.r * c.c) AS BIGINT)
+                 AS term_milli
+        FROM o JOIN r USING (event_type) JOIN c USING (dow), n)
+      SELECT CAST(sum(term_milli) AS BIGINT) AS chi2_milli,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM cells""",
+
+    // B111: doubled-U over the shared milli grid.
+    "rank_sum_test" -> """
+      WITH g AS (
+        SELECT CAST(floor(value * 1000) AS BIGINT) AS v,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1),
+      cu AS (SELECT ca, cb,
+                    CAST(coalesce(sum(cb) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cb_below
+             FROM g),
+      m AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                   CAST(sum(cb) AS BIGINT) AS n_b,
+                   CAST(sum(ca * cb_below * 2 + ca * cb) AS BIGINT) AS u2
+            FROM cu)
+      SELECT n_a, n_b, u2,
+             CASE WHEN u2 > n_a * n_b THEN 'purchase_higher'
+                  WHEN u2 < n_a * n_b THEN 'view_higher'
+                  ELSE 'tied' END AS shift
+      FROM m""",
 
     // B109: the same two-level count fold, integer Simpson.
     "behavior_diversity" -> """
