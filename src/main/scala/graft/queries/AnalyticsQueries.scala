@@ -978,6 +978,71 @@ object AnalyticsQueries {
             "ELSE -1 END").as("stickiness_bp"))
     },
 
+    // B112 — KENDALL'S TAU between daily volume and daily value mass
+    // per event type: concordant/discordant day pairs — "do busy days
+    // also carry high value" as a RANK statistic (B33's Pearson is
+    // moment-based and outlier-owned; τ only needs sign agreement).
+    // The pairwise form is legal here because the pair frame is
+    // CALENDAR-bounded (days², not rows² — the one place all-pairs is
+    // the right plan); integers end-to-end: y is the exact milli-value
+    // sum, τ_a_bp = (C − D)·2·10⁴ div (n·(n−1)), negative allowed.
+    "kendall_tau" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS BIGINT) div 86400").as("day"))
+        .agg(count(lit(1)).as("x"),
+          sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("y"))
+      val a = daily.select(col("event_type"), col("day").as("d1"),
+        col("x").as("x1"), col("y").as("y1"))
+      val b = daily.select(col("event_type"), col("day").as("d2"),
+        col("x").as("x2"), col("y").as("y2"))
+      a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+        .select(col("event_type"),
+          ((col("x2") - col("x1")) * (col("y2") - col("y1"))).as("p"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("p") > 0, 1L).otherwise(0L)).as("concordant"),
+          sum(when(col("p") < 0, 1L).otherwise(0L)).as("discordant"),
+          sum(when(col("p") === 0, 1L).otherwise(0L)).as("ties"),
+          count(lit(1)).as("n_pairs"))
+        .withColumn("tau_a_bp",
+          expr("(concordant - discordant) * 10000 div n_pairs"))
+    },
+
+    // B113 — THEIL–SEN slope of the daily count series per event
+    // type: the MEDIAN of all pairwise slopes — the robust trend B79's
+    // OLS is not (one crazy day owns an OLS slope; Theil–Sen shrugs
+    // off 29% contamination). Pair frame calendar-bounded as B112;
+    // slopes land on a documented milli grid (slope_milli =
+    // Δy·1000 div Δday, floored identically) and the median is B34's
+    // cum-count pick over the ≤pairs-sized slope vocabulary — lower
+    // median, deterministic.
+    "theil_sen" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS BIGINT) div 86400").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val a = daily.select(col("event_type"), col("day").as("d1"),
+        col("y").as("y1"))
+      val b = daily.select(col("event_type"), col("day").as("d2"),
+        col("y").as("y2"))
+      val slopes = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+        .select(col("event_type"),
+          expr("(y2 - y1) * 1000 div (d2 - d1)").as("slope_milli"))
+        .groupBy(col("event_type"), col("slope_milli"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("slope_milli"))
+      slopes
+        .withColumn("cum", sum(col("c"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c"))
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_pairs"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("slope_milli")))
+            .as("sen_slope_milli"))
+    },
+
     // B110 — CHI-SQUARE INDEPENDENCE of event type × day-of-week:
     // Pearson's χ² in cross-multiplied integer form — is the traffic
     // MIX a function of the weekday, the test run before building
@@ -2379,6 +2444,54 @@ object AnalyticsQueries {
       |FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
       |GROUP BY 1, 2
       |ORDER BY ra_ppm DESC, common DESC, u, v LIMIT 20""".stripMargin,
+
+    // B112: the same day-pair frame, sign folds.
+    "kendall_tau" -> """
+      WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      p AS (
+        SELECT a.event_type, (b.x - a.x) * (b.y - a.y) AS p
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day),
+      m AS (SELECT event_type,
+                   CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS concordant,
+                   CAST(sum(CASE WHEN p < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS discordant,
+                   CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS ties,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM p GROUP BY 1)
+      SELECT event_type, concordant, discordant, ties, n_pairs,
+             (concordant - discordant) * 10000 // n_pairs AS tau_a_bp
+      FROM m""",
+
+    // B113: floored pairwise slopes, cum-count lower median.
+    "theil_sen" -> """
+      WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      sl AS (
+        SELECT a.event_type,
+               CAST((b.y - a.y) * 1000 // (b.day - a.day) AS BIGINT)
+                 AS slope_milli
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day),
+      g AS (SELECT event_type, slope_milli, CAST(count(*) AS BIGINT) AS c
+            FROM sl GROUP BY 1, 2),
+      cum AS (SELECT event_type, slope_milli,
+                     sum(c) OVER (PARTITION BY event_type
+                                  ORDER BY slope_milli) AS cum,
+                     sum(c) OVER (PARTITION BY event_type) AS n
+              FROM g)
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN slope_milli END)
+               AS sen_slope_milli
+      FROM cum GROUP BY 1""",
 
     // B110: HUGEINT per-cell terms, floored identically.
     "chisq_independence" -> """
