@@ -978,6 +978,41 @@ object AnalyticsQueries {
             "ELSE -1 END").as("stickiness_bp"))
     },
 
+    // B114 — COHORT LTV CURVE: cumulative revenue per acquisition
+    // cohort as it ages — B27 counts RETURNING USERS per cohort week;
+    // this tracks the MONEY curve finance actually plans against
+    // ("month-6 LTV of the January cohort"), per-customer-normalized
+    // so cohort sizes compare. Cohort = first-order month (integer
+    // y·12+m — no date arithmetic ambiguity), dense age spine per
+    // cohort (a zero-revenue month must still advance the cumulative
+    // curve), running sum over the CALENDAR-bounded (cohort, age)
+    // frame; money cent-exact, per-customer = cents div size.
+    "cohort_ltv" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)")
+            .as("ym"),
+          (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      val cohort = o.groupBy(col("o_custkey")).agg(min(col("ym")).as("c0"))
+      val size = cohort.groupBy(col("c0")).agg(count(lit(1)).as("cohort_size"))
+      val rev = o.join(cohort, "o_custkey")
+        .groupBy(col("c0"), (col("ym") - col("c0")).as("age"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      val spine = rev.groupBy(col("c0")).agg(max(col("age")).as("amax"))
+        .select(col("c0"), explode(expr("sequence(0L, amax)")).as("age"))
+      val w = Window.partitionBy(col("c0")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(rev, Seq("c0", "age"), "left")
+        .select(col("c0"), col("age"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("cents"), lit(0L)).as("cents"))
+        .withColumn("cum_cents", sum(col("cents")).over(w))
+        .join(broadcast(size), "c0")
+        .select(col("c0").as("cohort_ym"), col("age"), col("n_orders"),
+          col("cents"), col("cum_cents"), col("cohort_size"),
+          expr("cum_cents div cohort_size").as("cum_cents_per_cust"))
+    },
+
     // B112 — KENDALL'S TAU between daily volume and daily value mass
     // per event type: concordant/discordant day pairs — "do busy days
     // also carry high value" as a RANK statistic (B33's Pearson is
@@ -2444,6 +2479,41 @@ object AnalyticsQueries {
       |FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
       |GROUP BY 1, 2
       |ORDER BY ra_ppm DESC, common DESC, u, v LIMIT 20""".stripMargin,
+
+    // B114: integer months, dense age spine, running sum per cohort.
+    "cohort_ltv" -> """
+      WITH o AS (
+        SELECT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents
+        FROM orders),
+      cohort AS (SELECT o_custkey, min(ym) AS c0 FROM o GROUP BY 1),
+      sz AS (SELECT c0, CAST(count(*) AS BIGINT) AS cohort_size
+             FROM cohort GROUP BY 1),
+      rev AS (
+        SELECT c.c0, o.ym - c.c0 AS age,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM o JOIN cohort c USING (o_custkey)
+        GROUP BY 1, 2),
+      spine AS (
+        SELECT c0, unnest(generate_series(0, amax)) AS age
+        FROM (SELECT c0, max(age) AS amax FROM rev GROUP BY 1)),
+      series AS (
+        SELECT sp.c0, sp.age,
+               coalesce(r.n_orders, 0) AS n_orders,
+               coalesce(r.cents, 0) AS cents
+        FROM spine sp LEFT JOIN rev r ON sp.c0 = r.c0 AND sp.age = r.age),
+      cum AS (
+        SELECT *, CAST(sum(cents) OVER (PARTITION BY c0 ORDER BY age)
+                  AS BIGINT) AS cum_cents
+        FROM series)
+      SELECT cum.c0 AS cohort_ym, CAST(age AS BIGINT) AS age,
+             CAST(n_orders AS BIGINT) AS n_orders,
+             CAST(cents AS BIGINT) AS cents, cum_cents, cohort_size,
+             cum_cents // cohort_size AS cum_cents_per_cust
+      FROM cum JOIN sz ON cum.c0 = sz.c0""",
 
     // B112: the same day-pair frame, sign folds.
     "kendall_tau" -> """

@@ -746,6 +746,38 @@ object PipelineQueries {
       TextAnalysis.langId(Tables.documents(s, d), "text", "doc_id")
     },
 
+    // C113 — DEDUP SAVINGS report per source: what the near-dup drop
+    // actually buys — docs and characters removed (non-representative
+    // cluster members under C63's longest-wins rule) per source, with
+    // savings in bp — the executive summary a curation run publishes
+    // before anyone signs off on deleting data (C73 shows cluster
+    // SIZES, C78 membership; this prices the DROP). Perturbed copies
+    // attribute to their base doc's source via the id offset (the
+    // corpus construction's documented mirror key). Cost = the C63
+    // rep map + one broadcast source join + one fold.
+    "dedup_savings_report" -> { (s, d) =>
+      val c = corpus(s, d)
+      val reps = Dedup.bestRepresentative(
+        c.select(col("doc_id"), length(col("text")).as("score")),
+        Dedup.minhashLshFromSignatures(corpusSignatures(s, d), minBp = 8000),
+        "doc_id", "score")
+      val src = Tables.documents(s, d)
+        .select(col("doc_id").as("base_id"), col("source"))
+      c.select(col("doc_id"), length(col("text")).cast("long").as("chars"),
+          (col("doc_id") % 1000000L).as("base_id"))
+        .join(broadcast(src), "base_id")
+        .join(reps, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("rep_id"), 1L).otherwise(0L))
+            .as("n_dropped"),
+          sum(col("chars")).as("chars_total"),
+          sum(when(col("doc_id") =!= col("rep_id"), col("chars"))
+            .otherwise(0L)).as("chars_dropped"))
+        .withColumn("savings_bp",
+          expr("chars_dropped * 10000 div chars_total"))
+    },
+
     // C112 — CORPUS DIVERSITY per language: Gini–Simpson index over
     // SOURCE shares (1 − Σp², integer-exact in ppm — B109's identity
     // on the corpus-composition axis) plus source counts — the
@@ -2220,6 +2252,46 @@ object PipelineQueries {
       |       WHEN score_zh > 0 THEN 'zh'
       |       ELSE 'und' END AS pred_lang
       |FROM s""".stripMargin,
+
+    // C113: the C63 rep map + base-id source attribution, folded.
+    "dedup_savings_report" -> s"""WITH RECURSIVE $CorpusBody,
+      |$VerifiedPairsBody,
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      |          UNION SELECT doc_b, doc_a FROM vpairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |cc AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+      |members AS (
+      |  SELECT c.doc_id, length(c.text) AS score,
+      |         coalesce(cc.canonical_id, c.doc_id) AS canonical_id
+      |  FROM corpus c LEFT JOIN cc ON c.doc_id = cc.id),
+      |best AS (SELECT canonical_id, max(score) AS best_score
+      |         FROM members GROUP BY 1),
+      |reps AS (
+      |  SELECT m.canonical_id, min(m.doc_id) AS rep_id
+      |  FROM members m JOIN best b
+      |    ON m.canonical_id = b.canonical_id AND m.score = b.best_score
+      |  GROUP BY 1),
+      |keep AS (SELECT m.doc_id, r.rep_id
+      |         FROM members m JOIN reps r ON m.canonical_id = r.canonical_id),
+      |attributed AS (
+      |  SELECT k.doc_id, k.rep_id, CAST(length(c.text) AS BIGINT) AS chars,
+      |         d.source
+      |  FROM keep k JOIN corpus c ON k.doc_id = c.doc_id
+      |       JOIN documents d ON k.doc_id % 1000000 = d.doc_id)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN doc_id <> rep_id THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_dropped,
+      |       CAST(sum(chars) AS BIGINT) AS chars_total,
+      |       CAST(sum(CASE WHEN doc_id <> rep_id THEN chars ELSE 0 END)
+      |            AS BIGINT) AS chars_dropped,
+      |       CAST(sum(CASE WHEN doc_id <> rep_id THEN chars ELSE 0 END)
+      |            AS BIGINT) * 10000
+      |         // CAST(sum(chars) AS BIGINT) AS savings_bp
+      |FROM attributed GROUP BY 1""".stripMargin,
 
     // C112: same integer Simpson over (lang, source) counts.
     "corpus_diversity" -> """
