@@ -978,6 +978,47 @@ object AnalyticsQueries {
             "ELSE -1 END").as("stickiness_bp"))
     },
 
+    // B115 — WALD–WOLFOWITZ RUNS TEST on daily up/down moves per
+    // event type: are consecutive days' direction changes RANDOM, or
+    // do moves cluster (momentum) / alternate (mean-reversion)?
+    // Complements B78's magnitude autocorrelation with a pure sign
+    // test (outlier-free by construction). Ties (flat days) drop per
+    // the classic test; runs = 1 + Σ[sign ≠ prev sign] over the
+    // calendar-bounded per-type day series (two lags, one window
+    // spec); verdict division-free: R·n vs 2·n⁺·n⁻ + n cross-compared.
+    "runs_test" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS BIGINT) div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = counts.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val moves = spine.join(counts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("cnt"), lit(0L)).as("y"))
+        .withColumn("prev", lag(col("y"), 1).over(w))
+        .filter(col("prev").isNotNull && col("y") =!= col("prev"))
+        .select(col("event_type"), col("day"),
+          when(col("y") > col("prev"), 1L).otherwise(-1L).as("mv"))
+      val wm = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      moves.withColumn("pmv", lag(col("mv"), 1).over(wm))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("mv") === 1L, 1L).otherwise(0L)).as("n_up"),
+          sum(when(col("mv") === -1L, 1L).otherwise(0L)).as("n_down"),
+          (sum(when(col("pmv").isNotNull && col("mv") =!= col("pmv"), 1L)
+            .otherwise(0L)) + 1).as("n_runs"))
+        .select(col("event_type"), col("n_up"), col("n_down"), col("n_runs"),
+          when(col("n_runs") * (col("n_up") + col("n_down")) <
+            col("n_up") * col("n_down") * 2 + (col("n_up") + col("n_down")),
+            "clustered")
+            .when(col("n_runs") * (col("n_up") + col("n_down")) >
+              col("n_up") * col("n_down") * 2 + (col("n_up") + col("n_down")),
+              "alternating")
+            .otherwise("random").as("verdict"))
+    },
+
     // B114 — COHORT LTV CURVE: cumulative revenue per acquisition
     // cohort as it ages — B27 counts RETURNING USERS per cohort week;
     // this tracks the MONEY curve finance actually plans against
@@ -2479,6 +2520,49 @@ object AnalyticsQueries {
       |FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
       |GROUP BY 1, 2
       |ORDER BY ra_ppm DESC, common DESC, u, v LIMIT 20""".stripMargin,
+
+    // B115: ties dropped, runs counted by sign changes + 1.
+    "runs_test" -> """
+      WITH counts AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      rng AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+              FROM counts GROUP BY 1),
+      spine AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+                FROM rng),
+      series AS (
+        SELECT sp.event_type, sp.day, coalesce(c.cnt, 0) AS y
+        FROM spine sp LEFT JOIN counts c
+          ON sp.event_type = c.event_type AND sp.day = c.day),
+      mv AS (
+        SELECT event_type, day,
+               CASE WHEN y > prev THEN 1 ELSE -1 END AS mv
+        FROM (SELECT event_type, day, y,
+                     lag(y) OVER (PARTITION BY event_type ORDER BY day)
+                       AS prev
+              FROM series)
+        WHERE prev IS NOT NULL AND y <> prev),
+      r AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN mv = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_up,
+               CAST(sum(CASE WHEN mv = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_down,
+               CAST(sum(CASE WHEN pmv IS NOT NULL AND mv <> pmv
+                             THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs
+        FROM (SELECT event_type, mv,
+                     lag(mv) OVER (PARTITION BY event_type ORDER BY day)
+                       AS pmv
+              FROM mv)
+        GROUP BY 1)
+      SELECT event_type, n_up, n_down, n_runs,
+             CASE WHEN n_runs * (n_up + n_down) <
+                       n_up * n_down * 2 + (n_up + n_down) THEN 'clustered'
+                  WHEN n_runs * (n_up + n_down) >
+                       n_up * n_down * 2 + (n_up + n_down) THEN 'alternating'
+                  ELSE 'random' END AS verdict
+      FROM r""",
 
     // B114: integer months, dense age spine, running sum per cohort.
     "cohort_ltv" -> """

@@ -42,6 +42,49 @@ object CorpusQueries {
         .withColumn("chars_per_token_milli", expr("n_chars * 1000 div tokens"))
     },
 
+    // C114 — HAPAX/TAIL SHARE (Zipf-tail accounting): how many word
+    // types occur once (hapax legomena) or twice, and what share of
+    // TYPES and of TOKEN MASS they carry — the tail report behind
+    // every vocab-size / min-count decision (a fat hapax share means
+    // a bigger vocab buys almost no coverage; C33 measures coverage
+    // of a GIVEN vocab, this explains why). One token scan into a
+    // vocab-keyed count, folded to a single row of integers.
+    "hapax_share" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax_types"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("dis_types"))
+        .select(col("n_types"), col("n_tokens"), col("hapax_types"),
+          col("dis_types"),
+          expr("hapax_types * 10000 div n_types").as("hapax_type_bp"),
+          expr("hapax_types * 10000 div n_tokens").as("hapax_token_bp"),
+          expr("dis_types * 2 * 10000 div n_tokens").as("dis_token_bp"))
+    },
+
+    // C115 — VOCAB GROWTH CURVE (Heaps'-law checkpoints): distinct
+    // word types after 25/50/75/100% of the corpus (by doc-id order)
+    // — the empirical types-vs-tokens curve that prices "how much new
+    // vocabulary does the next crawl buy" (C114 explains the tail,
+    // this measures its GROWTH). Prefix bounds are two control-plane
+    // longs (the seq_gap convention); each checkpoint is one
+    // token-scan distinct count — four scans, each fully distributed,
+    // no expand blow-up of the token stream.
+    "vocab_growth" -> { (s, d) =>
+      val bounds = Tables.documents(s, d)
+        .agg(max(col("doc_id")).as("mx")).collect()(0).getLong(0) + 1
+      Seq(25L, 50L, 75L, 100L).map { pct =>
+        Tables.documents(s, d)
+          .filter(col("doc_id") * 100 < lit(bounds * pct))
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_types"))
+          .select(lit(pct).as("prefix_pct"), col("n_tokens"), col("n_types"))
+      }.reduce(_ unionByName _)
+    },
+
     // C39 — duplicated-span measurement (Lee et al. 2022): per doc,
     // the fraction of its distinct word-6-grams shared with any OTHER
     // doc, in basis points. Runs over the perturbed near-dup corpus
@@ -283,6 +326,38 @@ object CorpusQueries {
       |LEFT JOIN drops d USING (doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // C114: one vocab count, integer tail folds.
+    "hapax_share" -> """
+      WITH v AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY 1),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS hapax_types,
+                   CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS dis_types
+            FROM v)
+      SELECT n_types, n_tokens, hapax_types, dis_types,
+             hapax_types * 10000 // n_types AS hapax_type_bp,
+             hapax_types * 10000 // n_tokens AS hapax_token_bp,
+             dis_types * 2 * 10000 // n_tokens AS dis_token_bp
+      FROM m""",
+
+    // C115: same prefix bounds (doc_id·100 < (max+1)·pct).
+    "vocab_growth" -> """
+      WITH mx AS (SELECT max(doc_id) + 1 AS b FROM documents),
+      pcts AS (SELECT unnest([25, 50, 75, 100]) AS pct)
+      SELECT CAST(pct AS BIGINT) AS prefix_pct,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT w) AS BIGINT) AS n_types
+      FROM pcts, mx,
+           (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents) t
+      WHERE t.w <> '' AND t.doc_id * 100 < mx.b * pct
+      GROUP BY 1""",
 
     // C88: same whitespace-token and strlen conventions.
     "token_fertility" -> """
