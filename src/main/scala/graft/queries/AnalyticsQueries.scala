@@ -1019,6 +1019,144 @@ object AnalyticsQueries {
             .otherwise("random").as("verdict"))
     },
 
+    // B116 — KAPLAN–MEIER SURVIVAL TABLE of customer repeat-purchase
+    // delay, per market segment: "having just ordered, how long until
+    // the NEXT order?" with right-censoring done properly — the gap
+    // from a customer's last order to the dataset horizon is a
+    // censored duration, not an event (naive avg-gap silently drops
+    // exactly the long gaps that matter). Durations via one lead()
+    // window on (custkey, orderdate, orderkey); the classic KM table
+    // is integers only: at_risk(t) = #durations ≥ t falls out of ONE
+    // cumulative window ordered by t DESC over the per-(segment, t)
+    // counts — no per-event-time scan. The survival curve itself is
+    // Π(1 − d/n) over these rows, a trivial client-side fold; the
+    // TABLE is the distributed product.
+    "km_survival" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      val horizon = o.agg(max(col("o_orderdate")).as("dmax"))
+      val seg = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val dur = o
+        .withColumn("nxt", lead(col("o_orderdate"), 1).over(w))
+        .crossJoin(broadcast(horizon))
+        .select(col("o_custkey"),
+          when(col("nxt").isNotNull, datediff(col("nxt"), col("o_orderdate")))
+            .otherwise(datediff(col("dmax"), col("o_orderdate")))
+            .cast("long").as("t_days"),
+          when(col("nxt").isNotNull, 1L).otherwise(0L).as("ev"))
+      val counts = dur.join(broadcast(seg), "o_custkey")
+        .groupBy(col("c_mktsegment").as("segment"), col("t_days"))
+        .agg(sum(col("ev")).as("events"),
+          sum(lit(1L) - col("ev")).as("censored"))
+      val wd = Window.partitionBy(col("segment")).orderBy(col("t_days").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts
+        .withColumn("at_risk", sum(col("events") + col("censored")).over(wd))
+        .filter(col("events") > 0)
+        .select(col("segment"), col("t_days"), col("at_risk"),
+          col("events"), col("censored"))
+    },
+
+    // B117 — ABC CLASSIFICATION of parts by discounted revenue (the
+    // 70/90 Pareto inventory bands): rank parts by revenue desc,
+    // inclusive cumulative share, class A ≤ 70 % of total mass,
+    // B ≤ 90 %, C the tail. The ranked frame is part-granular — a
+    // dimension, not the fact table — and even so the cumulative sum
+    // is the shard_plan two-level prefix (per-band offsets from a
+    // band-count-sized window + a within-band window partitioned by
+    // band), NOT one global sort: band = rev_e4 div 10⁷ is monotone
+    // in revenue so cross-band order is free. Revenue on the exact
+    // 10⁻⁴-dollar grid; ties broken by partkey. Oracle replays the
+    // NAIVE single-window cumulative — equality IS the two-level
+    // prefix's correctness proof.
+    "abc_classification" -> { (s, d) =>
+      val pr = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum((dec2(col("l_extendedprice")) *
+          (lit(1) - dec2(col("l_discount"))) * 10000).cast("long"))
+          .as("rev_e4"))
+      val tot = pr.agg(sum(col("rev_e4")).as("total_e4"))
+      val banded = pr.withColumn("band", expr("rev_e4 div 10000000"))
+      val bandAgg = banded.groupBy(col("band"))
+        .agg(sum(col("rev_e4")).as("b_mass"))
+      val wband = Window.orderBy(col("band").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bandOff = bandAgg
+        .select(col("band"),
+          coalesce(sum(col("b_mass")).over(wband), lit(0L)).as("b_off"))
+      val wloc = Window.partitionBy(col("band"))
+        .orderBy(col("rev_e4").desc, col("l_partkey").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      banded.join(broadcast(bandOff), "band")
+        .withColumn("cum",
+          col("b_off") + coalesce(sum(col("rev_e4")).over(wloc), lit(0L)) +
+            col("rev_e4"))
+        .crossJoin(broadcast(tot))
+        .withColumn("abc_class",
+          when(col("cum") * 100 <= col("total_e4") * 70, "A")
+            .when(col("cum") * 100 <= col("total_e4") * 90, "B")
+            .otherwise("C"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev_e4")).as("rev_e4"),
+          max(col("total_e4")).as("total_e4"))
+        .withColumn("share_bp", expr("rev_e4 * 10000 div total_e4"))
+    },
+
+    // B118 — CUPED-ADJUSTED A/B LIFT: variance-reduced treatment
+    // effect using each user's PRE-period spend as the control
+    // covariate (θ = Cov(X,Y)/Var(X), Y_adj = Y − θ(X − X̄)) — the
+    // standard fix for B67's raw delta being noise-owned when user
+    // spend is heavy-tailed. Calendar split at the integer midpoint
+    // day; X/Y are exact milli-value sums per user; all moments
+    // accumulate in DECIMAL(38,0) (BIGINT Σx² wraps at 100× event
+    // scale; acf_hourly convention), and only the FINAL θ/deltas are
+    // computed in DOUBLE from decimal-cast operands — identical
+    // expression trees both engines, bit-identical float64.
+    "cuped_ab" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("CAST(ts AS BIGINT) div 86400").as("day"),
+          expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
+      val split = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(expr("(d0 + d1 + 1) div 2").as("mid"))
+      val pu = ev.crossJoin(broadcast(split))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < col("mid"), col("v")).otherwise(0L))
+          .as("x"),
+          sum(when(col("day") >= col("mid"), col("v")).otherwise(0L))
+            .as("y"))
+        .select((col("user_id") % 2).as("variant"), col("x"), col("y"))
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+      val m = pu.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+        sum(d38(col("x")) * d38(col("y"))).as("sxy"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("x")).otherwise(0L)).as("sx_a"),
+        sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sy_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("x")).otherwise(0L)).as("sx_b"),
+        sum(when(col("variant") === 1, col("y")).otherwise(0L)).as("sy_b"))
+      m.select(col("n_a"), col("n_b"), col("sx_a"), col("sy_a"),
+          col("sx_b"), col("sy_b"),
+          (d38(col("n")) * col("sxy") - d38(col("sx")) * d38(col("sy")))
+            .cast("double").as("theta_num"),
+          (d38(col("n")) * col("sxx") - d38(col("sx")) * d38(col("sx")))
+            .cast("double").as("theta_den"))
+        .withColumn("theta", col("theta_num") / col("theta_den"))
+        .withColumn("delta_raw_milli",
+          col("sy_b").cast("double") / col("n_b").cast("double") -
+            col("sy_a").cast("double") / col("n_a").cast("double"))
+        .withColumn("delta_cuped_milli",
+          col("delta_raw_milli") - col("theta") *
+            (col("sx_b").cast("double") / col("n_b").cast("double") -
+              col("sx_a").cast("double") / col("n_a").cast("double")))
+    },
+
     // B114 — COHORT LTV CURVE: cumulative revenue per acquisition
     // cohort as it ages — B27 counts RETURNING USERS per cohort week;
     // this tracks the MONEY curve finance actually plans against
@@ -2563,6 +2701,118 @@ object AnalyticsQueries {
                        n_up * n_down * 2 + (n_up + n_down) THEN 'alternating'
                   ELSE 'random' END AS verdict
       FROM r""",
+
+    // B116: durations via the same lead() window, censored = horizon
+    // gap; at_risk = one DESC cumulative over the (segment, t) counts.
+    "km_survival" -> """
+      WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey FROM orders),
+      hz AS (SELECT max(o_orderdate) AS dmax FROM o),
+      dur AS (
+        SELECT o_custkey,
+               CAST(CASE WHEN nxt IS NOT NULL
+                         THEN date_diff('day', o_orderdate, nxt)
+                         ELSE date_diff('day', o_orderdate, dmax) END
+                 AS BIGINT) AS t_days,
+               CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM (SELECT o_custkey, o_orderdate,
+                     lead(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS nxt
+              FROM o) CROSS JOIN hz),
+      counts AS (
+        SELECT c.c_mktsegment AS segment, t_days,
+               CAST(sum(ev) AS BIGINT) AS events,
+               CAST(sum(1 - ev) AS BIGINT) AS censored
+        FROM dur JOIN customer c ON dur.o_custkey = c.c_custkey
+        GROUP BY 1, 2)
+      SELECT segment, t_days,
+             CAST(sum(events + censored) OVER (PARTITION BY segment
+               ORDER BY t_days DESC) AS BIGINT) AS at_risk,
+             events, censored
+      FROM counts QUALIFY events > 0""",
+
+    // B117: the NAIVE global-window cumulative — value-equality with
+    // the engine's two-level banded prefix is the correctness proof.
+    "abc_classification" -> """
+      WITH pr AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000)
+                 AS BIGINT) AS rev_e4
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT CAST(sum(rev_e4) AS BIGINT) AS total_e4 FROM pr),
+      c AS (
+        SELECT l_partkey, rev_e4,
+               CAST(sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey)
+                 AS BIGINT) AS cum
+        FROM pr),
+      cl AS (
+        SELECT rev_e4, total_e4,
+               CASE WHEN cum * 100 <= total_e4 * 70 THEN 'A'
+                    WHEN cum * 100 <= total_e4 * 90 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM c CROSS JOIN tot)
+      SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(rev_e4) AS BIGINT) AS rev_e4,
+             max(total_e4) AS total_e4,
+             CAST(sum(rev_e4) * 10000 // max(total_e4) AS BIGINT)
+               AS share_bp
+      FROM cl GROUP BY 1""",
+
+    // B118: HUGEINT moments mirror the engine's DECIMAL(38,0); the
+    // final θ/deltas are the same DOUBLE expression trees.
+    "cuped_ab" -> """
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+               CAST(floor(value * 1000) AS BIGINT) AS v
+        FROM events),
+      sp AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+      pu AS (
+        SELECT user_id % 2 AS variant,
+               CAST(sum(CASE WHEN day < mid THEN v ELSE 0 END) AS BIGINT)
+                 AS x,
+               CAST(sum(CASE WHEN day >= mid THEN v ELSE 0 END) AS BIGINT)
+                 AS y
+        FROM ev CROSS JOIN sp GROUP BY user_id),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+               sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+               CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_a,
+               CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT)
+                 AS sx_a,
+               CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT)
+                 AS sy_a,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_b,
+               CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT)
+                 AS sx_b,
+               CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT)
+                 AS sy_b
+        FROM pu),
+      t AS (
+        SELECT n_a, n_b, sx_a, sy_a, sx_b, sy_b,
+               CAST(CAST(n AS HUGEINT) * sxy
+                    - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+                 AS theta_num,
+               CAST(CAST(n AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+                 AS theta_den
+        FROM m),
+      t2 AS (
+        SELECT *, theta_num / theta_den AS theta,
+               CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                 - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 AS delta_raw_milli
+        FROM t)
+      SELECT n_a, n_b, sx_a, sy_a, sx_b, sy_b, theta_num, theta_den,
+             theta, delta_raw_milli,
+             delta_raw_milli - theta *
+               (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+               AS delta_cuped_milli
+      FROM t2""",
 
     // B114: integer months, dense age spine, running sum per cohort.
     "cohort_ltv" -> """

@@ -524,6 +524,80 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("km_survival at_risk DESC-cumulative equals the brute #durations>=t count") {
+    // B116's load-bearing rewrite: at_risk(t) = Σ_{t'≥t}(events+censored)
+    // via ONE cumulative window ordered t DESC over the (segment, t)
+    // counts — vs the literal "count durations ≥ t" per event time.
+    // Random censored duration sets across segments, heavy ties
+    // included (the RANGE-vs-ROWS frame distinction only matters if
+    // (segment, t) were non-unique — the groupBy guarantees it is).
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new Random(116)
+    val durs = (0 until 6).flatMap { seg =>
+      (0 until 300 + rnd.nextInt(200)).map { _ =>
+        (s"seg$seg", rnd.nextInt(30).toLong, if (rnd.nextInt(4) == 0) 0L else 1L)
+      }
+    }
+    val expected = durs.groupBy(_._1).flatMap { case (seg, rows) =>
+      rows.map(_._2).distinct.sorted
+        .filter(t => rows.exists(r => r._2 == t && r._3 == 1L))
+        .map { t =>
+          (seg, t, rows.count(_._2 >= t).toLong,
+            rows.count(r => r._2 == t && r._3 == 1L).toLong,
+            rows.count(r => r._2 == t && r._3 == 0L).toLong)
+        }
+    }.toSet
+    val counts = durs.toDF("segment", "t_days", "ev")
+      .groupBy(col("segment"), col("t_days"))
+      .agg(sum(col("ev")).as("events"), sum(lit(1L) - col("ev")).as("censored"))
+    val wd = Window.partitionBy(col("segment")).orderBy(col("t_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = counts
+      .withColumn("at_risk", sum(col("events") + col("censored")).over(wd))
+      .filter(col("events") > 0)
+      .select(col("segment"), col("t_days"), col("at_risk"),
+        col("events"), col("censored"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
+  test("abc two-level banded prefix equals the naive global cumulative") {
+    // B117's scale move: per-band offsets (band = v div B, monotone in
+    // v) + a within-band window replace the single global sort. Random
+    // skewed value sets with heavy band-boundary ties vs the literal
+    // sorted cumulative.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new Random(117)
+    val B = 100L
+    val vals = (0L until 2000L).map { id =>
+      val v = if (rnd.nextInt(3) == 0) (rnd.nextInt(5) * B) // exact boundary
+              else rnd.nextInt(5000).toLong
+      (id, v)
+    }
+    val expected = vals.sortBy { case (id, v) => (-v, id) }
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, v)) => (id, v, cum + v) }
+      .drop(1).map { case (id, _, cum) => (id, cum) }.toMap
+    val df = vals.toDF("id", "v").withColumn("band", expr(s"v div $B"))
+    val wband = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bandOff = df.groupBy(col("band")).agg(sum(col("v")).as("mass"))
+      .select(col("band"), coalesce(sum(col("mass")).over(wband), lit(0L)).as("off"))
+    val wloc = Window.partitionBy(col("band"))
+      .orderBy(col("v").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val got = df.join(broadcast(bandOff), "band")
+      .withColumn("cum",
+        col("off") + coalesce(sum(col("v")).over(wloc), lit(0L)) + col("v"))
+      .select(col("id"), col("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("cusum prefix identity matches the max(0, S+r) recursion on random series") {
     // B90's load-bearing rewrite: S_i = max(0, S_{i-1} + r_i) equals
     // P_i − min(0, min_{j≤i} P_j) with P the prefix sum of r. 200
