@@ -1157,6 +1157,41 @@ object AnalyticsQueries {
               col("sx_a").cast("double") / col("n_a").cast("double")))
     },
 
+    // B119 — BURSTINESS INDEX B = (σ−μ)/(σ+μ) of inter-event gaps
+    // per type: −1 = metronome-regular, 0 = Poisson, →1 = bursty —
+    // the GAP-dispersion twin of B85's Fano factor (which bins counts
+    // and never sees within-bin spacing). Gaps are WITHIN-DAY only so
+    // the ordering window is (type, day)-partitioned — day-granular
+    // partitions, never one giant per-type sort (the calendar-bounded
+    // discipline); µs grid, moments in DECIMAL(38,0) (Σg² wraps
+    // BIGINT at 100×), and the n-cancelled identity
+    // B = (√D − S)/(√D + S) with D = n·Σg² − S² needs ONE sqrt —
+    // IEEE-correctly-rounded in both engines, so the DOUBLE is
+    // bit-identical.
+    "burstiness_index" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("us"),
+          expr("CAST(ts AS BIGINT) div 86400").as("day"))
+      val w = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      val gaps = ev.withColumn("pus", lag(col("us"), 1).over(w))
+        .filter(col("pus").isNotNull)
+        .select(col("event_type"), (col("us") - col("pus")).as("g"))
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+      gaps.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sum_gap_us"),
+          sum(d38(col("g")) * d38(col("g"))).as("sgg"))
+        .filter(col("sum_gap_us") > 0)
+        .select(col("event_type"), col("n_gaps"), col("sum_gap_us"),
+          (d38(col("n_gaps")) * col("sgg") -
+            d38(col("sum_gap_us")) * d38(col("sum_gap_us")))
+            .cast("double").as("d_num"))
+        .withColumn("burstiness",
+          (sqrt(col("d_num")) - col("sum_gap_us").cast("double")) /
+            (sqrt(col("d_num")) + col("sum_gap_us").cast("double")))
+    },
+
     // B114 — COHORT LTV CURVE: cumulative revenue per acquisition
     // cohort as it ages — B27 counts RETURNING USERS per cohort week;
     // this tracks the MONEY curve finance actually plans against
@@ -2701,6 +2736,36 @@ object AnalyticsQueries {
                        n_up * n_down * 2 + (n_up + n_down) THEN 'alternating'
                   ELSE 'random' END AS verdict
       FROM r""",
+
+    // B119: same (type, day) window, µs gaps, HUGEINT moments, the
+    // one sqrt in the n-cancelled identity.
+    "burstiness_index" -> """
+      WITH ev AS (
+        SELECT event_type, event_id, epoch_us(ts) AS us,
+               epoch_us(ts) // 86400000000 AS day
+        FROM events),
+      g AS (
+        SELECT event_type, us - pus AS g
+        FROM (SELECT event_type, us,
+                     lag(us) OVER (PARTITION BY event_type, day
+                       ORDER BY us, event_id) AS pus
+              FROM ev)
+        WHERE pus IS NOT NULL),
+      m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(g) AS BIGINT) AS sum_gap_us,
+               sum(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS sgg
+        FROM g GROUP BY 1),
+      t AS (
+        SELECT event_type, n_gaps, sum_gap_us,
+               CAST(CAST(n_gaps AS HUGEINT) * sgg
+                    - CAST(sum_gap_us AS HUGEINT)
+                      * CAST(sum_gap_us AS HUGEINT) AS DOUBLE) AS d_num
+        FROM m WHERE sum_gap_us > 0)
+      SELECT event_type, n_gaps, sum_gap_us, d_num,
+             (sqrt(d_num) - CAST(sum_gap_us AS DOUBLE)) /
+             (sqrt(d_num) + CAST(sum_gap_us AS DOUBLE)) AS burstiness
+      FROM t""",
 
     // B116: durations via the same lead() window, censored = horizon
     // gap; at_risk = one DESC cumulative over the (segment, t) counts.

@@ -42,6 +42,48 @@ object CorpusQueries {
         .withColumn("chars_per_token_milli", expr("n_chars * 1000 div tokens"))
     },
 
+    // C116 — χ²-DISCRIMINATIVE TERMS per language: which tokens are
+    // OVER-represented in each language vs the rest of the corpus,
+    // ranked by the 2×2 χ² statistic — supervised feature selection
+    // for the C7 language detector (C7 APPLIES a fixed marker list;
+    // this LEARNS the markers from labeled data). One token scan
+    // feeds all four margins; the 2×2 cells derive from (lang,token)
+    // counts + broadcast lang totals + one vocab-keyed join for token
+    // totals. (ad−bc) is exact BIGINT; χ² itself is ONE identical
+    // DOUBLE expression tree both engines (bit-identical), ranked
+    // desc with the token as tie-break, top 10 per language over the
+    // ≤ langs×vocab frame.
+    "lang_discrim_terms" -> { (s, d) =>
+      val tl = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val a = tl.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("a"))
+      val tw = tl.groupBy(col("w")).agg(count(lit(1)).as("tw"))
+      val lt = tl.groupBy(col("lang")).agg(count(lit(1)).as("tl"))
+      val g = tl.agg(count(lit(1)).as("n"))
+      val j = a.join(tw, "w").join(broadcast(lt), "lang")
+        .crossJoin(broadcast(g))
+        .filter(col("a") >= 5 &&
+          col("a") * (col("n") - col("tl")) >
+            (col("tw") - col("a")) * col("tl"))
+        .select(col("lang"), col("w"), col("a"),
+          (col("tw") - col("a")).as("b"), (col("tl") - col("a")).as("c"),
+          (col("n") - col("tw") - col("tl") + col("a")).as("dd"), col("n"))
+      val scored = j
+        .withColumn("diff", col("a") * col("dd") - col("b") * col("c"))
+        .withColumn("chi2",
+          expr("CAST(n AS DOUBLE) * CAST(diff AS DOUBLE)" +
+            " * CAST(diff AS DOUBLE)" +
+            " / (CAST(a + b AS DOUBLE) * CAST(c + dd AS DOUBLE)" +
+            " * CAST(a + c AS DOUBLE) * CAST(b + dd AS DOUBLE))"))
+      val wr = Window.partitionBy(col("lang"))
+        .orderBy(col("chi2").desc, col("w").asc)
+      scored.withColumn("rank", row_number().over(wr).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("lang"), col("rank"), col("w").as("term"),
+          col("a").as("n_in_lang"), col("b").as("n_out"), col("chi2"))
+    },
+
     // C114 — HAPAX/TAIL SHARE (Zipf-tail accounting): how many word
     // types occur once (hapax legomena) or twice, and what share of
     // TYPES and of TOKEN MASS they carry — the tail report behind
@@ -326,6 +368,40 @@ object CorpusQueries {
       |LEFT JOIN drops d USING (doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // C116: same margins, exact BIGINT (ad−bc), the identical DOUBLE
+    // χ² tree, row_number ranked desc with token tie-break.
+    "lang_discrim_terms" -> """
+      WITH tl0 AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      tl AS (SELECT lang, w FROM tl0 WHERE w <> ''),
+      a AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS a
+            FROM tl GROUP BY 1, 2),
+      tw AS (SELECT w, CAST(count(*) AS BIGINT) AS tw FROM tl GROUP BY 1),
+      lt AS (SELECT lang, CAST(count(*) AS BIGINT) AS tl FROM tl GROUP BY 1),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tl),
+      j AS (
+        SELECT a.lang, a.w, a.a, tw.tw - a.a AS b, lt.tl - a.a AS c,
+               g.n - tw.tw - lt.tl + a.a AS dd, g.n
+        FROM a JOIN tw USING (w) JOIN lt USING (lang) CROSS JOIN g
+        WHERE a.a >= 5
+          AND a.a * (g.n - lt.tl) > (tw.tw - a.a) * lt.tl),
+      s AS (
+        SELECT lang, w, a, b,
+               a * dd - b * c AS diff,
+               CAST(n AS DOUBLE) * CAST(a * dd - b * c AS DOUBLE)
+                 * CAST(a * dd - b * c AS DOUBLE)
+                 / (CAST(a + b AS DOUBLE) * CAST(c + dd AS DOUBLE)
+                 * CAST(a + c AS DOUBLE) * CAST(b + dd AS DOUBLE)) AS chi2
+        FROM j),
+      r AS (
+        SELECT lang, w, a, b, chi2,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY chi2 DESC, w) AS rank
+        FROM s)
+      SELECT lang, CAST(rank AS BIGINT) AS rank, w AS term,
+             a AS n_in_lang, b AS n_out, chi2
+      FROM r WHERE rank <= 10""",
 
     // C114: one vocab count, integer tail folds.
     "hapax_share" -> """

@@ -301,6 +301,31 @@ object PipelineQueries {
       Dedup.simhashPairs(corpus(s, d), "text", "doc_id", maxHamming = 3)
     },
 
+    // C117 — SIMHASH BIT-BALANCE AUDIT: per bit position 0–63, the
+    // share of document signatures with that bit set — the index-
+    // health check behind every C4-family rollout (a degenerate bit
+    // carries no hamming discrimination: a hash flaw or a corpus
+    // whose token mass is owned by a few tokens shows up HERE before
+    // it shows up as silent recall loss). Signatures via the same
+    // portable FNV-1a chain the C4 oracle replays; one 64-way
+    // explode over the signature frame (docs×64, linear), count per
+    // bit, broadcast doc total; ppm grid, verdict at the 20/80 rails.
+    "simhash_bit_balance" -> { (s, d) =>
+      val sig = Dedup.simhashSignature(Tables.documents(s, d),
+        "text", "doc_id")
+      val tot = sig.agg(count(lit(1)).as("n_docs"))
+      sig.select(explode(expr("sequence(0, 63)")).as("bit"), col("simhash"))
+        .select(col("bit").cast("long").as("bit"),
+          expr("shiftright(simhash, bit) & 1").as("isset"))
+        .groupBy(col("bit")).agg(sum(col("isset")).as("n_set"))
+        .crossJoin(broadcast(tot))
+        .select(col("bit"), col("n_set"), col("n_docs"),
+          expr("n_set * 1000000 div n_docs").as("set_ppm"))
+        .withColumn("verdict",
+          when(col("set_ppm") < 200000 || col("set_ppm") > 800000,
+            "degenerate").otherwise("ok"))
+    },
+
     // C61 — detector evaluation: the SimHash≤3 near-dup detector
     // scored against the exact char-5-gram-Jaccard≥0.8 ground truth
     // on the same corpus — truth/prediction/hit counts plus recall
@@ -1714,6 +1739,33 @@ object PipelineQueries {
       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, bit_count(xor(x.sg, y.sg)) AS hamming
       |FROM sb x JOIN sb y ON x.doc_id < y.doc_id
       |WHERE bit_count(xor(x.sg, y.sg)) <= 3""".stripMargin,
+
+    // C117: the C4 signature chain over the FULL documents table
+    // (linear — no pair join), bit test from the unsigned fold.
+    "simhash_bit_balance" -> s"""
+      |WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |              FROM documents),
+      |tb AS (SELECT doc_id, hex(encode(t)) AS hx,
+      |              octet_length(encode(t)) AS n FROM toks),
+      |th AS (SELECT doc_id, ${fnvFoldSql("hx", "n")} AS h FROM tb),
+      |bits AS (
+      |  SELECT doc_id, i,
+      |         sum(CASE WHEN (h // CAST(power(2, i) AS HUGEINT)) % 2 = 1
+      |             THEN 1 ELSE -1 END) AS s
+      |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS i) r
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT i AS bit,
+      |         CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_set,
+      |         CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM bits GROUP BY 1)
+      |SELECT CAST(bit AS BIGINT) AS bit, n_set, n_docs,
+      |       n_set * 1000000 // n_docs AS set_ppm,
+      |       CASE WHEN n_set * 1000000 // n_docs < 200000
+      |              OR n_set * 1000000 // n_docs > 800000
+      |            THEN 'degenerate' ELSE 'ok' END AS verdict
+      |FROM g""".stripMargin,
 
     // Replays both detectors (exact 5-gram Jaccard = vpairs, the
     // simhash chain verbatim from dedup_simhash) and the scoring join.
