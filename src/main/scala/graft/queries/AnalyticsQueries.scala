@@ -1192,6 +1192,44 @@ object AnalyticsQueries {
             (sqrt(col("d_num")) + col("sum_gap_us").cast("double")))
     },
 
+    // B120 — ORDER BACKLOG CURVE: daily count of open orders per
+    // priority (open = ordered, not yet fully shipped; close = the
+    // order's LAST line shipment) — the operations dashboard behind
+    // every "is fulfillment keeping up" conversation, and the
+    // interval-sweep twin of B100 on the ORDERS axis: one fact-keyed
+    // max(shipdate) aggregation, ±1 deltas on the epoch-day grid
+    // (map-side combined to ≤ priorities×days rows), dense calendar
+    // spine per priority, one cumulative window over the
+    // calendar-bounded frame. An order with no observed lines closes
+    // same-day (left join, documented).
+    "order_backlog" -> { (s, d) =>
+      val close = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("close_date"))
+      val o = Tables.orders(s, d)
+        .join(close, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderpriority").as("priority"),
+          expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)")
+            .as("d0"),
+          expr("CAST(datediff(coalesce(close_date, o_orderdate)," +
+            " DATE '1970-01-01') AS BIGINT)").as("dc"))
+      val deltas = o.select(col("priority"), col("d0").as("day"),
+          lit(1L).as("delta"))
+        .unionByName(o.select(col("priority"), (col("dc") + 1).as("day"),
+          lit(-1L).as("delta")))
+        .groupBy(col("priority"), col("day"))
+        .agg(sum(col("delta")).as("delta"))
+      val spine = o.groupBy(col("priority"))
+        .agg(min(col("d0")).as("lo"), max(col("dc")).as("hi"))
+        .select(col("priority"), explode(expr("sequence(lo, hi)")).as("day"))
+      val w = Window.partitionBy(col("priority")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(deltas, Seq("priority", "day"), "left")
+        .select(col("priority"), col("day"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+        .withColumn("n_open", sum(col("delta")).over(w))
+        .select(col("priority"), col("day"), col("n_open"))
+    },
+
     // B114 — COHORT LTV CURVE: cumulative revenue per acquisition
     // cohort as it ages — B27 counts RETURNING USERS per cohort week;
     // this tracks the MONEY curve finance actually plans against
@@ -2736,6 +2774,35 @@ object AnalyticsQueries {
                        n_up * n_down * 2 + (n_up + n_down) THEN 'alternating'
                   ELSE 'random' END AS verdict
       FROM r""",
+
+    // B120: same close-date aggregation, ±1 deltas, dense spine,
+    // one cumulative window.
+    "order_backlog" -> """
+      WITH close AS (
+        SELECT l_orderkey, max(l_shipdate) AS close_date
+        FROM lineitem GROUP BY 1),
+      o AS (
+        SELECT o_orderpriority AS priority,
+               CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                 AS BIGINT) AS d0,
+               CAST(date_diff('day', DATE '1970-01-01',
+                 coalesce(close_date, o_orderdate)) AS BIGINT) AS dc
+        FROM orders LEFT JOIN close ON o_orderkey = l_orderkey),
+      deltas AS (
+        SELECT priority, day, CAST(sum(delta) AS BIGINT) AS delta FROM (
+          SELECT priority, d0 AS day, 1 AS delta FROM o
+          UNION ALL
+          SELECT priority, dc + 1 AS day, -1 AS delta FROM o)
+        GROUP BY 1, 2),
+      rng AS (SELECT priority, min(d0) AS lo, max(dc) AS hi
+              FROM o GROUP BY 1),
+      spine AS (SELECT priority, unnest(generate_series(lo, hi)) AS day
+                FROM rng)
+      SELECT sp.priority, sp.day,
+             CAST(sum(coalesce(dl.delta, 0)) OVER (PARTITION BY sp.priority
+               ORDER BY sp.day) AS BIGINT) AS n_open
+      FROM spine sp LEFT JOIN deltas dl
+        ON sp.priority = dl.priority AND sp.day = dl.day""",
 
     // B119: same (type, day) window, µs gaps, HUGEINT moments, the
     // one sqrt in the n-cancelled identity.

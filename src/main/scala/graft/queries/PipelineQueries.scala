@@ -301,6 +301,34 @@ object PipelineQueries {
       Dedup.simhashPairs(corpus(s, d), "text", "doc_id", maxHamming = 3)
     },
 
+    // C118 — SOURCE MIRROR MATRIX: near-dup pair counts per
+    // (source, source) cell — WHICH sources mirror each other (the
+    // off-diagonal is a scraped-twice/CDN-mirror detector; C78 rates
+    // each source alone, C113 prices the drop, neither says who
+    // copies whom). Exact 5-gram pairs over the dedup corpus;
+    // perturbed copies attribute to their base doc's source via the
+    // documented id-offset mirror key; two broadcast dim joins, one
+    // sources² aggregation, orientation normalized least/greatest.
+    "source_mirror_matrix" -> { (s, d) =>
+      val attr = Tables.documents(s, d)
+        .select(col("doc_id").as("base"), col("source"))
+      Dedup.ngramJaccardPairs(corpus(s, d), "text", "doc_id",
+          k = 5, minBp = 8000)
+        .withColumn("ba", expr(
+          "CASE WHEN doc_a >= 1000000 THEN doc_a - 1000000 ELSE doc_a END"))
+        .withColumn("bb", expr(
+          "CASE WHEN doc_b >= 1000000 THEN doc_b - 1000000 ELSE doc_b END"))
+        .join(broadcast(attr.select(col("base").as("ba"),
+          col("source").as("sa"))), "ba")
+        .join(broadcast(attr.select(col("base").as("bb"),
+          col("source").as("sb"))), "bb")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_source", col("source_a") =!= col("source_b"))
+    },
+
     // C117 — SIMHASH BIT-BALANCE AUDIT: per bit position 0–63, the
     // share of document signatures with that bit set — the index-
     // health check behind every C4-family rollout (a degenerate bit
@@ -1739,6 +1767,25 @@ object PipelineQueries {
       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, bit_count(xor(x.sg, y.sg)) AS hamming
       |FROM sb x JOIN sb y ON x.doc_id < y.doc_id
       |WHERE bit_count(xor(x.sg, y.sg)) <= 3""".stripMargin,
+
+    // C118: the exact vpairs set, the same id-offset attribution,
+    // least/greatest orientation.
+    "source_mirror_matrix" -> s"""WITH $CorpusBody,
+      |$VerifiedPairsBody,
+      |attr AS (SELECT doc_id AS base, source FROM documents),
+      |p AS (
+      |  SELECT CASE WHEN doc_a >= 1000000 THEN doc_a - 1000000
+      |              ELSE doc_a END AS ba,
+      |         CASE WHEN doc_b >= 1000000 THEN doc_b - 1000000
+      |              ELSE doc_b END AS bb
+      |  FROM vpairs),
+      |j AS (
+      |  SELECT least(x.source, y.source) AS source_a,
+      |         greatest(x.source, y.source) AS source_b
+      |  FROM p JOIN attr x ON p.ba = x.base JOIN attr y ON p.bb = y.base)
+      |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       source_a <> source_b AS cross_source
+      |FROM j GROUP BY 1, 2""".stripMargin,
 
     // C117: the C4 signature chain over the FULL documents table
     // (linear — no pair join), bit test from the unsigned fold.

@@ -2139,4 +2139,55 @@ class StreamingSpec extends SparkTestBase {
     assert(ivfAcc.toSet == batchIvf && batchIvf.nonEmpty,
       s"IVF stream/batch diverged: ${(ivfAcc.toSet -- batchIvf) ++ (batchIvf -- ivfAcc)}")
   }
+
+  test("TwsBurstiness: watermark-final day moments equal brute-force " +
+    "seconds-grid gap moments; open days stay pending") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTwsConf {
+    val Day0 = 19723L // 2024-01-01 in epoch days
+    def sec(day: Long, s: Long) = (Day0 + day) * 86400L + s
+    // (type, day, second-in-day): same-second duplicates (zero gaps),
+    // a singleton key (no emission), a day-boundary-hugging event
+    val evs: Seq[(String, Long, Long)] = Seq(
+      ("a", 0L, 10L), ("a", 0L, 10L), ("a", 0L, 40L), ("a", 0L, 100L),
+      ("a", 1L, 5L), ("a", 1L, 86399L),
+      ("b", 0L, 7L))
+    val truth = evs.groupBy(e => (e._1, e._2)).collect {
+      case ((t, d), xs) if xs.size >= 2 =>
+        val occ = xs.map(_._3).distinct.sorted
+        val gaps = occ.zip(occ.drop(1)).map { case (x, y) => y - x }
+        (t, d, xs.size.toLong, xs.size - 1L, gaps.sum, gaps.map(g => g * g).sum)
+    }.toSet
+    val input = MemoryStream[(String, Long)] // (event_type, eventTimeSec)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_burst").toString
+    val q = graft.streaming.TwsBurstiness.moments(
+        input.toDS().toDF("event_type", "s")
+          .withColumn("ts", timestamp_seconds(col("s"))),
+        settleSecs = 30L, delay = "60 seconds")
+      .writeStream.format("memory").queryName("burst")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // day-0 rows only: watermark stays inside day 0, nothing final
+      input.addData(scala.util.Random.shuffle(
+        evs.filter(_._2 == 0L)).map(e => (e._1, sec(e._2, e._3))))
+      q.processAllAvailable()
+      assert(spark.table("burst").isEmpty,
+        "no day may close before the watermark passes its end")
+      // day-1 rows advance the watermark past day 0's finality
+      input.addData(evs.filter(_._2 == 1L).map(e => (e._1, sec(e._2, e._3))))
+      q.processAllAvailable()
+      // sentinel past day 1 end + settle + delay: everything final
+      input.addData(Seq(("zz", sec(2L, 200L))))
+      q.processAllAvailable()
+      val got = spark.table("burst")
+        .select(col("event_type"), col("day") - Day0, col("n_events"),
+          col("n_gaps"), col("sum_gap_s"), col("sum_gap2_s"))
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == truth, s"moment parity broke: $got vs $truth")
+    } finally q.stop()
+    }
+  }
 }
