@@ -71,6 +71,16 @@ object SweepStretch {
           .repartition(32).write.mode("overwrite")
           .parquet(s"$dir/lineitem.parquet")
       }
+      // 100× customers means a 100× customer DIM too (km_survival's
+      // segment join would otherwise drop every shifted custkey)
+      if (!new java.io.File(s"$dir/customer.parquet").exists()) {
+        val c = spark.read.parquet(s"$base/customer.parquet")
+        (0 until mult).map(i => c
+            .withColumn("c_custkey", col("c_custkey") + lit(i * n)))
+          .reduce(_ unionByName _)
+          .repartition(32).write.mode("overwrite")
+          .parquet(s"$dir/customer.parquet")
+      }
     }
     buildDocs(10, "/tmp/sweep_docs10x"); buildDocs(100, "/tmp/sweep_docs100x")
     buildEvents(10, "/tmp/sweep_ev10x"); buildEvents(100, "/tmp/sweep_ev100x")
@@ -85,7 +95,8 @@ object SweepStretch {
         val target = t match {
           case "documents" | "embeddings" => s"/tmp/sweep_docs${mult}x/$t.parquet"
           case "events" => s"/tmp/sweep_ev${mult}x/$t.parquet"
-          case "orders" | "lineitem" => s"/tmp/sweep_ord${mult}x/$t.parquet"
+          case "orders" | "lineitem" | "customer" =>
+            s"/tmp/sweep_ord${mult}x/$t.parquet"
           case _ => s"$base/$t.parquet"
         }
         // relink if a prior run's layout pointed this table elsewhere

@@ -1102,7 +1102,10 @@ object AnalyticsQueries {
         .groupBy(col("abc_class"))
         .agg(count(lit(1)).as("n_parts"), sum(col("rev_e4")).as("rev_e4"),
           max(col("total_e4")).as("total_e4"))
-        .withColumn("share_bp", expr("rev_e4 * 10000 div total_e4"))
+        // div-first: rev_e4·10⁴ wraps BIGINT at 10× revenue mass, so
+        // the bp share divides by the pre-scaled total instead —
+        // identical floors both engines, overflow-free to any decade
+        .withColumn("share_bp", expr("rev_e4 div (total_e4 div 10000)"))
     },
 
     // B118 — CUPED-ADJUSTED A/B LIFT: variance-reduced treatment
@@ -1228,6 +1231,66 @@ object AnalyticsQueries {
           coalesce(col("delta"), lit(0L)).as("delta"))
         .withColumn("n_open", sum(col("delta")).over(w))
         .select(col("priority"), col("day"), col("n_open"))
+    },
+
+    // B121 — SHIP-LAG QUARTILES per order priority: exact disc
+    // quartiles of order→ship days ("does 1-URGENT actually ship
+    // faster, and is its p75 drifting") via the B34 value-vocabulary
+    // machinery: lag days land on a tiny integer grid (the vocabulary
+    // is ≤ observed-day-range sized, never row-sized), so cumulative
+    // counts over the per-(priority, days) frame give deterministic
+    // lower-quartile picks with no row-level sort anywhere; the one
+    // fact-fact orderkey join carries only two narrow columns.
+    "ship_lag_quartiles" -> { (s, d) =>
+      val counts = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          expr("CAST(datediff(l_shipdate, o_orderdate) AS BIGINT)")
+            .as("days"))
+        .groupBy(col("priority"), col("days")).agg(count(lit(1)).as("c"))
+      val byPrio = Window.partitionBy(col("priority")).orderBy(col("days"))
+      counts
+        .withColumn("cum", sum(col("c")).over(
+          byPrio.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(
+          byPrio.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .groupBy(col("priority"))
+        .agg(max(col("n")).as("n_lines"),
+          min(when(col("cum") >= expr("(n + 3) div 4"), col("days")))
+            .as("q25_days"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("days")))
+            .as("q50_days"),
+          min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("days")))
+            .as("q75_days"))
+    },
+
+    // B122 — DISCOUNT LIFT: quantity response per discount level —
+    // "does a deeper discount actually move more units per line?"
+    // (the promo-effectiveness read under B41's revenue impact).
+    // Discounts live on an exact cent grid (the group key), baseline
+    // = the zero-discount stratum broadcast back; per-line quantity
+    // on the milli grid first, lift in bp from the two MILLI values
+    // (documented double-rounding — both engines round the same
+    // integers the same way, so the chain stays bit-exact).
+    "discount_lift" -> { (s, d) =>
+      val g = Tables.lineitem(s, d)
+        .groupBy((dec2(col("l_discount")) * 100).cast("long")
+          .as("discount_pct"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .withColumn("qty_per_line_milli",
+          expr("sum_qty * 1000 div n_lines"))
+      val base = g.filter(col("discount_pct") === 0)
+        .select(col("qty_per_line_milli").as("base_milli"))
+      g.crossJoin(broadcast(base))
+        .select(col("discount_pct"), col("n_lines"), col("sum_qty"),
+          col("qty_per_line_milli"),
+          expr("qty_per_line_milli * 10000 div base_milli").as("lift_bp"))
     },
 
     // B114 — COHORT LTV CURVE: cumulative revenue per acquisition
@@ -2775,6 +2838,47 @@ object AnalyticsQueries {
                   ELSE 'random' END AS verdict
       FROM r""",
 
+    // B121: the B34 cum-count quartile picks over the
+    // (priority, days) vocabulary.
+    "ship_lag_quartiles" -> """
+      WITH counts AS (
+        SELECT o_orderpriority AS priority,
+               CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+                 AS days,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT priority, days, c,
+               CAST(sum(c) OVER (PARTITION BY priority ORDER BY days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum,
+               CAST(sum(c) OVER (PARTITION BY priority) AS BIGINT) AS n
+        FROM counts)
+      SELECT priority, max(n) AS n_lines,
+             min(CASE WHEN cum >= (n + 3) // 4 THEN days END) AS q25_days,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN days END) AS q50_days,
+             min(CASE WHEN cum >= (3 * n + 3) // 4 THEN days END)
+               AS q75_days
+      FROM cum GROUP BY 1""",
+
+    // B122: cent-grid strata, zero-discount baseline, the same
+    // double-rounded milli→bp chain.
+    "discount_lift" -> """
+      WITH g AS (
+        SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS discount_pct,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY 1),
+      g2 AS (SELECT *, sum_qty * 1000 // n_lines AS qty_per_line_milli
+             FROM g),
+      base AS (SELECT qty_per_line_milli AS base_milli FROM g2
+               WHERE discount_pct = 0)
+      SELECT discount_pct, n_lines, sum_qty, qty_per_line_milli,
+             qty_per_line_milli * 10000 // base_milli AS lift_bp
+      FROM g2 CROSS JOIN base""",
+
     // B120: same close-date aggregation, ±1 deltas, dense spine,
     // one cumulative window.
     "order_backlog" -> """
@@ -2886,7 +2990,7 @@ object AnalyticsQueries {
       SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
              CAST(sum(rev_e4) AS BIGINT) AS rev_e4,
              max(total_e4) AS total_e4,
-             CAST(sum(rev_e4) * 10000 // max(total_e4) AS BIGINT)
+             CAST(sum(rev_e4) // (max(total_e4) // 10000) AS BIGINT)
                AS share_bp
       FROM cl GROUP BY 1""",
 

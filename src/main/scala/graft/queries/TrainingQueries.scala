@@ -109,6 +109,34 @@ object TrainingQueries {
           floor(sqrt(col("d")) * lit(10000.0)).cast("long").as("dist_bp"))
     },
 
+    // C119 — CLUSTER PURITY vs the labeled ground truth: per C34
+    // k-means cluster, the majority label and its share — the "did
+    // unsupervised structure recover the known classes" scorecard
+    // that decides whether cluster-balanced sampling is safe to use
+    // as a label proxy (NMI needs logs; purity is the integer-exact
+    // member of the family). Assignment replayed deterministically
+    // (same seeded init + fixed passes as C34), one (cluster, label)
+    // aggregation, majority pick by row_number with min-label
+    // tie-break.
+    "cluster_purity" -> { (s, d) =>
+      val asg = Clustering.kmeans(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = K, passes = Passes)
+      val lab = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val g = asg.join(lab, "vec_id")
+        .groupBy(col("cluster"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val wRank = Window.partitionBy(col("cluster"))
+        .orderBy(col("n").desc, col("label").asc)
+      g.withColumn("rk", row_number().over(wRank))
+        .withColumn("n_members",
+          sum(col("n")).over(Window.partitionBy(col("cluster"))))
+        .filter(col("rk") === 1)
+        .select(col("cluster"), col("n_members"),
+          col("label").as("top_label"), col("n").as("top_label_n"),
+          expr("n * 10000 div n_members").as("purity_bp"))
+    },
+
     // C36 — one-pass table profiling (the data-quality preflight):
     // per-column null and exact-distinct counts plus the row count,
     // one aggregation over one scan. Exact count_distinct costs one
@@ -547,6 +575,26 @@ object TrainingQueries {
       |SELECT vec_id, cluster,
       |       CAST(floor(sqrt(d) * 10000.0) AS BIGINT) AS dist_bp
       |FROM a2""".stripMargin,
+
+    // C119: the same k-means replay, one (cluster, label) agg, the
+    // same min-label majority pick.
+    "cluster_purity" -> s"""
+      |WITH ${kmeansBody("embeddings")},
+      |g AS (
+      |  SELECT a2.cluster, CAST(e.label AS BIGINT) AS label,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM a2 JOIN embeddings e ON a2.vec_id = e.vec_id
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT cluster, label, n,
+      |         row_number() OVER (PARTITION BY cluster
+      |           ORDER BY n DESC, label) AS rk,
+      |         CAST(sum(n) OVER (PARTITION BY cluster) AS BIGINT)
+      |           AS n_members
+      |  FROM g)
+      |SELECT cluster, n_members, label AS top_label, n AS top_label_n,
+      |       n * 10000 // n_members AS purity_bp
+      |FROM w WHERE rk = 1""".stripMargin,
 
     // Same corpus CTEs as dedup_embed_cosine's oracle (base slice +
     // bit-exact float perturbation), then the k-means replay over it.
