@@ -1293,6 +1293,49 @@ object AnalyticsQueries {
           expr("qty_per_line_milli * 10000 div base_milli").as("lift_bp"))
     },
 
+    // B123 — REVENUE BRIDGE (growth accounting): month-over-month
+    // revenue delta decomposed into NEW + EXPANSION − CHURNED −
+    // CONTRACTION customer money — the finance bridge behind every
+    // "why did revenue move" review (B114 tracks cohorts forward;
+    // this explains ONE month's delta exactly, and the identity
+    // net = Δrevenue is checkable row by row). One (cust, month)
+    // aggregation, then a month-shifted FULL OUTER self-join on the
+    // customer key (prev-only = churn, cur-only = new); cent-exact,
+    // bridge months bounded to (min, max] of the calendar.
+    "revenue_bridge" -> { (s, d) =>
+      val pm = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("cust"),
+          expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)")
+            .as("ym"))
+        .agg(sum((dec2(col("o_totalprice")) * 100).cast("long")).as("cents"))
+      val bounds = pm.agg(min(col("ym")).as("m_min"), max(col("ym")).as("m_max"))
+      val cur = pm.select(col("cust"), col("ym").as("m"),
+        col("cents").as("cur_cents"))
+      val prev = pm.select(col("cust"), (col("ym") + 1).as("m"),
+        col("cents").as("prev_cents"))
+      cur.join(prev, Seq("cust", "m"), "full_outer")
+        .crossJoin(broadcast(bounds))
+        .filter(col("m") > col("m_min") && col("m") <= col("m_max"))
+        .groupBy(col("m"))
+        .agg(
+          sum(when(col("prev_cents").isNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("cur_cents").isNull, 1L).otherwise(0L))
+            .as("n_churned"),
+          sum(when(col("prev_cents").isNull, col("cur_cents"))
+            .otherwise(0L)).as("new_cents"),
+          sum(when(col("cur_cents").isNull, col("prev_cents"))
+            .otherwise(0L)).as("churned_cents"),
+          sum(when(col("cur_cents") > col("prev_cents"),
+            col("cur_cents") - col("prev_cents")).otherwise(0L))
+            .as("expansion_cents"),
+          sum(when(col("cur_cents") < col("prev_cents"),
+            col("prev_cents") - col("cur_cents")).otherwise(0L))
+            .as("contraction_cents"))
+        .withColumn("net_cents",
+          expr("new_cents + expansion_cents - churned_cents" +
+            " - contraction_cents"))
+    },
+
     // B114 — COHORT LTV CURVE: cumulative revenue per acquisition
     // cohort as it ages — B27 counts RETURNING USERS per cohort week;
     // this tracks the MONEY curve finance actually plans against
@@ -2837,6 +2880,51 @@ object AnalyticsQueries {
                        n_up * n_down * 2 + (n_up + n_down) THEN 'alternating'
                   ELSE 'random' END AS verdict
       FROM r""",
+
+    // B123: the same month-shifted FULL JOIN, coalesced keys, the
+    // same four-bucket fold.
+    "revenue_bridge" -> """
+      WITH pm AS (
+        SELECT o_custkey AS cust,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                 AS ym,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2),
+      bounds AS (SELECT min(ym) AS m_min, max(ym) AS m_max FROM pm),
+      j AS (
+        SELECT coalesce(c.cust, p.cust) AS cust,
+               coalesce(c.m, p.m) AS m, c.cur_cents, p.prev_cents
+        FROM (SELECT cust, ym AS m, cents AS cur_cents FROM pm) c
+        FULL JOIN (SELECT cust, ym + 1 AS m, cents AS prev_cents FROM pm) p
+          ON c.cust = p.cust AND c.m = p.m)
+      SELECT m,
+             CAST(sum(CASE WHEN prev_cents IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN cur_cents IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_churned,
+             CAST(sum(CASE WHEN prev_cents IS NULL THEN cur_cents
+               ELSE 0 END) AS BIGINT) AS new_cents,
+             CAST(sum(CASE WHEN cur_cents IS NULL THEN prev_cents
+               ELSE 0 END) AS BIGINT) AS churned_cents,
+             CAST(sum(CASE WHEN cur_cents > prev_cents
+               THEN cur_cents - prev_cents ELSE 0 END) AS BIGINT)
+               AS expansion_cents,
+             CAST(sum(CASE WHEN cur_cents < prev_cents
+               THEN prev_cents - cur_cents ELSE 0 END) AS BIGINT)
+               AS contraction_cents,
+             CAST(sum(CASE WHEN prev_cents IS NULL THEN cur_cents
+               ELSE 0 END)
+               + sum(CASE WHEN cur_cents > prev_cents
+                 THEN cur_cents - prev_cents ELSE 0 END)
+               - sum(CASE WHEN cur_cents IS NULL THEN prev_cents
+                 ELSE 0 END)
+               - sum(CASE WHEN cur_cents < prev_cents
+                 THEN prev_cents - cur_cents ELSE 0 END) AS BIGINT)
+               AS net_cents
+      FROM j CROSS JOIN bounds
+      WHERE m > m_min AND m <= m_max
+      GROUP BY 1""",
 
     // B121: the B34 cum-count quartile picks over the
     // (priority, days) vocabulary.

@@ -1371,6 +1371,31 @@ object PipelineQueries {
       TextAnalysis.qualityFilter(Tables.documents(s, d), "text", "doc_id")
     },
 
+    // C120 — FILTER ABLATION MATRIX: the JOINT distribution of the
+    // three C23 quality gates (length / shape / repetition) — which
+    // filter uniquely kills what. C23's cascade reports only the
+    // FIRST failing reason, so it cannot answer "how many docs would
+    // relaxing the stopword rail alone recover" — the (T,T,F)-style
+    // cells here are exactly those marginal-savings counts. Same
+    // scan-local signals as C23 (no new shuffle shape), one ≤ 8-row
+    // aggregation, doc/char mass plus share of corpus per cell.
+    "filter_ablation" -> { (s, d) =>
+      val sig = TextAnalysis.withQualityFlag(Tables.documents(s, d),
+        "text", "doc_id")
+      val tot = sig.agg(count(lit(1)).as("n_total"))
+      sig.select(
+          (col("n_words") >= 20 && col("n_words") <= 1000000).as("len_ok"),
+          (col("word_len_bp") >= 30000 && col("word_len_bp") <= 60000 &&
+            col("stopword_bp") >= 2000).as("shape_ok"),
+          (col("dup_bp") <= 500).as("rep_ok"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy(col("len_ok"), col("shape_ok"), col("rep_ok"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("n_chars"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_bp", expr("n_docs * 10000 div n_total"))
+        .drop("n_total")
+    },
+
     // C62 — cross-source score normalization: raw quality signals are
     // incomparable across sources (a news corpus's stopword median is
     // not a forum's), so curation thresholds set on raw scores skew
@@ -2614,6 +2639,42 @@ object PipelineQueries {
       |SELECT doc_id, n_words, word_len_bp, stopword_bp, dup_bp, reason,
       |       reason IS NULL AS keep
       |FROM r""".stripMargin,
+
+    // C120: the C23 signal CTEs verbatim, three boolean gates, one
+    // grouped fold plus the broadcast total.
+    "filter_ablation" -> s"""
+      |WITH s AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |         len(string_split(text, ' ')) AS n_words,
+      |         len(list_filter(string_split(text, ' '),
+      |             t -> t IN (${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop,
+      |         list_transform(range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+      |           i -> string_split(text, ' ')[i+1] || ' ' ||
+      |                string_split(text, ' ')[i+2] || ' ' ||
+      |                string_split(text, ' ')[i+3]) AS g
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, n_chars, n_words,
+      |         CAST(floor(10000.0 * (n_chars - n_words + 1) / n_words) AS BIGINT) AS word_len_bp,
+      |         CAST(floor(10000.0 * n_stop / n_words) AS BIGINT) AS stopword_bp,
+      |         CASE WHEN len(g) > 0
+      |              THEN CAST(floor(10000.0 * (len(g) - len(list_distinct(g))) / len(g)) AS BIGINT)
+      |              ELSE 0 END AS dup_bp
+      |  FROM s),
+      |f AS (
+      |  SELECT n_words >= 20 AND n_words <= 1000000 AS len_ok,
+      |         word_len_bp >= 30000 AND word_len_bp <= 60000
+      |           AND stopword_bp >= 2000 AS shape_ok,
+      |         dup_bp <= 500 AS rep_ok,
+      |         CAST(n_chars AS BIGINT) AS chars
+      |  FROM m),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM f)
+      |SELECT len_ok, shape_ok, rep_ok,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(chars) AS BIGINT) AS n_chars,
+      |       CAST(count(*) * 10000 // max(n_total) AS BIGINT) AS share_bp
+      |FROM f CROSS JOIN tot
+      |GROUP BY 1, 2, 3""".stripMargin,
 
     "repetition_score" -> """
       |SELECT doc_id, n_grams, n_distinct,
