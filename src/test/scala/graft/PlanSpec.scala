@@ -761,4 +761,73 @@ class PlanSpec extends SparkTestBase {
       s"pair counts must map-side combine:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("km_survival: segment dim broadcasts; at_risk window partitions " +
+    "by segment; no cartesian anywhere") {
+    val df = SparkEntry.queries("km_survival")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the segment dim must broadcast:\n$plan")
+    assert("\\], \\[segment#\\d+\\]".r.findFirstIn(plan).isDefined,
+      s"at_risk cumulative must partition by segment:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("abc_classification: two-level prefix — the one single-partition " +
+    "window is the band offset frame; the part prefix partitions by band") {
+    val df = SparkEntry.queries("abc_classification")(spark, sfDir)
+    val plan = planOf(df)
+    // two bounded single-partition stages and no more: the band-count
+    // offset window and the one-row grand-total fold — the PART frame
+    // must never collapse to one partition
+    assert("Exchange SinglePartition".r.findAllIn(plan).size == 2,
+      s"only the band-offset window and the scalar total may be " +
+        s"single-partition:\n$plan")
+    assert("\\], \\[band#\\d+L?\\]".r.findFirstIn(plan).isDefined,
+      s"the within-band prefix must partition by band:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"band offsets must come back via broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("burstiness_index: the gap ordering window partitions by " +
+    "(type, day) — day-granular, never one per-type sort") {
+    val df = SparkEntry.queries("burstiness_index")(spark, sfDir)
+    val plan = planOf(df)
+    assert("\\], \\[event_type#\\d+, day#\\d+L?\\]".r
+        .findFirstIn(plan).isDefined,
+      s"lag window must partition by (event_type, day):\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"moments must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("order_backlog: deltas partial-aggregate before the shuffle; the " +
+    "cumulative window partitions by priority") {
+    val df = SparkEntry.queries("order_backlog")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("partial_sum"),
+      s"±1 deltas must map-side combine:\n$plan")
+    assert("\\], \\[priority#\\d+\\]".r.findFirstIn(plan).isDefined,
+      s"backlog cumulative must partition by priority:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("revenue_bridge: the month-shifted self-join is a keyed full outer " +
+    "(never a cartesian); bounds come back via broadcast") {
+    val df = SparkEntry.queries("revenue_bridge")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("FullOuter"),
+      s"the bridge join must be a keyed full outer:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("lang_discrim_terms: lang totals broadcast; the vocab-keyed token " +
+    "join never degenerates to a cartesian") {
+    val df = SparkEntry.queries("lang_discrim_terms")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"lang totals must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
