@@ -2140,6 +2140,49 @@ class StreamingSpec extends SparkTestBase {
       s"IVF stream/batch diverged: ${(ivfAcc.toSet -- batchIvf) ++ (batchIvf -- ivfAcc)}")
   }
 
+  test("TwsBurstiness checkpoint recovery: the per-second MapState " +
+    "survives a restart mid-day") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTwsConf {
+    val Day0 = 19723L
+    def sec(s: Long) = Day0 * 86400L + s
+    val base = java.nio.file.Files.createTempDirectory("graft_burst_ck").toString
+    val input = MemoryStream[(String, Long)]
+    def start() = graft.streaming.TwsBurstiness.moments(
+        input.toDS().toDF("event_type", "s")
+          .withColumn("ts", timestamp_seconds(col("s"))),
+        settleSecs = 30L, delay = "60 seconds")
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append).start()
+    var q = start()
+    try {
+      // first half of the day's events, then a cold restart
+      input.addData(Seq(("a", sec(10)), ("a", sec(10)), ("a", sec(40))))
+      q.processAllAvailable()
+      q.stop()
+      q = start()
+      // second half + a watermark sentinel past finality: the day's
+      // moments must include the RESTORED pre-restart seconds
+      input.addData(Seq(("a", sec(100))))
+      q.processAllAvailable()
+      input.addData(Seq(("zz", sec(86400 * 2 + 200))))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/out")
+        .filter(col("event_type") === "a")
+        .select(col("n_events"), col("n_gaps"), col("sum_gap_s"),
+          col("sum_gap2_s"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // secs {10,10,40,100}: n=4, gaps=3, Σg=90, Σg²=30²+60²=4500
+      assert(got == Set((4L, 3L, 90L, 4500L)), got.toString)
+    } finally q.stop()
+    }
+  }
+
   test("TwsBurstiness: watermark-final day moments equal brute-force " +
     "seconds-grid gap moments; open days stay pending") {
     import org.apache.spark.sql.functions._
