@@ -1336,6 +1336,44 @@ object AnalyticsQueries {
             " - contraction_cents"))
     },
 
+    // B124 — USER LIFECYCLE STATES per week: NEW / RETAINED /
+    // RESURRECTED / DORMANT counts and the growth quick ratio
+    // ((new+resurrected)·10⁴ div dormant) — the user-count twin of
+    // B123's money bridge and the weekly state machine B106's daily
+    // ledger can't express (resurrection needs "was ever active
+    // before but not last week"). One distinct (user, week) frame,
+    // per-user first week, the same week-shifted FULL OUTER
+    // self-join; bounded to (min, max] weeks.
+    "user_lifecycle" -> { (s, d) =>
+      val aw = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("CAST(ts AS BIGINT) div 604800").as("wk"))
+        .distinct()
+      val fw = aw.groupBy(col("user_id")).agg(min(col("wk")).as("first_wk"))
+      val bounds = aw.agg(min(col("wk")).as("w_min"), max(col("wk")).as("w_max"))
+      val cur = aw.select(col("user_id"), col("wk").as("w"), lit(1L).as("cur"))
+      val prev = aw.select(col("user_id"), (col("wk") + 1).as("w"),
+        lit(1L).as("prv"))
+      cur.join(prev, Seq("user_id", "w"), "full_outer")
+        .join(fw, "user_id")
+        .crossJoin(broadcast(bounds))
+        .filter(col("w") > col("w_min") && col("w") <= col("w_max"))
+        .groupBy(col("w"))
+        .agg(
+          sum(when(col("cur").isNotNull && col("first_wk") === col("w"), 1L)
+            .otherwise(0L)).as("n_new"),
+          sum(when(col("cur").isNotNull && col("prv").isNotNull &&
+            col("first_wk") < col("w"), 1L).otherwise(0L)).as("n_retained"),
+          sum(when(col("cur").isNotNull && col("prv").isNull &&
+            col("first_wk") < col("w"), 1L).otherwise(0L))
+            .as("n_resurrected"),
+          sum(when(col("cur").isNull, 1L).otherwise(0L)).as("n_dormant"))
+        .withColumn("quick_ratio_bp",
+          when(col("n_dormant") > 0,
+            expr("(n_new + n_resurrected) * 10000 div n_dormant"))
+            .otherwise(lit(-1L)))
+    },
+
     // B114 — COHORT LTV CURVE: cumulative revenue per acquisition
     // cohort as it ages — B27 counts RETURNING USERS per cohort week;
     // this tracks the MONEY curve finance actually plans against
@@ -2880,6 +2918,43 @@ object AnalyticsQueries {
                        n_up * n_down * 2 + (n_up + n_down) THEN 'alternating'
                   ELSE 'random' END AS verdict
       FROM r""",
+
+    // B124: the same distinct-(user, week) frame, week-shifted FULL
+    // JOIN, coalesced keys, four-state fold.
+    "user_lifecycle" -> """
+      WITH aw AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        FROM events),
+      fw AS (SELECT user_id, min(wk) AS first_wk FROM aw GROUP BY 1),
+      bounds AS (SELECT min(wk) AS w_min, max(wk) AS w_max FROM aw),
+      j AS (
+        SELECT coalesce(c.user_id, p.user_id) AS user_id,
+               coalesce(c.w, p.w) AS w, c.cur, p.prv
+        FROM (SELECT user_id, wk AS w, 1 AS cur FROM aw) c
+        FULL JOIN (SELECT user_id, wk + 1 AS w, 1 AS prv FROM aw) p
+          ON c.user_id = p.user_id AND c.w = p.w),
+      k AS (
+        SELECT j.w, j.cur, j.prv, fw.first_wk
+        FROM j JOIN fw USING (user_id) CROSS JOIN bounds
+        WHERE j.w > w_min AND j.w <= w_max),
+      g AS (
+        SELECT w,
+               CAST(sum(CASE WHEN cur IS NOT NULL AND first_wk = w
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN cur IS NOT NULL AND prv IS NOT NULL
+                 AND first_wk < w THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_retained,
+               CAST(sum(CASE WHEN cur IS NOT NULL AND prv IS NULL
+                 AND first_wk < w THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_resurrected,
+               CAST(sum(CASE WHEN cur IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dormant
+        FROM k GROUP BY 1)
+      SELECT w, n_new, n_retained, n_resurrected, n_dormant,
+             CASE WHEN n_dormant > 0
+                  THEN (n_new + n_resurrected) * 10000 // n_dormant
+                  ELSE -1 END AS quick_ratio_bp
+      FROM g""",
 
     // B123: the same month-shifted FULL JOIN, coalesced keys, the
     // same four-bucket fold.

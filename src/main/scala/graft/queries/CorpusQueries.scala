@@ -84,6 +84,33 @@ object CorpusQueries {
           col("a").as("n_in_lang"), col("b").as("n_out"), col("chi2"))
     },
 
+    // C121 — DUP-SPAN POSITION PROFILE: where duplicated spans sit
+    // WITHIN documents (head / body / tail thirds by span midpoint
+    // over the doc's token length) — the boilerplate locator: shared
+    // headers/footers concentrate in the edge thirds, plagiarized
+    // body text does not, and the answer decides whether C59's trim
+    // or a header/footer strip is the right tool. C43's merged
+    // intervals joined to a corpus-sized token-length dim, one
+    // ≤ 3-row fold with span/token mass and share.
+    "span_position_profile" -> { (s, d) =>
+      val c = corpus(s, d)
+      val spans = Dedup.dupSpanIntervals(c, "text", "doc_id", n = 6)
+      val dl = c.select(col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_toks"))
+      val tot = spans.agg(count(lit(1)).as("n_total"))
+      spans.join(dl, "doc_id")
+        .select(expr(
+          "CASE least(2L, ((span_start + span_end) div 2) * 3 div n_toks)" +
+            " WHEN 0 THEN 'head' WHEN 1 THEN 'body' ELSE 'tail' END")
+          .as("position"), col("span_tokens"))
+        .groupBy(col("position"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_tokens")).as("span_tokens"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_bp", expr("n_spans * 10000 div n_total"))
+        .drop("n_total")
+    },
+
     // C114 — HAPAX/TAIL SHARE (Zipf-tail accounting): how many word
     // types occur once (hapax legomena) or twice, and what share of
     // TYPES and of TOKEN MASS they carry — the tail report behind
@@ -402,6 +429,54 @@ object CorpusQueries {
       SELECT lang, CAST(rank AS BIGINT) AS rank, w AS term,
              a AS n_in_lang, b AS n_out, chi2
       FROM r WHERE rank <= 10""",
+
+    // C121: the C43 interval chain verbatim, a token-length dim, the
+    // same midpoint-third classification.
+    "span_position_profile" -> s"""$CorpusCte,
+      |gpos AS (
+      |  SELECT doc_id, CAST(u['pos'] AS BIGINT) AS pos, u['g'] AS g FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(0, greatest(len(w) - 5, 0)),
+      |             i -> {'pos': i,
+      |                   'g': array_to_string(list_slice(w, CAST(i + 1 AS INT),
+      |                                                   CAST(i + 6 AS INT)), ' ')})) AS u
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))),
+      |freq AS (
+      |  SELECT g, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, g FROM gpos) GROUP BY 1),
+      |iv AS (
+      |  SELECT doc_id, pos AS s, pos + 5 AS e
+      |  FROM gpos JOIN freq USING (g) WHERE df >= 2),
+      |m AS (
+      |  SELECT doc_id, s, e,
+      |         max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv),
+      |grp AS (
+      |  SELECT doc_id, s, e,
+      |         CAST(sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY s
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gid
+      |  FROM m),
+      |spans AS (
+      |  SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+      |         max(e) - min(s) + 1 AS span_tokens
+      |  FROM grp GROUP BY doc_id, gid),
+      |dl AS (SELECT doc_id,
+      |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |       FROM corpus),
+      |cls AS (
+      |  SELECT CASE least(2, ((span_start + span_end) // 2) * 3 // n_toks)
+      |           WHEN 0 THEN 'head' WHEN 1 THEN 'body' ELSE 'tail' END
+      |           AS position,
+      |         span_tokens
+      |  FROM spans JOIN dl USING (doc_id)),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM cls)
+      |SELECT position, CAST(count(*) AS BIGINT) AS n_spans,
+      |       CAST(sum(span_tokens) AS BIGINT) AS span_tokens,
+      |       CAST(count(*) * 10000 // max(n_total) AS BIGINT) AS share_bp
+      |FROM cls CROSS JOIN tot
+      |GROUP BY 1""".stripMargin,
 
     // C114: one vocab count, integer tail folds.
     "hapax_share" -> """
