@@ -1374,6 +1374,44 @@ object AnalyticsQueries {
             .otherwise(lit(-1L)))
     },
 
+    // B125 — MAX DRAWDOWN of the daily volume series per type: the
+    // worst peak-to-trough drop in basis points of the running peak,
+    // and the (first) day it bottomed — the "worst regression ever"
+    // stat an SRE reads before trusting a growth chart (B77 finds
+    // WHERE the level shifted; this bounds HOW BAD the worst slide
+    // was). Dense calendar spine (a zero day is a full drawdown —
+    // that's the point), one running-max window over the
+    // calendar-bounded frame, integer bp; the bottom day is the
+    // deterministic min-day argmax via a tiny self-join.
+    "max_drawdown" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS BIGINT) div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = counts.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = spine.join(counts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("cnt"), lit(0L)).as("y"))
+        .withColumn("runmax", max(col("y")).over(w))
+        .filter(col("runmax") > 0)
+        .withColumn("dd_bp",
+          expr("(runmax - y) * 10000 div runmax"))
+        .localCheckpoint()
+      val worst = dd.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), max(col("runmax")).as("peak"),
+          max(col("dd_bp")).as("max_dd_bp"))
+      worst.join(dd.select(col("event_type"), col("day"),
+          col("dd_bp").as("max_dd_bp")), Seq("event_type", "max_dd_bp"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_days")).as("n_days"), max(col("peak")).as("peak"),
+          max(col("max_dd_bp")).as("max_dd_bp"),
+          min(col("day")).as("trough_day"))
+    },
+
     // B114 — COHORT LTV CURVE: cumulative revenue per acquisition
     // cohort as it ages — B27 counts RETURNING USERS per cohort week;
     // this tracks the MONEY curve finance actually plans against
@@ -2918,6 +2956,39 @@ object AnalyticsQueries {
                        n_up * n_down * 2 + (n_up + n_down) THEN 'alternating'
                   ELSE 'random' END AS verdict
       FROM r""",
+
+    // B125: same spine + running max, the min-day argmax join.
+    "max_drawdown" -> """
+      WITH counts AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      rng AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+              FROM counts GROUP BY 1),
+      spine AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+                FROM rng),
+      dd AS (
+        SELECT event_type, day, y, runmax,
+               (runmax - y) * 10000 // runmax AS dd_bp
+        FROM (
+          SELECT sp.event_type, sp.day, coalesce(c.cnt, 0) AS y,
+                 max(coalesce(c.cnt, 0)) OVER (PARTITION BY sp.event_type
+                   ORDER BY sp.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS runmax
+          FROM spine sp LEFT JOIN counts c
+            ON sp.event_type = c.event_type AND sp.day = c.day)
+        WHERE runmax > 0),
+      worst AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               max(runmax) AS peak, max(dd_bp) AS max_dd_bp
+        FROM dd GROUP BY 1)
+      SELECT w.event_type, max(w.n_days) AS n_days, max(w.peak) AS peak,
+             CAST(max(w.max_dd_bp) AS BIGINT) AS max_dd_bp,
+             min(dd.day) AS trough_day
+      FROM worst w JOIN dd
+        ON w.event_type = dd.event_type AND w.max_dd_bp = dd.dd_bp
+      GROUP BY 1""",
 
     // B124: the same distinct-(user, week) frame, week-shifted FULL
     // JOIN, coalesced keys, four-state fold.

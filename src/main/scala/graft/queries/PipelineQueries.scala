@@ -301,6 +301,33 @@ object PipelineQueries {
       Dedup.simhashPairs(corpus(s, d), "text", "doc_id", maxHamming = 3)
     },
 
+    // C122 — CLUSTER DENSITY AUDIT: per near-dup cluster, observed
+    // pair count vs the m·(m−1)/2 complete-graph bound — LOW density
+    // means the cluster exists by CHAINING (A~B, B~C, A≁C), exactly
+    // the shape where C63's one-survivor rule deletes documents that
+    // never matched each other. The dedup-governance gate before any
+    // destructive rollout: 'chained' clusters get human review,
+    // 'dense' ones are safe mirrors. Pairs computed once (the CC
+    // input IS the pair frame), membership from the C18 closure, one
+    // canonical-keyed fold.
+    "cluster_density_audit" -> { (s, d) =>
+      val pairs = Dedup.ngramJaccardPairs(corpus(s, d), "text", "doc_id",
+          k = 5, minBp = 8000)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val cl = Dedup.clusterPairs(pairs, "doc_a", "doc_b")
+      val m = cl.groupBy(col("canonical_id")).agg(count(lit(1)).as("n_members"))
+      val p = pairs.join(cl.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .groupBy(col("canonical_id")).agg(count(lit(1)).as("n_pairs"))
+      m.filter(col("n_members") >= 2)
+        .join(p, Seq("canonical_id"), "left")
+        .select(col("canonical_id"), col("n_members"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+        .withColumn("density_bp",
+          expr("n_pairs * 2 * 10000 div (n_members * (n_members - 1))"))
+        .withColumn("verdict",
+          when(col("density_bp") < 5000, "chained").otherwise("dense"))
+    },
+
     // C118 — SOURCE MIRROR MATRIX: near-dup pair counts per
     // (source, source) cell — WHICH sources mirror each other (the
     // off-diagonal is a scraped-twice/CDN-mirror detector; C78 rates
@@ -1792,6 +1819,35 @@ object PipelineQueries {
       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, bit_count(xor(x.sg, y.sg)) AS hamming
       |FROM sb x JOIN sb y ON x.doc_id < y.doc_id
       |WHERE bit_count(xor(x.sg, y.sg)) <= 3""".stripMargin,
+
+    // C122: the dedup_clusters closure + the vpairs frame it was
+    // built from, one canonical-keyed density fold.
+    "cluster_density_audit" -> s"""WITH RECURSIVE $CorpusBody,
+      |$VerifiedPairsBody,
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      |          UNION SELECT doc_b, doc_a FROM vpairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |cc AS (SELECT id AS doc_id, min(r) AS canonical_id
+      |       FROM reach GROUP BY id),
+      |m AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_members
+      |      FROM cc GROUP BY 1),
+      |p AS (
+      |  SELECT cc.canonical_id, CAST(count(*) AS BIGINT) AS n_pairs
+      |  FROM vpairs v JOIN cc ON v.doc_a = cc.doc_id
+      |  GROUP BY 1)
+      |SELECT m.canonical_id, m.n_members,
+      |       coalesce(p.n_pairs, 0) AS n_pairs,
+      |       coalesce(p.n_pairs, 0) * 2 * 10000
+      |         // (m.n_members * (m.n_members - 1)) AS density_bp,
+      |       CASE WHEN coalesce(p.n_pairs, 0) * 2 * 10000
+      |                 // (m.n_members * (m.n_members - 1)) < 5000
+      |            THEN 'chained' ELSE 'dense' END AS verdict
+      |FROM m LEFT JOIN p USING (canonical_id)
+      |WHERE m.n_members >= 2""".stripMargin,
 
     // C118: the exact vpairs set, the same id-offset attribution,
     // least/greatest orientation.
