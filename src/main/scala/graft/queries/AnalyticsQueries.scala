@@ -1412,6 +1412,55 @@ object AnalyticsQueries {
           min(col("day")).as("trough_day"))
     },
 
+    // B126 — CROSS-CORRELATION (lead–lag) between event types' daily
+    // series: Pearson r of type A's day-t volume vs type B's day-t+ℓ
+    // volume for ℓ = 0…3 — "does today's A predict tomorrow's B",
+    // the cross twin of B78's autocorrelation and the first question
+    // behind any funnel-timing or capacity-echo hypothesis. All
+    // series share the GLOBAL calendar spine (zero-filled), so the
+    // lag join is day-keyed and the overlap is exactly N−ℓ days;
+    // moments per (pair, lag) from ONE fold of the joined frame in
+    // DECIMAL(38,0), r as the identical DOUBLE tree with two
+    // correctly-rounded sqrts. Pair frame is types²×lags — tiny.
+    "xcorr_daily" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS BIGINT) div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val cal = counts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val types = counts.select(col("event_type")).distinct()
+      val series = types.crossJoin(broadcast(cal))
+        .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+        .join(counts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("cnt"), lit(0L)).as("x"))
+        .localCheckpoint()
+      val lags = s.range(0, 4).select(col("id").as("lag"))
+      val a = series.select(col("event_type").as("type_a"),
+        col("day"), col("x"))
+      val b = series.select(col("event_type").as("type_b"),
+        col("day").as("bday"), col("x").as("y"))
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+      a.crossJoin(broadcast(lags))
+        .join(b, col("bday") === col("day") + col("lag"))
+        .filter(col("type_a") =!= col("type_b"))
+        .groupBy(col("type_a"), col("type_b"), col("lag"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+          sum(d38(col("y")) * d38(col("y"))).as("syy"),
+          sum(d38(col("x")) * d38(col("y"))).as("sxy"))
+        .select(col("type_a"), col("type_b"), col("lag"), col("n_days"),
+          (d38(col("n_days")) * col("sxy") - d38(col("sx")) * d38(col("sy")))
+            .cast("double").as("num"),
+          (d38(col("n_days")) * col("sxx") - d38(col("sx")) * d38(col("sx")))
+            .cast("double").as("den_x"),
+          (d38(col("n_days")) * col("syy") - d38(col("sy")) * d38(col("sy")))
+            .cast("double").as("den_y"))
+        .filter(col("den_x") > 0 && col("den_y") > 0)
+        .withColumn("r", col("num") / (sqrt(col("den_x")) * sqrt(col("den_y"))))
+    },
+
     // B114 — COHORT LTV CURVE: cumulative revenue per acquisition
     // cohort as it ages — B27 counts RETURNING USERS per cohort week;
     // this tracks the MONEY curve finance actually plans against
@@ -2956,6 +3005,51 @@ object AnalyticsQueries {
                        n_up * n_down * 2 + (n_up + n_down) THEN 'alternating'
                   ELSE 'random' END AS verdict
       FROM r""",
+
+    // B126: global spine, day-keyed lag join, HUGEINT moments, the
+    // identical two-sqrt Pearson tree.
+    "xcorr_daily" -> """
+      WITH counts AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      cal AS (SELECT min(day) AS d0, max(day) AS d1 FROM counts),
+      types AS (SELECT DISTINCT event_type FROM counts),
+      spine AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+                FROM types CROSS JOIN cal),
+      series AS (
+        SELECT sp.event_type, sp.day, coalesce(c.cnt, 0) AS x
+        FROM spine sp LEFT JOIN counts c
+          ON sp.event_type = c.event_type AND sp.day = c.day),
+      lags AS (SELECT unnest(generate_series(0, 3)) AS lag),
+      j AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+               a.x, b.x AS y
+        FROM series a CROSS JOIN lags l
+        JOIN series b ON b.day = a.day + l.lag
+        WHERE a.event_type <> b.event_type),
+      m AS (
+        SELECT type_a, type_b, lag, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+               sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+               sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        FROM j GROUP BY 1, 2, 3),
+      t AS (
+        SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag, n_days,
+               CAST(CAST(n_days AS HUGEINT) * sxy
+                    - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+                 AS num,
+               CAST(CAST(n_days AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+                 AS den_x,
+               CAST(CAST(n_days AS HUGEINT) * syy
+                    - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+                 AS den_y
+        FROM m)
+      SELECT type_a, type_b, lag, n_days, num, den_x, den_y,
+             num / (sqrt(den_x) * sqrt(den_y)) AS r
+      FROM t WHERE den_x > 0 AND den_y > 0""",
 
     // B125: same spine + running max, the min-day argmax join.
     "max_drawdown" -> """

@@ -662,6 +662,24 @@ object PipelineQueries {
         "vec_id", "embedding", k = 10)
     },
 
+    // C123 — RETRIEVAL LEG OVERLAP: per query, how much the C85
+    // fusion legs (cosine vs raw dot) actually AGREE at top-10 —
+    // |∩| and Jaccard over the two lists. The fusion diagnostic C85
+    // itself can't show: RRF only pays off when the legs disagree
+    // (high overlap ⇒ fusion is a no-op, spend the budget elsewhere;
+    // low overlap ⇒ the legs see different structure and fusion buys
+    // recall). Reuses rrfFusion with topN = 2k so the UNION of both
+    // legs' top-10 survives the fused cut; one queries-sized fold.
+    "leg_overlap" -> { (s, d) =>
+      Similarity.rrfFusion(Tables.embeddings(s, d), embQueries(s, d),
+          "vec_id", "embedding", k = 10, topN = 20)
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_union"),
+          sum(when(col("rank_cos").isNotNull && col("rank_dot").isNotNull,
+            1L).otherwise(0L)).as("n_common"))
+        .withColumn("jaccard_bp", expr("n_common * 10000 div n_union"))
+    },
+
     // C86 — RETRIEVAL EVALUATION (MRR@10 / hits@1/5/10) of the C54
     // retrieval path under the LOO protocol: per query (vec_id < 200)
     // the rank of the first same-label neighbor in the top-10, folded
@@ -2089,6 +2107,31 @@ object PipelineQueries {
       |SELECT query_id, neighbor_id, in_cos AS rank_cos, in_dot AS rank_dot,
       |       rrf_score, CAST(fused_rank AS BIGINT) AS fused_rank
       |FROM g WHERE fused_rank <= 10""".stripMargin,
+
+    // C123: the C85 ranking CTEs, membership flags, one fold.
+    "leg_overlap" -> s"""
+      |WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id, ${dotSql("qv", "cv")} AS dotv,
+      |         ${cosSql("qv", "cv")} AS cos
+      |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY query_id
+      |          ORDER BY cos DESC, neighbor_id ASC) AS rank_cos,
+      |        row_number() OVER (PARTITION BY query_id
+      |          ORDER BY dotv DESC, neighbor_id ASC) AS rank_dot
+      |      FROM s),
+      |f AS (SELECT query_id,
+      |        CASE WHEN rank_cos <= 10 THEN 1 ELSE 0 END AS ic,
+      |        CASE WHEN rank_dot <= 10 THEN 1 ELSE 0 END AS idt
+      |      FROM r WHERE rank_cos <= 10 OR rank_dot <= 10)
+      |SELECT query_id, CAST(count(*) AS BIGINT) AS n_union,
+      |       CAST(sum(CASE WHEN ic = 1 AND idt = 1 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_common,
+      |       CAST(sum(CASE WHEN ic = 1 AND idt = 1 THEN 1 ELSE 0 END)
+      |         * 10000 // count(*) AS BIGINT) AS jaccard_bp
+      |FROM f GROUP BY 1""".stripMargin,
 
     // C86: the C83 LOO ranking folded into per-label retrieval
     // scorecards; reciprocal ranks scaled by 2520 stay integer.
