@@ -301,6 +301,62 @@ object PipelineQueries {
       Dedup.simhashPairs(corpus(s, d), "text", "doc_id", maxHamming = 3)
     },
 
+    // C124 — DEDUP THRESHOLD SENSITIVITY: pairs / cluster members /
+    // clusters / DOCS DROPPED at minBp ∈ {7000, 8000, 9000} — C108
+    // shows the pair-count knee, but rollouts delete DOCUMENTS, and
+    // chaining makes deletions move non-linearly with the threshold
+    // (one extra pair can merge two clusters and delete a doc that
+    // matched nothing at the tighter setting). Pairs computed ONCE at
+    // the loosest floor and filtered per threshold; three CC runs
+    // over corpus-bounded pair sets, one 3-row union.
+    "dedup_threshold_sensitivity" -> { (s, d) =>
+      val pairs = Dedup.ngramJaccardPairs(corpus(s, d), "text", "doc_id",
+          k = 5, minBp = 7000)
+        .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
+        .localCheckpoint()
+      Seq(7000L, 8000L, 9000L).map { t =>
+        val p = pairs.filter(col("jaccard_bp") >= t)
+        val cl = Dedup.clusterPairs(p.select("doc_a", "doc_b"),
+          "doc_a", "doc_b")
+        p.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(cl.agg(count(lit(1)).as("n_members"),
+            count_distinct(col("canonical_id")).as("n_clusters")))
+          .select(lit(t).as("min_bp"), col("n_pairs"), col("n_members"),
+            col("n_clusters"),
+            (col("n_members") - col("n_clusters")).as("n_dropped"))
+      }.reduce(_ unionByName _)
+    },
+
+    // C125 — CONTAMINATION BY SOURCE: which sources carry the
+    // benchmark leaks — per source, corpus docs / contaminated docs /
+    // ppm. C21 flags the DOCS; procurement needs the SOURCE table
+    // (a contaminated source gets its crawl quarantined, not its
+    // documents hand-reviewed). Same leak construction as C21,
+    // attribution via the documented id-offset key, one broadcast dim
+    // join + source-keyed fold.
+    "contam_by_source" -> { (s, d) =>
+      val docs = Tables.fanOut(Tables.documents(s, d))
+      val probe = docs.filter(col("doc_id") % 97 === 0)
+      val leaked = probe.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("leak prefix words then "), col("text")).as("text"))
+      val corp = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text")).unionByName(leaked)
+      val hits = Dedup.contaminatedDocs(corp, probe, "text", "doc_id", n = 8)
+      val attr = Tables.documents(s, d)
+        .select(col("doc_id").as("base"), col("source"))
+      corp.select(col("doc_id"),
+          expr("CASE WHEN doc_id >= 2000000 THEN doc_id - 2000000" +
+            " ELSE doc_id END").as("base"))
+        .join(broadcast(attr), "base")
+        .join(hits, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_hits").isNotNull, 1L).otherwise(0L))
+            .as("n_contaminated"))
+        .withColumn("contam_ppm",
+          expr("n_contaminated * 1000000 div n_docs"))
+    },
+
     // C122 — CLUSTER DENSITY AUDIT: per near-dup cluster, observed
     // pair count vs the m·(m−1)/2 complete-graph bound — LOW density
     // means the cluster exists by CHAINING (A~B, B~C, A≁C), exactly
@@ -1837,6 +1893,96 @@ object PipelineQueries {
       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, bit_count(xor(x.sg, y.sg)) AS hamming
       |FROM sb x JOIN sb y ON x.doc_id < y.doc_id
       |WHERE bit_count(xor(x.sg, y.sg)) <= 3""".stripMargin,
+
+    // C124: the exact-pair chain at the 7000 floor, three per-
+    // threshold closures, one 3-row union.
+    "dedup_threshold_sensitivity" -> s"""WITH RECURSIVE $CorpusBody,
+      |sh AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(0, greatest(length(text) - 4, 0)),
+      |                                         i -> substr(text, i + 1, 5))) AS g
+      |    FROM corpus)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |p0 AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+      |  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |vp AS (
+      |  SELECT doc_a, doc_b,
+      |         CAST(floor(10000.0 * common / (sa.n + sb.n - common)) AS BIGINT) AS bp
+      |  FROM p0 JOIN sizes sa ON doc_a = sa.doc_id
+      |          JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE floor(10000.0 * common / (sa.n + sb.n - common)) >= 7000),
+      |e7 AS (SELECT doc_a AS src, doc_b AS dst FROM vp WHERE bp >= 7000
+      |       UNION SELECT doc_b, doc_a FROM vp WHERE bp >= 7000),
+      |n7 AS (SELECT DISTINCT src AS id FROM e7),
+      |r7(id, r) AS (SELECT id, id FROM n7
+      |  UNION SELECT e.src, r7.r FROM e7 e JOIN r7 ON e.dst = r7.id),
+      |c7 AS (SELECT id, min(r) AS canon FROM r7 GROUP BY 1),
+      |e8 AS (SELECT doc_a AS src, doc_b AS dst FROM vp WHERE bp >= 8000
+      |       UNION SELECT doc_b, doc_a FROM vp WHERE bp >= 8000),
+      |n8 AS (SELECT DISTINCT src AS id FROM e8),
+      |r8(id, r) AS (SELECT id, id FROM n8
+      |  UNION SELECT e.src, r8.r FROM e8 e JOIN r8 ON e.dst = r8.id),
+      |c8 AS (SELECT id, min(r) AS canon FROM r8 GROUP BY 1),
+      |e9 AS (SELECT doc_a AS src, doc_b AS dst FROM vp WHERE bp >= 9000
+      |       UNION SELECT doc_b, doc_a FROM vp WHERE bp >= 9000),
+      |n9 AS (SELECT DISTINCT src AS id FROM e9),
+      |r9(id, r) AS (SELECT id, id FROM n9
+      |  UNION SELECT e.src, r9.r FROM e9 e JOIN r9 ON e.dst = r9.id),
+      |c9 AS (SELECT id, min(r) AS canon FROM r9 GROUP BY 1)
+      |SELECT CAST(7000 AS BIGINT) AS min_bp,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM vp WHERE bp >= 7000) AS n_pairs,
+      |       CAST(count(*) AS BIGINT) AS n_members,
+      |       CAST(count(DISTINCT canon) AS BIGINT) AS n_clusters,
+      |       CAST(count(*) - count(DISTINCT canon) AS BIGINT) AS n_dropped
+      |FROM c7
+      |UNION ALL
+      |SELECT CAST(8000 AS BIGINT),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM vp WHERE bp >= 8000),
+      |       CAST(count(*) AS BIGINT), CAST(count(DISTINCT canon) AS BIGINT),
+      |       CAST(count(*) - count(DISTINCT canon) AS BIGINT)
+      |FROM c8
+      |UNION ALL
+      |SELECT CAST(9000 AS BIGINT),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM vp WHERE bp >= 9000),
+      |       CAST(count(*) AS BIGINT), CAST(count(DISTINCT canon) AS BIGINT),
+      |       CAST(count(*) - count(DISTINCT canon) AS BIGINT)
+      |FROM c9""".stripMargin,
+
+    // C125: the C21 leak construction + gram join, id-offset source
+    // attribution, source-keyed fold.
+    "contam_by_source" -> """
+      |WITH probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, 'leak prefix words then ' || text FROM probe),
+      |cg AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(0, greatest(len(string_split(text, ' ')) - 7, 0)),
+      |    i -> array_to_string(string_split(text, ' ')[i+1:i+8], ' ')))) AS g
+      |  FROM corpus),
+      |pg AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |    range(0, greatest(len(string_split(text, ' ')) - 7, 0)),
+      |    i -> array_to_string(string_split(text, ' ')[i+1:i+8], ' ')))) AS g
+      |  FROM probe),
+      |hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN pg USING (g)),
+      |attr AS (
+      |  SELECT c.doc_id,
+      |         d.source
+      |  FROM corpus c
+      |  JOIN documents d
+      |    ON d.doc_id = CASE WHEN c.doc_id >= 2000000
+      |                       THEN c.doc_id - 2000000 ELSE c.doc_id END)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_contaminated,
+      |       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |         * 1000000 // count(*) AS BIGINT) AS contam_ppm
+      |FROM attr LEFT JOIN hits h USING (doc_id)
+      |GROUP BY 1""".stripMargin,
 
     // C122: the dedup_clusters closure + the vpairs frame it was
     // built from, one canonical-keyed density fold.
