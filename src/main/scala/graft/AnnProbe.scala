@@ -77,6 +77,20 @@ object AnnProbe {
           .write.partitionBy("list_id").mode("overwrite").parquet(out)
       spark.read.parquet(out)
     }
+    // r13: PQ code store (C98's production shape) joins the grid —
+    // codebooks are trained ONCE on the 1× slice (fixed ingest
+    // artifacts, exactly how a production quantizer ships) and both
+    // corpora are encoded with them; probes never read vectors
+    val pqBooks = Similarity.pqCodebooks(emb(s"$base/embeddings.parquet"),
+      "vec_id", "embedding", 4, 16, 64)
+    def pqStore(tag: String, path: String): DataFrame = {
+      val out = s"/tmp/annprobe_pq_$tag"
+      if (!new java.io.File(out).exists())
+        Similarity.withPqCodes(emb(path), "embedding", pqBooks)
+          .select(col("vec_id") +: (0 until 4).map(s => col(s"pq_code_$s")): _*)
+          .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    }
 
     // query batches from the 1× slice, ids shifted out of corpus range
     // (probe batches don't grow with the index; the batch SIZE is the
@@ -103,6 +117,7 @@ object AnnProbe {
     for ((tag, path) <- corpora) {
       val lsh = lshStore(tag, path)
       val ivf = ivfStore(tag, path)
+      val pq = pqStore(tag, path)
       val cs = cents(path).toSeq
       for ((q, batch) <- batches) {
         val tLsh = run(Similarity.lshTopKBucketed(lsh, batch,
@@ -111,6 +126,8 @@ object AnnProbe {
         val tIvf = run(Similarity.ivfTopKBucketed(ivf, batch,
           "vec_id", "embedding", k = 10, cs, nProbe = 2,
           centroidLiteralMax = 16), passes = 3)
+        val tPq = run(Similarity.pqTopKCoded(pq, batch,
+          "vec_id", "embedding", k = 10, pqBooks), passes = 3)
         // brute is the linear reference: 100×/1000q is 500M pairs —
         // single pass, it exists to be beaten, not tuned
         val brutePasses = if (tag == "100x") 1 else 3
@@ -119,6 +136,7 @@ object AnnProbe {
         println(f"ANNPROBE corpus=$tag%-4s q=$q%-4d " +
           f"lsh_store=$tLsh%7.2fs (${tLsh * 1000 / q}%7.2f ms/q)  " +
           f"ivf_store=$tIvf%7.2fs (${tIvf * 1000 / q}%7.2f ms/q)  " +
+          f"pq_store=$tPq%7.2fs (${tPq * 1000 / q}%7.2f ms/q)  " +
           f"brute=$tBrute%7.2fs (${tBrute * 1000 / q}%7.2f ms/q)")
       }
     }
@@ -193,6 +211,17 @@ object AnnProbe {
         if (r10 >= 0.9) ivfOp = Some((np, r10, cost))
       }
     }
+    // PQ has no probe dial: one point — recall is bounded by the
+    // 4×16 quantizer (ADC scans every code, so cost is flat in
+    // recall); nn1 still must pin at 1.0 (identical vectors share
+    // every code)
+    val (pqR10, pqNn1) = recall(Similarity.pqTopKCoded(
+      pqStore("1x", corpora.head._2), qb, "vec_id", "embedding",
+      k = 10, pqBooks))
+    val pqCost = run(Similarity.pqTopKCoded(pqStore("100x", corpora.last._2),
+      qb, "vec_id", "embedding", k = 10, pqBooks), passes = 3)
+    println(f"ANNPROBE curve pq_store 4x16 ADC       recall@10=$pqR10%5.3f " +
+      f"nn1=$pqNn1%5.3f cost_100x_q1000=$pqCost%6.2fs")
     println(f"ANNPROBE brute reference cost_100x_q1000=$bruteCost100x%6.2fs")
     lshOp.foreach { case (mp, r10, cost) =>
       println(f"ANNPROBE operating_point lsh_store numPlanes=8 multiprobe=$mp " +
