@@ -1461,6 +1461,68 @@ object AnalyticsQueries {
         .withColumn("r", col("num") / (sqrt(col("den_x")) * sqrt(col("den_y"))))
     },
 
+    // B127 — LOAD FACTOR per type: peak hour, peak share, and the
+    // utilization ratio avg/peak over the DENSE hour spine (zero
+    // hours count — that's what makes it a capacity number: a system
+    // sized for the peak idles at 1−LF). The single number behind
+    // "how much headroom does provisioning for peak buy"; B100 finds
+    // the concurrency peak, this prices the whole load shape.
+    // Integer bp; peak hour is the deterministic min-hour argmax.
+    "load_factor" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS BIGINT) div 3600").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = counts.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+      val series = spine.join(counts, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("cnt"), lit(0L)).as("y"))
+        .localCheckpoint()
+      val agg = series.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("y")).as("total"),
+          max(col("y")).as("peak"))
+      agg.join(series.select(col("event_type"), col("h"),
+          col("y").as("peak")), Seq("event_type", "peak"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_hours")).as("n_hours"), max(col("total")).as("total"),
+          max(col("peak")).as("peak"), min(col("h")).as("peak_hour"))
+        .withColumn("peak_share_bp", expr("peak * 10000 div total"))
+        .withColumn("load_factor_bp",
+          expr("total * 10000 div (peak * n_hours)"))
+    },
+
+    // B128 — TOP-DECILE REVENUE SHARE (CR-10) per nation: the share
+    // of a nation's revenue held by its top 10 % of customers — the
+    // concentration KPI executives actually quote (B76's Gini is the
+    // whole curve; CR-10 is the point on it contracts get written
+    // against). Per-nation customer frames are dimension-bounded, so
+    // the rank window partitions by nation exactly as B76's does;
+    // K = ⌈N/10⌉, ties broken by custkey, cent-exact shares.
+    "top_decile_share" -> { (s, d) =>
+      val dims = Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("o_custkey"), col("n_name"))
+      val custRev = Tables.orders(s, d)
+        .join(broadcast(dims), "o_custkey")
+        .groupBy(col("n_name"), col("o_custkey"))
+        .agg(sum((dec2(col("o_totalprice")) * 100).cast("long")).as("cents"))
+      val ranked = custRev.localCheckpoint()
+      val byNation = Window.partitionBy(col("n_name"))
+        .orderBy(col("cents").desc, col("o_custkey").asc)
+      val stats = ranked.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_custs"), sum(col("cents")).as("total_cents"))
+      ranked.withColumn("rk", row_number().over(byNation).cast("long"))
+        .join(broadcast(stats), "n_name")
+        .filter(col("rk") <= expr("(n_custs + 9) div 10"))
+        .groupBy(col("n_name"))
+        .agg(max(col("n_custs")).as("n_custs"),
+          max(col("total_cents")).as("total_cents"),
+          count(lit(1)).as("n_top"), sum(col("cents")).as("top_cents"))
+        .withColumn("cr10_bp", expr("top_cents * 10000 div total_cents"))
+    },
+
     // B114 — COHORT LTV CURVE: cumulative revenue per acquisition
     // cohort as it ages — B27 counts RETURNING USERS per cohort week;
     // this tracks the MONEY curve finance actually plans against
@@ -3005,6 +3067,64 @@ object AnalyticsQueries {
                        n_up * n_down * 2 + (n_up + n_down) THEN 'alternating'
                   ELSE 'random' END AS verdict
       FROM r""",
+
+    // B127: dense hour spine, min-hour argmax, integer bp.
+    "load_factor" -> """
+      WITH counts AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      rng AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+              FROM counts GROUP BY 1),
+      spine AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h
+                FROM rng),
+      series AS (
+        SELECT sp.event_type, sp.h, coalesce(c.cnt, 0) AS y
+        FROM spine sp LEFT JOIN counts c
+          ON sp.event_type = c.event_type AND sp.h = c.h),
+      agg AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(sum(y) AS BIGINT) AS total, max(y) AS peak
+        FROM series GROUP BY 1)
+      SELECT a.event_type, max(a.n_hours) AS n_hours,
+             max(a.total) AS total, max(a.peak) AS peak,
+             min(s.h) AS peak_hour,
+             max(a.peak) * 10000 // max(a.total) AS peak_share_bp,
+             max(a.total) * 10000 // (max(a.peak) * max(a.n_hours))
+               AS load_factor_bp
+      FROM agg a JOIN series s
+        ON a.event_type = s.event_type AND s.y = a.peak
+      GROUP BY 1""",
+
+    // B128: the B76 ranked frame, K = ceil(N/10), cent-exact shares.
+    "top_decile_share" -> """
+      WITH dims AS (
+        SELECT c_custkey AS o_custkey, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      cr AS (
+        SELECT n_name, o_custkey,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS cents
+        FROM orders JOIN dims USING (o_custkey)
+        GROUP BY 1, 2),
+      stats AS (
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM cr GROUP BY 1),
+      rk AS (
+        SELECT n_name, cents,
+               row_number() OVER (PARTITION BY n_name
+                 ORDER BY cents DESC, o_custkey) AS rk
+        FROM cr)
+      SELECT rk.n_name, max(n_custs) AS n_custs,
+             max(total_cents) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n_top,
+             CAST(sum(cents) AS BIGINT) AS top_cents,
+             CAST(sum(cents) * 10000 // max(total_cents) AS BIGINT)
+               AS cr10_bp
+      FROM rk JOIN stats USING (n_name)
+      WHERE rk <= (n_custs + 9) // 10
+      GROUP BY 1""",
 
     // B126: global spine, day-keyed lag join, HUGEINT moments, the
     // identical two-sqrt Pearson tree.

@@ -301,6 +301,33 @@ object PipelineQueries {
       Dedup.simhashPairs(corpus(s, d), "text", "doc_id", maxHamming = 3)
     },
 
+    // C126 — LANGUAGE-ID AMBIGUITY per source: share of docs where
+    // the C7 detector's top-2 marker scores are within 20 % of each
+    // other (code-switched / mixed / too-short content) or carry NO
+    // signal at all — the detector-health gate BEFORE trusting C109's
+    // confusion matrix (a source full of near-ties makes every
+    // downstream lang split soft, whatever the argmax says). Same
+    // scan-local marker scores as C7, one sorted 5-array per doc,
+    // source-keyed integer fold.
+    "lang_ambiguity" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = TextAnalysis.langId(docs, "text", "doc_id")
+      val attr = docs.select(col("doc_id"), col("source"))
+      scored.join(attr, "doc_id")
+        .withColumn("tops", expr("sort_array(array(CAST(score_en AS BIGINT)," +
+          " CAST(score_de AS BIGINT), CAST(score_es AS BIGINT)," +
+          " CAST(score_fr AS BIGINT), CAST(score_zh AS BIGINT)), false)"))
+        .select(col("source"), expr("element_at(tops, 1)").as("top1"),
+          expr("element_at(tops, 2)").as("top2"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("top1") === 0, 1L).otherwise(0L)).as("n_nosignal"),
+          sum(when(col("top1") > 0 && col("top2") * 10 >= col("top1") * 8,
+            1L).otherwise(0L)).as("n_ambiguous"))
+        .withColumn("ambiguous_bp", expr("n_ambiguous * 10000 div n_docs"))
+        .withColumn("nosignal_bp", expr("n_nosignal * 10000 div n_docs"))
+    },
+
     // C124 — DEDUP THRESHOLD SENSITIVITY: pairs / cluster members /
     // clusters / DOCS DROPPED at minBp ∈ {7000, 8000, 9000} — C108
     // shows the pair-count knee, but rollouts delete DOCUMENTS, and
@@ -1893,6 +1920,35 @@ object PipelineQueries {
       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, bit_count(xor(x.sg, y.sg)) AS hamming
       |FROM sb x JOIN sb y ON x.doc_id < y.doc_id
       |WHERE bit_count(xor(x.sg, y.sg)) <= 3""".stripMargin,
+
+    // C126: the C7 marker-score CTE, one DESC-sorted 5-list per doc,
+    // the same 20 %-tie and no-signal gates.
+    "lang_ambiguity" -> s"""
+      |WITH s AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t IN (${markerList("en")}))) AS BIGINT) AS score_en,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t IN (${markerList("de")}))) AS BIGINT) AS score_de,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t IN (${markerList("es")}))) AS BIGINT) AS score_es,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t IN (${markerList("fr")}))) AS BIGINT) AS score_fr,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t IN (${markerList("zh")}))) AS BIGINT) AS score_zh
+      |  FROM documents),
+      |t AS (
+      |  SELECT source,
+      |         list_sort([score_en, score_de, score_es, score_fr, score_zh],
+      |                   'DESC') AS tops
+      |  FROM s),
+      |u AS (SELECT source, tops[1] AS top1, tops[2] AS top2 FROM t)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN top1 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_nosignal,
+      |       CAST(sum(CASE WHEN top1 > 0 AND top2 * 10 >= top1 * 8
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_ambiguous,
+      |       CAST(sum(CASE WHEN top1 > 0 AND top2 * 10 >= top1 * 8
+      |                THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+      |         AS ambiguous_bp,
+      |       CAST(sum(CASE WHEN top1 = 0 THEN 1 ELSE 0 END) * 10000
+      |         // count(*) AS BIGINT) AS nosignal_bp
+      |FROM u GROUP BY 1""".stripMargin,
 
     // C124: the exact-pair chain at the 7000 floor, three per-
     // threshold closures, one 3-row union.
