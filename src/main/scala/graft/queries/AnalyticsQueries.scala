@@ -1523,6 +1523,49 @@ object AnalyticsQueries {
         .withColumn("cr10_bp", expr("top_cents * 10000 div total_cents"))
     },
 
+    // B129 — SESSIONIZATION THRESHOLD SENSITIVITY: session count,
+    // sessions-per-user and median session depth at gap ∈ {15, 30,
+    // 60} min — the tuning table BEHIND B32's fixed 30-min rule (every
+    // downstream funnel/path metric inherits that constant; this
+    // shows what moving it does before anyone moves it). ONE
+    // user-keyed window pass computes all three session-id columns
+    // (the three running sums share the lag and the sort); medians
+    // via the B34 cum-count pick over the tiny depth vocabulary.
+    "session_threshold_sensitivity" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val thresholds = Seq(900L, 1800L, 3600L)
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_s", col("ts").cast("long") -
+          lag(col("ts"), 1).over(byUser).cast("long"))
+      val sids = thresholds.foldLeft(base) { (df, t) =>
+        df.withColumn(s"sid_$t",
+          sum(when(col("gap_s") > t, 1L).otherwise(0L)).over(byUser))
+      }.localCheckpoint()
+      thresholds.map { t =>
+        val sess = sids.groupBy(col("user_id"), col(s"sid_$t"))
+          .agg(count(lit(1)).as("depth"))
+        val counts = sess.groupBy(col("depth")).agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("depth"))
+        val med = counts
+          .withColumn("cum", sum(col("c")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum(col("c")).over(
+            w.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("depth")))
+            .as("median_depth"))
+        sess.agg(count(lit(1)).as("n_sessions"),
+            count_distinct(col("user_id")).as("n_users"))
+          .crossJoin(med)
+          .select(lit(t).as("gap_s"), col("n_sessions"), col("n_users"),
+            expr("n_sessions * 1000 div n_users")
+              .as("sessions_per_user_milli"),
+            col("median_depth"))
+      }.reduce(_ unionByName _)
+    },
+
     // B114 — COHORT LTV CURVE: cumulative revenue per acquisition
     // cohort as it ages — B27 counts RETURNING USERS per cohort week;
     // this tracks the MONEY curve finance actually plans against
@@ -3067,6 +3110,52 @@ object AnalyticsQueries {
                        n_up * n_down * 2 + (n_up + n_down) THEN 'alternating'
                   ELSE 'random' END AS verdict
       FROM r""",
+
+    // B129: one shared lag, three running sums, per-threshold folds.
+    "session_threshold_sensitivity" -> {
+      val blocks = Seq(900, 1800, 3600).map { t =>
+        s"""sess$t AS (
+           |  SELECT user_id, sid$t, CAST(count(*) AS BIGINT) AS depth
+           |  FROM sids GROUP BY 1, 2),
+           |cnt$t AS (SELECT depth, CAST(count(*) AS BIGINT) AS c
+           |          FROM sess$t GROUP BY 1),
+           |med$t AS (
+           |  SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN depth END)
+           |           AS median_depth
+           |  FROM (SELECT depth,
+           |               CAST(sum(c) OVER (ORDER BY depth
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |                 AS BIGINT) AS cum,
+           |               CAST(sum(c) OVER () AS BIGINT) AS n
+           |        FROM cnt$t)),
+           |agg$t AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           |  FROM sess$t)""".stripMargin
+      }.mkString(",\n")
+      val selects = Seq(900, 1800, 3600).map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS gap_s, n_sessions, n_users,
+           |       n_sessions * 1000 // n_users AS sessions_per_user_milli,
+           |       median_depth
+           |FROM agg$t CROSS JOIN med$t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH b AS (
+         |  SELECT user_id, ts, event_id,
+         |         epoch_us(ts) // 1000000
+         |           - lag(epoch_us(ts) // 1000000) OVER w AS gap_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sids AS (
+         |  SELECT user_id,
+         |         sum(CASE WHEN gap_s > 900 THEN 1 ELSE 0 END) OVER w2 AS sid900,
+         |         sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) OVER w2 AS sid1800,
+         |         sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) OVER w2 AS sid3600
+         |  FROM b
+         |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |$blocks
+         |$selects""".stripMargin
+    },
 
     // B127: dense hour spine, min-hour argmax, integer bp.
     "load_factor" -> """

@@ -301,6 +301,27 @@ object PipelineQueries {
       Dedup.simhashPairs(corpus(s, d), "text", "doc_id", maxHamming = 3)
     },
 
+    // C127 — REPRESENTATIVE LENGTH BIAS: does C63's longest-wins
+    // survivor rule SKEW the corpus length distribution? Kept (rep)
+    // vs dropped (non-rep member) doc counts, char mass and milli
+    // mean length — under longest-wins the kept mean exceeds the
+    // dropped mean BY CONSTRUCTION, and this table prices by how
+    // much (a large gap means dedup quietly re-weights the corpus
+    // toward long documents — a mix-shift the C38 temperature math
+    // never sees). The C63 rep map + one length dim + a 2-row fold.
+    "rep_length_bias" -> { (s, d) =>
+      val reps = Dedup.bestRepresentative(
+        corpus(s, d).select(col("doc_id"), length(col("text")).as("score")),
+        Dedup.minhashLshFromSignatures(corpusSignatures(s, d), minBp = 8000),
+        "doc_id", "score")
+      val lens = corpus(s, d).select(col("doc_id"),
+        length(col("text")).cast("long").as("len"))
+      reps.join(lens, "doc_id")
+        .groupBy((col("doc_id") === col("rep_id")).as("kept"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("chars"))
+        .withColumn("mean_len_milli", expr("chars * 1000 div n_docs"))
+    },
+
     // C126 — LANGUAGE-ID AMBIGUITY per source: share of docs where
     // the C7 detector's top-2 marker scores are within 20 % of each
     // other (code-switched / mixed / too-short content) or carry NO
@@ -1920,6 +1941,39 @@ object PipelineQueries {
       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, bit_count(xor(x.sg, y.sg)) AS hamming
       |FROM sb x JOIN sb y ON x.doc_id < y.doc_id
       |WHERE bit_count(xor(x.sg, y.sg)) <= 3""".stripMargin,
+
+    // C127: the C63 rep chain verbatim, a length dim, one 2-row fold.
+    "rep_length_bias" -> s"""WITH RECURSIVE $CorpusBody,
+      |$VerifiedPairsBody,
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      |          UNION SELECT doc_b, doc_a FROM vpairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |cc AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+      |members AS (
+      |  SELECT c.doc_id, length(c.text) AS score,
+      |         coalesce(cc.canonical_id, c.doc_id) AS canonical_id
+      |  FROM corpus c LEFT JOIN cc ON c.doc_id = cc.id),
+      |best AS (SELECT canonical_id, max(score) AS best_score
+      |         FROM members GROUP BY 1),
+      |reps AS (
+      |  SELECT m.canonical_id, min(m.doc_id) AS rep_id
+      |  FROM members m JOIN best b
+      |    ON m.canonical_id = b.canonical_id AND m.score = b.best_score
+      |  GROUP BY 1),
+      |rm AS (SELECT m.doc_id, r.rep_id
+      |       FROM members m JOIN reps r ON m.canonical_id = r.canonical_id),
+      |j AS (
+      |  SELECT rm.doc_id = rm.rep_id AS kept,
+      |         CAST(length(c.text) AS BIGINT) AS len
+      |  FROM rm JOIN corpus c ON rm.doc_id = c.doc_id)
+      |SELECT kept, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(len) AS BIGINT) AS chars,
+      |       CAST(sum(len) * 1000 // count(*) AS BIGINT) AS mean_len_milli
+      |FROM j GROUP BY 1""".stripMargin,
 
     // C126: the C7 marker-score CTE, one DESC-sorted 5-list per doc,
     // the same 20 %-tie and no-signal gates.
