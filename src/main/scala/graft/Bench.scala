@@ -166,7 +166,21 @@ object Bench {
       (tag, ratios, s""""qv_vs_prev":{"vs":"$tag","ratios":$rj},""")
     }
     val vsPrevFullJson = vsPrevFull.map(_._3).getOrElse("")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec",$sentinelJson$vsPrevFullJson"queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
+    // PER-KEY REGRESSION GATE (r13 verdict item 8): any key whose
+    // median exceeds 2× its previous-round median with a > 0.2 s
+    // absolute swing is named in `regressions` — a non-empty list
+    // trips the round-close checklist (interpret alongside the
+    // sentinel verdict: a loaded host regresses everything at once,
+    // a real plan regression names one key on a quiet run).
+    val resMap = results.toMap
+    val regressions = vsPrevFull.map { case (_, ratios, _) =>
+      val bad = ratios.filter { case (k, x) =>
+        x > 2.0 && resMap(k)(1) - prev.get._2(k) > 0.2
+      }.sortBy(-_._2).map { case (k, x) => f"""{"$k":$x%.2f}""" }
+      bad.mkString("[", ",", "]")
+    }.getOrElse("[]")
+    val regressionsJson = s""""regressions":$regressions,"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec",$sentinelJson$vsPrevFullJson$regressionsJson"queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
     writeText(outPath, full)
     // ALSO write a round-versioned copy so no round's per-query data
     // lives only in the git history of the overwritten BENCH_FULL:
@@ -185,7 +199,7 @@ object Bench {
         .mkString("{", ",", "}")
       f""""qv_vs_prev":{"vs":"$tag","n":${ratios.size},"median":$med%.3f,"drifters":$dj},"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,$sentinelJson$vsPrevCompact"queries_file":"$outPath","qv_sorted_by_name":$qv}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,$sentinelJson$vsPrevCompact$regressionsJson"queries_file":"$outPath","qv_sorted_by_name":$qv}""")
   }
 
   /** Host-load verdict from the two sentinel triples: `loaded` when the

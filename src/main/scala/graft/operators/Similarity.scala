@@ -797,9 +797,12 @@ object Similarity {
     * (capped at 24 — beyond that hamming-0 blocking recall collapses
     * and multiprobe is the right tool). Occupancy is what symmetric
     * pair-blocking SQUARES into candidates, so this is the knob that
-    * keeps [[mutualNearest]] linear-ish under corpus growth
-    * (SWEEPSTR_r13: 8→12→15 planes across 1×/10×/100× measured
-    * 0.29/1.40/4.28 s vs 31× for fixed 8). */
+    * keeps [[mutualNearest]] linear-ish under corpus growth. The
+    * SWEEPSTR_r13 decade manually chose occupancy-scaled operating
+    * points (8/12/15 planes at 1×/10×/100× → 0.29/1.40/4.28 s vs 31×
+    * for fixed 8); AUTO derives an equivalent occupancy posture from
+    * this formula, NOT those exact values (e.g. ~11 planes at the 10×
+    * corpus) — the sweep proves the scaling law, not the constants. */
   def planesForCorpus(n: Long, targetOccupancy: Long = 4L): Int = {
     var p = 8
     while (p < 24 && (n >> p) > targetOccupancy) p += 1

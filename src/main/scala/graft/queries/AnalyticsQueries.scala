@@ -15,6 +15,36 @@ object AnalyticsQueries {
 
   import QueryMath.{dec2, sumDbl2}
 
+  /** B129's melted session frame — (gap_s, user_id, sid, depth): ONE
+    * user-keyed window pass computes all three session-id columns (the
+    * running sums share the lag and the sort), an explode MELTS them
+    * into (gap_s, user_id, sid) rows, and a SINGLE session aggregation
+    * serves all three thresholds (r13 ran one groupBy per threshold —
+    * the r13 verdict's melt ask). Exposed so PlanSpec can pin the
+    * one-aggregation shape; the queries entry checkpoints the result
+    * because two 3-row folds (stats + depth histogram) read it — the
+    * checkpoint executes THIS plan exactly once. */
+  private[graft] def sessionThresholdSessions(
+      s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val thresholds = Seq(900L, 1800L, 3600L)
+    val base = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_s", col("ts").cast("long") -
+        lag(col("ts"), 1).over(byUser).cast("long"))
+    val sids = thresholds.foldLeft(base) { (df, t) =>
+      df.withColumn(s"sid_$t",
+        sum(when(col("gap_s") > t, 1L).otherwise(0L)).over(byUser))
+    }
+    val melted = sids.select(col("user_id"),
+      explode(array(thresholds.map(t =>
+        struct(lit(t).as("g"), col(s"sid_$t").as("sid"))): _*)).as("m"))
+      .select(col("user_id"), col("m.g").as("gap_s"), col("m.sid").as("sid"))
+    melted.groupBy(col("gap_s"), col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("depth"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B15 — CUBE: all grouping combinations in one Expand pass.
     "cube_agg" -> { (s, d) =>
@@ -1104,8 +1134,13 @@ object AnalyticsQueries {
           max(col("total_e4")).as("total_e4"))
         // div-first: rev_e4·10⁴ wraps BIGINT at 10× revenue mass, so
         // the bp share divides by the pre-scaled total instead —
-        // identical floors both engines, overflow-free to any decade
-        .withColumn("share_bp", expr("rev_e4 div (total_e4 div 10000)"))
+        // identical floors both engines, overflow-free to any decade.
+        // greatest(…, 1): under 10⁴ e4-units total the pre-scaled
+        // denominator floors to 0 and the engines would diverge
+        // (Spark's non-ANSI div nulls, DuckDB raises) — clamp so a
+        // degenerate slice floors identically on both (r13 advice)
+        .withColumn("share_bp",
+          expr("rev_e4 div greatest(total_e4 div 10000, 1)"))
     },
 
     // B118 — CUPED-ADJUSTED A/B LIFT: variance-reduced treatment
@@ -1276,7 +1311,12 @@ object AnalyticsQueries {
     // = the zero-discount stratum broadcast back; per-line quantity
     // on the milli grid first, lift in bp from the two MILLI values
     // (documented double-rounding — both engines round the same
-    // integers the same way, so the chain stays bit-exact).
+    // integers the same way, so the chain stays bit-exact). The
+    // baseline is a ONE-ROW AGGREGATE (never an empty filter frame):
+    // if no zero-discount lines exist, base_milli is null and every
+    // stratum reports the sentinel lift_bp = -1 — the dau_wau
+    // convention — instead of the crossJoin silently emptying the
+    // whole result (r13 advice).
     "discount_lift" -> { (s, d) =>
       val g = Tables.lineitem(s, d)
         .groupBy((dec2(col("l_discount")) * 100).cast("long")
@@ -1285,12 +1325,14 @@ object AnalyticsQueries {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .withColumn("qty_per_line_milli",
           expr("sum_qty * 1000 div n_lines"))
-      val base = g.filter(col("discount_pct") === 0)
-        .select(col("qty_per_line_milli").as("base_milli"))
+      val base = g.agg(max(when(col("discount_pct") === 0,
+        col("qty_per_line_milli"))).as("base_milli"))
       g.crossJoin(broadcast(base))
         .select(col("discount_pct"), col("n_lines"), col("sum_qty"),
           col("qty_per_line_milli"),
-          expr("qty_per_line_milli * 10000 div base_milli").as("lift_bp"))
+          expr("CASE WHEN base_milli IS NULL THEN -1" +
+            " ELSE qty_per_line_milli * 10000 div base_milli END")
+            .as("lift_bp"))
     },
 
     // B123 — REVENUE BRIDGE (growth accounting): month-over-month
@@ -1527,43 +1569,34 @@ object AnalyticsQueries {
     // sessions-per-user and median session depth at gap ∈ {15, 30,
     // 60} min — the tuning table BEHIND B32's fixed 30-min rule (every
     // downstream funnel/path metric inherits that constant; this
-    // shows what moving it does before anyone moves it). ONE
-    // user-keyed window pass computes all three session-id columns
-    // (the three running sums share the lag and the sort); medians
-    // via the B34 cum-count pick over the tiny depth vocabulary.
+    // shows what moving it does before anyone moves it). The melted
+    // session frame ([[sessionThresholdSessions]] — one window pass,
+    // one explode, ONE session aggregation for all three thresholds)
+    // is checkpointed because the stats fold and the depth histogram
+    // both read it; medians via the B34 cum-count pick over the tiny
+    // (threshold × depth) vocabulary, partitioned by gap_s.
     "session_threshold_sensitivity" -> { (s, d) =>
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val thresholds = Seq(900L, 1800L, 3600L)
-      val base = Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"))
-        .withColumn("gap_s", col("ts").cast("long") -
-          lag(col("ts"), 1).over(byUser).cast("long"))
-      val sids = thresholds.foldLeft(base) { (df, t) =>
-        df.withColumn(s"sid_$t",
-          sum(when(col("gap_s") > t, 1L).otherwise(0L)).over(byUser))
-      }.localCheckpoint()
-      thresholds.map { t =>
-        val sess = sids.groupBy(col("user_id"), col(s"sid_$t"))
-          .agg(count(lit(1)).as("depth"))
-        val counts = sess.groupBy(col("depth")).agg(count(lit(1)).as("c"))
-        val w = Window.orderBy(col("depth"))
-        val med = counts
-          .withColumn("cum", sum(col("c")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("n", sum(col("c")).over(
-            w.rowsBetween(Window.unboundedPreceding,
-              Window.unboundedFollowing)))
-          .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("depth")))
-            .as("median_depth"))
-        sess.agg(count(lit(1)).as("n_sessions"),
-            count_distinct(col("user_id")).as("n_users"))
-          .crossJoin(med)
-          .select(lit(t).as("gap_s"), col("n_sessions"), col("n_users"),
-            expr("n_sessions * 1000 div n_users")
-              .as("sessions_per_user_milli"),
-            col("median_depth"))
-      }.reduce(_ unionByName _)
+      val sess = sessionThresholdSessions(s, d).localCheckpoint()
+      val stats = sess.groupBy(col("gap_s"))
+        .agg(count(lit(1)).as("n_sessions"),
+          count_distinct(col("user_id")).as("n_users"))
+      val counts = sess.groupBy(col("gap_s"), col("depth"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("gap_s")).orderBy(col("depth"))
+      val med = counts
+        .withColumn("cum", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .groupBy(col("gap_s"))
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("depth")))
+          .as("median_depth"))
+      stats.join(med, "gap_s")
+        .select(col("gap_s"), col("n_sessions"), col("n_users"),
+          expr("n_sessions * 1000 div n_users")
+            .as("sessions_per_user_milli"),
+          col("median_depth"))
     },
 
     // B114 — COHORT LTV CURVE: cumulative revenue per acquisition
@@ -3399,8 +3432,9 @@ object AnalyticsQueries {
                AS q75_days
       FROM cum GROUP BY 1""",
 
-    // B122: cent-grid strata, zero-discount baseline, the same
-    // double-rounded milli→bp chain.
+    // B122: cent-grid strata, zero-discount baseline as a one-row
+    // aggregate (null → lift_bp = -1 sentinel, never an emptying
+    // cross join), the same double-rounded milli→bp chain.
     "discount_lift" -> """
       WITH g AS (
         SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -3410,10 +3444,13 @@ object AnalyticsQueries {
         FROM lineitem GROUP BY 1),
       g2 AS (SELECT *, sum_qty * 1000 // n_lines AS qty_per_line_milli
              FROM g),
-      base AS (SELECT qty_per_line_milli AS base_milli FROM g2
-               WHERE discount_pct = 0)
+      base AS (SELECT max(CASE WHEN discount_pct = 0
+                          THEN qty_per_line_milli END) AS base_milli
+               FROM g2)
       SELECT discount_pct, n_lines, sum_qty, qty_per_line_milli,
-             qty_per_line_milli * 10000 // base_milli AS lift_bp
+             CASE WHEN base_milli IS NULL THEN -1
+                  ELSE qty_per_line_milli * 10000 // base_milli
+             END AS lift_bp
       FROM g2 CROSS JOIN base""",
 
     // B120: same close-date aggregation, ±1 deltas, dense spine,
@@ -3527,8 +3564,8 @@ object AnalyticsQueries {
       SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
              CAST(sum(rev_e4) AS BIGINT) AS rev_e4,
              max(total_e4) AS total_e4,
-             CAST(sum(rev_e4) // (max(total_e4) // 10000) AS BIGINT)
-               AS share_bp
+             CAST(sum(rev_e4) // greatest(max(total_e4) // 10000, 1)
+               AS BIGINT) AS share_bp
       FROM cl GROUP BY 1""",
 
     // B118: HUGEINT moments mirror the engine's DECIMAL(38,0); the

@@ -155,20 +155,60 @@ object RelationalQueries {
           count(lit(1)).as("n_lines"))
     },
 
-    // B25 — distribution window functions: quartile bucketing +
-    // relative rank in one window pass (single shuffle on the
-    // partition key; unique (price, key) sort order makes every rank
-    // function deterministic). percent_rank/cume_dist are integer
-    // ratios evaluated in double — bit-exact on any engine.
+    // B25 — distribution window functions, DISTRIBUTED (r14): quartile
+    // bucketing + relative rank WITHOUT a per-status raw-row window.
+    // o_orderstatus has THREE values, so Window.partitionBy(status)
+    // sorts the whole orders table in ≤3 tasks at any data size — the
+    // r13 bench measured the drift (10×/1× 3.9× → 6.8×, worst in the
+    // suite). Replaced by the abc_classification two-level prefix:
+    // $64-wide price-range bins make a (status, bin) frame whose
+    // counts map-side combine into a tiny (statuses × ~9k bins)
+    // offset table; cumulative offsets come back via broadcast, a
+    // (status, bin)-partitioned row_number ranks locally, and global
+    // rank = offset + local rank. The sort key (price, orderkey) is
+    // unique so rank == row_number, and ntile/percent_rank/cume_dist
+    // all derive from (rank, n) in closed form: ntile(4)'s first
+    // n mod 4 buckets take ceil(n/4) rows (the standard allocation
+    // both engines implement); pct/cume are single correctly-rounded
+    // double divisions of exact integers — bit-exact on any engine.
+    // Value-equality with the oracle's naive one-window form is the
+    // rewrite's correctness proof.
     "window_ntile" -> { (s, d) =>
-      val w = Window.partitionBy(col("o_orderstatus"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        // $64-wide bins: ~26k (status, bin) rank groups — parallelism
+        // scales with the price RANGE, not the row count, so the
+        // broadcast offset table stays ~26k rows at any data size
+        // while no task ever sorts more than rows-per-bin
+        .withColumn("bin", floor(col("o_totalprice") / 64d).cast("long"))
+      val wOff = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("bin").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("o_orderstatus"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // bin-count frame: ≤ |statuses|·|bins| rows — the only windows
+      // ordered per status alone run over THIS frame, never raw orders
+      val offs = o.groupBy(col("o_orderstatus"), col("bin"))
+        .agg(count(lit(1)).as("bc"))
+        .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+        .withColumn("n", sum(col("bc")).over(wAll))
+        .select(col("o_orderstatus"), col("bin"), col("off"), col("n"))
+      val wLoc = Window.partitionBy(col("o_orderstatus"), col("bin"))
         .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      Tables.orders(s, d).select(
-        col("o_orderkey").as("order_key"),
-        col("o_orderstatus").as("status"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"))
+      o.join(broadcast(offs), Seq("o_orderstatus", "bin"))
+        .withColumn("rank", col("off") + row_number().over(wLoc))
+        .select(
+          col("o_orderkey").as("order_key"),
+          col("o_orderstatus").as("status"),
+          expr("""CAST(CASE
+              WHEN rank <= (n div 4 + 1) * (n % 4)
+                THEN (rank - 1) div (n div 4 + 1) + 1
+              ELSE n % 4 + (rank - (n div 4 + 1) * (n % 4) - 1)
+                     div (n div 4) + 1
+            END AS BIGINT)""").as("quartile"),
+          expr("CASE WHEN n > 1 THEN CAST(rank - 1 AS DOUBLE) /" +
+            " CAST(n - 1 AS DOUBLE) ELSE 0.0D END").as("pct_rank"),
+          expr("CAST(rank AS DOUBLE) / CAST(n AS DOUBLE)").as("cume"))
     },
 
     // B30 — fuzzy entity matching: probe names (every 97th customer,

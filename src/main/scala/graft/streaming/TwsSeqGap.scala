@@ -18,10 +18,22 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   * the stored maxTs — an older timer fires and defers, exactly the
   * [[TwsSessionize]] closed-prefix rule). On finalization the block
   * emits `(block_id, n_present, n_missing = blockSize − n_present)`
-  * and clears its state; rows later than that are watermark-late by
-  * contract. `n_missing < 0` flags DUPLICATE delivery (at-least-once
-  * upstreams) — the batch audit can't see dupes that a groupBy
-  * collapses upstream, the stream counts deliveries.
+  * and clears its count state; a FINALIZED TOMBSTONE (one long: the
+  * finalization time) survives for `tombstoneTtlSecs` so stragglers
+  * can't silently replay a full audit. Event time is NOT monotone in
+  * block id for a CDC stream, so a straggler with a fresh (non-late)
+  * timestamp CAN re-open a finalized block — while the tombstone
+  * lives, the re-opened block's eventual emission is DELTA-TAGGED:
+  * `(block_id, n_delta, −n_delta)`, deliveries beyond the recorded
+  * audit. Summing n_missing per block_id stays exact across the pair
+  * (blockSize − n₁ − n₂), and the delta row's n_missing = −n_present
+  * marks it unambiguously; downstream must aggregate rows per
+  * block_id (deliveries semantics). A straggler arriving AFTER the
+  * tombstone expires emits a fresh full audit — the TTL bounds state,
+  * so that residual dupe-row risk is the documented trade (r13
+  * advice). `n_missing < 0` also flags DUPLICATE delivery on a live
+  * block (at-least-once upstreams) — the batch audit can't see dupes
+  * that a groupBy collapses upstream, the stream counts deliveries.
   *
   * Streaming-vs-batch boundary contract: the stream audits INTERIOR
   * blocks (expected = blockSize); the batch form clamps the first and
@@ -37,15 +49,22 @@ object TwsSeqGap {
   case class Ev(block_id: Long, ts: java.sql.Timestamp)
   case class BlockAudit(block_id: Long, n_present: Long, n_missing: Long)
 
-  class Auditor(blockSize: Long, settleMs: Long)
+  class Auditor(blockSize: Long, settleMs: Long, tombstoneTtlMs: Long)
       extends StatefulProcessor[Long, Ev, BlockAudit] {
 
     // (n_present so far, max event-time ms seen)
     @transient private var st: ValueState[(Long, Long)] = _
+    // finalized tombstone: event-time ms at which the block last
+    // finalized; expires tombstoneTtlMs later via a self-registered
+    // timer (event-time mode has no state TTL — the timer IS the TTL)
+    @transient private var fin: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       st = getHandle.getValueState("st",
         Encoders.product[(Long, Long)], TTLConfig.NONE)
+      fin = getHandle.getValueState("fin",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[Ev],
                                  tv: TimerValues): Iterator[BlockAudit] = {
@@ -70,14 +89,30 @@ object TwsSeqGap {
 
     override def handleExpiredTimer(key: Long, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[BlockAudit] = {
-      if (!st.exists()) return Iterator.empty // already finalized
+      if (!st.exists()) {
+        // no live count state: this can only be a tombstone-expiry
+        // timer — clear the finalized flag once it has outlived its
+        // TTL (an older finalize timer for a re-opened block lands
+        // here too and correctly defers: expiry < fin + ttl)
+        if (fin.exists() && info.getExpiryTimeInMs() >= fin.get() + tombstoneTtlMs)
+          fin.clear()
+        return Iterator.empty
+      }
       val (n, mx) = st.get()
       // only the NEWEST timer finalizes — an older one fired while a
       // later batch had already extended the block's horizon
       if (info.getExpiryTimeInMs() < mx + settleMs + 1) Iterator.empty
       else {
         st.clear()
-        Iterator.single(BlockAudit(key, n, blockSize - n))
+        // while the tombstone lives, a re-opened block emits a
+        // DELTA-tagged row (n_missing = −n_delta) instead of a second
+        // full audit; the (re)finalization re-arms the tombstone
+        val out =
+          if (fin.exists()) BlockAudit(key, n, -n)
+          else BlockAudit(key, n, blockSize - n)
+        fin.update(info.getExpiryTimeInMs())
+        getHandle.registerTimer(info.getExpiryTimeInMs() + tombstoneTtlMs)
+        Iterator.single(out)
       }
     }
   }
@@ -85,9 +120,11 @@ object TwsSeqGap {
   /** Streaming change frame (`event_id, ts`) → watermark-final
     * per-block completeness audits. `delay` is the watermark lateness
     * allowance; `settleSecs` is how long after a block's newest row
-    * the block is considered closed. */
+    * the block is considered closed; `tombstoneTtlSecs` is how long a
+    * finalized block remembers it finalized (stragglers within the
+    * TTL emit delta-tagged rows, see class doc). */
   def audit(events: DataFrame, blockSize: Long, settleSecs: Long,
-            delay: String): Dataset[BlockAudit] = {
+            delay: String, tombstoneTtlSecs: Long = 86400L): Dataset[BlockAudit] = {
     import events.sparkSession.implicits._
     events
       .select(expr(s"event_id div $blockSize").as("block_id"),
@@ -95,7 +132,8 @@ object TwsSeqGap {
       .withWatermark("ts", delay)
       .as[Ev]
       .groupByKey(_.block_id)
-      .transformWithState(new Auditor(blockSize, settleSecs * 1000L),
+      .transformWithState(
+        new Auditor(blockSize, settleSecs * 1000L, tombstoneTtlSecs * 1000L),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

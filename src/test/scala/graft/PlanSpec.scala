@@ -822,6 +822,56 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("window_ntile: no raw-order-table window partitioned only by " +
+    "status — the rank is the two-level (status, bin) prefix") {
+    val df = SparkEntry.queries("window_ntile")(spark, sfDir)
+    val plan = planOf(df)
+    // the r13 scale-killer: Window.partitionBy(o_orderstatus) over raw
+    // orders sorts the whole table in ≤3 tasks (three status values).
+    // The only per-status-ONLY windows allowed are the offset/total
+    // walks over the tiny bin-count frame — which order by bin, never
+    // by o_totalprice. A status-partitioned window sorted by price IS
+    // the outlawed raw-row sort.
+    assert("\\], \\[o_orderstatus#\\d+\\], \\[o_totalprice#"
+        .r.findFirstIn(plan).isEmpty,
+      s"raw-row window partitioned by status alone:\n$plan")
+    // the local rank must partition by (status, bin)
+    assert("\\], \\[o_orderstatus#\\d+, bin#\\d+L?\\]".r
+        .findFirstIn(plan).isDefined,
+      s"local rank must partition by (status, bin):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bin offsets must come back via broadcast:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"nothing here may collapse to one partition:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("session_threshold_sensitivity: one melted session aggregation " +
+    "serves all three thresholds") {
+    // the checkpointed inner frame: r13 ran one groupBy per threshold
+    // (three (user_id, sid_t) aggregations); the melt does ONE —
+    // explode to (gap_s, user_id, sid), a single session aggregation
+    // (partial + final = exactly 2 HashAggregate nodes on that key),
+    // and NO per-threshold sid_NNN-keyed aggregate anywhere
+    val inner = graft.queries.AnalyticsQueries
+      .sessionThresholdSessions(spark, sfDir)
+    val plan = planOf(inner)
+    assert(plan.contains("Generate explode"),
+      s"thresholds must melt via explode:\n$plan")
+    assert("keys=\\[gap_s#\\d+L?, user_id#\\d+L?, sid#\\d+L?\\]".r
+        .findAllIn(plan).size == 2,
+      s"exactly one melted session aggregation (partial+final):\n$plan")
+    assert("keys=\\[[^\\]]*sid_\\d+".r.findFirstIn(plan).isEmpty,
+      s"no per-threshold aggregation may survive the melt:\n$plan")
+    // the full query reads the checkpoint (sess executes ONCE) and
+    // never re-aggregates sessions from raw events
+    val full = planOf(
+      SparkEntry.queries("session_threshold_sensitivity")(spark, sfDir))
+    assert(full.contains("ExistingRDD"),
+      s"folds must read the checkpointed session frame:\n$full")
+    assert(!full.contains("CartesianProduct"), full)
+  }
+
   test("lang_discrim_terms: lang totals broadcast; the vocab-keyed token " +
     "join never degenerates to a cartesian") {
     val df = SparkEntry.queries("lang_discrim_terms")(spark, sfDir)

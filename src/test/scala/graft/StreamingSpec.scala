@@ -1603,6 +1603,49 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("TwsSeqGap: a straggler with a FRESH event time re-opens a " +
+    "finalized block and emits a delta-tagged row, not a second full audit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTwsConf {
+    val B = 1704067200L
+    def ms(s: Long) = (B + s) * 1000L
+    val input = MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_seqgap2").toString
+    val q = graft.streaming.TwsSeqGap.audit(
+        input.toDS().toDF("event_id", "ms")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        blockSize = 10L, settleSecs = 30L, delay = "60 seconds")
+      .writeStream.format("memory").queryName("seqgap2")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // block 0 arrives missing id 9, then the watermark closes it
+      input.addData((0L until 9L).map(id => (id, ms(id))))
+      q.processAllAvailable()
+      input.addData(Seq((990L, ms(200)))) // watermark → B+140: finalize
+      q.processAllAvailable()
+      assert(spark.table("seqgap2").filter(col("block_id") === 0)
+        .as[(Long, Long, Long)].collect().toSet == Set((0L, 9L, 1L)),
+        "block 0 must finalize (9 present, 1 missing)")
+      // the straggler: id 9 with a FRESH timestamp (B+300 — ahead of
+      // the B+140 watermark, so NOT late) re-opens the block; event
+      // time is not monotone in block id for a CDC stream
+      input.addData(Seq((9L, ms(300))))
+      q.processAllAvailable()
+      input.addData(Seq((991L, ms(500)))) // watermark → B+440: settle
+      q.processAllAvailable()
+      val got = spark.table("seqgap2").filter(col("block_id") === 0)
+        .as[(Long, Long, Long)].collect().toSet
+      // tombstone live → the re-finalization is DELTA-tagged
+      // (1, −1), and Σ n_missing over the block's rows is exact: 0
+      assert(got == Set((0L, 9L, 1L), (0L, 1L, -1L)),
+        s"re-opened block must emit a delta-tagged row: $got")
+    } finally q.stop()
+    }
+  }
+
   test("TwsActiveUsers: watermark-final coverage intervals equal the batch " +
     "dau_wau interval construction; unexpired days stay pending") {
     import org.apache.spark.sql.functions._
