@@ -481,8 +481,57 @@ object Dedup {
       xxhash64(col("hs")).as("sk"))
     val cKeyed = corpusSigs.select(col("id"), col("hs"), col("sig"),
       xxhash64(col("hs")).as("sk"))
-    val nGroups = sigGroups(nKeyed)
-    val cGroups = sigGroups(cKeyed)
+    incrementalCollapsedBody(nKeyed.select("sk", "id"), sigGroups(nKeyed),
+      cKeyed.select("sk", "id"), sigGroups(cKeyed),
+      bands, minBp, numPerm, maxBucket)
+  }
+
+  /** Content-collapsed signature store — one row per DISTINCT content:
+    * (sk, id = min-id rep, hs, sig, w = member count). Persist this
+    * NEXT TO the (sk, id) member map ([[contentMembers]]) at ingest
+    * and probe with [[minhashLshIncrementalGrouped]]: a probe run then
+    * never re-shuffles the full corpus's signature arrays to rebuild
+    * the group structure (FUZZYPROBE_r14: that per-run re-collapse was
+    * ~3.2 s of fuzzy_decontaminate's 3.4 s at the 10× mirror corpus —
+    * the whole r13 ratio drift). At 100 TB the collapse runs once, at
+    * ingest, where it belongs. */
+  def contentGroups(sigs: DataFrame): DataFrame =
+    sigGroups(sigs.select(col("id"), col("hs"), col("sig"),
+      xxhash64(col("hs")).as("sk")))
+
+  /** The (sk, id) member map twin of [[contentGroups]] — array-free,
+    * so expansion joins at probe time move bare ids only. */
+  def contentMembers(sigs: DataFrame): DataFrame =
+    sigs.select(xxhash64(col("hs")).as("sk"), col("id"))
+
+  /** [[minhashLshIncremental]] against a PRE-COLLAPSED persisted store
+    * ([[contentGroups]] + [[contentMembers]]): the increment is
+    * collapsed in-line (it is probe-sized), the corpus group structure
+    * comes from the store, and the collapsed body — bucket join,
+    * exact verify, member expansion, hot-bucket star guard — is the
+    * exact same code path, so the pair set is identical to
+    * [[minhashLshIncremental]] on the raw signature rows (DedupSpec
+    * pins the equality on a mirror-heavy corpus). */
+  def minhashLshIncrementalGrouped(newSigs: DataFrame,
+      corpusGroups: DataFrame, corpusMembers: DataFrame,
+      bands: Int = 16, minBp: Int = 5000, numPerm: Int = 64,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val nKeyed = newSigs.select(col("id"), col("hs"), col("sig"),
+      xxhash64(col("hs")).as("sk"))
+    incrementalCollapsedBody(nKeyed.select("sk", "id"), sigGroups(nKeyed),
+      corpusMembers.select("sk", "id"), corpusGroups,
+      bands, minBp, numPerm, maxBucket)
+  }
+
+  /** The shared collapsed-increment body: group-level banding + verify
+    * + member expansion. `nMembers`/`cMembers` are (sk, id) maps;
+    * `nGroups`/`cGroups` are [[sigGroups]]-shaped (sk, id, hs, sig,
+    * w). Factored out so the persisted-grouped-store path and the
+    * self-collapsing path run ONE implementation. */
+  private def incrementalCollapsedBody(
+      nMembers: DataFrame, nGroups: DataFrame,
+      cMembers: DataFrame, cGroups: DataFrame,
+      bands: Int, minBp: Int, numPerm: Int, maxBucket: Int): DataFrame = {
     val nb = minhashBuckets(nGroups.select("id", "hs", "sig"), bands, numPerm)
     val cb = minhashBuckets(cGroups.select("id", "hs", "sig"), bands, numPerm)
     val byBucket = Window.partitionBy(col("band"), col("bh"))
@@ -517,7 +566,7 @@ object Dedup {
     // Expansion back to member pairs (bare ids, guard = rep-only /
     // star above maxBucket). Within-increment exact copies pair at
     // jaccard 10000, oriented new_id < match_id (rep = min id).
-    val nMw = nKeyed.select(col("sk"), col("id"))
+    val nMw = nMembers
       .join(nGroups.select(col("sk"), col("id").as("rep"), col("w")), "sk")
     val nSmall = nMw.filter(col("w") <= maxBucket).select("sk", "id")
     val withinNew = nSmall.as("x").join(nSmall.as("y"),
@@ -529,7 +578,7 @@ object Dedup {
       .filter(lit(10000L) >= lit(minBp.toLong))
     val nExp = nMw.filter(col("w") <= maxBucket || col("id") === col("rep"))
       .select(col("rep"), col("id"))
-    val cMw = cKeyed.select(col("sk"), col("id"))
+    val cMw = cMembers
       .join(cGroups.select(col("sk"), col("id").as("rep"), col("w")), "sk")
     val cExp = cMw.filter(col("w") <= maxBucket || col("id") === col("rep"))
       .select(col("rep"), col("id"))

@@ -98,6 +98,33 @@ class DedupSpec extends SparkTestBase {
       minBp = 8000, collapse = Dedup.Collapse.Never)))
   }
 
+  test("minhashLshIncrementalGrouped over a persisted collapsed store " +
+       "equals minhashLshIncremental on raw signature rows (mirror-heavy corpus)") {
+    import spark.implicits._
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // corpus: 10×-mirrored docs (the Auto-collapse regime); increment:
+    // truncated near-dup probes of some of them, disjoint id space
+    val mirror = corpus().filter(col("doc_id") < 100)
+      .crossJoin(spark.range(10).select(col("id").as("copy")))
+      .select((col("doc_id") * 100 + col("copy")).as("doc_id"), col("text"))
+    val inc = corpus().filter(col("doc_id") % 10 === 0 && col("doc_id") < 100)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        expr("substring(text, 1, greatest(char_length(text) - 5, 0))").as("text"))
+    val cSigs = Dedup.withMinHashSignatures(mirror, "text", "doc_id")
+    val nSigs = Dedup.withMinHashSignatures(inc, "text", "doc_id")
+    val want = pairSet(Dedup.minhashLshIncremental(nSigs, cSigs, minBp = 8000))
+    // persist the collapsed store the way ingest would
+    val dir = java.nio.file.Files.createTempDirectory("graft_grp_store").toString
+    Dedup.contentGroups(cSigs).write.parquet(s"$dir/groups")
+    Dedup.contentMembers(cSigs).write.parquet(s"$dir/members")
+    val got = pairSet(Dedup.minhashLshIncrementalGrouped(nSigs,
+      spark.read.parquet(s"$dir/groups"), spark.read.parquet(s"$dir/members"),
+      minBp = 8000))
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("fuzzy_decontaminate store-backed form equals self-contained crossNearDupPairs") {
     // same corpus/probe construction as the C56 query
     val docs = sources.Tables.fanOut(sources.Tables.documents(spark, sfDir))
