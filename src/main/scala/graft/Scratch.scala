@@ -126,3 +126,51 @@ object PlanPeek {
     spark.stop()
   }
 }
+
+/** Dev probe (r14 verdict item 5): decompose contam_by_source's 100x
+  * decade — full query vs the exact-gram scan (Dedup.contaminatedDocs
+  * over the same corpus/probe construction) vs the corpus frame alone,
+  * so the 11.5x SWEEPSTR4 ratio gets a named owner. Median of 3,
+  * shuffle-write bytes from a listener. */
+object ContamProbe {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    val shuf = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuf.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def med3(fn: => Unit): Double = Seq.fill(3)(time(fn)).sorted.apply(1)
+    for (dir <- args) {
+      val q = SparkEntry.queries("contam_by_source")
+      noop(q(spark, dir)) // warm
+      val docs = graft.sources.Tables.fanOut(
+        graft.sources.Tables.documents(spark, dir))
+      val probe = docs.filter(col("doc_id") % 97 === 0)
+      val leaked = probe.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("leak prefix words then "), col("text")).as("text"))
+      val corp = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text")).unionByName(leaked)
+      val tCorp = med3(noop(corp))
+      val tGrams = med3(noop(
+        graft.operators.Dedup.contaminatedDocs(corp, probe, "text", "doc_id", n = 8)))
+      val s0 = shuf.get
+      val tFull = med3(noop(q(spark, dir)))
+      val sMB = (shuf.get - s0) / 3e6
+      println(f"CONTAMPROBE $dir%-24s corpusFrame=$tCorp%6.2fs gramScan=$tGrams%6.2fs " +
+        f"full=$tFull%6.2fs attrJoinDelta=${tFull - tGrams}%6.2fs shufMB/run=$sMB%7.1f")
+    }
+    spark.stop()
+  }
+}

@@ -318,3 +318,88 @@ object Sweep100 {
     spark.stop()
   }
 }
+
+/** r14 (verdict item 6): pair-list RECALL of the hot-bucket star guard
+  * at the SWEEP1000P perturbed corpus — the star-pairing trade
+  * preserves clustering (PropertySpec) but the r13 artifact carried no
+  * NUMBER for pair recall at maxBucket = 50. This probe: signs the
+  * 5M-doc perturbed corpus once (persisted), materializes the DEFAULT
+  * guarded pair list once (persisted), samples 12 hot buckets spread
+  * across the width distribution, computes each bucket's EXACT
+  * verified pair set (all within-bucket pairs at minBp 8000 — what
+  * unguarded banding would emit), and reports how many of those pairs
+  * the guarded output actually contains. Counts, not timings — host
+  * load is irrelevant. */
+object GuardRecall {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    val dir = "/tmp/sweep_docs1000x_pert"
+    require(new java.io.File(s"$dir/documents.parquet").exists,
+      "run Sweep100 +1000xp first")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sigPath = "/tmp/sweep_sigs_pert1000.parquet"
+    if (!new java.io.File(sigPath).exists)
+      Dedup.withMinHashSignatures(docs, "text", "doc_id")
+        .write.parquet(sigPath)
+    val sigs = spark.read.parquet(sigPath)
+    val pairPath = "/tmp/sweep_pairs_pert1000.parquet"
+    if (!new java.io.File(pairPath).exists)
+      Dedup.minhashLshFromSignatures(sigs, minBp = 8000)
+        .write.parquet(pairPath)
+    val guarded = spark.read.parquet(pairPath)
+      .select(col("doc_a"), col("doc_b"))
+    val buckets = Dedup.minhashBuckets(
+      sigs.select("id", "hs", "sig"), bands = 16, numPerm = 64)
+      .select("id", "band", "bh")
+    val widths = buckets.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") > Dedup.DefaultMaxBucket)
+    // 12 deterministic samples spread across the hot-width distribution
+    val wOrd = Window.orderBy(col("w").asc, col("band").asc, col("bh").asc)
+    val m = widths.count()
+    require(m > 0, "no hot buckets — nothing to measure")
+    val step = math.max(1L, m / 12L)
+    val sampled = widths.withColumn("rn", row_number().over(wOrd))
+      .filter((col("rn") % step === 0) || col("rn") === m)
+      .limit(12).select("band", "bh", "w")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    println(s"GUARDRECALL hot buckets total=$m sampled=${sampled.length} " +
+      s"widths=${sampled.map(_._3).mkString("[", ",", "]")}")
+    val cond = sampled.map { case (b, h, _) =>
+      s"(band = $b AND bh = ${h}L)" }.mkString(" OR ")
+    val members = buckets.filter(expr(cond))
+      .join(sigs.select(col("id"), col("hs")), "id")
+      .localCheckpoint()
+    val exact = members.as("x").join(broadcast(members.as("y")),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.band").as("band"), col("x.bh").as("bh"),
+        col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        size(array_intersect(col("x.hs"), col("y.hs"))).as("common"),
+        size(col("x.hs")).as("na"), size(col("y.hs")).as("nb"))
+      .withColumn("bp", floor(lit(10000.0) * col("common") /
+        (col("na") + col("nb") - col("common"))).cast("long"))
+      .filter(col("bp") >= 8000)
+      .select("band", "bh", "doc_a", "doc_b")
+      .localCheckpoint()
+    val recovered = exact.join(guarded, Seq("doc_a", "doc_b"), "left_semi")
+    val perBucket = exact.groupBy("band", "bh").agg(count(lit(1)).as("n_exact"))
+      .join(recovered.groupBy("band", "bh").agg(count(lit(1)).as("n_rec")),
+        Seq("band", "bh"), "left")
+      .na.fill(0L, Seq("n_rec"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val wOf = sampled.map { case (b, h, w) => (b, h) -> w }.toMap
+    perBucket.sortBy(_._3).foreach { case (b, h, ne, nr) =>
+      println(f"GUARDRECALL bucket band=$b%2d w=${wOf((b, h))}%5d " +
+        f"exactPairs=$ne%8d recovered=$nr%7d recall_bp=${nr * 10000 / math.max(ne, 1)}%5d")
+    }
+    val te = perBucket.map(_._3).sum; val tr = perBucket.map(_._4).sum
+    println(f"GUARDRECALL TOTAL exactPairs=$te recovered=$tr " +
+      f"pair_recall_bp=${tr * 10000 / math.max(te, 1)} " +
+      f"(cluster-membership recall = 10000 by PropertySpec — the guard's trade is pair EDGES, not components)")
+    spark.stop()
+  }
+}

@@ -164,3 +164,76 @@ object SweepStretch {
     spark.stop()
   }
 }
+
+/** r14 (verdict item 4): 1x/10x/100x decade for the RELATIONAL/TPC-H
+  * core over the orders sweep axis (100x customers + facts, grown
+  * dims), with the SWEEP1000P shuffle/spill budget columns — the 22
+  * TPC-H shapes previously had only 10x bench evidence. Headline
+  * eight per the verdict: q1, q3, q5, q9, q13, q18, q21, topn_orders.
+  * After the timed runs the q13/q18 100x executed plans are dumped so
+  * the artifact shows the AQE shuffle-read posture (coalesced /
+  * skew-split partitions) on the two build-heavy shuffles. */
+object SweepTpch {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    val base = "/root/testdata/sf0.1"
+    val budget = new org.apache.spark.scheduler.SparkListener {
+      val shufWrite = new java.util.concurrent.atomic.AtomicLong
+      val spilled = new java.util.concurrent.atomic.AtomicLong
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spilled.addAndGet(m.diskBytesSpilled)
+        }
+      }
+      def mark(): (Long, Long) = (shufWrite.get, spilled.get)
+    }
+    spark.sparkContext.addSparkListener(budget)
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    val defaults = Seq("q1_pricing", "q3_shipping", "q5_supplier_volume",
+      "q9_profit", "q13_custdist", "q18_big_orders", "q21_sole_fault",
+      "topn_orders")
+    val keys = if (args.isEmpty) defaults else args.toSeq
+    for (k <- keys) {
+      val fn = SparkEntry.queries(k)
+      val cells = Seq(base, "/tmp/sweep_str10x", "/tmp/sweep_str100x").map { dir =>
+        // median of 3 wall; budget deltas reported for the MEDIAN-cost
+        // pass would interleave — report the per-decade delta of the
+        // last pass instead (steady-state, post-warm)
+        val t = Seq.fill(2)(time(fn(spark, dir).write.format("noop")
+          .mode("overwrite").save())).sorted
+        val (w0, s0) = budget.mark()
+        val t3 = time(fn(spark, dir).write.format("noop")
+          .mode("overwrite").save())
+        val (w1, s1) = budget.mark()
+        ((t :+ t3).sorted.apply(1), (w1 - w0) / 1e9, (s1 - s0) / 1e9)
+      }
+      val r = cells(2)._1 / cells(0)._1
+      println(f"SWEEPTPCH ${k}%-20s 1x=${cells(0)._1}%6.2fs (shufW=${cells(0)._2}%5.2fGB spill=${cells(0)._3}%5.2fGB)" +
+        f"  10x=${cells(1)._1}%6.2fs (shufW=${cells(1)._2}%5.2fGB spill=${cells(1)._3}%5.2fGB)" +
+        f"  100x=${cells(2)._1}%7.2fs (shufW=${cells(2)._2}%6.2fGB spill=${cells(2)._3}%6.2fGB)" +
+        f"  ratio100=$r%5.1f")
+    }
+    // AQE posture on the two build-heavy shuffles at 100x: execute,
+    // then print the AQEShuffleRead lines of the FINAL adaptive plan
+    for (k <- Seq("q13_custdist", "q18_big_orders")
+         if args.isEmpty || args.contains(k)) {
+      val df = SparkEntry.queries(k)(spark, "/tmp/sweep_str100x")
+      // drive THIS df (a write would plan a separate QueryExecution and
+      // hide the finalized adaptive stages — the PlanSpec convention)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.filter(l =>
+        l.contains("AQEShuffleRead") || l.contains("ShuffleQueryStage"))
+      println(s"SWEEPTPCH_AQE $k 100x final plan shuffle reads:")
+      lines.foreach(l => println(s"SWEEPTPCH_AQE   ${l.trim}"))
+    }
+    spark.stop()
+  }
+}
