@@ -357,16 +357,22 @@ object GuardRecall {
     val widths = buckets.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") > Dedup.DefaultMaxBucket)
-    // 12 deterministic samples spread across the hot-width distribution
+    // 12 deterministic samples spread across the EXACTLY-MEASURABLE
+    // width range (w ≤ 1200: ≤ ~720k verify pairs per bucket; the
+    // distribution's mega-buckets get a member-sampled estimate below
+    // — C(50k, 2) exact verification is ~1.2B array intersects)
+    val measurable = widths.filter(col("w") <= 1200)
     val wOrd = Window.orderBy(col("w").asc, col("band").asc, col("bh").asc)
-    val m = widths.count()
+    val m = measurable.count()
+    val mAll = widths.count()
     require(m > 0, "no hot buckets — nothing to measure")
     val step = math.max(1L, m / 12L)
-    val sampled = widths.withColumn("rn", row_number().over(wOrd))
+    val sampled = measurable.withColumn("rn", row_number().over(wOrd))
       .filter((col("rn") % step === 0) || col("rn") === m)
       .limit(12).select("band", "bh", "w")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    println(s"GUARDRECALL hot buckets total=$m sampled=${sampled.length} " +
+    println(s"GUARDRECALL hot buckets total=$mAll (w<=1200: $m) " +
+      s"sampled=${sampled.length} " +
       s"widths=${sampled.map(_._3).mkString("[", ",", "]")}")
     val cond = sampled.map { case (b, h, _) =>
       s"(band = $b AND bh = ${h}L)" }.mkString(" OR ")
@@ -400,6 +406,36 @@ object GuardRecall {
     println(f"GUARDRECALL TOTAL exactPairs=$te recovered=$tr " +
       f"pair_recall_bp=${tr * 10000 / math.max(te, 1)} " +
       f"(cluster-membership recall = 10000 by PropertySpec — the guard's trade is pair EDGES, not components)")
+    // The widest bucket, by member-sampled ESTIMATE: take ~500
+    // deterministic members (hash-mod), verify all their pairs, count
+    // how many of those appear in the guarded output — the per-pair
+    // recall among sampled members estimates the full bucket's rate
+    // (pairs are exchangeable under member sampling).
+    val widest = widths.orderBy(col("w").desc).limit(1)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).head
+    val (wb, wh, ww) = widest
+    val mod = math.max(1L, ww / 500L)
+    val wMembers = buckets
+      .filter(col("band") === wb && col("bh") === wh &&
+        pmod(xxhash64(col("id")), lit(mod)) === 0)
+      .join(sigs.select(col("id"), col("hs")), "id")
+      .localCheckpoint()
+    val nS = wMembers.count()
+    val wExact = wMembers.as("x").join(broadcast(wMembers.as("y")),
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        size(array_intersect(col("x.hs"), col("y.hs"))).as("common"),
+        size(col("x.hs")).as("na"), size(col("y.hs")).as("nb"))
+      .withColumn("bp", floor(lit(10000.0) * col("common") /
+        (col("na") + col("nb") - col("common"))).cast("long"))
+      .filter(col("bp") >= 8000)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val wne = wExact.count()
+    val wnr = wExact.join(guarded, Seq("doc_a", "doc_b"), "left_semi").count()
+    println(f"GUARDRECALL WIDEST bucket band=$wb w=$ww sampledMembers=$nS " +
+      f"sampledExactPairs=$wne recovered=$wnr " +
+      f"est_recall_bp=${wnr * 10000 / math.max(wne, 1)} " +
+      f"(star guard emits O(w) edges of the ~w²/2 in-bucket pairs — the by-design floor)")
     spark.stop()
   }
 }
