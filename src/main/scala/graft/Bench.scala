@@ -166,20 +166,8 @@ object Bench {
       (tag, ratios, s""""qv_vs_prev":{"vs":"$tag","ratios":$rj},""")
     }
     val vsPrevFullJson = vsPrevFull.map(_._3).getOrElse("")
-    // PER-KEY REGRESSION GATE (r13 verdict item 8): any key whose
-    // median exceeds 2× its previous-round median with a > 0.2 s
-    // absolute swing is named in `regressions` — a non-empty list
-    // trips the round-close checklist (interpret alongside the
-    // sentinel verdict: a loaded host regresses everything at once,
-    // a real plan regression names one key on a quiet run).
-    val resMap = results.toMap
-    val regressions = vsPrevFull.map { case (_, ratios, _) =>
-      val bad = ratios.filter { case (k, x) =>
-        x > 2.0 && resMap(k)(1) - prev.get._2(k) > 0.2
-      }.sortBy(-_._2).map { case (k, x) => f"""{"$k":$x%.2f}""" }
-      bad.mkString("[", ",", "]")
-    }.getOrElse("[]")
-    val regressionsJson = s""""regressions":$regressions,"""
+    val regressionsJson =
+      s""""regressions":${regressionGate(results.toMap, prev)},"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec",$sentinelJson$vsPrevFullJson$regressionsJson"queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
     writeText(outPath, full)
     // ALSO write a round-versioned copy so no round's per-query data
@@ -201,6 +189,24 @@ object Bench {
     }.getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,$sentinelJson$vsPrevCompact$regressionsJson"queries_file":"$outPath","qv_sorted_by_name":$qv}""")
   }
+
+  /** PER-KEY REGRESSION GATE (r13 verdict item 8): names every key
+    * whose median exceeds 2× its previous-round median with a > 0.2 s
+    * absolute swing, worst first, as a JSON array of one-entry
+    * objects. A non-empty list trips the round-close checklist
+    * (interpret alongside the sentinel verdict: a loaded host
+    * regresses everything at once, a real plan regression names one
+    * key on a quiet run). Empty array when no prior round exists. */
+  private[graft] def regressionGate(results: Map[String, Seq[Double]],
+      prev: Option[(String, Map[String, Double])]): String =
+    prev.map { case (_, pm) =>
+      results.toSeq.collect {
+        case (k, r) if pm.get(k).exists(p =>
+            p > 0 && r(1) >= 0 && r(1) / p > 2.0 && r(1) - p > 0.2) =>
+          k -> results(k)(1) / pm(k)
+      }.sortBy(-_._2).map { case (k, x) => f"""{"$k":$x%.2f}""" }
+        .mkString("[", ",", "]")
+    }.getOrElse("[]")
 
   /** Host-load verdict from the two sentinel triples: `loaded` when the
     * medians drift past 1.5× with an absolute swing over 0.3 s (the

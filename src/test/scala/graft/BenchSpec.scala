@@ -22,6 +22,27 @@ class BenchSpec extends AnyFunSuite {
     assert(v(Seq(-1.0, -1.0, -1.0), Seq(1.0, 1.0, 1.0)) == "unknown")
   }
 
+  test("regression gate: names >2x-with-swing keys worst-first, " +
+       "ignores small absolutes, crashes, and missing priors") {
+    val g = Bench.regressionGate _
+    def runs(m: Double) = Seq(m, m, m)
+    // no prior round → empty
+    assert(g(Map("a" -> runs(5.0)), None) == "[]")
+    val prev = Some(("r13", Map(
+      "slow" -> 1.0, "fine" -> 1.0, "tiny" -> 0.05, "dead" -> 1.0)))
+    val res = Map(
+      "slow" -> runs(2.5),   // 2.5x, +1.5s  → named
+      "fine" -> runs(1.9),   // under 2x     → not named
+      "tiny" -> runs(0.15),  // 3x but +0.1s → under the swing floor
+      "dead" -> runs(-1.0),  // crashed      → failed[], not a regression
+      "new"  -> runs(9.0))   // no prior     → not comparable
+    assert(g(res, prev) == """[{"slow":2.50}]""")
+    // worst-first ordering when several trip
+    val two = Map("a" -> runs(3.0), "b" -> runs(5.0))
+    assert(g(two, Some(("r13", Map("a" -> 1.0, "b" -> 1.0))))
+      == """[{"b":5.00},{"a":3.00}]""")
+  }
+
   test("previousRoundMedians reads the highest committed round's queries table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bench").toFile
     def write(name: String, body: String): Unit =

@@ -872,6 +872,49 @@ class PlanSpec extends SparkTestBase {
     assert(!full.contains("CartesianProduct"), full)
   }
 
+  test("minhashLshIncrementalGrouped: the probe plan re-groups NOTHING " +
+    "on the corpus side — exactly one sk-keyed grouping, the probe's own") {
+    // the r13 drift's root cause (FUZZYPROBE_r14): probing a RAW store
+    // made the collapsed path re-derive content groups per run —
+    // sigGroups (a groupBy(sk) min/count + SHUFFLE_HASH array join)
+    // ran on BOTH sides, re-shuffling the full store's signature
+    // arrays. Against the ingest-collapsed store the corpus-side
+    // sigGroups must be GONE: exactly one sk-keyed min/count
+    // aggregation (partial + final — the PROBE side's, probe-sized)
+    // may appear. The (band, bh) hot-bucket window that remains runs
+    // over the array-free GROUP bucket frame — distinct-content-sized,
+    // not corpus-row-sized — and is the posture's documented cost.
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val sigs = graft.operators.Dedup.withMinHashSignatures(docs, "text", "doc_id")
+    val probe = graft.operators.Dedup.withMinHashSignatures(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text")),
+      "text", "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_grp").toString
+    graft.operators.Dedup.contentGroups(sigs).write.parquet(s"$dir/g")
+    graft.operators.Dedup.contentMembers(sigs).write.parquet(s"$dir/m")
+    val df = graft.operators.Dedup.minhashLshIncrementalGrouped(probe,
+      spark.read.parquet(s"$dir/g"), spark.read.parquet(s"$dir/m"),
+      minBp = 8000)
+    // un-checkpointed frames repeat their subplan per reference, so a
+    // raw count over the plan text counts re-references; the robust
+    // pin is COMPARATIVE — same inputs through the raw-store collapsed
+    // path must show strictly more sk-groupings (the corpus side's)
+    // than the grouped-store path, which carries only the probe's.
+    def skGroups(p: String): Int =
+      "keys=\\[sk#\\d+L?\\], functions=\\[(partial_)?min\\("
+        .r.findAllIn(p).size
+    val grouped = skGroups(planOf(df))
+    val raw = skGroups(planOf(graft.operators.Dedup.minhashLshIncremental(
+      probe, sigs, minBp = 8000,
+      collapse = graft.operators.Dedup.Collapse.Always)))
+    assert(grouped < raw,
+      s"grouped-store probe must drop the corpus-side re-grouping " +
+        s"(grouped=$grouped raw=$raw)")
+    assert(!planOf(df).contains("CartesianProduct"))
+  }
+
   test("lang_discrim_terms: lang totals broadcast; the vocab-keyed token " +
     "join never degenerates to a cartesian") {
     val df = SparkEntry.queries("lang_discrim_terms")(spark, sfDir)
