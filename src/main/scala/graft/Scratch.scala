@@ -174,3 +174,36 @@ object ContamProbe {
     spark.stop()
   }
 }
+
+/** Dev audit (r14): sweep EVERY query's physical plan for the
+  * window_ntile failure class — Window/Sort shapes whose partition key
+  * set is a constant-cardinality column over a data-sized frame — and
+  * for SinglePartition exchanges. Prints one line per (key, window
+  * partition-key list) plus per-key SinglePartition counts; eyeballed
+  * against the vocab-window contract, recorded as PLANAUDIT_r14.txt. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val winRe = """Window \[[^\n]*?\], \[([^\]]*)\](, \[[^\]]*ASC|\s)""".r
+    val keys = SparkEntry.queries.keys.toSeq.sorted
+    for (k <- keys) {
+      try {
+        val plan = SparkEntry.queries(k)(spark, dir)
+          .queryExecution.executedPlan.toString
+        val parts = winRe.findAllMatchIn(plan)
+          .map(_.group(1).replaceAll("#\\d+L?", "")).toSeq.distinct
+        val sp = "Exchange SinglePartition".r.findAllIn(plan).size
+        val gw = plan.linesIterator.count(l =>
+          l.contains("Window [") && !l.contains("], ["))
+        if (parts.nonEmpty || sp > 0)
+          println(s"PLANAUDIT $k windows=${parts.mkString("{", " | ", "}")} " +
+            s"singlePartitionExchanges=$sp globalWindows=$gw")
+      } catch { case e: Throwable =>
+        println(s"PLANAUDIT $k ERROR ${e.getClass.getSimpleName}") }
+    }
+    spark.stop()
+  }
+}
