@@ -1247,4 +1247,42 @@ class OperatorSpec extends SparkTestBase {
     assert(got(1L)._3 == 301029L && got(9L)._3 == 45757L)
     got.foreach { case (_, (_, obs, ben, dev)) => assert(dev == (obs - ben).abs) }
   }
+
+  test("window_ntile's closed-form ntile/pct_rank/cume == Spark's window " +
+       "functions at every partition size, including n < buckets") {
+    // the r14 two-level rank derives all three distribution functions
+    // from (rank, n) with hand-written integer formulas — pin them
+    // against the engine's own ntile(4)/percent_rank/cume_dist on a
+    // single-partition frame across the size edge cases (n=1..9 covers
+    // every n mod 4 x n div 4 ∈ {0,1,2} corner; 997/1000 the steady
+    // state). Sort keys unique, so rank == row_number.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (n <- (1 to 9) ++ Seq(997, 1000)) {
+      val df = (1 to n).map(i => (i.toLong, i * 7L % 1000)).toDF("k", "v")
+      val w = Window.orderBy(col("v").asc, col("k").asc)
+      val want = df.select(col("k"),
+          ntile(4).over(w).cast("long").as("q"),
+          percent_rank().over(w).as("p"),
+          cume_dist().over(w).as("c"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
+          r.getDouble(3)))).toMap
+      val got = df
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("n", lit(n.toLong))
+        .select(col("k"),
+          expr("""CAST(CASE
+              WHEN rank <= (n div 4 + 1) * (n % 4)
+                THEN (rank - 1) div (n div 4 + 1) + 1
+              ELSE n % 4 + (rank - (n div 4 + 1) * (n % 4) - 1)
+                     div (n div 4) + 1
+            END AS BIGINT)""").as("q"),
+          expr("CASE WHEN n > 1 THEN CAST(rank - 1 AS DOUBLE) /" +
+            " CAST(n - 1 AS DOUBLE) ELSE 0.0D END").as("p"),
+          expr("CAST(rank AS DOUBLE) / CAST(n AS DOUBLE)").as("c"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
+          r.getDouble(3)))).toMap
+      assert(got == want, s"closed form diverged at n=$n")
+    }
+  }
 }

@@ -1646,6 +1646,51 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("TwsSeqGap: after the tombstone TTL expires, a straggler emits a " +
+    "fresh FULL audit — the documented residual, and the state is bounded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTwsConf {
+    val B = 1704067200L
+    def ms(s: Long) = (B + s) * 1000L
+    val input = MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_seqgap3").toString
+    // short 600 s tombstone so the expiry path is reachable in-test
+    val q = graft.streaming.TwsSeqGap.audit(
+        input.toDS().toDF("event_id", "ms")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        blockSize = 10L, settleSecs = 30L, delay = "60 seconds",
+        tombstoneTtlSecs = 600L)
+      .writeStream.format("memory").queryName("seqgap3")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((0L until 9L).map(id => (id, ms(id))))
+      q.processAllAvailable()
+      input.addData(Seq((990L, ms(200)))) // finalize: audit (9, 1)
+      q.processAllAvailable()
+      // advance the watermark past finalization + TTL: the cleanup
+      // timer fires and clears the tombstone
+      input.addData(Seq((991L, ms(2000))))
+      q.processAllAvailable()
+      // straggler AFTER the tombstone died: block re-opens with no
+      // memory of the first audit → a fresh FULL audit (1, 9) — the
+      // class-doc'd residual duplicate-row risk the TTL trades for
+      // bounded state; downstream per-block aggregation still sees
+      // every delivery counted
+      input.addData(Seq((5L, ms(2100))))
+      q.processAllAvailable()
+      input.addData(Seq((992L, ms(3000))))
+      q.processAllAvailable()
+      val got = spark.table("seqgap3").filter(col("block_id") === 0)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((0L, 9L, 1L), (0L, 1L, 9L)),
+        s"post-TTL straggler must emit a fresh full audit: $got")
+    } finally q.stop()
+    }
+  }
+
   test("TwsActiveUsers: watermark-final coverage intervals equal the batch " +
     "dau_wau interval construction; unexpired days stay pending") {
     import org.apache.spark.sql.functions._
