@@ -1691,6 +1691,49 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("TwsSeqGap: the finalized tombstone survives a query restart — " +
+    "a straggler after recovery still delta-tags") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTwsConf {
+    val B = 1704067200L
+    def ms(s: Long) = (B + s) * 1000L
+    val base = java.nio.file.Files.createTempDirectory("graft_seqgap4").toString
+    val input = MemoryStream[(Long, Long)]
+    def start() = graft.streaming.TwsSeqGap.audit(
+        input.toDS().toDF("event_id", "ms")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        blockSize = 10L, settleSecs = 30L, delay = "60 seconds")
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append).start()
+    var q = start()
+    try {
+      input.addData((0L until 9L).map(id => (id, ms(id))))
+      q.processAllAvailable()
+      input.addData(Seq((990L, ms(200)))) // finalize: audit (9, 1)
+      q.processAllAvailable()
+      // cold restart AFTER finalization: the fin ValueState must come
+      // back from the checkpoint, or the straggler below would replay
+      // a second full audit instead of the delta row
+      q.stop()
+      q = start()
+      input.addData(Seq((9L, ms(300)))) // fresh-ts straggler re-opens
+      q.processAllAvailable()
+      input.addData(Seq((991L, ms(500)))) // settle the re-open
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/out")
+        .filter(col("block_id") === 0)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((0L, 9L, 1L), (0L, 1L, -1L)),
+        s"restored tombstone must delta-tag the re-open: $got")
+    } finally q.stop()
+    }
+  }
+
   test("TwsActiveUsers: watermark-final coverage intervals equal the batch " +
     "dau_wau interval construction; unexpired days stay pending") {
     import org.apache.spark.sql.functions._
