@@ -207,3 +207,41 @@ object PlanAudit {
     spark.stop()
   }
 }
+
+/** Dev audit (r14, scan-side dual of [[PlanAudit]]): for every query,
+  * every parquet FileScan's ReadSchema column count vs the table's full
+  * width — a scan reading all columns for a narrow projection wastes
+  * I/O in proportion to table width at 100 TB. Prints (key, table,
+  * readCols/fullCols) for any scan reading > the audit threshold. */
+object ScanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val widths = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+      .map(t => t -> spark.read.parquet(s"$dir/$t.parquet").columns.length)
+      .toMap
+    val scanRe = ("""FileScan parquet \[([^\]]*)\][^\n]*?""" +
+      """Location: [^\n]*?/([a-z]+)\.parquet""").r
+    for (k <- SparkEntry.queries.keys.toSeq.sorted) {
+      try {
+        val plan = SparkEntry.queries(k)(spark, dir)
+          .queryExecution.executedPlan.toString
+        val hits = scanRe.findAllMatchIn(plan).map { m =>
+          val nCols = m.group(1).split(",").count(_.nonEmpty)
+          val t = m.group(2)
+          (t, nCols, widths.getOrElse(t, -1))
+        }.toSeq.distinct
+        val fat = hits.filter { case (t, n, full) =>
+          full > 2 && n >= full && full >= 4 }
+        if (fat.nonEmpty)
+          println(s"SCANAUDIT $k " + fat.map { case (t, n, full) =>
+            s"$t=$n/$full" }.mkString(" "))
+      } catch { case e: Throwable =>
+        println(s"SCANAUDIT $k ERROR ${e.getClass.getSimpleName}") }
+    }
+    spark.stop()
+  }
+}

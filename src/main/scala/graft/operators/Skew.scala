@@ -96,14 +96,24 @@ object Skew {
   /** Inner equi-join `skewed ⋈ other` on `key`, salted `nSalts` ways.
     * Result rows are identical to a plain inner join: each skewed-side
     * row carries exactly one salt and the other side replicates across
-    * all salts, so every matching pair meets exactly once. */
+    * all salts, so every matching pair meets exactly once.
+    *
+    * `saltCols` is the salt's hash basis. Default (empty) = the whole
+    * row — always correct, but referencing every column DEFEATS COLUMN
+    * PRUNING on the skewed side's scan (SCANAUDIT_r14: the C47 query
+    * read orders 6/6 columns for a 2-column projection; at 100 TB
+    * that is the whole fact table's width in wasted I/O). When the
+    * skewed side has a unique id, pass it: a unique basis spreads a
+    * hot key's rows exactly as well, placement stays deterministic
+    * (reruns and retries see the same salt, keeping shuffle-file
+    * reuse valid — why this is a hash, not rand()), and the result
+    * set is basis-independent either way (salt only picks WHICH task
+    * a pair meets in, never whether it meets). */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
-                 nSalts: Int): DataFrame = {
-    // Deterministic spread: salt from a hash of the whole row (keyed
-    // on all columns), not rand() — reruns and retries see the same
-    // placement, which keeps shuffle-file reuse valid.
+                 nSalts: Int, saltCols: Seq[String] = Nil): DataFrame = {
+    val basis = if (saltCols.isEmpty) skewed.columns.toSeq else saltCols
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(struct(skewed.columns.toSeq.map(col): _*)), lit(nSalts)).cast("int"))
+      pmod(xxhash64(struct(basis.map(col): _*)), lit(nSalts)).cast("int"))
     val replicated = other.withColumn("__salt",
       explode(array((0 until nSalts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

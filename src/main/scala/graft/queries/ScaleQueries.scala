@@ -136,9 +136,12 @@ object ScaleQueries {
     // shuffle keyed (custkey, salt). The oracle is the PLAIN join —
     // equality is the operator's contract.
     "salted_join" -> { (s, d) =>
+      // salt basis = the unique order key, so the orders scan prunes
+      // to the two columns this query projects (SCANAUDIT_r14: the
+      // whole-row default read 6/6 columns)
       Skew.saltedJoin(Tables.orders(s, d),
           Tables.customer(s, d).withColumnRenamed("c_custkey", "o_custkey"),
-          "o_custkey", nSalts = 8)
+          "o_custkey", nSalts = 8, saltCols = Seq("o_orderkey"))
         .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
           col("c_nationkey"))
     },
