@@ -915,6 +915,19 @@ class PlanSpec extends SparkTestBase {
     assert(!planOf(df).contains("CartesianProduct"))
   }
 
+  test("salted_join: the salt basis must not widen the orders scan — " +
+    "ReadSchema stays at the two projected columns") {
+    // SCANAUDIT_r14: the whole-row default salt hashed every column,
+    // forcing a 6/6-column fact scan for a 2-column projection; the
+    // unique-key basis restores pruning and the result set is
+    // basis-independent
+    val df = SparkEntry.queries("salted_join")(spark, sfDir)
+    val plan = formatted(df)
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"),
+      s"orders scan must prune to the projected columns:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("lang_discrim_terms: lang totals broadcast; the vocab-keyed token " +
     "join never degenerates to a cartesian") {
     val df = SparkEntry.queries("lang_discrim_terms")(spark, sfDir)
