@@ -168,6 +168,13 @@ object Bench {
     val vsPrevFullJson = vsPrevFull.map(_._3).getOrElse("")
     val regressionsJson =
       s""""regressions":${regressionGate(results.toMap, prev)},"""
+    // compact stdout carries a BOUNDED regression summary (count +
+    // worst 10) — the full array is unbounded (a loaded-host round
+    // could name most of the suite) and would head-truncate the
+    // driver's 2000-char stdout tail, the r7/r8 failure the
+    // compact/full split exists to avoid (r14 ADVICE item 1)
+    val regressionsCompact =
+      s""""regressions":${regressionGate(results.toMap, prev, cap = 10)},"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec",$sentinelJson$vsPrevFullJson$regressionsJson"queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
     writeText(outPath, full)
     // ALSO write a round-versioned copy so no round's per-query data
@@ -187,7 +194,7 @@ object Bench {
         .mkString("{", ",", "}")
       f""""qv_vs_prev":{"vs":"$tag","n":${ratios.size},"median":$med%.3f,"drifters":$dj},"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,$sentinelJson$vsPrevCompact$regressionsJson"queries_file":"$outPath","qv_sorted_by_name":$qv}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,$sentinelJson$vsPrevCompact$regressionsCompact"queries_file":"$outPath","qv_sorted_by_name":$qv}""")
   }
 
   /** PER-KEY REGRESSION GATE (r13 verdict item 8): names every key
@@ -196,16 +203,23 @@ object Bench {
     * objects. A non-empty list trips the round-close checklist
     * (interpret alongside the sentinel verdict: a loaded host
     * regresses everything at once, a real plan regression names one
-    * key on a quiet run). Empty array when no prior round exists. */
+    * key on a quiet run). Empty array when no prior round exists.
+    * `cap` bounds the list (worst-first) for the compact stdout line;
+    * the FULL artifact passes Int.MaxValue and keeps every entry. */
   private[graft] def regressionGate(results: Map[String, Seq[Double]],
-      prev: Option[(String, Map[String, Double])]): String =
+      prev: Option[(String, Map[String, Double])],
+      cap: Int = Int.MaxValue): String =
     prev.map { case (_, pm) =>
-      results.toSeq.collect {
+      val all = results.toSeq.collect {
         case (k, r) if pm.get(k).exists(p =>
             p > 0 && r(1) >= 0 && r(1) / p > 2.0 && r(1) - p > 0.2) =>
           k -> results(k)(1) / pm(k)
-      }.sortBy(-_._2).map { case (k, x) => f"""{"$k":$x%.2f}""" }
+      }.sortBy(-_._2)
+      val shown = all.take(cap).map { case (k, x) => f"""{"$k":$x%.2f}""" }
         .mkString("[", ",", "]")
+      if (all.size > cap) // count survives even when entries are capped
+        s"""{"n":${all.size},"worst":$shown}"""
+      else shown
     }.getOrElse("[]")
 
   /** Host-load verdict from the two sentinel triples: `loaded` when the

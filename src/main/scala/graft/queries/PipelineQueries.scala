@@ -378,6 +378,17 @@ object PipelineQueries {
     // matched nothing at the tighter setting). Pairs computed ONCE at
     // the loosest floor and filtered per threshold; three CC runs
     // over corpus-bounded pair sets, one 3-row union.
+    //
+    // PAIR-LIST CONTRACT (r15, verdict item 4): this standing form
+    // runs EXACT all-pairs over the bounded corpus, so n_pairs is the
+    // true pair count at every threshold. On an open corpus the pair
+    // source becomes the guarded LSH list and the n_pairs column
+    // inherits the star-skeleton bias (GUARDRECALL_r14: 62 bp
+    // pair-edge recall in the mega-bucket regime) — members/clusters/
+    // dropped stay honest (connectivity-derived), but threshold
+    // sensitivity of PAIR COUNTS must be read from the weighted
+    // Dedup.minhashLshSampledPairs estimate instead (C108 contract;
+    // bias magnitude recorded in GUARDBIAS_r15).
     "dedup_threshold_sensitivity" -> { (s, d) =>
       val pairs = Dedup.ngramJaccardPairs(corpus(s, d), "text", "doc_id",
           k = 5, minBp = 7000)
@@ -537,6 +548,18 @@ object PipelineQueries {
     // operating point, this shows the whole knee. Same shingle-hash
     // candidate machinery as C2 at the lower floor; bins are integer
     // floors so both engines bucket identically.
+    //
+    // PAIR-LIST CONTRACT (r15, verdict item 4): this standing form
+    // enumerates EXACT all-pairs over the bounded corpus — valid
+    // precisely because the corpus is bounded. On an open corpus the
+    // pair source is the guarded LSH list, whose hot buckets degrade
+    // to rep-vs-member star edges (GUARDRECALL_r14: 62 bp pair-edge
+    // recall at the 1000× regime) — a histogram built on it describes
+    // the star skeleton, NOT the pair population. The unbiased
+    // at-scale form is Dedup.minhashLshSampledPairs: weighted
+    // in-bucket pair sampling, sum(weight_milli) per bin estimates
+    // 1000× the exhaustive incidence count (GUARDBIAS_r15 measures
+    // skeleton-vs-sampled bias on the 1000× corpus).
     "near_dup_jaccard_hist" -> { (s, d) =>
       Dedup.ngramJaccardPairs(corpus(s, d), "text", "doc_id",
           k = 5, minBp = 5000)
@@ -554,6 +577,18 @@ object PipelineQueries {
     // any cluster band '1'; length bands at the fixed 30/50/70-word
     // grid (documented; both engines band identically). Cost on top
     // of C18: one doc-keyed left join + a 16-cell fold.
+    //
+    // PAIR-LIST CONTRACT (r15, verdict item 4): the input is the
+    // GUARDED LSH pair list. Cluster MEMBERSHIP survives the guard
+    // exactly when star edges verify (GUARDRECALL_r14: membership
+    // recall 10000 bp on the 1000× perturbed corpus), so the
+    // cluster-size bands here stay honest at scale — but only because
+    // this key consumes CONNECTIVITY, not the pair list itself. The
+    // residual exposure is a hot-bucket member whose exact jaccard
+    // vs the min-id REP falls under minBp while a pair with some
+    // other member would have passed: that member drops to band '1'.
+    // Pair-level statistics must NOT be derived from this input —
+    // use Dedup.minhashLshSampledPairs (see C108's contract).
     "dup_length_matrix" -> { (s, d) =>
       val cl = Dedup.clusterPairs(
         Dedup.minhashLshFromSignatures(corpusSignatures(s, d), minBp = 8000),

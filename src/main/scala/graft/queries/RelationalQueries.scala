@@ -176,6 +176,13 @@ object RelationalQueries {
     "window_ntile" -> { (s, d) =>
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        // INPUT CONTRACT (r15, ADVICE): the two-pass form ranks only
+        // non-null prices — a null bin would silently miss the offset
+        // join where the old single-window form still ranked the row.
+        // o_totalprice is non-null in TPC-H, so this filter is free
+        // (and pushed to the scan); on nullable data the drop is now
+        // explicit and visible here, not an artifact of join nulls.
+        .filter(col("o_totalprice").isNotNull)
         // $64-wide bins: ~26k (status, bin) rank groups — parallelism
         // scales with the price RANGE, not the row count, so the
         // broadcast offset table stays ~26k rows at any data size

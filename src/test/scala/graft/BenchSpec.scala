@@ -24,7 +24,8 @@ class BenchSpec extends AnyFunSuite {
 
   test("regression gate: names >2x-with-swing keys worst-first, " +
        "ignores small absolutes, crashes, and missing priors") {
-    val g = Bench.regressionGate _
+    def g(r: Map[String, Seq[Double]],
+          p: Option[(String, Map[String, Double])]) = Bench.regressionGate(r, p)
     def runs(m: Double) = Seq(m, m, m)
     // no prior round → empty
     assert(g(Map("a" -> runs(5.0)), None) == "[]")
@@ -40,6 +41,15 @@ class BenchSpec extends AnyFunSuite {
     // worst-first ordering when several trip
     val two = Map("a" -> runs(3.0), "b" -> runs(5.0))
     assert(g(two, Some(("r13", Map("a" -> 1.0, "b" -> 1.0))))
+      == """[{"b":5.00},{"a":3.00}]""")
+    // compact cap: over-cap lists collapse to {n, worst-K}, so a
+    // loaded-host round can't blow the 2000-char stdout tail (r14
+    // ADVICE item 1); at-or-under-cap lists keep the plain array shape
+    assert(Bench.regressionGate(two,
+        Some(("r13", Map("a" -> 1.0, "b" -> 1.0))), cap = 1)
+      == """{"n":2,"worst":[{"b":5.00}]}""")
+    assert(Bench.regressionGate(two,
+        Some(("r13", Map("a" -> 1.0, "b" -> 1.0))), cap = 2)
       == """[{"b":5.00},{"a":3.00}]""")
   }
 

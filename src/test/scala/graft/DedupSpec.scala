@@ -296,6 +296,50 @@ class DedupSpec extends SparkTestBase {
     assert(sGuarded == sUnguarded && sGuarded.nonEmpty)
   }
 
+  test("minhashLshSampledPairs: exhaustive-with-weight-1000 below the cap, " +
+       "exact 1000·C(w,2) weighted mass and decorrelated per-band samples above it") {
+    import spark.implicits._
+    // BELOW the cap: distinct sampled pairs == the unguarded pair set,
+    // every weight exactly 1000 (the estimator degrades to the
+    // exhaustive list, so consumers can use one code path)
+    val sigs = Dedup.withMinHashSignatures(corpus(), "text", "doc_id")
+    val sampled = Dedup.minhashLshSampledPairs(sigs, minBp = 8000)
+      .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(sampled.nonEmpty && sampled.forall(_._4 == 1000L))
+    val distinctPairs = sampled.map(t => (t._1, t._2, t._3)).toSet
+    val unguarded = Dedup.minhashLsh(corpus(), "text", "doc_id", minBp = 8000,
+        maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(distinctPairs == unguarded)
+
+    // ABOVE the cap: 10k copies of one page → every band holds one
+    // w=10000 bucket; the sample is s=100 members → C(100,2)=4950
+    // pairs per band, and the weighted mass identity is EXACT:
+    // C(s,2) · w(w-1)·1000/(s(s-1)) = 1000·C(w,2) (all copies verify
+    // at jaccard 10000, so no pair is lost to the minBp filter)
+    val page = "the same boilerplate page crawled from ten thousand mirrors again"
+    val docs = spark.range(0, 10000).select(col("id").as("doc_id"), lit(page).as("text"))
+    val hotSigs = Dedup.withMinHashSignatures(docs, "text", "doc_id")
+    val hot = Dedup.minhashLshSampledPairs(hotSigs, minBp = 8000, maxBucket = 100)
+      .localCheckpoint()
+    val perBand = hot.groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sum(col("weight_milli")).as("mass"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(perBand.length == 16)
+    val trueMass = 10000L * 9999L / 2L * 1000L
+    assert(perBand.forall { case (_, n, mass) => n == 4950L && mass == trueMass },
+      perBand.mkString(","))
+    // per-band samples are re-seeded by (band, bh): bands must NOT all
+    // pick the same 100 members, or cross-band statistics correlate
+    val distinctIds = hot.select(col("doc_a").as("id"))
+      .unionByName(hot.select(col("doc_b").as("id")))
+      .distinct().count()
+    assert(distinctIds > 200, s"bands picked correlated samples: $distinctIds ids")
+    // deterministic: an identical second run yields the identical set
+    val again = Dedup.minhashLshSampledPairs(hotSigs, minBp = 8000, maxBucket = 100)
+    assert(again.exceptAll(hot).isEmpty && hot.exceptAll(again).isEmpty)
+  }
+
   test("DEFAULT maxBucket is the scale-safe crawl posture (r12 verdict item 3)") {
     import spark.implicits._
     // SWEEP100_r12 measured default=1000 exhausting local disk on a
