@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.{CdcPipeline, TwsDedup, TwsEnrichment, TwsSeqGap, TwsSessionize}
+
+/** r15 streaming performance posture (verdict item 5): throughput,
+  * state-store footprint, and recovery time for the Tws* family on the
+  * RocksDB state store provider at the 10× corpus — the reference
+  * (StreamingJob.java:153-203) is a streaming topology, and until this
+  * round the Tws twins had correctness + recovery SPECS but no recorded
+  * perf evidence.
+  *
+  * Method, per operator:
+  *   1. The 10× parquet part-files are copied into a scratch input dir
+  *      (90% up front), and the operator runs as a file-source stream
+  *      (`maxFilesPerTrigger` bounds each micro-batch) to a noop sink
+  *      with a fresh checkpoint. `processAllAvailable()` wall time +
+  *      input rows → rows/s; the final StreamingQueryProgress's state
+  *      operator gives state rows and RocksDB memory/SST bytes, and the
+  *      checkpoint state dir is du'd for the durable footprint.
+  *   2. RECOVERY: the query is stopped, the held-back 10% of files land
+  *      in the input dir, and the SAME checkpoint is restarted — wall
+  *      time from start() to processAllAvailable() covers state reload
+  *      (RocksDB restores from the last snapshot + changelog) plus the
+  *      catch-up batch, the operational number a pipeline restart pays.
+  *
+  * `sbt "runMain graft.StreamBench /tmp/bench10x STREAMBENCH_r15.txt"`
+  */
+object StreamBench {
+
+  private def du(p: Path): Long = {
+    if (!Files.exists(p)) return 0L
+    val s = Files.walk(p)
+    try s.filter(Files.isRegularFile(_)).mapToLong(Files.size).sum
+    finally s.close()
+  }
+
+  private def copyParts(srcDir: String, dst: Path, parts: Seq[Path]): Unit = {
+    Files.createDirectories(dst)
+    parts.foreach(p => Files.copy(p, dst.resolve(p.getFileName.toString),
+      StandardCopyOption.REPLACE_EXISTING))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dataDir = args.headOption.getOrElse("/tmp/bench10x")
+    val outFile = args.lift(1).getOrElse("STREAMBENCH_r15.txt")
+    val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
+    val spark = GraftSession.builder(s"local[$cpus]", cpus)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val work = Files.createTempDirectory("graft_streambench")
+    val lines = scala.collection.mutable.ListBuffer.empty[String]
+    def log(s: String): Unit = { println(s); lines += s }
+
+    /** Run one operator: build the op over a streaming frame read from
+      * `inDir`, measure ingest + state + recovery. */
+    def bench(name: String, srcTable: String, filesPerTrigger: Int)
+             (op: DataFrame => DataFrame): Unit = {
+      val src = s"$dataDir/$srcTable.parquet"
+      val schema = spark.read.parquet(src).schema
+      val parts = {
+        val d = Paths.get(src)
+        val s = Files.list(d)
+        val all = try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("part-") && n.endsWith(".parquet")
+          }.toSeq.sortBy(_.getFileName.toString)
+        } finally s.close()
+        all
+      }
+      require(parts.size >= 2, s"$src has ${parts.size} part files")
+      val holdBack = math.max(1, parts.size / 10)
+      val (tail, head) = parts.splitAt(parts.size - holdBack) match {
+        case (h, t) => (t, h)
+      }
+      val inDir = work.resolve(s"$name-in")
+      val ckpt = work.resolve(s"$name-ckpt").toString
+      copyParts(src, inDir, head)
+
+      def start(): StreamingQuery = {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", filesPerTrigger)
+          .parquet(inDir.toString)
+        op(stream).writeStream.format("noop")
+          .option("checkpointLocation", ckpt).start()
+      }
+
+      // ---- phase 1: ingest 90%
+      val t0 = System.nanoTime()
+      val q = start()
+      q.processAllAvailable()
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress
+      val rows = progs.map(_.numInputRows).sum
+      val batches = progs.count(_.numInputRows > 0)
+      val stateOp = progs.reverse.flatMap(_.stateOperators.headOption)
+        .find(_.numRowsTotal >= 0)
+      val stateRows = stateOp.map(_.numRowsTotal).getOrElse(-1L)
+      val stateMem = stateOp.map(_.memoryUsedBytes).getOrElse(-1L)
+      val sstBytes = stateOp.flatMap(o =>
+        Option(o.customMetrics.get("rocksdbSstFileSize")).map(_.longValue()))
+        .getOrElse(-1L)
+      q.stop()
+      val ckptBytes = du(Paths.get(ckpt, "state"))
+
+      // ---- phase 2: recovery — restart the checkpoint on +10% input
+      copyParts(src, inDir, tail)
+      val r0 = System.nanoTime()
+      val q2 = start()
+      q2.processAllAvailable()
+      val recoverSec = (System.nanoTime() - r0) / 1e9
+      val rRows = q2.recentProgress.map(_.numInputRows).sum
+      q2.stop()
+
+      log(f"STREAMBENCH $name%-14s rows=$rows%9d batches=$batches%3d " +
+        f"ingest=$ingestSec%7.2fs thpt=${rows / math.max(ingestSec, 1e-9)}%9.0f rows/s " +
+        f"stateRows=$stateRows%9d stateMemMB=${stateMem / 1e6}%8.1f " +
+        f"sstMB=${sstBytes / 1e6}%8.1f ckptStateMB=${ckptBytes / 1e6}%8.1f " +
+        f"recovery=$recoverSec%6.2fs (+$rRows rows)")
+    }
+
+    // 1) TwsDedup: streaming LSH near-dup candidates over documents —
+    //    state = bucket membership (16 bands × corpus), the crawl-ingest
+    //    posture. Signatures are a pure projection on the stream.
+    bench("TwsDedup", "documents", filesPerTrigger = 4) { docs =>
+      TwsDedup.candidatePairs(
+        graft.operators.Dedup.withMinHashSignatures(docs, "text", "doc_id"))
+        .toDF()
+    }
+
+    // 2) TwsSessionize: watermark-final sessions over events — state =
+    //    open sessions per user; 30-min gap, 10-min lateness (the
+    //    reference topology's out-of-orderness allowance).
+    bench("TwsSessionize", "events", filesPerTrigger = 4) { ev =>
+      TwsSessionize.sessions(ev, gapSecs = 1800L, delay = "10 minutes").toDF()
+    }
+
+    // 3) TwsEnrichment: latest-image enrichment — events replayed as a
+    //    CDC change stream keyed by user (error rows act as enrichment
+    //    images, the rest as stream rows buffering/flushing against
+    //    them) — exercises image update + buffer + flush state paths.
+    bench("TwsEnrichment", "events", filesPerTrigger = 4) { ev =>
+      val changes = ev.select(
+        col("user_id").as("key"),
+        unix_millis(col("ts").cast("timestamp")).as("eventTimeMs"),
+        col("props").as("payload"),
+        (col("event_type") === "error").as("isEnrichment"),
+        lit("I").as("manip"),
+        (col("event_id") % 1000000).cast("int").as("seq")
+      ).as[CdcPipeline.Change]
+      TwsEnrichment.enrichLatestTws(changes).toDF()
+    }
+
+    // 4) TwsSeqGap: per-block completeness audit over the event_id
+    //    sequence — state = one open block audit per 1000-id block +
+    //    finalized tombstones; 10-min settle, 10-min lateness.
+    bench("TwsSeqGap", "events", filesPerTrigger = 4) { ev =>
+      TwsSeqGap.audit(ev, blockSize = 1000L, settleSecs = 600L,
+        delay = "10 minutes").toDF()
+    }
+
+    Files.writeString(Paths.get(outFile),
+      (s"# STREAMBENCH — Tws* family on RocksDB state store, $dataDir" +:
+        lines).mkString("", "\n", "\n"))
+    spark.stop()
+  }
+}

@@ -439,3 +439,121 @@ object GuardRecall {
     spark.stop()
   }
 }
+
+/** r15 (verdict item 4): bias MAGNITUDE of the star-skeleton pair list
+  * vs the true in-bucket pair population at the 1000× perturbed
+  * corpus, and validation of the weighted sampled estimator
+  * ([[graft.operators.Dedup.minhashLshSampledPairs]]) against exact
+  * enumeration on measurable buckets.
+  *
+  * Three histograms over jaccard_bp (500-bp bins, ≥ 8000), hot
+  * buckets only (below the cap skeleton == truth by construction):
+  *   1. SKELETON — the star edges the guarded list actually contains
+  *      (what near_dup_jaccard_hist-style consumers see at scale);
+  *   2. SAMPLED  — the weighted estimate (s = 12 members/bucket);
+  *   3. EXACT    — ground truth on the 12 GuardRecall-style probe
+  *      buckets (w ≤ 1200), vs the SAMPLED estimator restricted to
+  *      those same buckets at s = 50 (validation of unbiasedness).
+  * Estimand everywhere: in-bucket pair INCIDENCES (a pair co-bucketed
+  * in b hot buckets counts b times on every side, so the three
+  * histograms are commensurable). Counts, not timings. */
+object GuardBias {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    val sigPath = "/tmp/sweep_sigs_pert1000.parquet"
+    require(new java.io.File(sigPath).exists, "run GuardRecall first")
+    val sigs = spark.read.parquet(sigPath)
+    val cap = Dedup.DefaultMaxBucket
+
+    val buckets = Dedup.minhashBuckets(
+      sigs.select("id", "hs", "sig"), bands = 16, numPerm = 64)
+    val byBucket = Window.partitionBy(col("band"), col("bh"))
+    val wb = buckets
+      .withColumn("w", count(lit(1)).over(byBucket))
+      .withColumn("rep", min(col("id")).over(byBucket))
+      .filter(col("w") > cap)
+      .localCheckpoint()
+
+    val sets = sigs.select(col("id"), col("hs"))
+    def verified(pairs: org.apache.spark.sql.DataFrame) = pairs
+      .join(sets.withColumnRenamed("id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
+      .join(sets.withColumnRenamed("id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
+      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard_bp",
+        floor(lit(10000.0) * col("common") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("common"))).cast("long"))
+      .filter(col("jaccard_bp") >= 8000)
+    def hist(df: org.apache.spark.sql.DataFrame, weight: org.apache.spark.sql.Column) =
+      df.select((expr("jaccard_bp div 500") * 500).as("bin_bp"), weight.as("wt"))
+        .groupBy(col("bin_bp")).agg(sum(col("wt")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // 1) SKELETON: hot-bucket star edges, verified — per-bucket
+    // incidences (no cross-bucket dedup, matching the estimand)
+    val skeleton = hist(verified(
+      wb.filter(col("id") =!= col("rep"))
+        .select(col("rep").as("doc_a"), col("id").as("doc_b"))), lit(1L))
+
+    // 2) SAMPLED, s=12, hot buckets only (inline: reuse wb)
+    val bySample = byBucket.orderBy(
+      xxhash64(col("id"), col("band"), col("bh")).asc, col("id").asc)
+    def sampledPairs(s: Int, frame: org.apache.spark.sql.DataFrame) = {
+      val kept = frame.withColumn("rn", row_number().over(bySample))
+        .filter(col("rn") <= s)
+        .withColumn("s", least(col("w"), lit(s.toLong)))
+      kept.as("x").join(kept.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+        .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+          expr("(x.w * (x.w - 1) * 1000) div (x.s * (x.s - 1))").as("weight_milli"))
+    }
+    val sampled = hist(verified(sampledPairs(12, wb)), col("weight_milli"))
+
+    // 3) EXACT vs SAMPLED(s=50) on 12 probe buckets (w <= 1200),
+    // spread across the width distribution like GuardRecall
+    val measurable = wb.select("band", "bh", "w").distinct()
+      .filter(col("w") <= 1200)
+    val wOrd = Window.orderBy(col("w").asc, col("band").asc, col("bh").asc)
+    val m = measurable.count()
+    val step = math.max(1L, m / 12L)
+    val probe = measurable.withColumn("rn", row_number().over(wOrd))
+      .filter((col("rn") % step === 0) || col("rn") === m)
+      .limit(12).select("band", "bh", "w").localCheckpoint()
+    val pb = wb.join(probe.select("band", "bh"), Seq("band", "bh"), "left_semi")
+      .localCheckpoint()
+    val exact12 = hist(verified(
+      pb.as("x").join(pb.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+        .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))), lit(1L))
+    val sampled12 = hist(verified(sampledPairs(50, pb)), col("weight_milli"))
+
+    val bins = (skeleton.keySet ++ sampled.keySet ++ exact12.keySet ++
+      sampled12.keySet).toSeq.sorted
+    def share(h: Map[Long, Long]) = {
+      val t = math.max(1L, h.values.sum)
+      (b: Long) => h.getOrElse(b, 0L) * 10000 / t
+    }
+    val (shS, shE, shEx, shS12) =
+      (share(skeleton), share(sampled), share(exact12), share(sampled12))
+    println("GUARDBIAS bin_bp | skeleton(n, share_bp) | sampled_est(n_milli/1000, share_bp)" +
+      " | probe12_exact(n, share_bp) | probe12_sampled_est(share_bp)")
+    bins.foreach { b =>
+      println(f"GUARDBIAS $b%5d | ${skeleton.getOrElse(b, 0L)}%9d ${shS(b)}%5d | " +
+        f"${sampled.getOrElse(b, 0L) / 1000}%12d ${shE(b)}%5d | " +
+        f"${exact12.getOrElse(b, 0L)}%9d ${shEx(b)}%5d | ${shS12(b)}%5d")
+    }
+    val totSk = skeleton.values.sum
+    val totSa = sampled.values.sum / 1000
+    val totEx = exact12.values.sum
+    val totS12 = sampled12.values.sum / 1000
+    println(f"GUARDBIAS TOTALS skeletonEdges=$totSk sampledEstPairs=$totSa " +
+      f"skeletonShareOfEst_bp=${totSk * 10000 / math.max(totSa, 1)}%d " +
+      f"probe12 exact=$totEx sampledEst=$totS12 " +
+      f"estVsExact_bp=${totS12 * 10000 / math.max(totEx, 1)}%d")
+    spark.stop()
+  }
+}

@@ -305,11 +305,19 @@ object Dedup {
     * exhaustive per bucket. Pre-verify identity (DedupSpec-pinned):
     * the weighted pair MASS per bucket is exactly `1000 · C(w,2)`
     * whatever the cap, because the sample always yields `C(s,2)`
-    * pairs. Cost: O(buckets × maxBucket²) verifications — scale-safe
-    * at any bucket width. */
+    * pairs. Cost: O(buckets × s²) verifications — scale-safe at any
+    * bucket width.
+    *
+    * `sampleSize` (s) decouples the estimator's per-bucket budget
+    * from the hot THRESHOLD: a 1000× crawl corpus can hold ~10⁵ hot
+    * buckets, where s = maxBucket = 50 means 10⁵ × C(50,2) ≈ 10⁸
+    * verifications — s = 12 buys the same unbiasedness at 20× less
+    * work (estimator variance shrinks as buckets aggregate). 0 (the
+    * default) means s = maxBucket. */
   def minhashLshSampledPairs(sigs: DataFrame, bands: Int = 16,
       minBp: Int = 5000, numPerm: Int = 64,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket, sampleSize: Int = 0): DataFrame = {
+    val s = if (sampleSize > 0) math.min(sampleSize, maxBucket) else maxBucket
     val buckets = minhashBuckets(sigs.select("id", "hs", "sig"), bands, numPerm)
     val byBucket = Window.partitionBy(col("band"), col("bh"))
     // hash-rank member sample: ordering by a per-bucket-keyed hash
@@ -321,8 +329,11 @@ object Dedup {
     val kept = buckets
       .withColumn("w", count(lit(1)).over(byBucket))
       .withColumn("rn", row_number().over(bySample))
-      .filter(col("rn") <= maxBucket)
-      .withColumn("s", least(col("w"), lit(maxBucket.toLong)))
+      // below the hot threshold the list stays EXHAUSTIVE (weight
+      // 1000); only hot buckets are thinned to the s-member sample
+      .filter(col("w") <= maxBucket || col("rn") <= s)
+      .withColumn("s", when(col("w") <= maxBucket, col("w"))
+        .otherwise(least(col("w"), lit(s.toLong))))
     // weight is bucket-level (both sides share w, s); s >= 2 on every
     // surviving row because a pair needs two sampled members
     val pairs = kept.as("x").join(kept.as("y"),

@@ -338,6 +338,17 @@ class DedupSpec extends SparkTestBase {
     // deterministic: an identical second run yields the identical set
     val again = Dedup.minhashLshSampledPairs(hotSigs, minBp = 8000, maxBucket = 100)
     assert(again.exceptAll(hot).isEmpty && hot.exceptAll(again).isEmpty)
+    // decoupled sampleSize: s=12 under the same threshold keeps the
+    // EXACT mass identity (w(w-1)·1000 divides by s(s-1) here) at
+    // C(12,2)=66 pairs per band — the mega-bucket budget knob
+    val thin = Dedup.minhashLshSampledPairs(hotSigs, minBp = 8000,
+        maxBucket = 100, sampleSize = 12)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sum(col("weight_milli")).as("mass"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(thin.length == 16 &&
+      thin.forall { case (n, mass) => n == 66L && mass == trueMass },
+      thin.mkString(","))
   }
 
   test("DEFAULT maxBucket is the scale-safe crawl posture (r12 verdict item 3)") {
