@@ -1766,6 +1766,15 @@ object PipelineQueries {
     // bucket occupancy, never |A|×|B|); the oracle replays planes,
     // buckets, cosine fold, and both best-match ranks, so the match
     // is exact including blocking recall.
+    //
+    // numPlanes=8 EXPLICIT, not AUTO (r15, verdict item 8): the
+    // static SQL oracle must replay the exact plane set, and the
+    // occupancy-scaled AUTO count is data-dependent (12 planes at the
+    // 10× oracle corpus — the hash would diverge). Fixed-8 is the
+    // VERIFICATION shape; production callers take the operator's
+    // AutoPlanes default (SWEEPSTR_r13: fixed-8 = 31× for 100×
+    // corpus, occupancy-scaled = 15×), swept each round at the scaled
+    // operating points in SweepStretch.
     "mutual_nn" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Similarity.mutualNearest(
