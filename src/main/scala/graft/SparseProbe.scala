@@ -109,3 +109,23 @@ object SparseProbe {
     spark.stop()
   }
 }
+
+/** One-off plan check for the SPARSEPROBE artifact: does the executed
+  * 10× plan reuse the weighted-postings exchange across the probe and
+  * candidate sides of the score join, or compute the chain twice? */
+object SparsePlan {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/bench10x")
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    val df = SparkEntry.queries("sparse_sim_topk")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    def n(pat: String) = pat.r.findAllIn(p).length
+    println(s"SPARSEPLAN $dir reusedExchange=${n("ReusedExchange")} " +
+      s"exchanges=${n("Exchange ")} scans=${n("FileScan|Scan parquet")} " +
+      s"bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")}")
+    spark.stop()
+  }
+}

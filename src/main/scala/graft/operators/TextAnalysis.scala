@@ -715,25 +715,47 @@ object TextAnalysis {
     * (exactly why production sparse retrieval caps posting lengths).
     * One term-keyed postings join + one (probe, cand) map-side
     * combined aggregation; the rank window is per-probe
-    * candidate-bounded. Ties: score desc, then candidate id. */
+    * candidate-bounded. Ties: score desc, then candidate id.
+    *
+    * PLAN SHAPE (r15, SPARSEPROBE): the pre-r15 form consumed the
+    * weighted-postings chain twice (probe + candidate side) with the
+    * df-filter chain inside each — FOUR full tokenize scans per run
+    * (SparsePlan: reusedExchange=0, the classic multi-consumer
+    * non-reuse). Now (a) the df table — term-distinct, maxDf-capped,
+    * tiny next to the postings — is localCheckpoint'd and feeds both
+    * sides from its materialized form, and (b) the probe side
+    * tokenizes only probe DOCS (`probeFilter` is applied to the id
+    * column BEFORE the n-gram explode — the probe slice's tf values
+    * are per-doc, so pre-filtering is semantics-free). One full
+    * tokenize chain remains (the candidate side) + one probe-pruned
+    * one; PlanSpec pins the scan count. `probeFilter` must therefore
+    * be expressible on the id column alone (every caller's is). */
   def sparseSimTopK(docs: DataFrame, textCol: String, idCol: String,
                     probeFilter: Column, k: Int = 3,
                     maxDf: Long = 100L, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs
+    val pre = docs
       .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= n)
+    def toks(base: DataFrame) = base
       .select(col("id"), explode(expr(
         s"transform(sequence(1, size(ws) - ${n - 1}), " +
           s"i -> concat_ws(' ', slice(ws, i, $n)))")).as("t"))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
-    val dfs = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val allToks = toks(pre)
+    // df counts come from the FULL corpus; materialized once — NOT
+    // broadcast-hinted: the [2, maxDf] band is the Zipf bulk of the
+    // distinct-gram space on an open corpus (AQE may still broadcast
+    // it when it measures small, as it does at bench scales)
+    val dfs = allToks.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
-    val w = toks.join(dfs, "t")
-      .select(col("id"), col("t"), expr("tf * (1000000 div df)").as("w"))
-    val pw = w.filter(probeFilter)
-      .select(col("id").as("probe_id"), col("t"), col("w").as("wp"))
-    val cand = w.select(col("id").as("cand_id"), col("t"), col("w").as("wc"))
+      .localCheckpoint()
+    val pw = toks(pre.filter(probeFilter)).join(dfs, "t")
+      .select(col("id").as("probe_id"), col("t"),
+        expr("tf * (1000000 div df)").as("wp"))
+    val cand = allToks.join(dfs, "t")
+      .select(col("id").as("cand_id"), col("t"),
+        expr("tf * (1000000 div df)").as("wc"))
     val scored = pw.join(cand, "t")
       .filter(col("probe_id") =!= col("cand_id"))
       .groupBy(col("probe_id"), col("cand_id"))

@@ -928,6 +928,29 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("sparse_sim_topk: one full tokenize chain + one probe-pruned one — " +
+    "the df table is materialized, not recomputed per side") {
+    // SPARSEPROBE_r15: the pre-r15 plan tokenized the corpus FOUR
+    // times (probe w, cand w, and a df chain inside each;
+    // reusedExchange=0). Now the checkpointed df frame hides its
+    // chain from this plan, the candidate side carries the one full
+    // documents scan, and the probe side's scan is pruned by the
+    // id-filter BEFORE the n-gram explode.
+    val df = SparkEntry.queries("sparse_sim_topk")(spark, sfDir)
+    val plan = formatted(df)
+    // the formatted dump lists each node in the tree AND the detail
+    // section — count the numbered detail headers, one per scan
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected 2 documents scans (full + probe-pruned):\n$plan")
+    // the df table feeds both sides from ONE materialized RDD
+    val rddScans = "\\(\\d+\\) Scan ExistingRDD".r.findAllIn(plan).length
+    assert(rddScans == 2, s"checkpointed df frame must feed both sides:\n$plan")
+    // the probe-side prune: an id-modulo filter reaches a scan's
+    // pushed-down data filters instead of sitting above the explode
+    assert(plan.contains("% 37"), s"probe filter must prune before tokenize:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("lang_discrim_terms: lang totals broadcast; the vocab-keyed token " +
     "join never degenerates to a cartesian") {
     val df = SparkEntry.queries("lang_discrim_terms")(spark, sfDir)
