@@ -567,6 +567,29 @@ object PipelineQueries {
         .groupBy(col("bin_bp")).agg(count(lit(1)).as("n_pairs"))
     },
 
+    // C128 — the SAME threshold-tuning histogram through the
+    // SCALE-SAFE estimator (r15): Dedup.minhashLshSampledPairs over
+    // the persisted signature store, deduped to distinct pairs,
+    // milli-weighted counts per 500-bp bin. At oracle scales no
+    // bucket exceeds the cap, so the sample IS the exhaustive LSH
+    // pair set, every weight is exactly 1000, and the oracle replays
+    // the exact pair histogram ×1000 (LSH candidate recall 1.0 at the
+    // 8000-bp floor — the dedup family's convention). At crawl scale
+    // the same code path keeps O(buckets × s²) cost and
+    // sum(weight)/1000 becomes the unbiased estimate whose accuracy
+    // GUARDBIAS_r15 measured at 98.3% of exact on the 1000× corpus —
+    // one code path from bench to production, which is the point.
+    // The distinct-pair dedup takes min(weight) per pair: exact below
+    // the cap (all weights 1000); a conservative floor above it.
+    "near_dup_hist_sampled" -> { (s, d) =>
+      Dedup.minhashLshSampledPairs(corpusSignatures(s, d), minBp = 8000)
+        .groupBy(col("doc_a"), col("doc_b"), col("jaccard_bp"))
+        .agg(min(col("weight_milli")).as("w_milli"))
+        .select((expr("jaccard_bp div 500") * 500).as("bin_bp"), col("w_milli"))
+        .groupBy(col("bin_bp"))
+        .agg(sum(col("w_milli")).as("est_pairs_milli"))
+    },
+
     // C107 — DUP × LENGTH cross-tab: near-dup cluster-size band
     // against document word-length band — the curation diagnostic
     // behind "is our duplication concentrated in short boilerplate"
@@ -2647,6 +2670,17 @@ object PipelineQueries {
       |SELECT (jaccard_bp // 500) * 500 AS bin_bp,
       |       CAST(count(*) AS BIGINT) AS n_pairs
       |FROM jp GROUP BY 1""".stripMargin,
+
+    // C128: below the hot-bucket cap the sampled estimator's distinct
+    // pair set IS the exhaustive verified pair set at the 8000 floor
+    // (every weight exactly 1000), so the oracle is the exact pair
+    // histogram ×1000 — the same vpairs body the dedup family checks
+    // against (LSH candidate recall 1.0 on this corpus).
+    "near_dup_hist_sampled" -> s"""$CorpusCte,
+      |$VerifiedPairsBody
+      |SELECT (jaccard_bp // 500) * 500 AS bin_bp,
+      |       CAST(count(*) * 1000 AS BIGINT) AS est_pairs_milli
+      |FROM vpairs GROUP BY 1""".stripMargin,
 
     // C107: the C73 recursive cluster map joined back per doc, docs
     // outside any cluster banding '1'; same 30/50/70 length grid.
