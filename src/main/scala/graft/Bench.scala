@@ -181,7 +181,13 @@ object Bench {
     // lives only in the git history of the overwritten BENCH_FULL:
     // the driver's round N run happens with BENCH_r{01..N-1}.json
     // already committed in cwd, so max+1 names the current round.
-    versionedCopy(outPath).foreach(writeText(_, full))
+    // NEVER clobber an existing round-versioned artifact (r15: the
+    // driver's post-close leg on a throttled host overwrote the
+    // round's quiet committed BENCH_FULL_r15.json, poisoning the next
+    // round's qv_vs_prev baseline with 16%-inflated medians) — a
+    // re-run lands at {base}_rNN_rerunK.json and the gate's baseline
+    // stays whatever the round first recorded.
+    versionedCopy(outPath).foreach(p => writeText(nonClobbering(p), full))
     val qv = results.map { case (_, r) => f"${r(1)}%.3f" }.mkString("[", ",", "]")
     val vsPrevCompact = vsPrevFull.map { case (tag, ratios, _) =>
       val sortedR = ratios.map(_._2).sorted
@@ -199,28 +205,31 @@ object Bench {
 
   /** PER-KEY REGRESSION GATE (r13 verdict item 8): names every key
     * whose median exceeds 2× its previous-round median with a > 0.2 s
-    * absolute swing, worst first, as a JSON array of one-entry
-    * objects. A non-empty list trips the round-close checklist
-    * (interpret alongside the sentinel verdict: a loaded host
-    * regresses everything at once, a real plan regression names one
-    * key on a quiet run). Empty array when no prior round exists.
-    * `cap` bounds the list (worst-first) for the compact stdout line;
-    * the FULL artifact passes Int.MaxValue and keeps every entry. */
+    * absolute swing, worst first. A non-empty list trips the
+    * round-close checklist (interpret alongside the sentinel verdict:
+    * a loaded host regresses everything at once, a real plan
+    * regression names one key on a quiet run).
+    *
+    * Shape is UNCONDITIONALLY `{"n":N,"worst":[...]}` (r15 ADVICE: the
+    * old plain-array-under-cap form changed JSON type exactly on the
+    * many-regression rounds, breaking array-indexing consumers when it
+    * mattered most). `cap` bounds `worst` (worst-first) for the
+    * compact stdout line; the FULL artifact passes Int.MaxValue and
+    * keeps every entry; `n` always carries the true count. */
   private[graft] def regressionGate(results: Map[String, Seq[Double]],
       prev: Option[(String, Map[String, Double])],
-      cap: Int = Int.MaxValue): String =
-    prev.map { case (_, pm) =>
-      val all = results.toSeq.collect {
+      cap: Int = Int.MaxValue): String = {
+    val all = prev.map { case (_, pm) =>
+      results.toSeq.collect {
         case (k, r) if pm.get(k).exists(p =>
             p > 0 && r(1) >= 0 && r(1) / p > 2.0 && r(1) - p > 0.2) =>
           k -> results(k)(1) / pm(k)
       }.sortBy(-_._2)
-      val shown = all.take(cap).map { case (k, x) => f"""{"$k":$x%.2f}""" }
-        .mkString("[", ",", "]")
-      if (all.size > cap) // count survives even when entries are capped
-        s"""{"n":${all.size},"worst":$shown}"""
-      else shown
-    }.getOrElse("[]")
+    }.getOrElse(Seq.empty)
+    val shown = all.take(cap).map { case (k, x) => f"""{"$k":$x%.2f}""" }
+      .mkString("[", ",", "]")
+    s"""{"n":${all.size},"worst":$shown}"""
+  }
 
   /** Host-load verdict from the two sentinel triples: `loaded` when the
     * medians drift past 1.5× with an absolute swing over 0.3 s (the
@@ -275,6 +284,18 @@ object Bench {
   private def writeText(path: String, s: String): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** First non-existing variant of `path`: `path` itself when free,
+    * else `{base}_rerun1.json`, `{base}_rerun2.json`, … — the
+    * no-overwrite rule for round-versioned artifacts (see report). */
+  private[graft] def nonClobbering(path: String): String = {
+    if (!new java.io.File(path).exists()) return path
+    val dot = path.lastIndexOf('.')
+    val (base, ext) =
+      if (dot < 0) (path, "") else (path.substring(0, dot), path.substring(dot))
+    Iterator.from(1).map(k => s"${base}_rerun$k$ext")
+      .find(p => !new java.io.File(p).exists()).get
+  }
 
   /** `BENCH_FULL.json` → `Some("BENCH_FULL_rNN.json")` with NN = one
     * past the highest committed `BENCH_rNN.json` in cwd; None when no

@@ -46,9 +46,38 @@ object SparseProbe {
     }
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // AQE-final join strategies, compressed: e.g. "BHJ,SMJ,SMJ"
-    def joins(df: DataFrame): String = {
-      val p = df.queryExecution.executedPlan.toString
+    // AQE-final join strategies of the EXECUTED write (r15 ADVICE:
+    // df.queryExecution is a separate, never-executed QueryExecution —
+    // under AQE its plan string is the initial plan and cannot observe
+    // a run-to-run broadcast/sort-merge flip). A QueryExecutionListener
+    // captures the write's own QueryExecution after it finishes; the
+    // listener bus is async, so joins() polls for a new generation.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          plans.add(s"[$funcName] " + qe.executedPlan.toString)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    // a single action can fire SEVERAL QueryExecutions (the command
+    // itself plus nested ones, e.g. cache materialization) and the
+    // listener bus is async — drain until quiescent, then count join
+    // strategies over the UNION of everything this run executed
+    def joins(): String = {
+      val deadline = System.nanoTime() + 5000000000L
+      var seen = -1
+      while (System.nanoTime() < deadline &&
+             (plans.size != seen || plans.isEmpty)) {
+        seen = plans.size; Thread.sleep(150)
+      }
+      if (plans.isEmpty) return "plan-capture-timeout"
+      import scala.jdk.CollectionConverters._
+      val p = plans.asScala.mkString("\n")
+      plans.clear()
       val b = "BroadcastHashJoin".r.findAllIn(p).length
       val s = "SortMergeJoin".r.findAllIn(p).length
       val h = "ShuffledHashJoin".r.findAllIn(p).length
@@ -60,9 +89,10 @@ object SparseProbe {
       noop(q(spark, dir)) // JIT + page-cache warm-up, excluded
       val runs = Seq.fill(7) {
         val s0 = shuf.get
+        plans.clear()
         val df = q(spark, dir)
         val t = time(noop(df))
-        (t, (shuf.get - s0) / 1e6, joins(df))
+        (t, (shuf.get - s0) / 1e6, joins())
       }
       val med = runs.map(_._1).sorted.apply(3)
       println(f"SPARSEPROBE $dir%-22s median=$med%7.3fs " +
@@ -82,29 +112,33 @@ object SparseProbe {
           s"transform(sequence(1, size(ws) - ${n - 1}), " +
             s"i -> concat_ws(' ', slice(ws, i, $n)))")).as("t"))
         .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
-      def dfs = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 100L)
-      def w = toks.join(dfs, "t")
-        .select(col("id"), col("t"), expr("tf * (1000000 div df)").as("w"))
+      // r16 shape: postings persisted LAZILY; df/probe/cand all read
+      // the cache. Stage owners: (1) postings materialization (the
+      // one tokenize scan), (2) df count from cache, (3) postings
+      // join + score agg from cache.
       def med3(fn: => Unit): Double = Seq.fill(3)(time(fn)).sorted.apply(1)
-      val tToks = med3(noop(toks))
+      val cached = toks.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tMat = time(noop(cached)) // first touch pays the tokenize
+      val dfs = cached.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 100L)
       val tDfs = med3(noop(dfs))
-      val tW = med3(noop(w))
-      // materialized-w variant: compute the weighted postings ONCE,
-      // checkpoint, feed both sides of the postings join from it
-      val wMat = w.localCheckpoint()
-      val pwM = wMat.filter(col("id") % 37 === 0)
-        .select(col("id").as("probe_id"), col("t"), col("w").as("wp"))
-      val candM = wMat.select(col("id").as("cand_id"), col("t"), col("w").as("wc"))
+      val pwM = cached.filter(col("id") % 37 === 0).join(dfs, "t")
+        .select(col("id").as("probe_id"), col("t"),
+          expr("tf * (1000000 div df)").as("wp"))
+      val candM = cached.join(dfs, "t")
+        .select(col("id").as("cand_id"), col("t"),
+          expr("tf * (1000000 div df)").as("wc"))
       def scoredM = pwM.join(candM, "t")
         .filter(col("probe_id") =!= col("cand_id"))
         .groupBy(col("probe_id"), col("cand_id"))
         .agg(sum(col("wp") * col("wc")).as("score"))
-      val tScoreMat = med3(noop(scoredM))
+      val tScore = med3(noop(scoredM))
       val nCands = scoredM.count()
-      println(f"SPARSEPROBE $dir%-22s stages: toks=$tToks%6.3fs " +
-        f"dfs=$tDfs%6.3fs w(joined)=$tW%6.3fs " +
-        f"score(matW)=$tScoreMat%6.3fs candPairs=$nCands")
+      cached.unpersist()
+      println(f"SPARSEPROBE $dir%-22s stages: matToks=$tMat%6.3fs " +
+        f"dfs(cache)=$tDfs%6.3fs score(cache)=$tScore%6.3fs " +
+        f"candPairs=$nCands")
     }
     spark.stop()
   }
@@ -120,8 +154,13 @@ object SparsePlan {
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.register(spark)
     val df = SparkEntry.queries("sparse_sim_topk")(spark, dir)
-    df.write.format("noop").mode("overwrite").save()
-    val p = df.queryExecution.executedPlan.toString
+    // execute through THIS QueryExecution (not a separate write's), so
+    // the AdaptiveSparkPlanExec below renders the AQE-FINAL plan
+    // (r15 ADVICE: a noop write executes its own QueryExecution and
+    // leaves this one's plan string at the initial, pre-AQE state)
+    val qe = df.queryExecution
+    qe.toRdd.foreach(_ => ())
+    val p = qe.executedPlan.toString
     def n(pat: String) = pat.r.findAllIn(p).length
     println(s"SPARSEPLAN $dir reusedExchange=${n("ReusedExchange")} " +
       s"exchanges=${n("Exchange ")} scans=${n("FileScan|Scan parquet")} " +

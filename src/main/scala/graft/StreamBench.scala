@@ -6,14 +6,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.streaming.{CdcPipeline, TwsDedup, TwsEnrichment, TwsSeqGap, TwsSessionize}
+import graft.streaming.{CdcPipeline, TwsActiveUsers, TwsBurstiness, TwsCep,
+  TwsDedup, TwsDomainCap, TwsEnrichment, TwsMeanShift, TwsScd2, TwsSeqGap,
+  TwsSessionize, TwsTrending}
 
-/** r15 streaming performance posture (verdict item 5): throughput,
-  * state-store footprint, and recovery time for the Tws* family on the
-  * RocksDB state store provider at the 10× corpus — the reference
-  * (StreamingJob.java:153-203) is a streaming topology, and until this
-  * round the Tws twins had correctness + recovery SPECS but no recorded
-  * perf evidence.
+/** Streaming performance posture (r15 item 5, extended r16 to the FULL
+  * Tws family): throughput, state-store footprint, and recovery time
+  * for every Tws* operator on the RocksDB state store provider at the
+  * 10× corpus — the reference (StreamingJob.java:153-203) is a
+  * streaming topology, and these twins had correctness + recovery
+  * SPECS but (before r15/r16) no recorded perf evidence. Pass the
+  * literal arg `dedup100x` to also price TwsDedup at 10× its r15
+  * state population (the 100×-of-sf0.1 document corpus).
   *
   * Method, per operator:
   *   1. The 10× parquet part-files are copied into a scratch input dir
@@ -29,7 +33,7 @@ import graft.streaming.{CdcPipeline, TwsDedup, TwsEnrichment, TwsSeqGap, TwsSess
   *      (RocksDB restores from the last snapshot + changelog) plus the
   *      catch-up batch, the operational number a pipeline restart pays.
   *
-  * `sbt "runMain graft.StreamBench /tmp/bench10x STREAMBENCH_r15.txt"`
+  * `sbt "runMain graft.StreamBench /tmp/bench10x STREAMBENCH_r16.txt [dedup100x]"`
   */
 object StreamBench {
 
@@ -48,7 +52,7 @@ object StreamBench {
 
   def main(args: Array[String]): Unit = {
     val dataDir = args.headOption.getOrElse("/tmp/bench10x")
-    val outFile = args.lift(1).getOrElse("STREAMBENCH_r15.txt")
+    val outFile = args.lift(1).getOrElse("STREAMBENCH_r16.txt")
     val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
     val spark = GraftSession.builder(s"local[$cpus]", cpus)
       .config("spark.sql.streaming.stateStore.providerClass",
@@ -66,7 +70,10 @@ object StreamBench {
       * `inDir`, measure ingest + state + recovery. */
     def bench(name: String, srcTable: String, filesPerTrigger: Int)
              (op: DataFrame => DataFrame): Unit = {
-      val src = s"$dataDir/$srcTable.parquet"
+      // srcTable is a table name under dataDir, or an absolute
+      // parquet-dir path (the dedup100x scratch corpus)
+      val src = if (srcTable.startsWith("/")) srcTable
+                else s"$dataDir/$srcTable.parquet"
       val schema = spark.read.parquet(src).schema
       val parts = {
         val d = Paths.get(src)
@@ -169,6 +176,150 @@ object StreamBench {
     bench("TwsSeqGap", "events", filesPerTrigger = 4) { ev =>
       TwsSeqGap.audit(ev, blockSize = 1000L, settleSecs = 600L,
         delay = "10 minutes").toDF()
+    }
+
+    // ---- r16 (verdict item 5): the remaining Tws operators, same
+    // columns, so the whole family has a recorded perf posture.
+
+    // 5) TwsScd2: events replayed as a CDC change stream keyed by
+    //    user — signup opens (I), error tombstones (D), the rest
+    //    update (U); state = one open version per key (keyspace-
+    //    bounded), emits watermark-free closed versions.
+    bench("TwsScd2", "events", filesPerTrigger = 4) { ev =>
+      import org.apache.spark.sql.{Encoders => E}
+      val changes = ev.select(
+        col("user_id").cast("long").as("key"),
+        unix_millis(col("ts").cast("timestamp")).as("opTs"),
+        (col("event_id") % 1000000).cast("int").as("seq"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("manip"),
+        col("props").as("value"))
+        .as(E.product[graft.streaming.TwsScd2.ChgRow])
+      graft.streaming.TwsScd2.closedVersions(changes).toDF()
+    }
+
+    // 6) TwsCep: view→click→purchase episode matching (the batch B58
+    //    semantics) — state = per-user trigger buffer under the
+    //    episode window; 1-h window, 10-min lateness.
+    bench("TwsCep", "events", filesPerTrigger = 4) { ev =>
+      TwsCep.episodes(ev, Seq("view", "click", "purchase"),
+        windowSecs = 3600L, delay = "10 minutes").toDF()
+    }
+
+    // 7) TwsTrending: per-(lang, hour-window) Misra-Gries top-10 terms
+    //    over the document stream — state = one bounded MG summary per
+    //    open (group, window); doc_id-derived event time keeps the
+    //    layout deterministic.
+    bench("TwsTrending", "documents", filesPerTrigger = 4) { docs =>
+      TwsTrending.trending(
+        docs.withColumn("ts", timestamp_seconds(col("doc_id"))),
+        "lang", "ts", "text", windowDur = "1 hour",
+        delay = "10 minutes", k = 10).toDF()
+    }
+
+    // 8) TwsActiveUsers: rolling 7-day activity coverage intervals —
+    //    state = open coverage + recent day set per user.
+    bench("TwsActiveUsers", "events", filesPerTrigger = 4) { ev =>
+      TwsActiveUsers.coverage(ev, windowDays = 7L, settleSecs = 600L,
+        delay = "10 minutes").toDF()
+    }
+
+    // 9) TwsDomainCap: per-source admission cap over the document
+    //    stream — state = one counter per domain (domain-bounded).
+    bench("TwsDomainCap", "documents", filesPerTrigger = 4) { docs =>
+      TwsDomainCap.admit(docs, "source", "doc_id", maxDocs = 1000).toDF()
+    }
+
+    // 10) TwsMeanShift: per-user two-window mean-shift flags (B77
+    //     semantics, ¢30 threshold) — state = last 16 amounts per user.
+    bench("TwsMeanShift", "events", filesPerTrigger = 4) { ev =>
+      TwsMeanShift.shifts(
+        ev.withColumn("cents",
+          (col("value").cast("decimal(18,2)") * 100).cast("long")),
+        delay = "10 minutes").toDF()
+    }
+
+    // 11) TwsBurstiness: per-(type, day) inter-arrival gap moments —
+    //     state = per-second arrival map per open (type, day).
+    bench("TwsBurstiness", "events", filesPerTrigger = 4) { ev =>
+      TwsBurstiness.moments(ev, settleSecs = 600L,
+        delay = "10 minutes").toDF()
+    }
+
+    // 12) TwsAnnProbe: stateless foreachBatch LSH probe of the vector
+    //     stream against the pre-bucketed static store — the posture
+    //     here is probe throughput + source-position recovery (there
+    //     is no state operator; stateRows columns read -1 by design).
+    {
+      val name = "TwsAnnProbe"
+      val src = s"$dataDir/embeddings.parquet"
+      val schema = spark.read.parquet(src).schema
+      val store = graft.operators.Similarity
+        .withLshBucket(spark.read.parquet(src), "embedding", numPlanes = 8)
+        .localCheckpoint()
+      val parts = {
+        val s = Files.list(Paths.get(src))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("part-") && n.endsWith(".parquet")
+          }.toSeq.sortBy(_.getFileName.toString)
+        } finally s.close()
+      }
+      val holdBack = math.max(1, parts.size / 10)
+      val (head, tail) = parts.splitAt(parts.size - holdBack)
+      val inDir = work.resolve(s"$name-in")
+      val ckpt = work.resolve(s"$name-ckpt").toString
+      copyParts(src, inDir, head)
+      val probed = new java.util.concurrent.atomic.AtomicLong
+      def start(): StreamingQuery = {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 4).parquet(inDir.toString)
+          .select(col("vec_id"), col("embedding"))
+        graft.streaming.TwsAnnProbe.lshProbeWriter(stream, store,
+            "vec_id", "embedding", k = 10, numPlanes = 8, multiprobe = 1) {
+          (res, _) => probed.addAndGet(res.count())
+        }.option("checkpointLocation", ckpt).start()
+      }
+      val t0 = System.nanoTime()
+      val q = start()
+      q.processAllAvailable()
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      copyParts(src, inDir, tail)
+      val r0 = System.nanoTime()
+      val q2 = start()
+      q2.processAllAvailable()
+      val recoverSec = (System.nanoTime() - r0) / 1e9
+      val rRows = q2.recentProgress.map(_.numInputRows).sum
+      q2.stop()
+      log(f"STREAMBENCH $name%-14s rows=$rows%9d batches=$batches%3d " +
+        f"ingest=$ingestSec%7.2fs thpt=${rows / math.max(ingestSec, 1e-9)}%9.0f rows/s " +
+        f"stateRows=${-1}%9d stateMemMB=${-0.0}%8.1f " +
+        f"sstMB=${-0.0}%8.1f ckptStateMB=${du(Paths.get(ckpt, "state")) / 1e6}%8.1f " +
+        f"recovery=$recoverSec%6.2fs (+$rRows rows) probePairs=${probed.get()}")
+    }
+
+    // 13) optional (arg flag "dedup100x"): TwsDedup at 10× its r15
+    //     state size — the documents corpus unioned 10× with shifted
+    //     doc ids — pricing how state footprint and recovery grow
+    //     with the keyed-store population.
+    if (args.contains("dedup100x")) {
+      val big = work.resolve("documents100x.parquet")
+      val base = spark.read.parquet(s"$dataDir/documents.parquet")
+      (0 until 10).map(i => base
+          .withColumn("doc_id", col("doc_id") + lit(i * 50000000L)))
+        .reduce(_ unionByName _)
+        .repartition(64).write.mode("overwrite").parquet(big.toString)
+      bench("TwsDedup100x", big.toString, filesPerTrigger = 8) { docs =>
+        TwsDedup.candidatePairs(
+          graft.operators.Dedup.withMinHashSignatures(docs, "text", "doc_id"))
+          .toDF()
+      }
     }
 
     Files.writeString(Paths.get(outFile),

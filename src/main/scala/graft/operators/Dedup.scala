@@ -303,10 +303,16 @@ object Dedup {
     * (high-jaccard pairs co-bucket in more bands); consumers needing
     * exact distinct pairs dedup below the cap, where the list is
     * exhaustive per bucket. Pre-verify identity (DedupSpec-pinned):
-    * the weighted pair MASS per bucket is exactly `1000 · C(w,2)`
-    * whatever the cap, because the sample always yields `C(s,2)`
-    * pairs. Cost: O(buckets × s²) verifications — scale-safe at any
-    * bucket width.
+    * the weighted pair MASS per bucket is `1000 · C(w,2)` up to the
+    * integer-division floor — `weight_milli` truncates
+    * `w(w-1)·1000 div s(s-1)`, so the mass runs low by at most
+    * `s(s-1) - 1` milli per sampled pair, and is exactly zero when
+    * `s(s-1)` divides `w(w-1)·1000` (the DedupSpec case picks
+    * divisible values, so the identity is exact there).
+    * At the default s = 12 that bound is ≤ 0.0132% of a
+    * single pair's weight — negligible for any histogram consumer,
+    * but the identity is floor-exact, not unconditional. Cost:
+    * O(buckets × s²) verifications — scale-safe at any bucket width.
     *
     * `sampleSize` (s) decouples the estimator's per-bucket budget
     * from the hot THRESHOLD: a 1000× crawl corpus can hold ~10⁵ hot

@@ -717,19 +717,33 @@ object TextAnalysis {
     * combined aggregation; the rank window is per-probe
     * candidate-bounded. Ties: score desc, then candidate id.
     *
-    * PLAN SHAPE (r15, SPARSEPROBE): the pre-r15 form consumed the
-    * weighted-postings chain twice (probe + candidate side) with the
-    * df-filter chain inside each — FOUR full tokenize scans per run
-    * (SparsePlan: reusedExchange=0, the classic multi-consumer
-    * non-reuse). Now (a) the df table — term-distinct, maxDf-capped,
-    * tiny next to the postings — is localCheckpoint'd and feeds both
-    * sides from its materialized form, and (b) the probe side
-    * tokenizes only probe DOCS (`probeFilter` is applied to the id
-    * column BEFORE the n-gram explode — the probe slice's tf values
-    * are per-doc, so pre-filtering is semantics-free). One full
-    * tokenize chain remains (the candidate side) + one probe-pruned
-    * one; PlanSpec pins the scan count. `probeFilter` must therefore
-    * be expressible on the id column alone (every caller's is). */
+    * PLAN SHAPE (r16, SPARSEPROBE r15→r16 adjudication): the pre-r15
+    * form consumed the weighted-postings chain twice (probe +
+    * candidate side) with the df-filter chain inside each — FOUR full
+    * tokenize scans per run (SparsePlan: reusedExchange=0, the classic
+    * multi-consumer non-reuse). r15 eagerly localCheckpoint'd the df
+    * table, which cut isolated scans 4 → 2 but (a) ran a full
+    * tokenize+agg Spark job at PLAN-BUILD time as a side effect,
+    * (b) pinned non-recomputable blocks until GC — under the 269-key
+    * suite's block-manager pressure the committed 10× suite row got
+    * WORSE (3.84 → 4.11 s) while the isolated probe read 1.95 s, and
+    * (c) would fail the query outright on executor loss on a real
+    * cluster (checkpoint truncates lineage).
+    *
+    * Now the SHARED subtree — `allToks`, the (id, term, tf) postings,
+    * the most expensive thing in the operator — is persisted LAZILY
+    * (MEMORY_AND_DISK): the df count, the candidate side, and the
+    * probe side all read ONE materialization, so exactly one tokenize
+    * scan runs per action (down from two), nothing executes at plan
+    * build, eviction is safe (lineage retained → recompute, never
+    * failure), and ContextCleaner unpersists the blocks when the
+    * plan is dropped. The probe side filters the CACHED postings on
+    * the id column (`probeFilter` must be expressible on the id
+    * column alone — every caller's is), so it pays no re-tokenize.
+    * At 100 TB the postings cache spills to local disk — one
+    * write+read of the postings vs re-tokenizing the corpus per
+    * consumer, the right trade at every scale. PlanSpec pins the
+    * single-scan shape. */
   def sparseSimTopK(docs: DataFrame, textCol: String, idCol: String,
                     probeFilter: Column, k: Int = 3,
                     maxDf: Long = 100L, n: Int = 3): DataFrame = {
@@ -737,20 +751,19 @@ object TextAnalysis {
     val pre = docs
       .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= n)
-    def toks(base: DataFrame) = base
+    val allToks = pre
       .select(col("id"), explode(expr(
         s"transform(sequence(1, size(ws) - ${n - 1}), " +
           s"i -> concat_ws(' ', slice(ws, i, $n)))")).as("t"))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
-    val allToks = toks(pre)
-    // df counts come from the FULL corpus; materialized once — NOT
-    // broadcast-hinted: the [2, maxDf] band is the Zipf bulk of the
-    // distinct-gram space on an open corpus (AQE may still broadcast
-    // it when it measures small, as it does at bench scales)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df counts come from the FULL corpus; read from the postings
+    // cache — NOT broadcast-hinted: the [2, maxDf] band is the Zipf
+    // bulk of the distinct-gram space on an open corpus (AQE may
+    // still broadcast it when it measures small, as at bench scales)
     val dfs = allToks.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
-      .localCheckpoint()
-    val pw = toks(pre.filter(probeFilter)).join(dfs, "t")
+    val pw = allToks.filter(probeFilter).join(dfs, "t")
       .select(col("id").as("probe_id"), col("t"),
         expr("tf * (1000000 div df)").as("wp"))
     val cand = allToks.join(dfs, "t")

@@ -27,8 +27,9 @@ class BenchSpec extends AnyFunSuite {
     def g(r: Map[String, Seq[Double]],
           p: Option[(String, Map[String, Double])]) = Bench.regressionGate(r, p)
     def runs(m: Double) = Seq(m, m, m)
-    // no prior round → empty
-    assert(g(Map("a" -> runs(5.0)), None) == "[]")
+    // no prior round → n=0 (shape is unconditional — r15 ADVICE: the
+    // old array-under-cap form changed JSON type on the worst rounds)
+    assert(g(Map("a" -> runs(5.0)), None) == """{"n":0,"worst":[]}""")
     val prev = Some(("r13", Map(
       "slow" -> 1.0, "fine" -> 1.0, "tiny" -> 0.05, "dead" -> 1.0)))
     val res = Map(
@@ -37,20 +38,49 @@ class BenchSpec extends AnyFunSuite {
       "tiny" -> runs(0.15),  // 3x but +0.1s → under the swing floor
       "dead" -> runs(-1.0),  // crashed      → failed[], not a regression
       "new"  -> runs(9.0))   // no prior     → not comparable
-    assert(g(res, prev) == """[{"slow":2.50}]""")
+    assert(g(res, prev) == """{"n":1,"worst":[{"slow":2.50}]}""")
     // worst-first ordering when several trip
     val two = Map("a" -> runs(3.0), "b" -> runs(5.0))
     assert(g(two, Some(("r13", Map("a" -> 1.0, "b" -> 1.0))))
-      == """[{"b":5.00},{"a":3.00}]""")
-    // compact cap: over-cap lists collapse to {n, worst-K}, so a
-    // loaded-host round can't blow the 2000-char stdout tail (r14
-    // ADVICE item 1); at-or-under-cap lists keep the plain array shape
+      == """{"n":2,"worst":[{"b":5.00},{"a":3.00}]}""")
+    // compact cap bounds `worst` but `n` keeps the true count, and the
+    // shape never changes with the count (r15 ADVICE item 3)
     assert(Bench.regressionGate(two,
         Some(("r13", Map("a" -> 1.0, "b" -> 1.0))), cap = 1)
       == """{"n":2,"worst":[{"b":5.00}]}""")
     assert(Bench.regressionGate(two,
         Some(("r13", Map("a" -> 1.0, "b" -> 1.0))), cap = 2)
-      == """[{"b":5.00},{"a":3.00}]""")
+      == """{"n":2,"worst":[{"b":5.00},{"a":3.00}]}""")
+  }
+
+  test("nonClobbering: an existing round-versioned artifact is never " +
+       "overwritten — reruns land at _rerunK and stay OUT of the " +
+       "qv_vs_prev baseline scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_nc").toFile
+    def touch(name: String): java.io.File = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.write(f.toPath, "{}".getBytes("UTF-8")); f
+    }
+    val target = new java.io.File(dir, "BENCH_FULL_r15.json").getPath
+    // free path → used as-is
+    assert(Bench.nonClobbering(target) == target)
+    // taken → first rerun slot
+    touch("BENCH_FULL_r15.json")
+    assert(Bench.nonClobbering(target)
+      == new java.io.File(dir, "BENCH_FULL_r15_rerun1.json").getPath)
+    touch("BENCH_FULL_r15_rerun1.json")
+    assert(Bench.nonClobbering(target)
+      == new java.io.File(dir, "BENCH_FULL_r15_rerun2.json").getPath)
+    // rerun artifacts must NOT be picked up as a round baseline: the
+    // throttled r15 driver leg is exactly what qv_vs_prev must not
+    // compare against
+    touch("BENCH_FULL_r15_rerun2.json")
+    val out = new java.io.File(dir, "BENCH_FULL.json").getPath
+    java.nio.file.Files.write(new java.io.File(dir, "BENCH_FULL_r15.json").toPath,
+      """{"metric":"total","value":2.0,"unit":"sec","queries":{"q1_agg":1.5},"sf":"x"}"""
+        .getBytes("UTF-8"))
+    assert(Bench.previousRoundMedians(out)
+      .contains(("r15", Map("q1_agg" -> 1.5))))
   }
 
   test("previousRoundMedians reads the highest committed round's queries table") {

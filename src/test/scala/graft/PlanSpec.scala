@@ -928,26 +928,29 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("sparse_sim_topk: one full tokenize chain + one probe-pruned one — " +
-    "the df table is materialized, not recomputed per side") {
-    // SPARSEPROBE_r15: the pre-r15 plan tokenized the corpus FOUR
+  test("sparse_sim_topk: ONE tokenize chain total — df, probe, and " +
+    "candidate sides all read the lazily-persisted postings cache") {
+    // SPARSEPROBE r15→r16: the pre-r15 plan tokenized the corpus FOUR
     // times (probe w, cand w, and a df chain inside each;
-    // reusedExchange=0). Now the checkpointed df frame hides its
-    // chain from this plan, the candidate side carries the one full
-    // documents scan, and the probe side's scan is pruned by the
-    // id-filter BEFORE the n-gram explode.
+    // reusedExchange=0). r15's eager df localCheckpoint cut that to 2
+    // isolated but ran a build-time job and regressed the 10× SUITE
+    // row (3.84 → 4.11 s) under block-manager pressure. Now the
+    // (id, term, tf) postings are persisted LAZILY and every consumer
+    // (df count, probe side, candidate side) is an InMemoryTableScan
+    // over the SAME relation — the formatted dump's detail section
+    // carries exactly one unique parquet scan header.
     val df = SparkEntry.queries("sparse_sim_topk")(spark, sfDir)
     val plan = formatted(df)
     // the formatted dump lists each node in the tree AND the detail
-    // section — count the numbered detail headers, one per scan
+    // section — count the numbered detail headers, one per UNIQUE scan
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).length
-    assert(scans == 2, s"expected 2 documents scans (full + probe-pruned):\n$plan")
-    // the df table feeds both sides from ONE materialized RDD
-    val rddScans = "\\(\\d+\\) Scan ExistingRDD".r.findAllIn(plan).length
-    assert(rddScans == 2, s"checkpointed df frame must feed both sides:\n$plan")
-    // the probe-side prune: an id-modulo filter reaches a scan's
-    // pushed-down data filters instead of sitting above the explode
-    assert(plan.contains("% 37"), s"probe filter must prune before tokenize:\n$plan")
+    assert(scans == 1, s"expected 1 unique documents scan (shared cache):\n$plan")
+    val memScans = "InMemoryTableScan \\(\\d+\\)".r.findAllIn(plan).length
+    assert(memScans >= 3,
+      s"df/probe/cand must all read the postings cache:\n$plan")
+    // the probe-side prune: the id-modulo filter over the cached
+    // postings, not a third tokenize chain
+    assert(plan.contains("% 37"), s"probe filter must prune the cache:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
 

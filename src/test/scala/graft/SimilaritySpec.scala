@@ -588,4 +588,88 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(auto == got.map(p => (p._1, p._2)).toSet)
   }
+
+  test("mutualNearest AUTO planes VALUE-verified at a corpus where AUTO " +
+      "picks != 8: exact brute-force mutual top-1 oracle under the " +
+      "blocking recall contract (r15 verdict item 6)") {
+    // The standing C102 key pins numPlanes=8 for the static oracle;
+    // the production posture is AUTO (occupancy-scaled). This is the
+    // missing VALUE check for AUTO at a corpus size where it resolves
+    // to a different plane count, against an in-Spark brute-force
+    // cosine oracle.
+    val emb = sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val n = emb.count()
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val p = Similarity.planesForCorpus(n)
+    assert(p != 8, s"need a corpus where AUTO != 8, got $p (n=$n)")
+    // AUTO wiring: default-planes run equals the explicit-p run
+    val got = Similarity.mutualNearest(a, b, "vec_id", "embedding", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val explicit = Similarity.mutualNearest(a, b, "vec_id", "embedding",
+        numPlanes = p, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == explicit.toSet && got.nonEmpty,
+      s"AUTO must resolve to planesForCorpus($p)")
+    // exact mutual top-1 both ways, brute force IN SPARK (no blocking):
+    // every (a, b) cross pair's cosine, mutual rank-1 under the house
+    // tie order (cos desc, partner id asc)
+    import org.apache.spark.sql.expressions.Window
+    val av = a.select(col("vec_id").as("a_id"), col("embedding").as("avv"))
+    val bv = b.select(col("vec_id").as("b_id"), col("embedding").as("bvv"))
+    val cross = av.crossJoin(bv)
+      .withColumn("cos", Similarity.dot(col("avv"), col("bvv")) /
+        (Similarity.norm(col("avv")) * Similarity.norm(col("bvv"))))
+      .select("a_id", "b_id", "cos")
+    val byA = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos").desc, col("b_id").asc)
+    val byB = Window.partitionBy(col("b_id"))
+      .orderBy(col("cos").desc, col("a_id").asc)
+    val exact = cross
+      .withColumn("ra", org.apache.spark.sql.functions.row_number().over(byA))
+      .withColumn("rb", org.apache.spark.sql.functions.row_number().over(byB))
+      .filter(col("ra") === 1 && col("rb") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactSet = exact.map(x => (x._1, x._2)).toSet
+    assert(exactSet.nonEmpty)
+    // BLOCKING RECALL CONTRACT, exact form: every exact mutual pair
+    // whose two vectors share an LSH bucket at AUTO's plane count MUST
+    // be emitted (the exact global best, when co-bucketed, is also the
+    // candidate-restricted best on both sides — same tie order)
+    val vec = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val planes = Similarity.hyperplanes(p, 64)
+    def bucket(v: Array[Float]): Long =
+      planes.zipWithIndex.foldLeft(0L) { case (acc, (pl, i)) =>
+        val d = pl.indices.foldLeft(0.0)((s, j) => s + pl(j) * v(j))
+        if (d > 0) acc | (1L << i) else acc
+      }
+    val gotPairs = got.map(x => (x._1, x._2)).toSet
+    val coBucketed = exactSet.filter { case (x, y) =>
+      bucket(vec(x)) == bucket(vec(y)) }
+    assert(coBucketed.nonEmpty, "degenerate: no exact pair co-bucketed")
+    assert(coBucketed.subsetOf(gotPairs),
+      s"blocking-preserved exact pairs missing: ${coBucketed -- gotPairs}")
+    // every emitted cosine is the exact engine fold (FLOAT multiply,
+    // DOUBLE accumulate), bit-equal to the brute-force value
+    def vdot(x: Array[Float], y: Array[Float]): Double =
+      x.indices.foldLeft(0.0)((s, i) => s + (x(i) * y(i)).toDouble)
+    assert(got.forall { case (x, y, c) =>
+      c == vdot(vec(x), vec(y)) /
+        (math.sqrt(vdot(vec(x), vec(x))) * math.sqrt(vdot(vec(y), vec(y)))) })
+    // recall/precision vs the UNBLOCKED exact set: reported, not
+    // floored high — this corpus is near-random synthetic vectors
+    // (top cosines ≈ 0.3), where hamming-0 co-bucketing at p planes
+    // keeps ~(1 − θ/π)^p ≈ 1% of exact pairs BY GEOMETRY, not by a
+    // defect; on a real near-dup corpus (high-cosine pairs) the same
+    // blocking keeps the pairs that matter. The contract this spec
+    // PINS is the exact part: blocking-preserved pairs all emitted +
+    // emitted cosines bit-exact (both above); the operating point is
+    // recorded for drift watching.
+    val recall = (gotPairs & exactSet).size.toDouble / exactSet.size
+    val precision = (gotPairs & exactSet).size.toDouble / gotPairs.size
+    info(f"mutualNearest AUTO p=$p recall=$recall%.3f " +
+      f"precision=$precision%.3f emitted=${gotPairs.size} exact=${exactSet.size}")
+    assert(recall > 0.0, "AUTO found no exact mutual pair at all")
+  }
 }

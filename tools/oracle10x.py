@@ -39,6 +39,12 @@ def main(sf_dir, out_dir, out_json, only):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(set(n for n in os.listdir(out_dir)
                        if os.path.isdir(f"{out_dir}/{n}")) | set(oracle))
+    # an unknown `only` name is an operator error (a typo would
+    # silently skip the key the caller meant to gate on), not a no-op
+    if only:
+        unknown = sorted(only - set(names))
+        if unknown:
+            sys.exit(f"unknown key(s) in only-list: {', '.join(unknown)}")
     results = {}
     n_ok = n_bad = n_rows_only = 0
     for name in names:
@@ -62,11 +68,18 @@ def main(sf_dir, out_dir, out_json, only):
             continue
         r["spark_rows"] = len(sdf)
         if name not in oracle:
-            # rows-only key (non-SQL-expressible) — record and move on
+            # rows-only key (non-SQL-expressible) — a ZERO-row dump is
+            # a failure (an empty result passes no check at all), not
+            # a weaker pass (r15 ADVICE item 5)
             r["rows_match"] = len(sdf) > 0
-            r["err"] = "rows-only (no oracle sql)"
-            n_rows_only += 1
-            print(f"rows   {name}: {len(sdf)} rows (rows-only)", flush=True)
+            if r["rows_match"]:
+                r["err"] = "rows-only (no oracle sql)"
+                n_rows_only += 1
+                print(f"rows   {name}: {len(sdf)} rows (rows-only)", flush=True)
+            else:
+                r["err"] = "rows-only key with EMPTY dump"
+                n_bad += 1
+                print(f"EMPTY  {name}: rows-only key dumped 0 rows", flush=True)
             continue
         try:
             odf = canon(con.execute(oracle[name]).fetchdf())
