@@ -1931,12 +1931,19 @@ object AnalyticsQueries {
     // cross-multiplication (cab·N·10⁶ div (ca·cb)), deterministic
     // top-20 → TakeOrderedAndProject.
     "basket_rules" -> { (s, d) =>
-      // eager localCheckpoint: the distinct basket projection feeds
-      // three consumers (support counts, basket total, the pair
-      // self-join twice) — one fact scan, not four
+      // LAZY persist (r16, the sparse_sim_topk lesson): the distinct
+      // basket projection feeds four consumers (support counts,
+      // basket total, the pair self-join twice) — one fact scan, not
+      // four, materialized AT ACTION TIME. The r15 eager
+      // localCheckpoint ran the fact distinct as a build-time job and
+      // pinned non-recomputable blocks — at 10× (a ~6M-row frame) that
+      // re-materialization under block-manager pressure was the 10×
+      // leg's only >2× regression gate hit; persist keeps lineage
+      // (eviction → recompute, not failure) and ContextCleaner frees
+      // the blocks when the plan drops.
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val supp = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
       val nOrders = li.select(col("l_orderkey")).distinct()
         .agg(count(lit(1)).as("n_baskets"))
