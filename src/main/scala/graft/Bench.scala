@@ -94,7 +94,26 @@ object Bench {
     } catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
     val sentinelFirst = sentinelRuns()
 
-    val results = ordered.map { case (name, fn) =>
+    // MID-SUITE SENTINEL TIMELINE (r16): the endpoint sentinel pair
+    // cannot see minute-scale host BURSTS inside the suite — two
+    // same-code r16 legs both read "quiet" yet swung disjoint key
+    // neighborhoods 0.26×-2.9× in opposite directions (alphabetical
+    // neighbors slow together: a burst lands on whoever was running).
+    // One single-run sentinel read every SentinelEvery keys yields a
+    // load timeline; a gate hit whose suite position sits next to an
+    // elevated timeline read is a burst suspect, not a code suspect.
+    // Cost: ~(269/20) × ~0.2 s — noise-level.
+    val SentinelEvery = 20
+    val timeline = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    def sentinelOnce(): Double = try {
+      val fn = SparkEntry.queries(SentinelName)
+      time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    } catch { case _: Throwable => -1.0 }
+
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      // keyed by the NAME about to run, so the artifact maps a burst
+      // to the measurement-order neighborhood whatever the order env
+      if (i % SentinelEvery == 0) timeline += ((name, sentinelOnce()))
       def once(): Seq[Double] = try {
         Seq.fill(3)(
           time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())).sorted
@@ -113,7 +132,8 @@ object Bench {
     spark.stop()
     // report AFTER stop: the compact JSON must be the last line of
     // merged output so the driver's stdout-tail window catches it
-    report(results, sfDir, Some((SentinelName, sentinelFirst, sentinelLast)))
+    report(results, sfDir, Some((SentinelName, sentinelFirst, sentinelLast)),
+      timeline.toSeq)
   }
 
   /** Emit the bench result twice:
@@ -130,7 +150,8 @@ object Bench {
     *    3-decimal floats keep 127 entries near ~900 chars).
     */
   private[graft] def report(unsorted: Seq[(String, Seq[Double])], sfDir: String,
-                            sentinel: Option[(String, Seq[Double], Seq[Double])] = None): Unit = {
+                            sentinel: Option[(String, Seq[Double], Seq[Double])] = None,
+                            timeline: Seq[(String, Double)] = Seq.empty): Unit = {
     // emit name-sorted regardless of measurement order, so the qv
     // array stays aligned with alphabetical query names
     val results = unsorted.sortBy(_._1)
@@ -147,6 +168,14 @@ object Bench {
         s""""last":[${last.mkString(",")}],"verdict":"${
           sentinelVerdict(first, last)}"},"""
     }.getOrElse("")
+    // FULL artifact only (too long for the compact stdout line): the
+    // mid-suite load timeline — single sentinel reads keyed by the
+    // measurement-order key they preceded. Burst forensics: a gate
+    // hit between two elevated reads is host, not code.
+    val timelineJson =
+      if (timeline.isEmpty) ""
+      else timeline.map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString(""""sentinel_timeline":{""", ",", "},")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     // r-over-r drift column (r12 verdict item 10): per-key ratio of
     // this run's median to the PREVIOUS round's, read from the last
@@ -175,7 +204,7 @@ object Bench {
     // compact/full split exists to avoid (r14 ADVICE item 1)
     val regressionsCompact =
       s""""regressions":${regressionGate(results.toMap, prev, cap = 10)},"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec",$sentinelJson$vsPrevFullJson$regressionsJson"queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec",$sentinelJson$timelineJson$vsPrevFullJson$regressionsJson"queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
     writeText(outPath, full)
     // ALSO write a round-versioned copy so no round's per-query data
     // lives only in the git history of the overwritten BENCH_FULL:

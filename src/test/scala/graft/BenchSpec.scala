@@ -103,5 +103,11 @@ class BenchSpec extends AnyFunSuite {
       """{"metric":"total","value":2.0,"unit":"sec","qv_vs_prev":{"vs":"r05","ratios":{"q1_agg":1.333}},"queries":{"q1_agg":2.0},"sf":"x"}""")
     assert(Bench.previousRoundMedians(out)
       .contains(("r06", Map("q1_agg" -> 2.0))))
+    // the r16 sentinel_timeline block (key:value pairs BEFORE the
+    // queries table) must not confuse the flat parse either
+    write("BENCH_FULL_r07.json",
+      """{"metric":"total","value":2.0,"unit":"sec","sentinel_timeline":{"ab_lift":0.151,"dedup_exact":0.162},"queries":{"q1_agg":3.0},"sf":"x"}""")
+    assert(Bench.previousRoundMedians(out)
+      .contains(("r07", Map("q1_agg" -> 3.0))))
   }
 }
