@@ -53,16 +53,15 @@ object SparseProbe {
     // captures the write's own QueryExecution after it finishes; the
     // listener bus is async, so joins() polls for a new generation.
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]
-    spark.listenerManager.register(
-      new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            durationNs: Long): Unit =
-          plans.add(s"[$funcName] " + qe.executedPlan.toString)
-        override def onFailure(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            exception: Exception): Unit = ()
-      })
+    val planListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(s"[$funcName] " + qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
     // a single action can fire SEVERAL QueryExecutions (the command
     // itself plus nested ones, e.g. cache materialization) and the
     // listener bus is async — drain until quiescent, then count join
@@ -85,6 +84,12 @@ object SparseProbe {
     }
 
     args.foreach { dir =>
+      // capture plans ONLY while the timed runs need them: the stage-
+      // decomposition actions below fire ~10 more QueryExecutions that
+      // nobody reads (r16 ADVICE: the listener stayed registered for
+      // the rest of the run and the queue grew unread executedPlan
+      // strings)
+      spark.listenerManager.register(planListener)
       val q = SparkEntry.queries("sparse_sim_topk")
       noop(q(spark, dir)) // JIT + page-cache warm-up, excluded
       val runs = Seq.fill(7) {
@@ -100,6 +105,8 @@ object SparseProbe {
       println(f"SPARSEPROBE $dir%-22s shufMB=" +
         runs.map(r => f"${r._2}%.1f").mkString("[", ",", "]") +
         s" plans=${runs.map(_._3).distinct.mkString(" | ")}")
+      spark.listenerManager.unregister(planListener)
+      plans.clear()
 
       // ---- stage decomposition (same operator internals as
       // TextAnalysis.sparseSimTopK, measured independently)

@@ -735,15 +735,29 @@ object TextAnalysis {
     * (MEMORY_AND_DISK): the df count, the candidate side, and the
     * probe side all read ONE materialization, so exactly one tokenize
     * scan runs per action (down from two), nothing executes at plan
-    * build, eviction is safe (lineage retained → recompute, never
-    * failure), and ContextCleaner unpersists the blocks when the
-    * plan is dropped. The probe side filters the CACHED postings on
+    * build, and eviction is safe (lineage retained → recompute, never
+    * failure). The probe side filters the CACHED postings on
     * the id column (`probeFilter` must be expressible on the id
     * column alone — every caller's is), so it pays no re-tokenize.
     * At 100 TB the postings cache spills to local disk — one
     * write+read of the postings vs re-tokenizing the corpus per
     * consumer, the right trade at every scale. PlanSpec pins the
-    * single-scan shape. */
+    * single-scan shape.
+    *
+    * CACHE LIFETIME (r17, advisor correction): `Dataset.persist`
+    * registers the plan in the session's CacheManager, which holds a
+    * STRONG reference to the InMemoryRelation — ContextCleaner never
+    * frees these blocks when the returned DataFrame is dropped (it
+    * only collects weakly-reachable broadcast/RDD state). Each
+    * distinct (docs, params) invocation therefore pins one postings
+    * cache until `spark.catalog.clearCache()` (or a targeted
+    * `cacheManager.uncacheQuery`) or session end. Single-action
+    * callers in long-lived sessions should clearCache after
+    * consuming the result; the bench harness clears between every
+    * timed pass for exactly this reason. CacheManager DEDUPES by
+    * canonicalized plan, so re-invoking with identical inputs reuses
+    * (not re-adds) the entry — the leak is per distinct plan, not
+    * per call. */
   def sparseSimTopK(docs: DataFrame, textCol: String, idCol: String,
                     probeFilter: Column, k: Int = 3,
                     maxDf: Long = 100L, n: Int = 3): DataFrame = {

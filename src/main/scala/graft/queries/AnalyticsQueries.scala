@@ -1939,8 +1939,13 @@ object AnalyticsQueries {
       // pinned non-recomputable blocks — at 10× (a ~6M-row frame) that
       // re-materialization under block-manager pressure was the 10×
       // leg's only >2× regression gate hit; persist keeps lineage
-      // (eviction → recompute, not failure) and ContextCleaner frees
-      // the blocks when the plan drops.
+      // (eviction → recompute, not failure). Lifetime (r17, advisor
+      // correction): CacheManager holds a STRONG ref to this entry —
+      // ContextCleaner does NOT free it when the plan drops; it lives
+      // until clearCache/uncacheQuery or session end (deduped by
+      // canonicalized plan across re-invocations, so repeated calls
+      // reuse rather than re-add). Long-lived callers: clearCache
+      // after the action; Bench clears between timed passes.
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -29,7 +29,8 @@ class BenchSpec extends AnyFunSuite {
     def runs(m: Double) = Seq(m, m, m)
     // no prior round → n=0 (shape is unconditional — r15 ADVICE: the
     // old array-under-cap form changed JSON type on the worst rounds)
-    assert(g(Map("a" -> runs(5.0)), None) == """{"n":0,"worst":[]}""")
+    assert(g(Map("a" -> runs(5.0)), None)
+      == """{"n":0,"host_factor":1.000,"worst":[]}""")
     val prev = Some(("r13", Map(
       "slow" -> 1.0, "fine" -> 1.0, "tiny" -> 0.05, "dead" -> 1.0)))
     val res = Map(
@@ -38,19 +39,56 @@ class BenchSpec extends AnyFunSuite {
       "tiny" -> runs(0.15),  // 3x but +0.1s → under the swing floor
       "dead" -> runs(-1.0),  // crashed      → failed[], not a regression
       "new"  -> runs(9.0))   // no prior     → not comparable
-    assert(g(res, prev) == """{"n":1,"worst":[{"slow":2.50}]}""")
+    assert(g(res, prev)
+      == """{"n":1,"host_factor":1.000,"worst":[{"slow":2.50}]}""")
     // worst-first ordering when several trip
     val two = Map("a" -> runs(3.0), "b" -> runs(5.0))
     assert(g(two, Some(("r13", Map("a" -> 1.0, "b" -> 1.0))))
-      == """{"n":2,"worst":[{"b":5.00},{"a":3.00}]}""")
+      == """{"n":2,"host_factor":1.000,"worst":[{"b":5.00},{"a":3.00}]}""")
     // compact cap bounds `worst` but `n` keeps the true count, and the
     // shape never changes with the count (r15 ADVICE item 3)
     assert(Bench.regressionGate(two,
         Some(("r13", Map("a" -> 1.0, "b" -> 1.0))), cap = 1)
-      == """{"n":2,"worst":[{"b":5.00}]}""")
+      == """{"n":2,"host_factor":1.000,"worst":[{"b":5.00}]}""")
     assert(Bench.regressionGate(two,
         Some(("r13", Map("a" -> 1.0, "b" -> 1.0))), cap = 2)
-      == """{"n":2,"worst":[{"b":5.00},{"a":3.00}]}""")
+      == """{"n":2,"host_factor":1.000,"worst":[{"b":5.00},{"a":3.00}]}""")
+  }
+
+  test("host-normalized gate: a throttled host's uniform inflation is " +
+       "divided out, and a quiet leg vs an inflated baseline exposes " +
+       "the regression deflation would have hidden") {
+    def runs(m: Double) = Seq(m, m, m)
+    val prev = Some(("r16", Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0)))
+    // whole suite ×1.4 (throttled host, no code change): raw ratios all
+    // 1.4 < 2.0 — but even at hostFactor 1.4 nothing is flagged, and
+    // with normalization a genuinely-2.2×-adjusted key still trips
+    val throttled = Map("a" -> runs(1.4), "b" -> runs(2.8), "c" -> runs(3.0 * 1.4 * 2.2))
+    assert(Bench.regressionGate(throttled, prev, hostFactor = 1.4)
+      == """{"n":1,"host_factor":1.400,"worst":[{"c":3.08}]}""")
+    // quiet leg (×0.7) vs the throttled r16 baseline: a real 2.5×
+    // plan regression reads raw 1.75 — BELOW the unnormalized bar —
+    // but 1.75/0.7 = 2.5 trips the normalized gate
+    val quiet = Map("a" -> runs(0.7), "b" -> runs(1.4), "c" -> runs(3.0 * 0.7 * 2.5))
+    assert(Bench.regressionGate(quiet, prev)  // unnormalized: hidden
+      == """{"n":0,"host_factor":1.000,"worst":[]}""")
+    assert(Bench.regressionGate(quiet, prev, hostFactor = 0.7)
+      == """{"n":1,"host_factor":0.700,"worst":[{"c":1.75}]}""")
+    // non-positive host factor degrades to 1.0, never divides by zero
+    assert(Bench.regressionGate(quiet, prev, hostFactor = 0.0)
+      == """{"n":0,"host_factor":1.000,"worst":[]}""")
+  }
+
+  test("hostFactorOf: median per-key ratio; under 20 comparable keys " +
+       "falls back to 1.0 (no normalization from a tiny overlap)") {
+    val many = (1 to 25).map(i => s"k$i" -> 1.4) :+ ("changed" -> 5.0)
+    assert(Bench.hostFactorOf(many) == 1.4)
+    // a handful of keys (subset bench) can't estimate the host
+    assert(Bench.hostFactorOf(Seq("a" -> 3.0, "b" -> 3.0)) == 1.0)
+    // crashed (-1) and NaN ratios are ignored
+    val noisy = (1 to 30).map(i => s"k$i" -> 0.9) ++
+      Seq("x" -> -1.0, "y" -> Double.NaN)
+    assert(Bench.hostFactorOf(noisy) == 0.9)
   }
 
   test("nonClobbering: an existing round-versioned artifact is never " +
