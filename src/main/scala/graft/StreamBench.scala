@@ -17,7 +17,12 @@ import graft.streaming.{CdcPipeline, TwsActiveUsers, TwsBurstiness, TwsCep,
   * streaming topology, and these twins had correctness + recovery
   * SPECS but (before r15/r16) no recorded perf evidence. Pass the
   * literal arg `dedup100x` to also price TwsDedup at 10× its r15
-  * state population (the 100×-of-sf0.1 document corpus).
+  * state population (the 100×-of-sf0.1 document corpus) — since r17
+  * that row runs the COLLAPSED form (TwsDedupC100x; the r16 plain
+  * pricing stands in STREAMBENCH_r16). r17 also adds TwsDedupC (the
+  * collapsed 10× A/B against row 1) and CurationIngest (the composed
+  * A9 decode → quality → bloom-decontam → TWS-near-dup job as one
+  * running pipeline, r16 verdict item 4).
   *
   * Method, per operator:
   *   1. The 10× parquet part-files are copied into a scratch input dir
@@ -33,7 +38,7 @@ import graft.streaming.{CdcPipeline, TwsActiveUsers, TwsBurstiness, TwsCep,
   *      (RocksDB restores from the last snapshot + changelog) plus the
   *      catch-up batch, the operational number a pipeline restart pays.
   *
-  * `sbt "runMain graft.StreamBench /tmp/bench10x STREAMBENCH_r16.txt [dedup100x]"`
+  * `sbt "runMain graft.StreamBench /tmp/bench10x STREAMBENCH_rNN.txt [dedup100x]"`
   */
 object StreamBench {
 
@@ -54,9 +59,19 @@ object StreamBench {
     val dataDir = args.headOption.getOrElse("/tmp/bench10x")
     val outFile = args.lift(1).getOrElse("STREAMBENCH_r16.txt")
     val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
+    // Progress retention must cover EVERY batch of the largest corpus:
+    // rows/batches are summed from q.recentProgress, which is capped at
+    // numRecentProgressUpdates (default 100) — with maxFilesPerTrigger=4
+    // a source over ~400 part files would silently drop early batches,
+    // undercounting rows and INFLATING the reported throughput (r16
+    // ADVICE; the dedup100x corpus at 64 parts/trigger 8 was safe only
+    // by coincidence). bench() asserts its batch count fits under this.
+    val ProgressRetention = 10000
     val spark = GraftSession.builder(s"local[$cpus]", cpus)
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        ProgressRetention.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.register(spark)
@@ -66,9 +81,33 @@ object StreamBench {
     val lines = scala.collection.mutable.ListBuffer.empty[String]
     def log(s: String): Unit = { println(s); lines += s }
 
+    // Teardown hardening (r16 operational caveat: a SIGSEGV in
+    // rocksdb::LoggerJniCallback::Logv during the TwsDedup100x stop —
+    // the known rocksdbjni logger teardown race, racing native
+    // background work's log calls against the Java logger's disposal).
+    // Spark 4.1 exposes no conf to fully silence the native logger
+    // (RocksDB.createLogger pins ERROR_LEVEL unless slf4j debug is
+    // on — verified against the shipped class), so the harness limits
+    // the EXPOSURE instead: queries are always DRAINED first
+    // (processAllAvailable returns before stop), a settle pause after
+    // each heavy-state stop lets native flush/compaction quiesce
+    // while the Java side is still alive, and stop() failures are
+    // logged rather than allowed to fail the harness mid-artifact.
+    // Structurally, the r17 collapsed dedup rows shrink the 100×
+    // state ~an order of magnitude — less to flush at stop is less to
+    // race.
+    def safeStop(q: StreamingQuery, settleMs: Long = 0L): Unit = {
+      try q.stop() catch {
+        case e: Throwable =>
+          log(s"# WARN teardown ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+      if (settleMs > 0) Thread.sleep(settleMs)
+    }
+
     /** Run one operator: build the op over a streaming frame read from
       * `inDir`, measure ingest + state + recovery. */
-    def bench(name: String, srcTable: String, filesPerTrigger: Int)
+    def bench(name: String, srcTable: String, filesPerTrigger: Int,
+              settleMs: Long = 0L)
              (op: DataFrame => DataFrame): Unit = {
       // srcTable is a table name under dataDir, or an absolute
       // parquet-dir path (the dedup100x scratch corpus)
@@ -88,6 +127,11 @@ object StreamBench {
         all
       }
       require(parts.size >= 2, s"$src has ${parts.size} part files")
+      // every micro-batch must still be in recentProgress at read time
+      // (+8 slack: empty/no-data progress entries also occupy slots)
+      require(parts.size / filesPerTrigger + 8 <= ProgressRetention,
+        s"$src: ${parts.size} parts / trigger $filesPerTrigger exceeds " +
+          s"the progress retention $ProgressRetention — rows would undercount")
       val holdBack = math.max(1, parts.size / 10)
       val (tail, head) = parts.splitAt(parts.size - holdBack) match {
         case (h, t) => (t, h)
@@ -119,7 +163,7 @@ object StreamBench {
       val sstBytes = stateOp.flatMap(o =>
         Option(o.customMetrics.get("rocksdbSstFileSize")).map(_.longValue()))
         .getOrElse(-1L)
-      q.stop()
+      safeStop(q, settleMs)
       val ckptBytes = du(Paths.get(ckpt, "state"))
 
       // ---- phase 2: recovery — restart the checkpoint on +10% input
@@ -129,7 +173,7 @@ object StreamBench {
       q2.processAllAvailable()
       val recoverSec = (System.nanoTime() - r0) / 1e9
       val rRows = q2.recentProgress.map(_.numInputRows).sum
-      q2.stop()
+      safeStop(q2, settleMs)
 
       log(f"STREAMBENCH $name%-14s rows=$rows%9d batches=$batches%3d " +
         f"ingest=$ingestSec%7.2fs thpt=${rows / math.max(ingestSec, 1e-9)}%9.0f rows/s " +
@@ -143,6 +187,17 @@ object StreamBench {
     //    posture. Signatures are a pure projection on the stream.
     bench("TwsDedup", "documents", filesPerTrigger = 4) { docs =>
       TwsDedup.candidatePairs(
+        graft.operators.Dedup.withMinHashSignatures(docs, "text", "doc_id"))
+        .toDF()
+    }
+
+    // 1b) TwsDedupC: the same ingest with EXACT-CONTENT PRE-COLLAPSE
+    //     (r16 verdict item 3) — mirrors of an already-seen content
+    //     add no bucket state and emit no pairs, so state tracks
+    //     DISTINCT contents; the A/B against row 1 prices what the
+    //     collapse buys at the same corpus.
+    bench("TwsDedupC", "documents", filesPerTrigger = 4) { docs =>
+      TwsDedup.candidatePairsCollapsed(
         graft.operators.Dedup.withMinHashSignatures(docs, "text", "doc_id"))
         .toDF()
     }
@@ -289,14 +344,14 @@ object StreamBench {
       val ingestSec = (System.nanoTime() - t0) / 1e9
       val rows = q.recentProgress.map(_.numInputRows).sum
       val batches = q.recentProgress.count(_.numInputRows > 0)
-      q.stop()
+      safeStop(q)
       copyParts(src, inDir, tail)
       val r0 = System.nanoTime()
       val q2 = start()
       q2.processAllAvailable()
       val recoverSec = (System.nanoTime() - r0) / 1e9
       val rRows = q2.recentProgress.map(_.numInputRows).sum
-      q2.stop()
+      safeStop(q2)
       log(f"STREAMBENCH $name%-14s rows=$rows%9d batches=$batches%3d " +
         f"ingest=$ingestSec%7.2fs thpt=${rows / math.max(ingestSec, 1e-9)}%9.0f rows/s " +
         f"stateRows=${-1}%9d stateMemMB=${-0.0}%8.1f " +
@@ -315,10 +370,58 @@ object StreamBench {
           .withColumn("doc_id", col("doc_id") + lit(i * 50000000L)))
         .reduce(_ unionByName _)
         .repartition(64).write.mode("overwrite").parquet(big.toString)
-      bench("TwsDedup100x", big.toString, filesPerTrigger = 8) { docs =>
-        TwsDedup.candidatePairs(
+      // r17: the 100× row runs the COLLAPSED form — r16 priced the
+      // plain form here (846 s ingest, 418.5M state rows, 11.7 GB
+      // checkpoint, 125 s recovery; STREAMBENCH_r16) and named the
+      // exact-content pre-collapse as THE design for mirror-heavy
+      // corpora; this row is the proof leg on the identical
+      // deterministic corpus (same base parquet, same shifts).
+      bench("TwsDedupC100x", big.toString, filesPerTrigger = 8,
+            settleMs = 3000L) { docs =>
+        TwsDedup.candidatePairsCollapsed(
           graft.operators.Dedup.withMinHashSignatures(docs, "text", "doc_id"))
           .toDF()
+      }
+    }
+
+    // 14) the COMPOSED A9 curation ingest (r16 verdict item 4) — the
+    //     reference-shaped end-to-end pipeline as ONE running job:
+    //     raw-JSON decode → quality gate → bloom decontamination →
+    //     TWS near-dup (collapsed) → exact-verify stream-static join
+    //     against the corpus signature store. Spec-verified for
+    //     batch-parity since r8 (StreamingSpec "end-to-end streaming
+    //     curation"); this row gives it the same throughput / state /
+    //     recovery evidence as its parts. The JSON wire shape is
+    //     manufactured from the documents corpus at stream time
+    //     (to_json of the row) so the decode stage pays a real parse.
+    {
+      val bench8 = Seq((900000000L,
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text")
+      val bloom = graft.operators.Dedup.buildGramBloom(bench8, "text", "doc_id")
+      val store = graft.operators.Dedup.withMinHashSignatures(
+        spark.read.parquet(s"$dataDir/documents.parquet"), "text", "doc_id")
+        .select("id", "hs").localCheckpoint() // bounded: 10× docs signature store
+      bench("CurationIngest", "documents", filesPerTrigger = 4) { docs =>
+        val raw = docs.select(to_json(struct(col("doc_id"), col("text")))
+          .as("value"))
+        val decoded = raw.select(from_json(col("value"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id BIGINT, text STRING")).as("d"))
+          .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+        val kept = graft.operators.TextAnalysis
+          .withQualityFlag(decoded, "text", "doc_id", minWords = 8,
+            maxWords = 100000, minWordLenBp = 0, maxWordLenBp = 1000000,
+            minStopwordBp = 0, maxDupBp = 10000)
+          .filter(col("keep")).select("doc_id", "text")
+        val curated = graft.operators.Dedup
+          .contaminationFlagBloom(kept, bloom, "text", "doc_id")
+          .filter(!col("contaminated")).select("doc_id", "text")
+        TwsDedup.verifiedPairs(
+          TwsDedup.candidatePairsCollapsed(
+            graft.operators.Dedup.withMinHashSignatures(
+              curated, "text", "doc_id")),
+          store).toDF()
       }
     }
 

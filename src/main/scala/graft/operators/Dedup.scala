@@ -780,6 +780,24 @@ object Dedup {
         .as("simhash"))
   }
 
+  /** Storage level for the clustering loop's cached frames (the
+    * oriented-pair / edge / label frames — the dedup family's big
+    * in-memory residents). Default MEMORY_AND_DISK; the system
+    * property `graft.dedup.cacheLevel=DISK_ONLY` flips the family to
+    * disk-resident caching — the r16 finding is that this chain is
+    * materialization-BOUND: under executor memory pressure (an
+    * everyday state at 100 TB, and what a throttled bench host
+    * simulates) MEMORY_AND_DISK caches of fact-scale frames compete
+    * with shuffle/exec memory, while DISK_ONLY turns every re-read
+    * into one sequential local-disk scan and leaves execution memory
+    * alone. STORAGEAUDIT_r17 records the A/B under a constrained
+    * heap; read per property, so a probe can flip arms in one JVM. */
+  private[graft] def clusterCacheLevel: org.apache.spark.storage.StorageLevel =
+    sys.props.get("graft.dedup.cacheLevel") match {
+      case Some("DISK_ONLY") => org.apache.spark.storage.StorageLevel.DISK_ONLY
+      case _ => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    }
+
   /** Connected components over near-dup pairs → (doc, canonical)
     * where canonical is the component's minimum id — the keep/drop
     * decision for near-dup groups (A~B, B~C ⇒ one survivor of
@@ -807,17 +825,19 @@ object Dedup {
     // mirrored from the cache) — the near-dup pair computation above
     // this is the expensive subtree, and the naive two-subtree union
     // would run it twice before the edge cache fills.
-    val oriented = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).cache()
+    val lvl = clusterCacheLevel
+    val oriented = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .persist(lvl)
     val edges = oriented
       .unionByName(oriented.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+      .distinct().persist(lvl)
     // init = identity labels with the FIRST propagation round fused in
     // (label = min(self, neighbors)): star/pair components — the common
     // near-dup shape — then converge after a single verification round
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nbr"))
       .select(col("id"), least(col("id"), col("nbr")).as("label"))
-      .cache()
+      .persist(lvl)
     var converged = false
     var iter = 1
     while (!converged && iter < maxIter) {
@@ -840,7 +860,7 @@ object Dedup {
         if (iter % 5 == 0) {
           if (reliableCheckpoint) nextPlan.checkpoint()
           else nextPlan.localCheckpoint()
-        } else nextPlan.cache()
+        } else nextPlan.persist(lvl)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
       labels.unpersist()

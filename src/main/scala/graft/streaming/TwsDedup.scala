@@ -4,8 +4,8 @@ import java.time.Duration
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
-  TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** STREAMING near-dup detection — the transformWithState twin of
   * [[graft.operators.Dedup.minhashLshIncremental]], which is what a
@@ -98,6 +98,156 @@ object TwsDedup {
       .transformWithState(new BucketMembershipProcessor(maxBucket, ttl),
         mode, OutputMode.Append())
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** One (bucket, doc) assignment carrying the doc's CONTENT KEY
+    * (`ck = xxhash64(hs)`, the batch store's `sk`) — the input row of
+    * the collapsed bucket processor. */
+  case class BucketSigDoc(band: Int, bh: Long, id: Long, ck: Long)
+
+  /** A (doc, content-representative) assignment from [[contentReps]];
+    * `rep_id == doc_id` exactly for first-writer representatives. */
+  case class ContentRep(doc_id: Long, rep_id: Long)
+
+  /** Per-bucket state with EXACT-CONTENT PRE-COLLAPSE (r16 verdict
+    * item 3 — the streaming twin of the batch ingest-collapsed store,
+    * [[graft.operators.Dedup.contentGroups]]): alongside the ordered
+    * representative list, each bucket keeps a (content key → rep id)
+    * map, and an arrival whose content is already represented emits
+    * NOTHING and adds NO state. Only first sightings of a content
+    * pair (against the bucket's current representatives) and join the
+    * membership — so bucket state grows with DISTINCT contents, not
+    * documents, and a mirror-heavy crawl (the r16 TwsDedup100x
+    * pricing: 924 state rows/doc, width-quadratic pair emission) costs
+    * O(1) state and zero pairs per mirror.
+    *
+    * Identical signatures land in identical buckets (bh is a pure
+    * function of sig), so the per-bucket ck probe sees every mirror of
+    * every member — no mirror can slip into a bucket its rep didn't
+    * reach. Cap semantics mirror [[BucketMembershipProcessor]] on the
+    * collapsed population: `maxBucket` bounds DISTINCT contents per
+    * bucket (the batch incremental guard counts group-level rows the
+    * same way), a full bucket stops admitting and new contents pair
+    * only with the first representative. In-batch arrivals process in
+    * ascending id order, so the representative of a content is the
+    * min id of its earliest micro-batch — batch-boundary-invariant —
+    * and at-least-once redelivery of a represented id no-ops via the
+    * ck map. */
+  class CollapsedBucketProcessor(maxBucket: Int, ttl: Option[Duration])
+      extends StatefulProcessor[(Int, Long), BucketSigDoc, CandPair] {
+
+    @transient private var reps: ListState[Long] = _
+    @transient private var byContent: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val t = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+      reps = getHandle.getListState("reps", Encoders.scalaLong, t)
+      byContent = getHandle.getMapState("byContent",
+        Encoders.scalaLong, Encoders.scalaLong, t)
+    }
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BucketSigDoc],
+                                 tv: TimerValues): Iterator[CandPair] = {
+      val mem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      if (reps.exists()) mem ++= reps.get()
+      // in-batch content sightings tracked locally so the decision
+      // never depends on whether the store surfaces same-batch writes
+      val newCk = scala.collection.mutable.HashSet.empty[Long]
+      val out = scala.collection.mutable.ListBuffer.empty[CandPair]
+      rows.toArray.sortBy(_.id).foreach { d =>
+        val represented = newCk.contains(d.ck) ||
+          (byContent.exists() && byContent.containsKey(d.ck))
+        if (!represented) {
+          val peers: Iterable[Long] =
+            if (mem.size >= maxBucket) mem.headOption else mem
+          peers.foreach { m =>
+            out += CandPair(math.min(d.id, m), math.max(d.id, m))
+          }
+          if (mem.size < maxBucket) {
+            reps.appendValue(d.id)
+            byContent.updateValue(d.ck, d.id)
+            mem += d.id
+            newCk += d.ck
+          }
+        } // else: mirror of a represented content — no pairs, no state
+      }
+      out.iterator
+    }
+  }
+
+  /** [[candidatePairs]] with exact-content pre-collapse: distinct
+    * candidate pairs between content REPRESENTATIVES only — mirrors
+    * of an already-seen content add no bucket state and emit no
+    * pairs. Equal to [[candidatePairs]] modulo representative
+    * identity (map each id to its content's first-writer rep and drop
+    * same-content pairs — StreamingSpec pins this on a mirror-heavy
+    * corpus across micro-batch boundaries); join [[contentReps]]'s
+    * map to expand representatives back to members when the consumer
+    * needs document-level pairs, exactly the batch collapsed path's
+    * member expansion. Fused into the ONE bucket-keyed stateful
+    * operator (the ck rides the banding projection) rather than
+    * chained as a separate keyed stage, so the query stays
+    * single-stateful-operator.
+    *
+    * The banding reuses [[graft.operators.Dedup.minhashBuckets]]
+    * verbatim by packing (id, ck) as the `id` column — the band/bh
+    * arithmetic must stay bit-identical to the batch store's, and
+    * minhashBuckets treats `id` as an opaque passthrough. */
+  def candidatePairsCollapsed(sigs: DataFrame, bands: Int = 16,
+      numPerm: Int = 64, maxBucket: Int = 1000,
+      ttl: Option[Duration] = None): Dataset[CandPair] = {
+    import sigs.sparkSession.implicits._
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    val packed = sigs.select(
+      struct(col("id").as("i"), xxhash64(col("hs")).as("ck")).as("id"),
+      col("sig"))
+    graft.operators.Dedup.minhashBuckets(packed, bands, numPerm)
+      .select(col("band").cast("int").as("band"), col("bh"),
+        col("id.i").as("id"), col("id.ck").as("ck"))
+      .as[BucketSigDoc]
+      .groupByKey(d => (d.band, d.bh))
+      .transformWithState(new CollapsedBucketProcessor(maxBucket, ttl),
+        mode, OutputMode.Append())
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** First-writer-wins content-representative assignment — the
+    * standalone streaming twin of the batch (sk, id) member map
+    * ([[graft.operators.Dedup.contentMembers]]): keyed by content
+    * key, `ValueState[Long]` holds the first doc id to present each
+    * content; every doc emits (doc_id, rep_id), reps map to
+    * themselves. Run it beside [[candidatePairsCollapsed]] to expand
+    * rep-level pairs to document-level, or alone as streaming exact
+    * dedup (keep = doc_id == rep_id). In-batch arrivals process in
+    * ascending id order (batch-boundary-invariant reps); redelivery
+    * re-emits the same assignment, a downstream-idempotent no-op. */
+  class ContentRepProcessor(ttl: Option[Duration])
+      extends StatefulProcessor[Long, (Long, Long), ContentRep] {
+    @transient private var rep: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      rep = getHandle.getValueState("rep", Encoders.scalaLong,
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 tv: TimerValues): Iterator[ContentRep] = {
+      val ids = rows.map(_._1).toArray.sorted
+      val r = if (rep.exists()) rep.get() else {
+        rep.update(ids.head); ids.head
+      }
+      ids.iterator.map(id => ContentRep(id, r))
+    }
+  }
+
+  /** (id, hs, …) streaming signature frame → (doc_id, rep_id)
+    * content-representative stream (see [[ContentRepProcessor]]). */
+  def contentReps(sigs: DataFrame,
+                  ttl: Option[Duration] = None): Dataset[ContentRep] = {
+    import sigs.sparkSession.implicits._
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    sigs.select(col("id"), xxhash64(col("hs")).as("ck"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .transformWithState(new ContentRepProcessor(ttl), mode,
+        OutputMode.Append())
   }
 
   /** Exact shingle-Jaccard verification of streaming candidates

@@ -1067,6 +1067,139 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("TwsDedup pre-collapse: collapsed candidate pairs equal the plain " +
+       "form modulo representative identity on a mirror-heavy corpus " +
+       "across micro-batch boundaries") {
+    // The r16 100× pricing showed plain bucket membership is
+    // width-quadratic on mirrors (every copy enters every bucket list
+    // and pairs with every member). candidatePairsCollapsed keeps one
+    // representative per distinct content per bucket; the contract is
+    // output equality MODULO representative identity: map each doc to
+    // its content's first-writer rep, drop same-content pairs, and the
+    // two pair sets must coincide — with in-batch mirrors, cross-batch
+    // mirrors, a mirror of a near-dup, and a cross-batch redelivery
+    // all in play.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, "2")
+    val tDog = "the quick brown fox jumps over the lazy dog again and again today"
+    val tCat = "the quick brown fox jumps over the lazy cat again and again today"
+    val tRox = "structured streaming keeps state in rocksdb across micro batches forever"
+    val tNight = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val tUniq = "final unique entry mentioning watermarks and windowed aggregations only"
+    val batch1 = Seq(1L -> tDog, 2L -> tCat, 3L -> tRox, 4L -> tDog) // 4 mirrors 1 in-batch
+    val batch2 = Seq(5L -> tCat,   // cross-batch mirror of 2
+                     6L -> tNight, // near-dup of content(1)
+                     7L -> tRox,   // cross-batch mirror of 3
+                     8L -> tUniq,
+                     1L -> tDog)   // cross-batch redelivery of a rep
+    // first-writer representative of each doc's content
+    val repOf = Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 1L,
+                    5L -> 2L, 6L -> 6L, 7L -> 3L, 8L -> 8L)
+
+    def run(collapsed: Boolean, tag: String): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, String)]
+      val sigs = graft.operators.Dedup.withMinHashSignatures(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      val result =
+        if (collapsed) graft.streaming.TwsDedup.candidatePairsCollapsed(sigs)
+        else graft.streaming.TwsDedup.candidatePairs(sigs)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_tws_collapse_$tag").toString
+      val q = result.toDF().writeStream.format("memory").queryName(s"twsc_$tag")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(batch1: _*)
+        q.processAllAvailable()
+        input.addData(batch2: _*)
+        q.processAllAvailable()
+        spark.table(s"twsc_$tag").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    try {
+      val plain = run(collapsed = false, "plain")
+      val coll = run(collapsed = true, "coll")
+      // the plain set must actually exercise mirrors (same-content pairs)
+      assert(plain.contains((1L, 4L)), s"mirror pair missing from plain: $plain")
+      val plainModuloReps = plain
+        .map { case (a, b) => (repOf(a), repOf(b)) }
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      assert(coll == plainModuloReps,
+        s"collapsed $coll != plain-modulo-reps $plainModuloReps")
+      // collapsed output touches representatives only — a mirror id
+      // (4, 5, 7) must never appear
+      val mirrorTouched = coll.flatMap(p => Seq(p._1, p._2))
+        .intersect(Set(4L, 5L, 7L))
+      assert(mirrorTouched.isEmpty, s"mirror ids in collapsed: $mirrorTouched")
+      // and the near-dup content pairs themselves are present
+      assert(coll.contains((1L, 2L)) && coll.contains((1L, 6L)),
+        s"expected rep-level near-dup pairs in $coll")
+    } finally {
+      spark.conf.set(shufKey, prevShuf)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("TwsDedup.contentReps: first-writer-wins representatives survive " +
+       "micro-batch boundaries, later smaller ids, and redelivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, "2")
+    val x = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val y = "completely different text about parquet files and column pruning at scale"
+    val input = MemoryStream[(Long, String)]
+    val sigs = graft.operators.Dedup.withMinHashSignatures(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    val result = graft.streaming.TwsDedup.contentReps(sigs)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_reps").toString
+    val q = result.toDF().writeStream.format("memory").queryName("tws_reps")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: rep of content X is the min in-batch id (5, not 9)
+      input.addData(5L -> x, 9L -> x, 3L -> y)
+      q.processAllAvailable()
+      val afterFirst = spark.table("tws_reps").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterFirst == Set((5L, 5L), (9L, 5L), (3L, 3L)),
+        s"first batch reps $afterFirst")
+      // batch 2: a LATER, SMALLER id does not steal the rep (1 -> 5);
+      // a new content member maps to its batch-1 rep; redelivery of
+      // the rep re-emits the same assignment (downstream-idempotent)
+      input.addData(1L -> x, 7L -> y, 5L -> x)
+      q.processAllAvailable()
+      val got = spark.table("tws_reps").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((5L, 5L), (9L, 5L), (3L, 3L), (1L, 5L), (7L, 3L)),
+        s"reps after batch 2: $got")
+    } finally {
+      q.stop()
+      spark.conf.set(shufKey, prevShuf)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("TWS timers: an orphan buffered row dead-letters after the buffer timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
