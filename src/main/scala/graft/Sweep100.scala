@@ -20,6 +20,30 @@ import graft.operators.{Clustering, Dedup, Similarity, TextAnalysis}
   * failed; ~linear means O(w) pairing held.
   */
 object Sweep100 {
+  /** The perturbed-decade generator, shared by the sweep and the
+    * build-only [[BuildPerturbed]] entry (the GUARDBIAS gate depends
+    * on this EXACT formula — copy i prepends "v<i>" and chops i % 7
+    * trailing chars — so it must live in one place): every copy is a
+    * UNIQUE near-dup of its base, nothing collapsible. */
+  private[graft] def buildPerturbedCorpus(
+      spark: org.apache.spark.sql.SparkSession, mult: Int, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = "/root/testdata/sf0.1"
+    val n = 5000000L
+    if (new java.io.File(s"$dir/documents.parquet").exists()) return
+    new java.io.File(dir).mkdirs()
+    val d = spark.read.parquet(s"$base/documents.parquet")
+    (0 until mult).map { i =>
+      if (i == 0) d
+      else d.select((col("doc_id") + lit(i * n)).as("doc_id"),
+        concat(lit(s"v$i "),
+          expr(s"substring(text, 1, greatest(char_length(text) - ${i % 7}, 0))"))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -48,20 +72,8 @@ object Sweep100 {
     // ~1 for the 5-gram shingles, nothing collapses, every band bucket
     // holds the full multiplicity of DISTINCT contents — the
     // non-collapsible growth the hot-bucket guard must survive alone.
-    def buildPerturbed(mult: Int, dir: String): Unit = {
-      if (new java.io.File(s"$dir/documents.parquet").exists()) return
-      new java.io.File(dir).mkdirs()
-      val d = spark.read.parquet(s"$base/documents.parquet")
-      (0 until mult).map { i =>
-        if (i == 0) d
-        else d.select((col("doc_id") + lit(i * n)).as("doc_id"),
-          concat(lit(s"v$i "),
-            expr(s"substring(text, 1, greatest(char_length(text) - ${i % 7}, 0))"))
-            .as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _)
-        .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    }
+    def buildPerturbed(mult: Int, dir: String): Unit =
+      Sweep100.buildPerturbedCorpus(spark, mult, dir)
 
     def docs(dir: String): DataFrame =
       spark.read.parquet(s"$dir/documents.parquet")
@@ -330,6 +342,20 @@ object Sweep100 {
   * unguarded banding would emit), and reports how many of those pairs
   * the guarded output actually contains. Counts, not timings — host
   * load is irrelevant. */
+/** Build-only entry for the perturbed decades (no sweep attached):
+  * the GUARDBIAS standing gate needs /tmp/sweep_docs1000x_pert
+  * without paying for the 1000xp sweep ops.
+  * `sbt "runMain graft.BuildPerturbed 1000"` */
+object BuildPerturbed {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(1000)
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Sweep100.buildPerturbedCorpus(spark, mult, s"/tmp/sweep_docs${mult}x_pert")
+    spark.stop()
+  }
+}
+
 object GuardRecall {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.expressions.Window
