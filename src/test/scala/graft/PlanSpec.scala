@@ -517,11 +517,23 @@ class PlanSpec extends SparkTestBase {
       s"size-frame aggregate must feed the window:\n$plan")
   }
 
-  test("ri_audit: every FK edge checks as an anti join; bounded dims broadcast") {
+  test("ri_audit: every FK edge collapses the child map-side before one " +
+       "outer join of distinct keys; bounded dims broadcast") {
     val plan = planOf(SparkEntry.queries("ri_audit")(spark, sfDir))
-    // 7 constraints → 7 anti joins (LeftAnti under either join impl)
-    assert("LeftAnti".r.findAllIn(plan).size >= 7,
-      s"expected 7 anti joins:\n$plan")
+    // r17 shape: per constraint the child collapses to (key, cnt) —
+    // a keyed partial+final HashAggregate — and orphan detection is
+    // ONE LeftOuter join of distinct keys vs the distinct parent
+    // (never an anti join over raw child rows: that shape's shuffle
+    // is broadcast-dependent and shuffles raw rows when the parent
+    // can't broadcast — RIPROBE_r17). 7 constraints → ≥7 outer joins.
+    assert("LeftOuter".r.findAllIn(plan).size >= 7,
+      s"expected 7 outer joins of collapsed keys:\n$plan")
+    assert(!plan.contains("LeftAnti"),
+      s"raw-row anti join crept back into the audit:\n$plan")
+    // the collapse really is map-side: a partial_count keyed aggregate
+    // sits under each child scan
+    assert("partial_count".r.findAllIn(plan).size >= 7,
+      s"child collapse must partial-aggregate map-side:\n$plan")
     // the nation/region parents pin the broadcast side explicitly
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
