@@ -21,6 +21,26 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.register(spark)
 
+    // LOAD-GATED PRE-FLIGHT (r17 verdict item 6): refuse to START a
+    // leg while the 1-min loadavg says another tenant is on the box —
+    // cheaper than a round of post-hoc burst adjudication. Polls every
+    // 30 s up to SPARK_GRAFT_LOAD_WAIT_MAX (default 10 min), then
+    // PROCEEDS WITH ANNOTATION rather than failing: the driver's
+    // unattended per-round run must still produce an artifact, and a
+    // marked-loaded artifact is adjudication data, not a baseline.
+    // Mid-suite reads at the suite's third boundaries extend the
+    // sentinel timeline with the OS's own view of contention.
+    val LoadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE")
+      .map(_.toDouble).getOrElse(1.0)
+    val LoadWaitMaxSec = sys.env.get("SPARK_GRAFT_LOAD_WAIT_MAX")
+      .map(_.toInt).getOrElse(600)
+    var preflightWaitSec = 0
+    while (loadavg1() > LoadGate && preflightWaitSec < LoadWaitMaxSec) {
+      Thread.sleep(30000); preflightWaitSec += 30
+    }
+    val loadReads = scala.collection.mutable.ListBuffer(
+      "start" -> loadavg1())
+
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
       fn
@@ -117,6 +137,8 @@ object Bench {
       // keyed by the NAME about to run, so the artifact maps a burst
       // to the measurement-order neighborhood whatever the order env
       if (i % SentinelEvery == 0) timeline += ((name, sentinelOnce()))
+      if (i == ordered.size / 3 || i == 2 * ordered.size / 3)
+        loadReads += (s"at_$name" -> loadavg1())
       // CLEAR THE PLAN CACHE BEFORE EVERY TIMED PASS (r17, advisor):
       // CacheManager dedupes persisted plans by canonicalized form, so
       // a builder that persist()s (basket_rules, sparse_sim_topk) had
@@ -144,11 +166,18 @@ object Bench {
       name -> best
     }
     val sentinelLast = sentinelRuns()
+    loadReads += ("end" -> loadavg1())
     spark.stop()
+    val loadJson = {
+      val reads = loadReads.map { case (k, v) => s""""$k":${fmt(v, 2)}""" }
+        .mkString("{", ",", "}")
+      s""""loadavg":{"gate":${fmt(LoadGate, 2)},"wait_sec":$preflightWaitSec,""" +
+        s""""exceeded":${loadReads.head._2 > LoadGate},"reads":$reads},"""
+    }
     // report AFTER stop: the compact JSON must be the last line of
     // merged output so the driver's stdout-tail window catches it
     report(results, sfDir, Some((SentinelName, sentinelFirst, sentinelLast)),
-      timeline.toSeq)
+      timeline.toSeq, loadJson)
   }
 
   /** Emit the bench result twice:
@@ -166,7 +195,8 @@ object Bench {
     */
   private[graft] def report(unsorted: Seq[(String, Seq[Double])], sfDir: String,
                             sentinel: Option[(String, Seq[Double], Seq[Double])] = None,
-                            timeline: Seq[(String, Double)] = Seq.empty): Unit = {
+                            timeline: Seq[(String, Double)] = Seq.empty,
+                            loadJson: String = ""): Unit = {
     // emit name-sorted regardless of measurement order, so the qv
     // array stays aligned with alphabetical query names
     val results = unsorted.sortBy(_._1)
@@ -189,7 +219,7 @@ object Bench {
     // hit between two elevated reads is host, not code.
     val timelineJson =
       if (timeline.isEmpty) ""
-      else timeline.map { case (k, v) => f""""$k":$v%.3f""" }
+      else timeline.map { case (k, v) => s""""$k":${fmt(v, 3)}""" }
         .mkString(""""sentinel_timeline":{""", ",", "},")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     // r-over-r drift column (r12 verdict item 10): per-key ratio of
@@ -205,7 +235,7 @@ object Bench {
       val ratios = results.flatMap { case (k, r) =>
         pm.get(k).filter(p => p > 0 && r(1) >= 0)
           .map(p => k -> r(1) / p) }
-      val rj = ratios.map { case (k, x) => f""""$k":$x%.3f""" }
+      val rj = ratios.map { case (k, x) => s""""$k":${fmt(x, 3)}""" }
         .mkString("{", ",", "}")
       (tag, ratios, s""""qv_vs_prev":{"vs":"$tag","ratios":$rj},""")
     }
@@ -234,7 +264,7 @@ object Bench {
     // persist() (basket_rules, sparse_sim_topk) read higher than the
     // r16-and-earlier warm-pass medians by measurement change, not
     // plan change
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","cache_cleared_between_passes":true,$sentinelJson$timelineJson$vsPrevFullJson$regressionsJson"queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","cache_cleared_between_passes":true,$loadJson$sentinelJson$timelineJson$vsPrevFullJson$regressionsJson"queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
     writeText(outPath, full)
     // ALSO write a round-versioned copy so no round's per-query data
     // lives only in the git history of the overwritten BENCH_FULL:
@@ -247,7 +277,7 @@ object Bench {
     // re-run lands at {base}_rNN_rerunK.json and the gate's baseline
     // stays whatever the round first recorded.
     versionedCopy(outPath).foreach(p => writeText(nonClobbering(p), full))
-    val qv = results.map { case (_, r) => f"${r(1)}%.3f" }.mkString("[", ",", "]")
+    val qv = results.map { case (_, r) => fmt(r(1), 3) }.mkString("[", ",", "]")
     val vsPrevCompact = vsPrevFull.map { case (tag, ratios, _) =>
       val sortedR = ratios.map(_._2).sorted
       val med = if (sortedR.isEmpty) 1.0 else sortedR(sortedR.size / 2)
@@ -255,11 +285,11 @@ object Bench {
         val p = prev.get._2(k)
         (x > 1.5 || x < 1.0 / 1.5) && math.abs(results.toMap.apply(k)(1) - p) > 0.2
       }.sortBy(-_._2)
-      val dj = drifters.map { case (k, x) => f""""$k":$x%.2f""" }
+      val dj = drifters.map { case (k, x) => s""""$k":${fmt(x, 2)}""" }
         .mkString("{", ",", "}")
-      f""""qv_vs_prev":{"vs":"$tag","n":${ratios.size},"median":$med%.3f,"drifters":$dj},"""
+      s""""qv_vs_prev":{"vs":"$tag","n":${ratios.size},"median":${fmt(med, 3)},"drifters":$dj},"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,$sentinelJson$vsPrevCompact$regressionsCompact"queries_file":"$outPath","qv_sorted_by_name":$qv}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,$loadJson$sentinelJson$vsPrevCompact$regressionsCompact"queries_file":"$outPath","qv_sorted_by_name":$qv}""")
   }
 
   /** PER-KEY REGRESSION GATE (r13 verdict item 8, host-normalized
@@ -280,29 +310,45 @@ object Bench {
     * in the gate object so a reader can reconstruct the normalized
     * value.
     *
-    * Shape is UNCONDITIONALLY `{"n":N,"host_factor":H,"worst":[...]}`
-    * (r15 ADVICE: the old plain-array-under-cap form changed JSON type
-    * exactly on the many-regression rounds, breaking array-indexing
-    * consumers when it mattered most). `cap` bounds `worst`
-    * (worst-first) for the compact stdout line; the FULL artifact
-    * passes Int.MaxValue and keeps every entry; `n` always carries the
-    * true count. */
+    * Shape is UNCONDITIONALLY `{"n":N,"n_raw":M,"host_factor":H,
+    * "worst":[...]}` (r15 ADVICE: the old plain-array-under-cap form
+    * changed JSON type exactly on the many-regression rounds, breaking
+    * array-indexing consumers when it mattered most). `n_raw` is the
+    * UN-normalized count (hostFactor forced to 1.0) — the r17-ADVICE
+    * tell for a suite-wide real regression the normalization would
+    * hide: n=0 with a large n_raw and a clamped-at-bound host_factor
+    * reads "everything moved", not "the host moved". `cap` bounds
+    * `worst` (worst-first) for the compact stdout line; the FULL
+    * artifact passes Int.MaxValue and keeps every entry; `n` always
+    * carries the true count. */
   private[graft] def regressionGate(results: Map[String, Seq[Double]],
       prev: Option[(String, Map[String, Double])],
       cap: Int = Int.MaxValue, hostFactor: Double = 1.0): String = {
     val hf = if (hostFactor > 0) hostFactor else 1.0
-    val all = prev.map { case (_, pm) =>
+    def hits(f: Double): Seq[(String, Double)] = prev.map { case (_, pm) =>
       results.toSeq.collect {
         case (k, r) if pm.get(k).exists(p =>
-            p > 0 && r(1) >= 0 && r(1) / (p * hf) > 2.0 &&
-              r(1) - p * hf > 0.2) =>
+            p > 0 && r(1) >= 0 && r(1) / (p * f) > 2.0 &&
+              r(1) - p * f > 0.2) =>
           k -> results(k)(1) / pm(k)
       }.sortBy(-_._2)
     }.getOrElse(Seq.empty)
-    val shown = all.take(cap).map { case (k, x) => f"""{"$k":$x%.2f}""" }
+    val all = hits(hf)
+    val nRaw = if (hf == 1.0) all.size else hits(1.0).size
+    val shown = all.take(cap)
+      .map { case (k, x) => s"""{"$k":${fmt(x, 2)}}""" }
       .mkString("[", ",", "]")
-    f"""{"n":${all.size},"host_factor":$hf%.3f,"worst":$shown}"""
+    s"""{"n":${all.size},"n_raw":$nRaw,"host_factor":${fmt(hf, 3)},"worst":$shown}"""
   }
+
+  /** Locale-fixed numeric formatting for JSON emission (r17 ADVICE):
+    * the `f` interpolator follows the JVM default locale, so a
+    * comma-decimal locale (fr_FR, de_DE) would print `1,005` and
+    * corrupt every artifact this file writes. All JSON-bound
+    * fixed-point numbers go through here. */
+  private[graft] def fmt(d: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+      java.lang.Double.valueOf(d))
 
   /** Suite-median per-key ratio vs the previous round = the host-speed
     * multiplier between the two legs' environments. Robust because a
@@ -310,10 +356,21 @@ object Bench {
     * them; the median ignores the changed tail in either direction.
     * Falls back to 1.0 (no normalization) when fewer than 20 keys are
     * comparable — a tiny overlap (subset bench, first round) can't
-    * estimate the host. */
+    * estimate the host.
+    *
+    * CLAMPED to [0.5, 2.0] (r17 ADVICE): a genuine broad regression —
+    * a shared operator used by many keys, a session-conf change, a
+    * measurement-protocol change — shifts the median itself, and an
+    * unclamped factor would normalize the whole suite-wide slowdown
+    * away (gate reads n=0 on a real 3× regression). Every host swing
+    * observed on this box sits inside 0.7-1.45×; a median outside the
+    * clamp is better read as "the code moved everything" and the gate
+    * should fire. The raw gate count (`n_raw`, hostFactor 1.0) rides
+    * alongside in the gate object for the same reason. */
   private[graft] def hostFactorOf(ratios: Seq[(String, Double)]): Double = {
     val xs = ratios.map(_._2).filter(x => x > 0 && !x.isNaN).sorted
-    if (xs.size < 20) 1.0 else xs(xs.size / 2)
+    if (xs.size < 20) 1.0
+    else math.max(0.5, math.min(2.0, xs(xs.size / 2)))
   }
 
   /** Host-load verdict from the two sentinel triples: `loaded` when the
@@ -365,6 +422,15 @@ object Bench {
       if (m.isEmpty) None else Some((f"r$nn%02d", m))
     } catch { case _: Throwable => None }
   }
+
+  /** 1-minute loadavg from /proc/loadavg; -1 when unreadable (the
+    * pre-flight then never blocks — a host without procfs just loses
+    * the gate, not the bench). */
+  private[graft] def loadavg1(): Double = try {
+    new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+      java.nio.charset.StandardCharsets.UTF_8).split("\\s+")(0).toDouble
+  } catch { case _: Throwable => -1.0 }
 
   private def writeText(path: String, s: String): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -105,9 +105,15 @@ object StreamBench {
     }
 
     /** Run one operator: build the op over a streaming frame read from
-      * `inDir`, measure ingest + state + recovery. */
+      * `inDir`, measure ingest + state + recovery. When `sink` is set
+      * the query runs through `foreachBatch` (the op's output batch +
+      * batch id are handed to it) instead of the noop sink — the
+      * CurationIngest verify stage needs per-batch control to prune
+      * its store probe; state metrics still report (the stateful
+      * operator is upstream of the sink either way). */
     def bench(name: String, srcTable: String, filesPerTrigger: Int,
-              settleMs: Long = 0L)
+              settleMs: Long = 0L,
+              sink: Option[(DataFrame, Long) => Unit] = None)
              (op: DataFrame => DataFrame): Unit = {
       // srcTable is a table name under dataDir, or an absolute
       // parquet-dir path (the dedup100x scratch corpus)
@@ -128,8 +134,12 @@ object StreamBench {
       }
       require(parts.size >= 2, s"$src has ${parts.size} part files")
       // every micro-batch must still be in recentProgress at read time
-      // (+8 slack: empty/no-data progress entries also occupy slots)
-      require(parts.size / filesPerTrigger + 8 <= ProgressRetention,
+      // (+8 slack: empty/no-data progress entries also occupy slots);
+      // CEILING division (r17 ADVICE) — a part count that is not a
+      // multiple of the trigger still adds a final partial batch, and
+      // the invariant must hold without leaning on the slack
+      require((parts.size + filesPerTrigger - 1) / filesPerTrigger + 8
+          <= ProgressRetention,
         s"$src: ${parts.size} parts / trigger $filesPerTrigger exceeds " +
           s"the progress retention $ProgressRetention — rows would undercount")
       val holdBack = math.max(1, parts.size / 10)
@@ -144,8 +154,11 @@ object StreamBench {
         val stream = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", filesPerTrigger)
           .parquet(inDir.toString)
-        op(stream).writeStream.format("noop")
-          .option("checkpointLocation", ckpt).start()
+        val w = sink match {
+          case Some(f) => op(stream).writeStream.foreachBatch(f)
+          case None    => op(stream).writeStream.format("noop")
+        }
+        w.option("checkpointLocation", ckpt).start()
       }
 
       // ---- phase 1: ingest 90%
@@ -382,47 +395,105 @@ object StreamBench {
           graft.operators.Dedup.withMinHashSignatures(docs, "text", "doc_id"))
           .toDF()
       }
+      // r18 (r17 verdict item 3): the PRODUCTION POSTURE — cap + TTL +
+      // collapse together — on the same corpus. The 1 h horizon
+      // outlives the run, so nothing expires mid-ingest and the row
+      // prices the TTL's BOOKKEEPING (per-entry expiry timestamps in
+      // every RocksDB value + the TTL sweep) rather than state loss;
+      // the expiry SEMANTICS (expired content re-reps, pairs re-emit
+      // in the new horizon, state bounded by rate × TTL) are pinned in
+      // TwsSpecs with a crafted clock.
+      bench("TwsDedupC100xTTL", big.toString, filesPerTrigger = 8,
+            settleMs = 3000L) { docs =>
+        TwsDedup.candidatePairsCollapsed(
+          graft.operators.Dedup.withMinHashSignatures(docs, "text", "doc_id"),
+          ttl = Some(java.time.Duration.ofHours(1))).toDF()
+      }
     }
 
-    // 14) the COMPOSED A9 curation ingest (r16 verdict item 4) — the
-    //     reference-shaped end-to-end pipeline as ONE running job:
-    //     raw-JSON decode → quality gate → bloom decontamination →
-    //     TWS near-dup (collapsed) → exact-verify stream-static join
-    //     against the corpus signature store. Spec-verified for
-    //     batch-parity since r8 (StreamingSpec "end-to-end streaming
-    //     curation"); this row gives it the same throughput / state /
-    //     recovery evidence as its parts. The JSON wire shape is
+    // 14) the COMPOSED A9 curation ingest (r16 verdict item 4; r17
+    //     verdict items 2+5) — the reference-shaped end-to-end
+    //     pipeline as ONE running job: raw-JSON decode → quality gate
+    //     → bloom decontamination → TWS near-dup (collapsed) →
+    //     exact-verify PRUNED probe of the corpus signature store.
+    //     Spec-verified for batch-parity since r8 (StreamingSpec
+    //     "end-to-end streaming curation"). The JSON wire shape is
     //     manufactured from the documents corpus at stream time
     //     (to_json of the row) so the decode stage pays a real parse.
+    //
+    //     r18 changes, both from the r17 verdict:
+    //     - the signature store is WRITTEN id-sorted to a parquet
+    //       scratch dir (TwsDedup.writeSignatureStore) and re-read —
+    //       replacing the eager localCheckpoint of a fact-scale frame
+    //       (r17 ADVICE item 1: pinned non-recomputable blocks
+    //       competing with RocksDB native memory inside the measured
+    //       ingest), and giving the store the sorted layout the
+    //       pruned probe needs;
+    //     - the verify stage runs per micro-batch through foreachBatch
+    //       (TwsDedup.verifiedPairsBatch): the store is probed with
+    //       the batch's candidate ids pushed into the parquet scan,
+    //       NOT re-scanned in full every batch;
+    //     - PER-STAGE DECOMPOSITION rows (CurIngest*) price each
+    //       stage's marginal cost on the same corpus — successive row
+    //       differences are the honest per-stage bill.
     {
       val bench8 = Seq((900000000L,
         "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
         .toDF("doc_id", "text")
       val bloom = graft.operators.Dedup.buildGramBloom(bench8, "text", "doc_id")
-      val store = graft.operators.Dedup.withMinHashSignatures(
-        spark.read.parquet(s"$dataDir/documents.parquet"), "text", "doc_id")
-        .select("id", "hs").localCheckpoint() // bounded: 10× docs signature store
-      bench("CurationIngest", "documents", filesPerTrigger = 4) { docs =>
+      val storeDir = work.resolve("curation-store.parquet").toString
+      TwsDedup.writeSignatureStore(
+        graft.operators.Dedup.withMinHashSignatures(
+          spark.read.parquet(s"$dataDir/documents.parquet"),
+          "text", "doc_id"),
+        storeDir)
+      val store = spark.read.parquet(storeDir)
+
+      def decode(docs: DataFrame): DataFrame = {
         val raw = docs.select(to_json(struct(col("doc_id"), col("text")))
           .as("value"))
-        val decoded = raw.select(from_json(col("value"),
+        raw.select(from_json(col("value"),
             org.apache.spark.sql.types.StructType.fromDDL(
               "doc_id BIGINT, text STRING")).as("d"))
           .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
-        val kept = graft.operators.TextAnalysis
-          .withQualityFlag(decoded, "text", "doc_id", minWords = 8,
+      }
+      def quality(d: DataFrame): DataFrame =
+        graft.operators.TextAnalysis
+          .withQualityFlag(d, "text", "doc_id", minWords = 8,
             maxWords = 100000, minWordLenBp = 0, maxWordLenBp = 1000000,
             minStopwordBp = 0, maxDupBp = 10000)
           .filter(col("keep")).select("doc_id", "text")
-        val curated = graft.operators.Dedup
-          .contaminationFlagBloom(kept, bloom, "text", "doc_id")
+      def decontam(d: DataFrame): DataFrame =
+        graft.operators.Dedup
+          .contaminationFlagBloom(d, bloom, "text", "doc_id")
           .filter(!col("contaminated")).select("doc_id", "text")
-        TwsDedup.verifiedPairs(
-          TwsDedup.candidatePairsCollapsed(
-            graft.operators.Dedup.withMinHashSignatures(
-              curated, "text", "doc_id")),
-          store).toDF()
+      def dedupCands(d: DataFrame): DataFrame =
+        TwsDedup.candidatePairsCollapsed(
+          graft.operators.Dedup.withMinHashSignatures(d, "text", "doc_id"))
+          .toDF()
+
+      bench("CurIngestDecode", "documents", filesPerTrigger = 4)(decode)
+      bench("CurIngestQual", "documents", filesPerTrigger = 4) { docs =>
+        quality(decode(docs)) }
+      bench("CurIngestBloom", "documents", filesPerTrigger = 4) { docs =>
+        decontam(quality(decode(docs))) }
+      bench("CurIngestDedup", "documents", filesPerTrigger = 4) { docs =>
+        dedupCands(decontam(quality(decode(docs)))) }
+      val verified = new java.util.concurrent.atomic.AtomicLong
+      bench("CurationIngest", "documents", filesPerTrigger = 4,
+          sink = Some { (batch: DataFrame, _: Long) =>
+            // the batch frame is consumed twice (id collection + join)
+            // — persist so the upstream stateful op's output is not
+            // recomputed inside its own micro-batch
+            batch.persist()
+            try verified.addAndGet(
+              TwsDedup.verifiedPairsBatch(batch, store).count()): Unit
+            finally { batch.unpersist(); () }
+          }) { docs =>
+        dedupCands(decontam(quality(decode(docs))))
       }
+      log(s"# CurationIngest verified_pairs=${verified.get()} " +
+        s"(pruned per-batch store probe, store=$storeDir)")
     }
 
     Files.writeString(Paths.get(outFile),

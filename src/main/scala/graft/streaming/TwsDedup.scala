@@ -167,8 +167,20 @@ object TwsDedup {
             reps.appendValue(d.id)
             byContent.updateValue(d.ck, d.id)
             mem += d.id
-            newCk += d.ck
           }
+          // record the sighting in the SAME-BATCH set even when the
+          // bucket is full and the content was NOT admitted (r17
+          // ADVICE): without this, every same-batch mirror of an
+          // over-cap content re-emits its own (id × mem.head) pair —
+          // distinct ids, so dropDuplicates keeps them all — and the
+          // O(1)-per-mirror contract fails in exactly the mirror-flood
+          // regime the collapse targets. CROSS-batch mirrors of an
+          // over-cap content still emit one pair each (the content has
+          // no byContent entry — persisting it would grow state with
+          // over-cap distinct contents, un-bounding the cap); that
+          // residual is documented, bounded at one pair per mirror,
+          // and collapses downstream at the verify join.
+          newCk += d.ck
         } // else: mirror of a represented content — no pairs, no state
       }
       out.iterator
@@ -255,16 +267,94 @@ object TwsDedup {
     * streaming pipeline (the store is the persisted signature table
     * every batch path already maintains). Same arithmetic as
     * [[graft.operators.Dedup.minhashLshFromSignatures]], so verified
-    * output matches the batch form on the same data. */
+    * output matches the batch form on the same data.
+    *
+    * SCALE CAVEAT (r17 verdict item 2): as a plain stream-static join
+    * the static side is re-planned — and, unless cached, re-SCANNED —
+    * every micro-batch, so per-batch cost is O(store), not
+    * O(candidates). At corpus scale use [[verifiedPairsBatch]] inside
+    * `foreachBatch` over a [[writeSignatureStore]]-sorted store: the
+    * probe prunes the store to the batch's candidate ids through
+    * parquet min/max stats. This form remains correct (and is what the
+    * batch-parity spec checks) for bounded stores. */
   def verifiedPairs(cands: Dataset[CandPair], sets: DataFrame,
                     minBp: Int = 5000): DataFrame =
-    cands.toDF()
-      .join(sets.select(col("id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(sets.select(col("id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+    jaccardVerify(
+      cands.toDF()
+        .join(sets.select(col("id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+        .join(sets.select(col("id").as("doc_b"), col("hs").as("hs_b")), "doc_b"),
+      minBp)
+
+  private def jaccardVerify(joined: DataFrame, minBp: Int): DataFrame =
+    joined
       .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard_bp",
         floor(lit(10000.0) * col("common") /
           (size(col("hs_a")) + size(col("hs_b")) - col("common"))).cast("long"))
       .filter(col("jaccard_bp") >= minBp)
       .select("doc_a", "doc_b", "jaccard_bp")
+
+  /** Write the (id, hs) signature store ID-SORTED for candidate-driven
+    * pruning: `repartitionByRange(id)` gives each output file a
+    * DISJOINT id range and `sortWithinPartitions` orders row groups
+    * inside each file, so parquet footer min/max stats prune both
+    * files and row groups against an id predicate — the same zonemap
+    * mechanics the batch C90 path proves on sorted stores. `numFiles`
+    * sizes files for the corpus (at 100 TB, pick ~corpus/128 MB); the
+    * write shuffles once, AT STORE-BUILD TIME, so every later probe
+    * pays pruned reads instead. */
+  def writeSignatureStore(sigs: DataFrame, path: String,
+                          numFiles: Int = 32): Unit =
+    sigs.select(col("id"), col("hs"))
+      .repartitionByRange(numFiles, col("id"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(path)
+
+  /** PER-MICRO-BATCH pruned exact verify (r17 verdict item 2) — the
+    * scale-safe form of [[verifiedPairs]], for use inside
+    * `foreachBatch`: instead of joining the batch against a full
+    * store scan, it collects the batch's DISTINCT candidate ids
+    * (bounded: a micro-batch's candidates are bounded by trigger size
+    * × the bucket cap's pairing guard) and probes the store with
+    * `id IN (…)`. Against a [[writeSignatureStore]]-sorted store the
+    * parquet reader pushes this as an exact OR-set (small lists) or a
+    * min/max RANGE (large lists — Spark's documented In-pushdown
+    * fallback), so file/row-group stats skip everything outside the
+    * batch's id span; the surviving slice (≤ one row per probed id) is
+    * BROADCAST and the batch joins it map-side — per-batch cost is
+    * O(candidates + pruned-store-slice), never a store shuffle.
+    *
+    * If a pathological batch carries more than `maxProbeIds` distinct
+    * ids, the literal list would bloat the plan; the probe degrades to
+    * the unpruned scan with the small BATCH side broadcast — still
+    * shuffle-free, one scan for that batch only. Callers should
+    * `persist()` the batch frame before calling (it is consumed twice:
+    * id collection + join) — re-computing a stateful operator's batch
+    * output is legal but wasteful. */
+  def verifiedPairsBatch(candsBatch: DataFrame, store: DataFrame,
+                         minBp: Int = 5000,
+                         maxProbeIds: Int = 100000): DataFrame = {
+    val pairs = candsBatch.select(col("doc_a"), col("doc_b"))
+    val sets = store.select(col("id"), col("hs"))
+    val idRows = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+      .distinct().limit(maxProbeIds + 1).collect()
+    if (idRows.length > maxProbeIds || idRows.isEmpty)
+      jaccardVerify(
+        broadcast(pairs)
+          .join(sets.select(col("id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+          .join(sets.select(col("id").as("doc_b"), col("hs").as("hs_b")), "doc_b"),
+        minBp)
+    else {
+      val ids = idRows.map(_.getLong(0)).toSeq
+      val pruned = sets.filter(col("id").isin(ids: _*))
+      jaccardVerify(
+        pairs
+          .join(broadcast(pruned.select(col("id").as("doc_a"),
+            col("hs").as("hs_a"))), "doc_a")
+          .join(broadcast(pruned.select(col("id").as("doc_b"),
+            col("hs").as("hs_b"))), "doc_b"),
+        minBp)
+    }
+  }
 }

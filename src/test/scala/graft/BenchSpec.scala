@@ -30,7 +30,7 @@ class BenchSpec extends AnyFunSuite {
     // no prior round → n=0 (shape is unconditional — r15 ADVICE: the
     // old array-under-cap form changed JSON type on the worst rounds)
     assert(g(Map("a" -> runs(5.0)), None)
-      == """{"n":0,"host_factor":1.000,"worst":[]}""")
+      == """{"n":0,"n_raw":0,"host_factor":1.000,"worst":[]}""")
     val prev = Some(("r13", Map(
       "slow" -> 1.0, "fine" -> 1.0, "tiny" -> 0.05, "dead" -> 1.0)))
     val res = Map(
@@ -40,19 +40,19 @@ class BenchSpec extends AnyFunSuite {
       "dead" -> runs(-1.0),  // crashed      → failed[], not a regression
       "new"  -> runs(9.0))   // no prior     → not comparable
     assert(g(res, prev)
-      == """{"n":1,"host_factor":1.000,"worst":[{"slow":2.50}]}""")
+      == """{"n":1,"n_raw":1,"host_factor":1.000,"worst":[{"slow":2.50}]}""")
     // worst-first ordering when several trip
     val two = Map("a" -> runs(3.0), "b" -> runs(5.0))
     assert(g(two, Some(("r13", Map("a" -> 1.0, "b" -> 1.0))))
-      == """{"n":2,"host_factor":1.000,"worst":[{"b":5.00},{"a":3.00}]}""")
+      == """{"n":2,"n_raw":2,"host_factor":1.000,"worst":[{"b":5.00},{"a":3.00}]}""")
     // compact cap bounds `worst` but `n` keeps the true count, and the
     // shape never changes with the count (r15 ADVICE item 3)
     assert(Bench.regressionGate(two,
         Some(("r13", Map("a" -> 1.0, "b" -> 1.0))), cap = 1)
-      == """{"n":2,"host_factor":1.000,"worst":[{"b":5.00}]}""")
+      == """{"n":2,"n_raw":2,"host_factor":1.000,"worst":[{"b":5.00}]}""")
     assert(Bench.regressionGate(two,
         Some(("r13", Map("a" -> 1.0, "b" -> 1.0))), cap = 2)
-      == """{"n":2,"host_factor":1.000,"worst":[{"b":5.00},{"a":3.00}]}""")
+      == """{"n":2,"n_raw":2,"host_factor":1.000,"worst":[{"b":5.00},{"a":3.00}]}""")
   }
 
   test("host-normalized gate: a throttled host's uniform inflation is " +
@@ -65,18 +65,18 @@ class BenchSpec extends AnyFunSuite {
     // with normalization a genuinely-2.2×-adjusted key still trips
     val throttled = Map("a" -> runs(1.4), "b" -> runs(2.8), "c" -> runs(3.0 * 1.4 * 2.2))
     assert(Bench.regressionGate(throttled, prev, hostFactor = 1.4)
-      == """{"n":1,"host_factor":1.400,"worst":[{"c":3.08}]}""")
+      == """{"n":1,"n_raw":1,"host_factor":1.400,"worst":[{"c":3.08}]}""")
     // quiet leg (×0.7) vs the throttled r16 baseline: a real 2.5×
     // plan regression reads raw 1.75 — BELOW the unnormalized bar —
     // but 1.75/0.7 = 2.5 trips the normalized gate
     val quiet = Map("a" -> runs(0.7), "b" -> runs(1.4), "c" -> runs(3.0 * 0.7 * 2.5))
     assert(Bench.regressionGate(quiet, prev)  // unnormalized: hidden
-      == """{"n":0,"host_factor":1.000,"worst":[]}""")
+      == """{"n":0,"n_raw":0,"host_factor":1.000,"worst":[]}""")
     assert(Bench.regressionGate(quiet, prev, hostFactor = 0.7)
-      == """{"n":1,"host_factor":0.700,"worst":[{"c":1.75}]}""")
+      == """{"n":1,"n_raw":0,"host_factor":0.700,"worst":[{"c":1.75}]}""")
     // non-positive host factor degrades to 1.0, never divides by zero
     assert(Bench.regressionGate(quiet, prev, hostFactor = 0.0)
-      == """{"n":0,"host_factor":1.000,"worst":[]}""")
+      == """{"n":0,"n_raw":0,"host_factor":1.000,"worst":[]}""")
   }
 
   test("hostFactorOf: median per-key ratio; under 20 comparable keys " +
@@ -89,6 +89,38 @@ class BenchSpec extends AnyFunSuite {
     val noisy = (1 to 30).map(i => s"k$i" -> 0.9) ++
       Seq("x" -> -1.0, "y" -> Double.NaN)
     assert(Bench.hostFactorOf(noisy) == 0.9)
+  }
+
+  test("hostFactorOf clamps to [0.5, 2.0]: a suite-wide REAL slowdown " +
+       "(shared-operator regression, protocol change) shifts the " +
+       "median itself and must not be normalized away (r17 ADVICE)") {
+    // every key ×3 — a broad real regression, not a plausible host:
+    // unclamped normalization would read n=0; clamped at 2.0 the gate
+    // still sees 3.0/2.0 = 1.5-adjusted ratios and n_raw names it all
+    val broad = (1 to 25).map(i => s"k$i" -> 3.0)
+    assert(Bench.hostFactorOf(broad) == 2.0)
+    val fast = (1 to 25).map(i => s"k$i" -> 0.2)
+    assert(Bench.hostFactorOf(fast) == 0.5)
+    // inside the plausible host band the median passes through
+    assert(Bench.hostFactorOf((1 to 25).map(i => s"k$i" -> 0.7)) == 0.7)
+  }
+
+  test("fmt is locale-fixed: JSON numerics keep the dot under a " +
+       "comma-decimal default locale (r17 ADVICE)") {
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.FRANCE)
+      assert(Bench.fmt(1.005, 3) == "1.005")
+      // the gate's emitted object must stay parseable JSON end-to-end
+      val g = Bench.regressionGate(Map("a" -> Seq(3.0, 3.0, 3.0)),
+        Some(("r17", Map("a" -> 1.0))))
+      assert(g == """{"n":1,"n_raw":1,"host_factor":1.000,"worst":[{"a":3.00}]}""")
+    } finally java.util.Locale.setDefault(saved)
+  }
+
+  test("loadavg1 reads /proc/loadavg (pre-flight gate input)") {
+    // on this host procfs exists: a finite non-negative read
+    assert(Bench.loadavg1() >= 0.0)
   }
 
   test("nonClobbering: an existing round-versioned artifact is never " +

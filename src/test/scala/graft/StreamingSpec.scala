@@ -2497,4 +2497,112 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
     }
   }
+
+  test("TwsDedupC over-cap mirror flood: same-batch mirrors of a " +
+       "NOT-admitted content emit one pair total, not one per mirror; " +
+       "cross-batch mirrors carry the documented one-pair residual") {
+    // r17 ADVICE item 3: with a FULL bucket (cap reached), a new
+    // content is never admitted (no byContent entry), so before the
+    // fix every same-batch mirror re-emitted its own (id x mem.head)
+    // pair -- distinct ids survive dropDuplicates -- breaking the
+    // O(1)-per-mirror contract in exactly the flood regime the
+    // collapse targets. The in-batch sighting set now records the ck
+    // even when not admitted: one pair per (bucket, batch), however
+    // many mirrors the batch carries. CROSS-batch mirrors of an
+    // over-cap content still emit one pair each by design (persisting
+    // their ck would grow state with over-cap contents, un-bounding
+    // the cap) -- pinned here as the documented residual.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTwsConf {
+    val tDog = "the quick brown fox jumps over the lazy dog again and again today"
+    val tCat = "the quick brown fox jumps over the lazy cat again and again today"
+    val input = MemoryStream[(Long, String)]
+    val sigs = graft.operators.Dedup.withMinHashSignatures(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    // cap 1: doc 1's content fills every one of its buckets
+    val result = graft.streaming.TwsDedup
+      .candidatePairsCollapsed(sigs, maxBucket = 1)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_tws_overcap").toString
+    val q = result.toDF().writeStream.format("memory").queryName("tws_overcap")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def pairs(): Set[(Long, Long)] = spark.table("tws_overcap").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      input.addData(1L -> tDog)
+      q.processAllAvailable()
+      assert(pairs().isEmpty, s"lone doc emitted ${pairs()}")
+      // a same-batch FLOOD of a new near-dup content: in the buckets
+      // shared with doc 1 the cap is reached, so the content is not
+      // admitted -- exactly one probe pair (min id 10) may emit; the
+      // mirrors 11 and 12 must be suppressed in-batch
+      input.addData(10L -> tCat, 11L -> tCat, 12L -> tCat)
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 10L)),
+        s"same-batch mirror flood leaked pairs: ${pairs()}")
+      // cross-batch mirror of the over-cap content: one residual pair
+      input.addData(13L -> tCat)
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 10L), (1L, 13L)),
+        s"cross-batch residual wrong: ${pairs()}")
+    } finally q.stop()
+    }
+  }
+
+  test("TwsDedupC TTL x pre-collapse: expired contents re-rep on their " +
+       "next mirror and pairs re-emit within the new horizon; in-TTL " +
+       "mirrors still collapse (r17 verdict item 3)") {
+    // The production posture runs cap + TTL + collapse together. TTL
+    // expires a bucket's (ck -> rep) entries AND its rep-list entries
+    // per element, so state is bounded by arrival rate x TTL even on
+    // an endless crawl; the semantics to pin are (a) a mirror arriving
+    // INSIDE the horizon collapses as usual, (b) after its content's
+    // entries expire, the NEXT mirror becomes a fresh representative
+    // and near-dup pairs re-emit against the new horizon's reps only
+    // -- old, expired reps never resurface in pairs.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTwsConf {
+    val tDog = "the quick brown fox jumps over the lazy dog again and again today"
+    val tCat = "the quick brown fox jumps over the lazy cat again and again today"
+    val input = MemoryStream[(Long, String)]
+    val sigs = graft.operators.Dedup.withMinHashSignatures(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    val result = graft.streaming.TwsDedup.candidatePairsCollapsed(
+      sigs, ttl = Some(java.time.Duration.ofSeconds(4)))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_tws_ttlcollapse").toString
+    // ProcessingTime mode (required for TTL) schedules continuous
+    // batches -- poll the sink instead of processAllAvailable
+    val q = result.toDF().writeStream.format("memory").queryName("tws_ttlc")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def pairs(): Set[(Long, Long)] = spark.table("tws_ttlc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def waitUntil(cond: => Boolean, ms: Long = 30000): Boolean = {
+      val t0 = System.currentTimeMillis()
+      while (!cond && System.currentTimeMillis() - t0 < ms) Thread.sleep(200)
+      cond
+    }
+    try {
+      input.addData(1L -> tDog, 2L -> tCat)
+      assert(waitUntil(pairs() == Set((1L, 2L))), s"seed pair: ${pairs()}")
+      // in-TTL mirror: collapses (no new pairs while entries are live)
+      input.addData(3L -> tDog)
+      Thread.sleep(1500)
+      assert(pairs() == Set((1L, 2L)), s"in-TTL mirror leaked: ${pairs()}")
+      // let every entry expire, then mirrors of BOTH contents arrive:
+      // 10 re-reps dog's content into the empty bucket, 11 pairs with
+      // it -- and with 1/2/3 expired, (10, 11) is the ONLY legal pair
+      Thread.sleep(8000)
+      input.addData(10L -> tDog, 11L -> tCat)
+      assert(waitUntil(pairs().contains((10L, 11L))),
+        s"post-expiry pair missing: ${pairs()}")
+      assert(pairs() == Set((1L, 2L), (10L, 11L)),
+        s"expired reps resurfaced: ${pairs()}")
+    } finally q.stop()
+    }
+  }
 }
