@@ -245,3 +245,74 @@ object ScanAudit {
     spark.stop()
   }
 }
+
+/** Dev probe (r18 verdict item 4): like-for-like A/B of the
+  * modularity_score COMPOSITION on one JVM, alternating cold passes —
+  * OLD shape (raw word-adjacency edges cached; label propagation and
+  * per-round scoring each derive the undirected frame themselves, two
+  * edge-set distincts) vs NEW shape (ONE shared persisted undirected
+  * frame — what the query ships since r18). Same data, same session,
+  * interleaved order, cache cleared before every pass, so a host drift
+  * hits both arms equally.
+  *
+  * `sbt "runMain graft.ModularityProbe /tmp/bench10x 3"` */
+object ModularityProbe {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = args.headOption.getOrElse("/tmp/bench10x")
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    val Graph = graft.operators.Graph
+
+    // the query's private word-adjacency base, reproduced for the probe
+    def edgesDf(d: String) = {
+      val toks = sources.Tables.documents(spark, d)
+        .select(split(col("text"), " ").as("t"))
+      toks.select(explode(expr(
+          """CASE WHEN size(t) < 2 THEN array()
+            |ELSE transform(sequence(0, size(t) - 2),
+            |  i -> struct(t[i] AS src, t[i + 1] AS dst)) END""".stripMargin)).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .filter(col("src") =!= "" && col("dst") =!= "")
+        .distinct()
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def runOld(d: String): Unit = {
+      val edges = edgesDf(d).cache()
+      val rounds = Graph.labelPropTrace(edges, "src", "dst", iters = 2)
+      noop(Graph.modularityRounds(edges, "src", "dst",
+        Seq(1L -> rounds(0), 2L -> rounds(1))))
+      edges.unpersist()
+    }
+    def runNew(d: String): Unit = {
+      val und = Graph.undirect(edgesDf(d), "src", "dst").persist()
+      val rounds = Graph.labelPropTraceUnd(und, iters = 2)
+      noop(Graph.modularityRoundsUnd(und,
+        Seq(1L -> rounds(0), 2L -> rounds(1))))
+      und.unpersist()
+    }
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    // warm-up both arms (JIT + codegen), then interleaved cold passes
+    runOld("/root/testdata/sf0.001"); runNew("/root/testdata/sf0.001")
+    spark.catalog.clearCache(); System.gc()
+    val (olds, news) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
+    for (_ <- 1 to reps) {
+      spark.catalog.clearCache()
+      olds += time(runOld(dir))
+      spark.catalog.clearCache()
+      news += time(runNew(dir))
+    }
+    def stats(xs: Seq[Double]) = {
+      val s = xs.sorted
+      f"med=${s(s.size / 2)}%.2f [${s.head}%.2f..${s.last}%.2f]"
+    }
+    println(s"MODPROBE dir=$dir old(two-distinct) ${stats(olds.result())}")
+    println(s"MODPROBE dir=$dir new(shared-und)   ${stats(news.result())}")
+    spark.stop()
+  }
+}

@@ -339,12 +339,30 @@ object Graph {
     * pays no recomputation. */
   def labelPropTrace(edges: DataFrame, srcCol: String, dstCol: String,
                      iters: Int,
-                     reliableCheckpoint: Boolean = false): Seq[DataFrame] = {
-    val und = edges
+                     reliableCheckpoint: Boolean = false): Seq[DataFrame] =
+    labelPropTraceUnd(undirect(edges, srcCol, dstCol), iters,
+      reliableCheckpoint)
+
+  /** The UNDIRECTED SIMPLE edge frame (a < b, no self-loops, distinct)
+    * every graph operator here starts from — exposed so a caller
+    * composing several operators over the SAME graph (the
+    * modularity-audit query runs label propagation AND per-round
+    * scoring) can derive it ONCE, persist it, and share it: the
+    * distinct is a full shuffle of the edge set, the dominant cost at
+    * 100 TB, and paying it once instead of per-operator halves the
+    * composed plan's shuffle bill. */
+  def undirect(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+
+  /** [[labelPropTrace]] over a PRE-BUILT undirected simple frame
+    * (columns `a`, `b` — see [[undirect]]); persistence of `und` is
+    * caller-owned. */
+  def labelPropTraceUnd(und: DataFrame, iters: Int,
+                        reliableCheckpoint: Boolean = false): Seq[DataFrame] = {
     val nbr = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
       .cache()
@@ -394,16 +412,35 @@ object Graph {
     * tagging each labeling. */
   def modularityRounds(edges: DataFrame, srcCol: String, dstCol: String,
                        labelRounds: Seq[(Long, DataFrame)]): DataFrame = {
-    val und = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct().cache()
+    val und = undirect(edges, srcCol, dstCol).cache()
+    val out = modularityRoundsUnd(und, labelRounds)
+    und.unpersist()
+    out
+  }
+
+  /** [[modularityRounds]] over a PRE-BUILT undirected simple frame
+    * (columns `a`, `b` — see [[undirect]]); persistence of `und` is
+    * caller-owned, so a caller that already derived it for label
+    * propagation shares ONE materialization across both operators
+    * instead of re-shuffling the edge set into a second distinct. The
+    * output is eagerly materialized (localCheckpoint — it is the tiny
+    * per-community result frame), so the caller may unpersist `und`
+    * immediately after this returns. */
+  def modularityRoundsUnd(und: DataFrame,
+                          labelRounds: Seq[(Long, DataFrame)]): DataFrame =
+    modularityRoundsPlan(und, labelRounds).localCheckpoint()
+
+  /** The un-materialized plan behind [[modularityRoundsUnd]] —
+    * separate so PlanSpec can pin the shared-frame contract (every
+    * fan-out arm reads the caller's persisted `und`, no re-derived
+    * distinct) on the plan the checkpoint would otherwise hide. */
+  private[graft] def modularityRoundsPlan(und: DataFrame,
+      labelRounds: Seq[(Long, DataFrame)]): DataFrame = {
     val mrow = und.agg(count(lit(1)).as("m"))
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val out = labelRounds.map { case (round, labels) =>
+    labelRounds.map { case (round, labels) =>
       val lab = labels.select(col(labels.columns(0)).as("node"),
         col(labels.columns(1)).as("label"))
       val intra = und
@@ -421,9 +458,7 @@ object Graph {
           col("deg_sum"),
           (coalesce(col("intra_edges"), lit(0L)) * col("m") * 4 -
             col("deg_sum") * col("deg_sum")).as("q_scaled"))
-    }.reduce(_ unionByName _).localCheckpoint()
-    und.unpersist()
-    out
+    }.reduce(_ unionByName _)
   }
 
   /** DEGREE ASSORTATIVITY (Newman's r) of the undirected simple

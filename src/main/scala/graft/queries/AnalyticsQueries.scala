@@ -482,12 +482,20 @@ object AnalyticsQueries {
     // (guarded-crossJoin). All node-keyed shuffles; nothing
     // driver-side.
     "modularity_score" -> { (s, d) =>
-      val edges = wordAdjacencyEdges(s, d).cache()
-      val rounds = graft.operators.Graph
-        .labelPropTrace(edges, "src", "dst", iters = 2)
-      val out = graft.operators.Graph.modularityRounds(edges, "src", "dst",
+      // ONE undirected-distinct shuffle shared by BOTH operators (r17
+      // verdict item 4): propagation and per-round scoring previously
+      // each derived und from the cached raw edges, paying the edge-set
+      // distinct twice — the dominant shuffle of this key at scale. The
+      // shared frame is lazily persisted (materializes inside round 1's
+      // first job, never an eager pin of a fact-scale frame) and
+      // released once the scoring output (a localCheckpointed
+      // per-community frame) is materialized.
+      val und = graft.operators.Graph
+        .undirect(wordAdjacencyEdges(s, d), "src", "dst").persist()
+      val rounds = graft.operators.Graph.labelPropTraceUnd(und, iters = 2)
+      val out = graft.operators.Graph.modularityRoundsUnd(und,
         Seq(1L -> rounds(0), 2L -> rounds(1)))
-      edges.unpersist()
+      und.unpersist()
       out
     },
 

@@ -1019,4 +1019,30 @@ class PlanSpec extends SparkTestBase {
     assert(fb.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet == want)
   }
+
+  test("modularity_score composition: propagation and scoring share ONE " +
+    "persisted undirected frame -- the scoring fan-out reads the cache, " +
+    "never a re-derived edge-set distinct (r17 verdict item 4)") {
+    val Graph = graft.operators.Graph
+    val edges = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+    val und = Graph.undirect(edges, "src", "dst").persist()
+    try {
+      val rounds = Graph.labelPropTraceUnd(und, iters = 2)
+      val plan = planOf(Graph.modularityRoundsPlan(und,
+        Seq(1L -> rounds(0), 2L -> rounds(1))))
+      // the edge total, the degree agg, and both per-round intra joins
+      // must all read the shared cache...
+      val memScans = "InMemoryTableScan".r.findAllIn(plan).length
+      assert(memScans >= 4, s"expected >=4 cache reads, got $memScans:\n$plan")
+      // ...and nothing may re-derive the edge set from source (the old
+      // shape paid the undirected distinct twice, once per operator).
+      // The InMemoryRelation node renders its STORED build plan — the
+      // one legitimate parquet-scan text — so the pin is positional:
+      // no parquet scan may appear before the first cache node.
+      val firstParquet = plan.indexOf("Scan parquet")
+      assert(firstParquet < 0 || firstParquet > plan.indexOf("InMemoryRelation"),
+        s"edge set re-derived from parquet in the scoring plan:\n$plan")
+    } finally und.unpersist()
+  }
 }
