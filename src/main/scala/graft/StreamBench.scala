@@ -110,10 +110,24 @@ object StreamBench {
       * batch id are handed to it) instead of the noop sink — the
       * CurationIngest verify stage needs per-batch control to prune
       * its store probe; state metrics still report (the stateful
-      * operator is upstream of the sink either way). */
+      * operator is upstream of the sink either way).
+      *
+      * `pollDrain` MUST be set for TimeMode.ProcessingTime operators
+      * (TTL rows): in that mode the planner fires micro-batches
+      * CONTINUOUSLY to service timers/TTL, `processAllAvailable()`
+      * never settles, and with the default 0 ms trigger every empty
+      * batch commits a full per-partition RocksDB snapshot zip — the
+      * r18 harness measured 2,280+ empty batches at 570% CPU before
+      * the row was killed (the TWS TTL SPEC already polls for the same
+      * reason, StreamingSpec "TWS native TTL"). With `pollDrain` the
+      * query runs under a 1 s trigger (bounds the empty-batch commit
+      * rate) and the drain waits until the input-row total is stable
+      * for 5 consecutive seconds — the ingest wall then carries a ≤5 s
+      * poll tail, annotated where the row is read. */
     def bench(name: String, srcTable: String, filesPerTrigger: Int,
               settleMs: Long = 0L,
-              sink: Option[(DataFrame, Long) => Unit] = None)
+              sink: Option[(DataFrame, Long) => Unit] = None,
+              pollDrain: Boolean = false)
              (op: DataFrame => DataFrame): Unit = {
       // srcTable is a table name under dataDir, or an absolute
       // parquet-dir path (the dedup100x scratch corpus)
@@ -158,13 +172,31 @@ object StreamBench {
           case Some(f) => op(stream).writeStream.foreachBatch(f)
           case None    => op(stream).writeStream.format("noop")
         }
-        w.option("checkpointLocation", ckpt).start()
+        val w2 = if (pollDrain)
+          w.trigger(org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("1 second"))
+        else w
+        w2.option("checkpointLocation", ckpt).start()
       }
+      // Drain by EXPECTED ROW COUNT, not a stability heuristic: the
+      // first poll-drain attempt waited for 5 stable seconds, but a
+      // 100×-corpus batch runs ~8-30 s between progress updates, so
+      // the "stable" window expired mid-stream and the row recorded 1
+      // of 8 batches. The input is a static file set — the exact row
+      // count is knowable up front, so wait for exactly that.
+      def drain(q: StreamingQuery, expectRows: Long): Unit =
+        if (!pollDrain) q.processAllAvailable()
+        else {
+          while (q.recentProgress.map(_.numInputRows).sum < expectRows)
+            Thread.sleep(1000)
+        }
 
       // ---- phase 1: ingest 90%
+      val headRows =
+        if (pollDrain) spark.read.parquet(inDir.toString).count() else -1L
       val t0 = System.nanoTime()
       val q = start()
-      q.processAllAvailable()
+      drain(q, headRows)
       val ingestSec = (System.nanoTime() - t0) / 1e9
       val progs = q.recentProgress
       val rows = progs.map(_.numInputRows).sum
@@ -181,9 +213,12 @@ object StreamBench {
 
       // ---- phase 2: recovery — restart the checkpoint on +10% input
       copyParts(src, inDir, tail)
+      val tailRows =
+        if (pollDrain) spark.read.parquet(inDir.toString).count() - headRows
+        else -1L
       val r0 = System.nanoTime()
       val q2 = start()
-      q2.processAllAvailable()
+      drain(q2, tailRows)
       val recoverSec = (System.nanoTime() - r0) / 1e9
       val rRows = q2.recentProgress.map(_.numInputRows).sum
       safeStop(q2, settleMs)
@@ -404,7 +439,7 @@ object StreamBench {
       // in the new horizon, state bounded by rate × TTL) are pinned in
       // TwsSpecs with a crafted clock.
       bench("TwsDedupC100xTTL", big.toString, filesPerTrigger = 8,
-            settleMs = 3000L) { docs =>
+            settleMs = 3000L, pollDrain = true) { docs =>
         TwsDedup.candidatePairsCollapsed(
           graft.operators.Dedup.withMinHashSignatures(docs, "text", "doc_id"),
           ttl = Some(java.time.Duration.ofHours(1))).toDF()
