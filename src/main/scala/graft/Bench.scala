@@ -34,12 +34,27 @@ object Bench {
       .map(_.toDouble).getOrElse(1.0)
     val LoadWaitMaxSec = sys.env.get("SPARK_GRAFT_LOAD_WAIT_MAX")
       .map(_.toInt).getOrElse(600)
+    // prime the host-contention counters (the first processCpuLoad /
+    // /proc/stat reads have no baseline window); the start sample
+    // below then carries real deltas over at least the 250 ms pause
+    var hostTicks: Option[(Long, Long)] = hostRead(None)._2
     var preflightWaitSec = 0
     while (loadavg1() > LoadGate && preflightWaitSec < LoadWaitMaxSec) {
       Thread.sleep(30000); preflightWaitSec += 30
     }
+    Thread.sleep(250)
     val loadReads = scala.collection.mutable.ListBuffer(
       "start" -> loadavg1())
+    val hostReads = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var stealMax = -1.0
+    var runnableOtherMax = -1
+    def sampleHost(name: String): Unit = {
+      val (j, t, st, ro) = hostRead(hostTicks)
+      hostTicks = t; hostReads += (name -> j)
+      stealMax = math.max(stealMax, st)
+      runnableOtherMax = math.max(runnableOtherMax, ro)
+    }
+    sampleHost("start")
 
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -137,8 +152,10 @@ object Bench {
       // keyed by the NAME about to run, so the artifact maps a burst
       // to the measurement-order neighborhood whatever the order env
       if (i % SentinelEvery == 0) timeline += ((name, sentinelOnce()))
-      if (i == ordered.size / 3 || i == 2 * ordered.size / 3)
+      if (i == ordered.size / 3 || i == 2 * ordered.size / 3) {
         loadReads += (s"at_$name" -> loadavg1())
+        sampleHost(s"at_$name")
+      }
       // CLEAR THE PLAN CACHE BEFORE EVERY TIMED PASS (r17, advisor):
       // CacheManager dedupes persisted plans by canonicalized form, so
       // a builder that persist()s (basket_rules, sparse_sim_topk) had
@@ -167,17 +184,28 @@ object Bench {
     }
     val sentinelLast = sentinelRuns()
     loadReads += ("end" -> loadavg1())
+    sampleHost("end")
     spark.stop()
     val loadJson = {
       val reads = loadReads.map { case (k, v) => s""""$k":${fmt(v, 2)}""" }
         .mkString("{", ",", "}")
+      // steal_max / runnable_other_max: the bounded co-tenancy summary
+      // (max over the suite's rich host reads) that fits the compact
+      // line — steal is never self-load, runnable_other excludes us
       s""""loadavg":{"gate":${fmt(LoadGate, 2)},"wait_sec":$preflightWaitSec,""" +
-        s""""exceeded":${loadReads.head._2 > LoadGate},"reads":$reads},"""
+        s""""exceeded":${loadReads.head._2 > LoadGate},""" +
+        s""""steal_max":${fmt(stealMax, 3)},""" +
+        s""""runnable_other_max":$runnableOtherMax,"reads":$reads},"""
     }
+    // FULL-artifact-only (the compact line is already near the
+    // driver's stdout-tail budget): the rich contention reads —
+    // see hostRead for why raw loadavg alone is self-confounded
+    val hostJson = hostReads.map { case (k, v) => s""""$k":$v""" }
+      .mkString(""""host_reads":{""", ",", "},")
     // report AFTER stop: the compact JSON must be the last line of
     // merged output so the driver's stdout-tail window catches it
     report(results, sfDir, Some((SentinelName, sentinelFirst, sentinelLast)),
-      timeline.toSeq, loadJson)
+      timeline.toSeq, loadJson, hostJson)
   }
 
   /** Emit the bench result twice:
@@ -196,7 +224,8 @@ object Bench {
   private[graft] def report(unsorted: Seq[(String, Seq[Double])], sfDir: String,
                             sentinel: Option[(String, Seq[Double], Seq[Double])] = None,
                             timeline: Seq[(String, Double)] = Seq.empty,
-                            loadJson: String = ""): Unit = {
+                            loadJson: String = "",
+                            hostJson: String = ""): Unit = {
     // emit name-sorted regardless of measurement order, so the qv
     // array stays aligned with alphabetical query names
     val results = unsorted.sortBy(_._1)
@@ -264,7 +293,7 @@ object Bench {
     // persist() (basket_rules, sparse_sim_topk) read higher than the
     // r16-and-earlier warm-pass medians by measurement change, not
     // plan change
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","cache_cleared_between_passes":true,$loadJson$sentinelJson$timelineJson$vsPrevFullJson$regressionsJson"queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","cache_cleared_between_passes":true,$loadJson$hostJson$sentinelJson$timelineJson$vsPrevFullJson$regressionsJson"queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
     writeText(outPath, full)
     // ALSO write a round-versioned copy so no round's per-query data
     // lives only in the git history of the overwritten BENCH_FULL:
@@ -431,6 +460,71 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")),
       java.nio.charset.StandardCharsets.UTF_8).split("\\s+")(0).toDouble
   } catch { case _: Throwable => -1.0 }
+
+  /** Cumulative (totalJiffies, stealJiffies) from /proc/stat's
+    * aggregate cpu line; None when unreadable. Steal is field 8 —
+    * hypervisor preemption time, the one signal that can NEVER be the
+    * bench's own load. */
+  private[graft] def cpuTicks(): Option[(Long, Long)] = try {
+    scala.io.Source.fromFile("/proc/stat").getLines()
+      .find(_.startsWith("cpu ")).map { line =>
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        (f.sum, if (f.length > 7) f(7) else 0L)
+      }
+  } catch { case _: Throwable => None }
+
+  /** Count of OTHER processes currently runnable or in uninterruptible
+    * IO (state R/D in /proc/<pid>/stat, own pid excluded) — a direct
+    * co-tenant signal the loadavg cannot give once the bench itself
+    * saturates the box. The state char is parsed after the LAST ')'
+    * (comm may contain spaces/parens). -1 when /proc is unreadable. */
+  private[graft] def runnableOther(): Int = try {
+    val self = ProcessHandle.current().pid()
+    Option(new java.io.File("/proc").listFiles()).toSeq.flatten.count { f =>
+      val n = f.getName
+      n.nonEmpty && n.forall(_.isDigit) && n.toLong != self && (try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          f.toPath.resolve("stat")), java.nio.charset.StandardCharsets.UTF_8)
+        val st = s.charAt(s.lastIndexOf(')') + 2)
+        st == 'R' || st == 'D'
+      } catch { case _: Throwable => false })
+    }
+  } catch { case _: Throwable => -1 }
+
+  /** One rich host-contention read (r18 verdict: the at-thirds raw
+    * loadavg reads measured the bench's OWN load — local[32] drives
+    * loadavg to 15-23 at 10× by design, so the block could not
+    * distinguish "burst mid-suite" from "suite is running"). Each read
+    * now also records what this JVM itself consumes (`jvm_cpu`,
+    * process CPU share of all cores), the system-wide share
+    * (`sys_cpu`) — their DIFFERENCE is the co-tenant share a reader
+    * previously had to estimate ad hoc — plus `steal_pct` since the
+    * previous read (delta-based; -1 on the first read) and the
+    * other-runnable process count. Per-read detail goes in the FULL
+    * artifact (the compact stdout line is already near the driver's
+    * tail window and carries only a bounded max-summary in its
+    * loadavg block). `prevTicks` threads the /proc/stat snapshot
+    * between reads; returns (json, newTicks, stealPct, runnableOther). */
+  private[graft] def hostRead(prevTicks: Option[(Long, Long)])
+      : (String, Option[(Long, Long)], Double, Int) = {
+    val (jvm, sysc) =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean =>
+          (b.getProcessCpuLoad, b.getCpuLoad)
+        case _ => (-1.0, -1.0)
+      }
+    val now = cpuTicks()
+    val steal = (prevTicks, now) match {
+      case (Some((t0, s0)), Some((t1, s1))) if t1 > t0 =>
+        100.0 * (s1 - s0) / (t1 - t0)
+      case _ => -1.0
+    }
+    val other = runnableOther()
+    val json = s"""{"load1":${fmt(loadavg1(), 2)},"jvm_cpu":${fmt(jvm, 3)},""" +
+      s""""sys_cpu":${fmt(sysc, 3)},"steal_pct":${fmt(steal, 3)},""" +
+      s""""runnable_other":$other}"""
+    (json, now, steal, other)
+  }
 
   private def writeText(path: String, s: String): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(path),

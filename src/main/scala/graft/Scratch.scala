@@ -309,7 +309,11 @@ object ModularityProbe {
     }
     def stats(xs: Seq[Double]) = {
       val s = xs.sorted
-      f"med=${s(s.size / 2)}%.2f [${s.head}%.2f..${s.last}%.2f]"
+      // locale-fixed (r18 ADVICE): the f interpolator follows the JVM
+      // default locale — a comma-decimal default would corrupt the
+      // probe numbers that feed adjudication notes
+      s"med=${Bench.fmt(s(s.size / 2), 2)} " +
+        s"[${Bench.fmt(s.head, 2)}..${Bench.fmt(s.last, 2)}]"
     }
     println(s"MODPROBE dir=$dir old(two-distinct) ${stats(olds.result())}")
     println(s"MODPROBE dir=$dir new(shared-und)   ${stats(news.result())}")

@@ -339,7 +339,23 @@ object TwsDedup {
     val idRows = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
       .distinct().limit(maxProbeIds + 1).collect()
-    if (idRows.length > maxProbeIds || idRows.isEmpty)
+    def prunedForm(slice: DataFrame): DataFrame =
+      jaccardVerify(
+        pairs
+          .join(broadcast(slice.select(col("id").as("doc_a"),
+            col("hs").as("hs_a"))), "doc_a")
+          .join(broadcast(slice.select(col("id").as("doc_b"),
+            col("hs").as("hs_b"))), "doc_b"),
+        minBp)
+    if (idRows.isEmpty)
+      // r18 ADVICE: an EMPTY micro-batch (routine under ProcessingTime
+      // triggers, which fire continuously for timers/TTL) used to take
+      // the unpruned full-scan fallback for a provably-empty result —
+      // probe an empty slice instead: limit(0) folds to an empty
+      // LocalRelation, so the batch pays no store IO at all while the
+      // output schema stays identical to the non-empty paths.
+      prunedForm(sets.limit(0))
+    else if (idRows.length > maxProbeIds)
       jaccardVerify(
         broadcast(pairs)
           .join(sets.select(col("id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
@@ -347,14 +363,7 @@ object TwsDedup {
         minBp)
     else {
       val ids = idRows.map(_.getLong(0)).toSeq
-      val pruned = sets.filter(col("id").isin(ids: _*))
-      jaccardVerify(
-        pairs
-          .join(broadcast(pruned.select(col("id").as("doc_a"),
-            col("hs").as("hs_a"))), "doc_a")
-          .join(broadcast(pruned.select(col("id").as("doc_b"),
-            col("hs").as("hs_b"))), "doc_b"),
-        minBp)
+      prunedForm(sets.filter(col("id").isin(ids: _*)))
     }
   }
 }

@@ -123,6 +123,36 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.loadavg1() >= 0.0)
   }
 
+  test("hostRead: rich contention read separates self-load from " +
+       "co-tenancy (r18 verdict item 4 — raw loadavg alone cannot, " +
+       "once local[32] saturates the box)") {
+    // first read: no tick baseline → steal -1; jvm/sys shares and the
+    // other-runnable count present; JSON fields all emitted
+    val (j1, t1, steal1, other1) = Bench.hostRead(None)
+    assert(steal1 == -1.0)
+    assert(other1 >= 0) // own pid excluded; /proc readable here
+    for (f <- Seq("load1", "jvm_cpu", "sys_cpu", "steal_pct",
+        "runnable_other"))
+      assert(j1.contains(s""""$f":"""), s"missing $f in $j1")
+    assert(t1.isDefined) // /proc/stat readable here
+    // second read over a real window: steal becomes a finite pct
+    Thread.sleep(300)
+    var spin = 0L
+    val until = System.nanoTime() + 100000000L
+    while (System.nanoTime() < until) spin += 1 // burn ticks so Δtotal>0
+    val (j2, _, steal2, _) = Bench.hostRead(t1)
+    assert(steal2 >= 0.0 && steal2 <= 100.0, s"steal=$steal2 in $j2")
+  }
+
+  test("cpuTicks parses /proc/stat aggregate line; runnableOther " +
+       "never counts this process") {
+    val t = Bench.cpuTicks()
+    assert(t.isDefined)
+    val (total, steal) = t.get
+    assert(total > 0 && steal >= 0 && steal <= total)
+    assert(Bench.runnableOther() >= 0)
+  }
+
   test("nonClobbering: an existing round-versioned artifact is never " +
        "overwritten — reruns land at _rerunK and stay OUT of the " +
        "qv_vs_prev baseline scan") {

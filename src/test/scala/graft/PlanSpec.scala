@@ -1018,6 +1018,17 @@ class PlanSpec extends SparkTestBase {
       s"fallback shuffled the store:\n$fplan")
     assert(fb.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet == want)
+    // r18 ADVICE: an EMPTY candidate batch (routine under
+    // ProcessingTime triggers) must short-circuit — same output
+    // schema, zero rows, and NO store scan in the plan (the old code
+    // routed empty batches to the unpruned full-scan fallback)
+    val empty = Tws.verifiedPairsBatch(cands.limit(0), store)
+    assert(empty.schema.fieldNames.toSeq ==
+      Seq("doc_a", "doc_b", "jaccard_bp"))
+    assert(empty.count() == 0)
+    val eplan = planOf(empty)
+    assert(!eplan.contains("Scan parquet") && !eplan.contains("FileScan"),
+      s"empty batch still scans the store:\n$eplan")
   }
 
   test("modularity_score composition: propagation and scoring share ONE " +
