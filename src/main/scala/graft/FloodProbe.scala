@@ -39,7 +39,13 @@ import graft.streaming.TwsDedup
 object FloodProbe {
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("FLOODPROBE.txt")
-    val spark = GraftSession.builder("local[8]", 8).getOrCreate()
+    // transformWithState needs column families → RocksDB provider (the
+    // default HDFSBacked provider rejects TWS state with
+    // STATE_STORE_MULTIPLE_COLUMN_FAMILIES), same as StreamBench
+    val spark = GraftSession.builder("local[8]", 8)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 

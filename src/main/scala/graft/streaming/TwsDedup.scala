@@ -324,16 +324,30 @@ object TwsDedup {
     * BROADCAST and the batch joins it map-side — per-batch cost is
     * O(candidates + pruned-store-slice), never a store shuffle.
     *
-    * If a pathological batch carries more than `maxProbeIds` distinct
-    * ids, the literal list would bloat the plan; the probe degrades to
-    * the unpruned scan with the small BATCH side broadcast — still
-    * shuffle-free, one scan for that batch only. Callers should
+    * If a batch carries more than `maxProbeIds` distinct ids, the
+    * literal list would bloat the plan: shipping D literals costs
+    * ~0.2 ms/id of plan build + filter translation — MEASURED, linear
+    * (STREAMBENCH_r19 probeCost sweep: 0.6-0.8 s at 1k ids, 19-25 s at
+    * 100k, vs a 1.6-6.6 s full scan of a 500k-sig store), which is why
+    * the default cap is 10k (the measured crossover at that store
+    * scale; the r18 100k default was picked, not measured). The
+    * crossover is STORE-SIZE dependent — the per-id plan cost is
+    * store-independent while full-scan cost grows with the store — so
+    * at a 100 TB store callers should raise `maxProbeIds` toward what
+    * the driver tolerates per batch (e.g. 50k ≈ 10 s plan time).
+    * Over the cap the probe degrades to a RANGE-pruned scan: one cheap
+    * batch-local aggregate finds the candidate id span, `[lo, hi]`
+    * pushes into the sorted store's footer stats (a recent-ingest
+    * candidate neighborhood prunes nearly as well as the exact id
+    * set), and the small BATCH side broadcasts — worst case (ids
+    * scattered across the full span) it prunes nothing and equals the
+    * old full-scan fallback at O(1) extra plan cost. Callers should
     * `persist()` the batch frame before calling (it is consumed twice:
     * id collection + join) — re-computing a stateful operator's batch
     * output is legal but wasteful. */
   def verifiedPairsBatch(candsBatch: DataFrame, store: DataFrame,
                          minBp: Int = 5000,
-                         maxProbeIds: Int = 100000): DataFrame = {
+                         maxProbeIds: Int = 10000): DataFrame = {
     val pairs = candsBatch.select(col("doc_a"), col("doc_b"))
     val sets = store.select(col("id"), col("hs"))
     val idRows = pairs
@@ -355,13 +369,20 @@ object TwsDedup {
       // LocalRelation, so the batch pays no store IO at all while the
       // output schema stays identical to the non-empty paths.
       prunedForm(sets.limit(0))
-    else if (idRows.length > maxProbeIds)
+    else if (idRows.length > maxProbeIds) {
+      // over-cap: range-pruned fallback (see the doc comment for the
+      // r19 measurement that replaced the unpruned full scan here)
+      val span = pairs.agg(
+        least(min(col("doc_a")), min(col("doc_b"))).as("lo"),
+        greatest(max(col("doc_a")), max(col("doc_b"))).as("hi")).collect()(0)
+      val ranged = sets.filter(
+        col("id").between(span.getLong(0), span.getLong(1)))
       jaccardVerify(
         broadcast(pairs)
-          .join(sets.select(col("id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-          .join(sets.select(col("id").as("doc_b"), col("hs").as("hs_b")), "doc_b"),
+          .join(ranged.select(col("id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+          .join(ranged.select(col("id").as("doc_b"), col("hs").as("hs_b")), "doc_b"),
         minBp)
-    else {
+    } else {
       val ids = idRows.map(_.getLong(0)).toSeq
       prunedForm(sets.filter(col("id").isin(ids: _*)))
     }

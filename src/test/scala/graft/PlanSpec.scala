@@ -1009,13 +1009,18 @@ class PlanSpec extends SparkTestBase {
     val got = Tws.verifiedPairsBatch(cands, store, minBp = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want && got.size == 2, s"$got != $want")
-    // the over-cap fallback degrades to broadcast-batch, still no
-    // store shuffle
+    // the over-cap fallback degrades to broadcast-batch over a
+    // RANGE-pruned scan (r19: the candidate id span [lo, hi] pushes
+    // into the sorted store's footer stats — the unpruned full scan
+    // is gone), still no store shuffle
     val fb = Tws.verifiedPairsBatch(cands, store, minBp = 0, maxProbeIds = 1)
     val fplan = planOf(fb)
     assert(fplan.contains("BroadcastHashJoin") &&
       !fplan.contains("SortMergeJoin") && !fplan.contains("ShuffledHashJoin"),
       s"fallback shuffled the store:\n$fplan")
+    assert(fplan.contains("GreaterThanOrEqual(id") &&
+      fplan.contains("LessThanOrEqual(id"),
+      s"fallback scan not range-pruned by the candidate id span:\n$fplan")
     assert(fb.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet == want)
     // r18 ADVICE: an EMPTY candidate batch (routine under
