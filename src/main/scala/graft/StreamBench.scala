@@ -594,8 +594,12 @@ object StreamBench {
         dedupCands(decontam(quality(decode(docs))))
       }
       rowDedup(); rowFull()
-      log(s"# CurationIngest verified_pairs=${verified.get()} " +
-        s"(pruned per-batch store probe, store=$storeDir)")
+      // only meaningful when the full row actually ran — a targeted
+      // SB_ONLY run that skips CurationIngest must not print a
+      // misleading verified_pairs=0 into its artifact
+      if (selected("CurationIngest"))
+        log(s"# CurationIngest verified_pairs=${verified.get()} " +
+          s"(pruned per-batch store probe, store=$storeDir)")
 
       // 14b) (arg flag "verify100x") — r18 verdict item 2: the pruned
       //      verify's 100 TB claim was proven in PLAN SHAPE (pushed In,
