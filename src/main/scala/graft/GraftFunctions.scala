@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.call_function
 
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 
-import graft.functions.{Fingerprint64, GramMatrix, MinHashSig, MisraGries, ParseSqdataTs, ReservoirSample, TopK, VecDistSq, VecDot}
+import graft.functions.{Fingerprint64, GramMatrix, MinHashSig, MisraGries, ParseSqdataTs, ReservoirSample, SimHashSig, TopK, VecDistSq, VecDot}
 
 /** Registration + Column-API surface for graft's native Catalyst
   * expressions. Registration is idempotent; every `SparkEntry.queries`
@@ -24,6 +24,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head,
         exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash_sig", exprs => SimHashSig(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "reservoir_sample", exprs => ReservoirSample(exprs.head,
         exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
@@ -57,6 +59,11 @@ object GraftFunctions {
     * element hashes — one pass, no intermediate arrays. */
   def minhash_sig(c: Column, numPerm: Int): Column =
     call_function("minhash_sig", c, org.apache.spark.sql.functions.lit(numPerm))
+
+  /** 64-bit SimHash over an array<bigint> of token hashes — one
+    * JIT-compiled pass per row, in-scan (see functions.SimHashSig;
+    * replaces the 64-pass interpreted HOF fold). */
+  def simhash_sig(c: Column): Column = call_function("simhash_sig", c)
 
   /** Uniform k-reservoir sample aggregate over a bigint column — one
     * pass, k-sized state, distributed merge (no sort, no shuffle of

@@ -768,16 +768,25 @@ object Dedup {
     * DuckDB oracle can recompute the exact signatures. */
   def simhashSignature(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     graft.GraftFunctions.register(docs.sparkSession)
+    // r19 (guide §4 — no non-codegen expressions in the hot path): the
+    // original form folded `aggregate(sequence(0,63), …,
+    // aggregate(th, …))` — 64 interpreted lambda passes over every
+    // document's token-hash array (higher-order functions are
+    // CodegenFallback), measured at 2.7 s of simhash_bit_balance's
+    // 2.8 s sf0.1 median (OPTPROBE r19). simhash_sig computes the
+    // identical signature in one JIT-compiled pass per row, IN-SCAN —
+    // zero exchanges added, same plan shape as before, so the 220-doc
+    // dedup corpus keys pay nothing while token-heavy inputs drop ~4×.
+    // Per-bit ±1 sums are exact integers in any order: signatures are
+    // bit-identical (DedupSpec pins equality against the literal old
+    // fold, incl. NULL text — coalesce to array() reproduces the old
+    // "NULL text ⇒ signature 0" via the empty fold).
     docs
       .select(col(idCol).as("id"),
-        expr(s"transform(split($textCol, ' '), t -> fingerprint64(t))").as("th"))
-      .select(col("id"), expr(
-        """aggregate(
-          |  sequence(0, 63), CAST(0 AS BIGINT),
-          |  (acc, i) -> acc | IF(
-          |    aggregate(th, 0, (c, h) -> c + IF((shiftright(h, i) & 1) = 1, 1, -1)) > 0,
-          |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
-        .as("simhash"))
+        expr(s"coalesce(transform(split($textCol, ' '), t -> fingerprint64(t))," +
+          " array())").as("th"))
+      .select(col("id"),
+        graft.GraftFunctions.simhash_sig(col("th")).as("simhash"))
   }
 
   /** Storage level for the clustering loop's cached frames (the
@@ -840,15 +849,28 @@ object Dedup {
       .persist(lvl)
     var converged = false
     var iter = 1
+    // the frame actually persisted/checkpointed this round — unpersist
+    // must target IT (unpersist on a projection of a cached plan is a
+    // cache-manager no-op and would leak one entry per round)
+    var cachedRound = labels
     while (!converged && iter < maxIter) {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("label", "dst_label"), "dst")
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")),
+          "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("nbr_label"))
+      // `changed` rides INSIDE the round frame (r19, guide §2.4): the
+      // old form re-joined `next` against `labels` just to compare new
+      // vs old label — one extra id-keyed join (two exchanges + sorts)
+      // per round whose inputs the round join had ALREADY co-located.
+      // The labels join here carries the old label anyway, so the
+      // comparison is a free projected column; the convergence probe
+      // becomes a filter+limit over the cached round frame.
       val nextPlan = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (least(col("label"), coalesce(col("nbr_label"), col("label")))
+            =!= col("label")).as("__changed"))
       // Lineage truncation: each round's plan chains the last round's
       // joins, so a long-diameter component (rounds ≈ diameter) would
       // stack O(rounds) joins of planning + lineage. localCheckpoint
@@ -861,10 +883,10 @@ object Dedup {
           if (reliableCheckpoint) nextPlan.checkpoint()
           else nextPlan.localCheckpoint()
         } else nextPlan.persist(lvl)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("__changed")).limit(1).count()
+      cachedRound.unpersist()
+      cachedRound = next
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
     }
@@ -926,11 +948,21 @@ object Dedup {
   def bestRepresentative(docs: DataFrame, pairs: DataFrame,
                          idCol: String, scoreCol: String,
                          aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    // r19 (guide §1/§5): `members` feeds three consumers (the
+    // max-score aggregate, the tie-break join, the final membership
+    // join) — uncheckpointed, each consumer re-ran the docs⋈labels
+    // join against the clustering cache and the final adaptive plan
+    // carried three copies of the subtree (226 operators at sf0.1,
+    // ~15 AQE stages). One eager localCheckpoint of the 24-byte-row
+    // frame collapses that to block reads; at scale the frame is
+    // docs × 24 bytes and three recomputes would cost strictly more
+    // than one materialization.
     val members = docs
       .join(clusterPairs(pairs, aCol, bCol)
         .withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
       .select(col(idCol), col(scoreCol),
         coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))
+      .localCheckpoint()
     val best = members.groupBy("canonical_id")
       .agg(max(col(scoreCol)).as("best_score"))
     val reps = members.join(best, "canonical_id")

@@ -70,6 +70,15 @@ object Graph {
     val n = math.max(1L, nodes.count())
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
     val ew = e.join(outW, "src").cache()
+    // r19 (guide §2.4): the dangling-node SET is round-invariant —
+    // only the rank mass parked on it changes — yet the old form
+    // re-derived `ew.select("src").distinct()` and re-ran the
+    // anti-join against the full rank frame every round. Compute the
+    // set once, cached; each round's dangling sum is then one
+    // node-keyed semi join + scalar aggregate over it. Same rows,
+    // same sum, values identical.
+    val dangling = nodes.join(ew.select("src").distinct(),
+      nodes("node") === col("src"), "left_anti").select("node").cache()
     val init = 1000000L / n
     val base = ((10000L - dampBp) * init) / 10000L
     var pr = nodes.select(col("node"), lit(init).as("pr"))
@@ -88,8 +97,7 @@ object Graph {
         if (conserveDangling) {
           // dangling sum: rank parked on nodes absent from the
           // out-weight side — one scalar row, broadcast to every node
-          val dang = pr.join(ew.select("src").distinct(),
-              pr("node") === col("src"), "left_anti")
+          val dang = pr.join(dangling, Seq("node"), "left_semi")
             .agg(coalesce(sum(col("pr")), lit(0L)).as("dsum"))
           inflow.crossJoin(broadcast(dang))
             .select(col("node"),
@@ -105,6 +113,7 @@ object Graph {
     val out = ckpt(pr, reliableCheckpoint)
     nodes.unpersist()
     ew.unpersist()
+    dangling.unpersist()
     out
   }
 
@@ -131,12 +140,19 @@ object Graph {
     for (_ <- 1 to maxHops) {
       val next = dist.join(e, dist("node") === e("src"))
         .select(col("dst").as("node"), (col("hops") + lit(1L)).as("hops"))
+      // r19 per-round lineage truncation (guide §2.4): `dist` feeds the
+      // round twice (the expand join and the union), so untruncated
+      // lineage re-executes round r-1's whole subtree ~2× per later
+      // round — ~2^maxHops subtree copies in the final plan. Each
+      // round's frame is the node set × 16 bytes; the eager
+      // localCheckpoint is one tiny job and keeps the plan flat.
+      // Values untouched (same min-fold per round).
       dist = dist.unionByName(next)
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint()
     }
-    val out = dist.localCheckpoint()
     e.unpersist()
-    out
+    dist
   }
 
   /** Deep-traversal BFS: identical output contract to
@@ -210,11 +226,20 @@ object Graph {
     * pair); nothing driver-side. Nodes in no triangle are absent from
     * the output (deterministic both engines). */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct().cache()
+    val und = undirect(edges, srcCol, dstCol).cache()
+    val out = triangleCountsUnd(und)
+    und.unpersist()
+    out
+  }
+
+  /** [[triangleCounts]] over a PRE-BUILT undirected simple frame
+    * (columns `a`, `b` — see [[undirect]]); persistence of `und` is
+    * caller-owned. Exposed (r19, guide §2.4 — the modularity_score
+    * sharing lesson) so a caller composing triangles with other
+    * per-node statistics over the SAME graph (clustering_coeff joins
+    * triangle counts against the degree frame) derives and shuffles
+    * the edge-set distinct ONCE instead of once per operator. */
+  def triangleCountsUnd(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -238,12 +263,10 @@ object Graph {
     val tri = o1.join(o2, Seq("f")).filter(col("v") < col("w"))
       .join(und, col("v") === und("a") && col("w") === und("b"))
       .select(col("f"), col("v"), col("w"))
-    val out = tri
+    tri
       .select(explode(array(col("f"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
       .localCheckpoint()
-    und.unpersist()
-    out
   }
 
   /** Bounded-round k-core peeling on the undirected simple graph:
@@ -650,9 +673,14 @@ object Graph {
     var hub = nodes.select(col("node"), lit(1000000L).as("hub"))
     var auth = nodes.select(col("node"), lit(0L).as("auth"))
     for (_ <- 1 to iters) {
-      val araw = hub.join(e, hub("node") === e("src"))
+      // r19 (guide §1/§2.4): each half-round's raw-score frame fed TWO
+      // consumers — the L1-sum broadcast and the renormalization join —
+      // and, uncheckpointed, the hub⋈edges⋈agg pipeline executed once
+      // per consumer (2× per half-round). The raw frame is nodes × 16
+      // bytes: checkpoint it once, both consumers read the blocks.
+      val araw = ckpt(hub.join(e, hub("node") === e("src"))
         .select(col("dst").as("node"), (col("hub") * col("w")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("raw"))
+        .groupBy(col("node")).agg(sum(col("c")).as("raw")), reliableCheckpoint)
       val asum = araw.agg(greatest(coalesce(sum(col("raw")), lit(0L)), lit(1L))
         .as("tot"))
       auth = nodes.join(araw, Seq("node"), "left")
@@ -660,9 +688,9 @@ object Graph {
         .select(col("node"),
           expr("coalesce(raw, CAST(0 AS BIGINT)) * 1000000 div tot").as("auth"))
       auth = ckpt(auth, reliableCheckpoint)
-      val hraw = auth.join(e, auth("node") === e("dst"))
+      val hraw = ckpt(auth.join(e, auth("node") === e("dst"))
         .select(col("src").as("node"), (col("auth") * col("w")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("raw"))
+        .groupBy(col("node")).agg(sum(col("c")).as("raw")), reliableCheckpoint)
       val hsum = hraw.agg(greatest(coalesce(sum(col("raw")), lit(0L)), lit(1L))
         .as("tot"))
       hub = nodes.join(hraw, Seq("node"), "left")

@@ -182,8 +182,19 @@ object Similarity {
           (sqrt(dot(col("x.vv"), col("x.vv"))) *
             sqrt(dot(col("y.vv"), col("y.vv"))))).as("sim"))
       .localCheckpoint()
+    // Per-round lineage truncation (r19, guide §1/§5 — the hits()
+    // lesson applied here): `next` references `picked` TWICE (the
+    // anti-join and the maxsim join), so without truncation round r's
+    // plan embeds ~2^(r-2) copies of round 2's join/window subtree and
+    // the final union re-executes the whole tower — measured 5.9 s
+    // FULL vs 0.5 s for the candidate pool at sf0.1 (OPTPROBE r19).
+    // Each round's output is a ≤ |queries|-row frame, so the eager
+    // localCheckpoint is a tiny job that keeps every later round's
+    // plan shallow; values are untouched (same deterministic
+    // row_number pick per round).
     var picked = cand.filter(col("rn") === 1)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("round"))
+      .localCheckpoint()
     for (r <- 2 to pick) {
       val prev = picked
       val maxsim = ps
@@ -200,7 +211,10 @@ object Similarity {
           .orderBy(col("score").desc, col("neighbor_id").asc)))
         .filter(col("prn") === 1)
         .select(col("query_id"), col("neighbor_id"), lit(r.toLong).as("round"))
-      picked = picked.unionByName(next)
+      // picked (the next round's input) must contain ALL rounds so far:
+      // the anti-join excludes every already-picked id, not just the
+      // last round's
+      picked = picked.unionByName(next).localCheckpoint()
     }
     picked
   }

@@ -917,18 +917,28 @@ object AnalyticsQueries {
     // (B55's contract), deg ≥ 2 guaranteed there. Cost on top of
     // B55: one node-keyed join of two vocab-bounded frames.
     "clustering_coeff" -> { (s, d) =>
-      val edges = wordAdjacencyEdges(s, d)
-      val und = edges
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+      // ONE undirected-distinct shuffle shared by the triangle count
+      // and the outer degree frame (r19 — the modularity_score sharing
+      // lesson): the old form derived the edge-set distinct TWICE (the
+      // outer `und` + triangleCounts' internal copy), re-running the
+      // documents scan + token explode + distinct per consumer. The
+      // shared frame is lazily persisted (materializes inside the
+      // first triangle job) and released once the localCheckpointed
+      // triangle output exists; values are bit-identical (same und,
+      // same deg, same joins).
+      val und = graft.operators.Graph
+        .undirect(wordAdjacencyEdges(s, d), "src", "dst").persist()
       val deg = und.select(col("a").as("node"))
         .unionByName(und.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      graft.operators.Graph.triangleCounts(edges, "src", "dst")
+      val tri = graft.operators.Graph.triangleCountsUnd(und)
+      val out = tri
         .join(deg, "node")
         .select(col("node"), col("n_tri"), col("deg"),
           expr("(2 * n_tri * 1000000) div (deg * (deg - 1))").as("cc_ppm"))
+        .localCheckpoint()
+      und.unpersist()
+      out
     },
 
     // B90 — CUSUM ALARM (Page 1954, zero-slack one-sided form) per
@@ -1111,11 +1121,18 @@ object AnalyticsQueries {
     // NAIVE single-window cumulative — equality IS the two-level
     // prefix's correctness proof.
     "abc_classification" -> { (s, d) =>
+      // r19 (guide §1/§5): `pr` feeds three consumers (the grand
+      // total, the band mass table, and the final banded frame), so
+      // the lineitem scan + part-keyed revenue aggregation ran three
+      // times. The frame is part-granular (a dimension, not the
+      // fact); one eager localCheckpoint makes every consumer a
+      // block read. Values untouched.
       val pr = Tables.lineitem(s, d)
         .groupBy(col("l_partkey"))
         .agg(sum((dec2(col("l_extendedprice")) *
           (lit(1) - dec2(col("l_discount"))) * 10000).cast("long"))
           .as("rev_e4"))
+        .localCheckpoint()
       val tot = pr.agg(sum(col("rev_e4")).as("total_e4"))
       val banded = pr.withColumn("band", expr("rev_e4 div 10000000"))
       val bandAgg = banded.groupBy(col("band"))
@@ -1960,11 +1977,28 @@ object AnalyticsQueries {
       val supp = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
       val nOrders = li.select(col("l_orderkey")).distinct()
         .agg(count(lit(1)).as("n_baskets"))
-      li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("part_a"),
-          col("y.l_partkey").as("part_b"))
+      // r19 (guide §2.3/§2.4 — the "per-basket pair explosion" the
+      // header describes, implemented literally): the old self-join
+      // moved the basket frame through TWO exchanges (both join
+      // inputs hash by l_orderkey) plus the join itself before the
+      // pair aggregation's third shuffle. Grouping each basket once
+      // and exploding its a<b pairs in-row costs ONE orderkey
+      // exchange; sort_array + the strictly-after slice reproduces
+      // the join's l_partkey < l_partkey pair set exactly (baskets
+      // are distinct (order, part) rows, so no duplicate elements),
+      // and cab counts are identical. The per-row lambda work is
+      // basket-bounded (k²/2 structs for k-line orders, k ~ single
+      // digits at any scale), which is why the in-row form beats the
+      // join despite HOFs being interpreted.
+      li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
+        .select(explode(expr(
+          """flatten(transform(parts, (x, i) ->
+            |  transform(slice(parts, i + 2, size(parts)),
+            |            y -> struct(x AS part_a, y AS part_b))))"""
+            .stripMargin)).as("p"))
+        .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("cab"))
         .filter(col("cab") >= 3)
         .join(supp.select(col("l_partkey").as("part_a"), col("c").as("ca")),
@@ -2020,6 +2054,15 @@ object AnalyticsQueries {
     // covers a day whose first net delta is negative — concurrency at
     // 00:00:00 IS carry_in).
     "peak_concurrency" -> { (s, d) =>
+      // r19 (guide §1/§5 — the bestRepresentative lesson): `sess`
+      // feeds THREE consumers (both arms of the delta union + the
+      // per-day start counts) and `deltas` two (day totals + the
+      // within-day running max), so uncheckpointed the event-scan +
+      // double-window sessionize subtree executed three times and the
+      // net-delta aggregate twice. Both frames are tiny relative to
+      // the events fact (one row per session / per active second), so
+      // one eager localCheckpoint each turns the recomputes into
+      // block reads; values untouched (same frames, same folds).
       val sess = Tables.events(s, d)
         .select(col("user_id"), col("ts").cast("long").as("t"))
         .withColumn("gap",
@@ -2031,10 +2074,12 @@ object AnalyticsQueries {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"), col("session_id"))
         .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+        .localCheckpoint()
       val deltas = sess.select(col("t0").as("t"), lit(1L).as("delta"))
         .unionByName(sess.select((col("t1") + 1).as("t"), lit(-1L).as("delta")))
         .groupBy(col("t")).agg(sum(col("delta")).as("delta"))
         .withColumn("day", expr("t div 86400"))
+        .localCheckpoint()
       // true session starts per day (the NET deltas above cancel a
       // same-second start+end pair, so they can't count starts)
       val starts = sess.groupBy(expr("t0 div 86400").as("day"))

@@ -175,11 +175,19 @@ object ClassicQueries {
     // suppliers counted in the same pass — joined back to the flagged
     // lines. Two scans of lineitem total, zero correlated probes.
     "q21_sole_fault" -> { (s, d) =>
+      // r19 (guide §2.3 — shuffle fewer bytes): the two countDistincts
+      // over the same child column planned an Expand (2 grouping ids ⇒
+      // 2× lineitem rows into the distinct shuffle). The two-level
+      // form partial-aggregates to one (orderkey, suppkey) row with an
+      // any-R flag BEFORE the shuffle, then folds per order — same
+      // values (distinct suppliers = distinct (ok, sk) pairs; a
+      // supplier is R-flagged iff any of its lines is), half the
+      // shuffled rows, no Expand.
       val stats = Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey").as("st_ok"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
-          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-            .as("n_r_supps"))
+        .groupBy(col("l_orderkey").as("st_ok"), col("l_suppkey").as("st_sk"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("any_r"))
+        .groupBy(col("st_ok"))
+        .agg(count(lit(1)).as("n_supps"), sum(col("any_r")).as("n_r_supps"))
         .filter(col("n_supps") > 1 && col("n_r_supps") === 1)
       Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
         .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),

@@ -394,7 +394,19 @@ object PipelineQueries {
           k = 5, minBp = 7000)
         .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
         .localCheckpoint()
-      Seq(7000L, 8000L, 9000L).map { t =>
+      // r19 (guide §2.6 — overlap independent jobs): the three
+      // per-threshold clusterPairs runs are driver-loop-driven
+      // (eager per-round convergence counts over the SHARED
+      // checkpointed pair frame) and fully independent, so running
+      // them sequentially left the cluster idle through each loop's
+      // scheduling gaps. Three driver threads overlap them; each
+      // branch's DataFrame algebra is untouched, so the three result
+      // rows — and the union — are bit-identical to the sequential
+      // form.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val branches = Seq(7000L, 8000L, 9000L).map { t => Future {
         val p = pairs.filter(col("jaccard_bp") >= t)
         val cl = Dedup.clusterPairs(p.select("doc_a", "doc_b"),
           "doc_a", "doc_b")
@@ -404,7 +416,8 @@ object PipelineQueries {
           .select(lit(t).as("min_bp"), col("n_pairs"), col("n_members"),
             col("n_clusters"),
             (col("n_members") - col("n_clusters")).as("n_dropped"))
-      }.reduce(_ unionByName _)
+      } }
+      branches.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
     },
 
     // C125 — CONTAMINATION BY SOURCE: which sources carry the
@@ -1017,14 +1030,22 @@ object PipelineQueries {
         .select(col("g")).distinct()
       val delta = grams(docs.filter(col("doc_id") % 10 === 0))
         .select(col("source"), col("g")).distinct()
-      val novel = delta.join(base, Seq("g"), "left_anti")
-        .groupBy(col("source")).agg(count(lit(1)).as("n_novel"))
-      delta.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
-        .join(novel, Seq("source"), "left")
-        .select(col("source"), col("n_grams"),
-          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-          expr("coalesce(n_novel, CAST(0 AS BIGINT)) * 1000000 div n_grams")
-            .as("novel_ppm"))
+      // r19 (guide §2.3/§2.4): the old form consumed `delta` twice —
+      // the anti-join (novel counts) AND a separate n_grams
+      // aggregation — so the delta-side explode + distinct ran twice,
+      // then a third source-keyed join merged the two counts. A left
+      // join against the distinct base marks each delta gram instead
+      // (base is unique on g, so no row multiplication), and ONE
+      // source-keyed fold counts total and novel together: one delta
+      // gram pass, one aggregation, no merge join. novel == "no base
+      // match" == the old anti-join membership, so counts are
+      // identical.
+      delta.join(base.withColumn("__inbase", lit(1)), Seq("g"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__inbase").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("source"), col("n_grams"), col("n_novel"),
+          expr("n_novel * 1000000 div n_grams").as("novel_ppm"))
     },
 
     // C6 — random-hyperplane LSH ANN + rerank (rows + SimilaritySpec).

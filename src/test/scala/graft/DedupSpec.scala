@@ -671,6 +671,36 @@ class DedupSpec extends SparkTestBase {
     assert(sigs.values.toSet.size > sigs.size / 2) // not collapsing
   }
 
+  test("simhash signature: codegen sum form == folded HOF form, incl. null/empty text") {
+    import spark.implicits._
+    // r19 optimization pin: simhashSignature was restructured from the
+    // 64-pass interpreted aggregate(sequence(0,63), aggregate(th, …))
+    // fold (CodegenFallback in the hot path) to exploded per-bit SUM
+    // aggregates. The folded expression below IS the pre-r19 engine
+    // form verbatim — signatures must stay bit-identical, including a
+    // NULL text (old fold: inner aggregate NULL -> every IF false ->
+    // signature 0) and an empty string (split('',' ') = [''] — one
+    // token on both paths).
+    val docs = corpus().select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, null.asInstanceOf[String]), (9002L, ""))
+        .toDF("doc_id", "text"))
+    val got = Dedup.simhashSignature(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = docs
+      .select(col("doc_id").as("id"),
+        expr("transform(split(text, ' '), t -> fingerprint64(t))").as("th"))
+      .select(col("id"), expr(
+        """aggregate(
+          |  sequence(0, 63), CAST(0 AS BIGINT),
+          |  (acc, i) -> acc | IF(
+          |    aggregate(th, 0, (c, h) -> c + IF((shiftright(h, i) & 1) = 1, 1, -1)) > 0,
+          |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+        .as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got(9001L) == 0L && got(9002L) != 0L)
+  }
+
   test("cluster-size histogram over clusterPairs: chains merge, sizes bucket") {
     import spark.implicits._
     // two chained pairs form one size-3 cluster; one isolated pair a
