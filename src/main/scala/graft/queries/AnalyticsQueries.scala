@@ -1977,28 +1977,24 @@ object AnalyticsQueries {
       val supp = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
       val nOrders = li.select(col("l_orderkey")).distinct()
         .agg(count(lit(1)).as("n_baskets"))
-      // r19 (guide §2.3/§2.4 — the "per-basket pair explosion" the
-      // header describes, implemented literally): the old self-join
-      // moved the basket frame through TWO exchanges (both join
-      // inputs hash by l_orderkey) plus the join itself before the
-      // pair aggregation's third shuffle. Grouping each basket once
-      // and exploding its a<b pairs in-row costs ONE orderkey
-      // exchange; sort_array + the strictly-after slice reproduces
-      // the join's l_partkey < l_partkey pair set exactly (baskets
-      // are distinct (order, part) rows, so no duplicate elements),
-      // and cab counts are identical. The per-row lambda work is
-      // basket-bounded (k²/2 structs for k-line orders, k ~ single
-      // digits at any scale), which is why the in-row form beats the
-      // join despite HOFs being interpreted.
-      li.groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
-        .select(explode(expr(
-          """flatten(transform(parts, (x, i) ->
-            |  transform(slice(parts, i + 2, size(parts)),
-            |            y -> struct(x AS part_a, y AS part_b))))"""
-            .stripMargin)).as("p"))
-        .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
-        .groupBy(col("part_a"), col("part_b"))
+      // r19 NOTE (guide §1.1 — the empirical loop beats the "ideal"
+      // plan): an in-row per-basket pair explosion (groupBy orderkey +
+      // collect_list + a nested-transform a<b expansion) was built,
+      // oracle-proven value-identical, and MEASURED SLOWER at the
+      // bench scale — 3.20 s → 5.34 s (BENCH_FULL_r19_opt leg) —
+      // because the planner BROADCASTS one side of this self-join
+      // (the persisted distinct basket frame fits), so the join costs
+      // no exchange here, while the grouped form pays a full
+      // collect_list shuffle (no map-side reduction) plus an
+      // interpreted HOF expansion. At fact scale the broadcast stops
+      // fitting and both forms shuffle the frame once, with the JOIN
+      // form additionally covered by AQE skew splitting — so the
+      // self-join is kept deliberately.
+      li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("part_a"),
+          col("y.l_partkey").as("part_b"))
         .agg(count(lit(1)).as("cab"))
         .filter(col("cab") >= 3)
         .join(supp.select(col("l_partkey").as("part_a"), col("c").as("ca")),
