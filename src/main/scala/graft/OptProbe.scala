@@ -141,6 +141,12 @@ object OptProbe {
       full("peak_concurrency")
     }
 
+    if (want("text")) {
+      full("bm25_topk")
+      full("tfidf_topk")
+      full("pmi_topk")
+    }
+
     if (want("misc")) {
       full("basket_rules")
       full("abc_classification")

@@ -447,12 +447,25 @@ object TextAnalysis {
                terms: Seq[String], k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(terms.nonEmpty && k >= 1, "need at least one query term and k >= 1")
-    val toks = docs.select(col(idCol).as("id"),
-        explode(split(col(textCol), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    // r19 (guide §2.3 — don't shuffle what a row can count): doc
+    // length is a PER-ROW scalar (non-empty tokens in the split
+    // array), yet the old form derived it by exploding every token
+    // and shuffling the whole token stream into a per-doc count — a
+    // full corpus-token exchange spent on a value the scan already
+    // holds. size(filter(...)) computes it in-scan, zero exchanges;
+    // the explode now exists only on the query-term-matched tf path.
+    // Parity: the old explode path dropped zero-token docs (nothing
+    // to explode) and NULL texts (explode(NULL) = no rows) from dl —
+    // filter(dl > 0) reproduces both (size(split(NULL)) is NULL,
+    // never > 0), so n_docs/n_tokens and the dl join are identical.
+    val dl = docs.select(col(idCol).as("id"),
+        expr(s"size(filter(split($textCol, ' '), t -> length(t) > 0))")
+          .cast("long").as("dl"))
+      .filter(col("dl") > 0)
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
-    val tf = toks.filter(col("term").isin(terms.distinct: _*))
+    val tf = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0 && col("term").isin(terms.distinct: _*))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "term")

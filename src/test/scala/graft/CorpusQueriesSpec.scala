@@ -351,6 +351,47 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("bm25TopK in-scan dl: NULL/empty/whitespace docs drop from n_docs like the exploded form") {
+    import spark.implicits._
+    // r19 optimization pin: dl moved from explode+groupBy (a full
+    // token shuffle) to an in-scan size(filter(split…)) projection.
+    // The exploded form silently EXCLUDED docs contributing no
+    // non-empty token (NULL text -> explode(NULL) = no rows; "" and
+    // whitespace-only -> every token filtered) from dl, n_docs and
+    // avgdl; the in-scan form must reproduce that via filter(dl > 0).
+    // This corpus makes the distinction load-bearing: with the three
+    // degenerate docs wrongly counted, n_docs would be 5, avgdl would
+    // shrink, and every score would shift.
+    val docs = Seq(
+      (1L, "spark join hash join"),
+      (2L, "vector hash spark"),
+      (3L, null.asInstanceOf[String]),
+      (4L, ""),
+      (5L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        Seq("join", "vector", "hash", "spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // naive oracle over the TOKEN-BEARING docs only (the old contract)
+    val toks = Map(1L -> Seq("spark", "join", "hash", "join"),
+      2L -> Seq("vector", "hash", "spark"))
+    val nDocs = 2L
+    val avg = toks.values.map(_.size).sum * 1000L / nDocs
+    val tf = toks.toSeq.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = tf.keys.toSeq.map(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val expect = tf.groupBy(_._1._1).map { case (id, m) =>
+      val s = m.map { case ((_, term), f) =>
+        val dlMilli = toks(id).size * 1000000L / avg
+        val tfc = f * 2200000L / (f * 1000L + 300L + (900L * dlMilli) / 1000L)
+        val idf = (nDocs - df(term) + 1) * 1000000L / (df(term) + 1)
+        tfc * idf / 1000000L
+      }.sum
+      (id, s, m.size.toLong)
+    }.toSet
+    assert(got == expect && got.size == 2)
+  }
+
   test("sourceOverlap matches naive per-source gram Jaccard") {
     val rows = Tables.documents(spark, sfDir).select("source", "text")
       .collect().map(r => (r.getString(0), r.getString(1)))
