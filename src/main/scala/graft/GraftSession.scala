@@ -20,6 +20,21 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // SIZE-derived post-shuffle partitioning, not core-count-derived
+      // (r20, guide §2.1/§2.2): with parallelismFirst=true (Spark's
+      // default) AQE ignores advisoryPartitionSizeInBytes and keeps
+      // enough tiny partitions to fill every core — §2.1
+      // over-partitioning whenever the shuffled bytes are small
+      // relative to the cluster (measured here: tfidf_topk 0.67 s at
+      // 8 cores vs 1.18 s at 32 on identical data — the extra time is
+      // pure small-task scheduling). false makes AQE respect the
+      // advisory byte size, so partition count derives from DATA SIZE
+      // at every scale — at 100 TB an exchange still fans out to
+      // thousands of partitions, while a 2 MB exchange stops paying
+      // for 32. Spark's own config doc recommends false; env override
+      // for A/B measurement.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // NOTE: no spark.sql.legacy.parquet.nanosAsLong here — legacy

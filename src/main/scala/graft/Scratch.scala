@@ -320,3 +320,36 @@ object ModularityProbe {
     spark.stop()
   }
 }
+
+/** Dev probe (r20): does an Observation on a plan fire when the action
+  * is localCheckpoint / persist+count? Gate for the observe-based
+  * scalar folding in Graph.pageRank/hits and Dedup.clusterPairs. */
+object ObsProbe {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val spark = GraftSession.local(4)
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = spark.range(100).select(col("id"), (col("id") % 7).as("m"))
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def bounded(o: Observation): String =
+      try Await.result(Future(o.get), 20.seconds).toString
+      catch { case e: Throwable => s"TIMEOUT/${e.getClass.getSimpleName}" }
+
+    val o1 = Observation("ckpt")
+    val c = df.observe(o1, sum(col("m")).as("s"), count(lit(1)).as("n"))
+      .localCheckpoint()
+    println("localCheckpoint observed: " + bounded(o1))
+    println("ckpt rows: " + c.count())
+
+    val o2 = Observation("persist")
+    val p = df.observe(o2, max(col("m")).as("mx")).persist()
+    p.count()
+    println("persist+count observed: " + bounded(o2))
+    p.unpersist()
+    spark.stop()
+  }
+}

@@ -70,51 +70,74 @@ object Graph {
     val n = math.max(1L, nodes.count())
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
     val ew = e.join(outW, "src").cache()
-    // r19 (guide §2.4): the dangling-node SET is round-invariant —
-    // only the rank mass parked on it changes — yet the old form
-    // re-derived `ew.select("src").distinct()` and re-ran the
-    // anti-join against the full rank frame every round. Compute the
-    // set once, cached; each round's dangling sum is then one
-    // node-keyed semi join + scalar aggregate over it. Same rows,
-    // same sum, values identical.
-    val dangling = nodes.join(ew.select("src").distinct(),
-      nodes("node") === col("src"), "left_anti").select("node").cache()
     val init = 1000000L / n
     val base = ((10000L - dampBp) * init) / 10000L
-    var pr = nodes.select(col("node"), lit(init).as("pr"))
     // per-round lineage truncation (the hits() lesson, retrofitted):
-    // the conserving form's dangling-sum broadcast replays its whole
-    // upstream chain when it materializes, so un-truncated lineage
-    // re-executes earlier rounds once per later broadcast — measured
-    // 3.0s -> ~2s at sf0.1 for 3 rounds; also keeps plan depth
-    // constant in iters. The rank frame is nodes × 16 bytes.
-    for (_ <- 1 to iters) {
-      val contrib = pr.join(ew, pr("node") === ew("src"))
-        .select(col("dst").as("node"), expr("(pr * w) div w_out").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      val inflow = nodes.join(contrib, Seq("node"), "left")
-      pr =
-        if (conserveDangling) {
-          // dangling sum: rank parked on nodes absent from the
-          // out-weight side — one scalar row, broadcast to every node
-          val dang = pr.join(dangling, Seq("node"), "left_semi")
-            .agg(coalesce(sum(col("pr")), lit(0L)).as("dsum"))
-          inflow.crossJoin(broadcast(dang))
-            .select(col("node"),
-              expr(s"CAST($base AS BIGINT) + (CAST($dampBp AS BIGINT) * " +
-                s"(coalesce(s, CAST(0 AS BIGINT)) + dsum div $n)) div 10000").as("pr"))
-        } else {
-          inflow.select(col("node"),
-            expr(s"CAST($base AS BIGINT) + (CAST($dampBp AS BIGINT) * " +
-              "coalesce(s, CAST(0 AS BIGINT))) div 10000").as("pr"))
+    // un-truncated lineage re-executes earlier rounds once per later
+    // consumer; also keeps plan depth constant in iters. The rank
+    // frame is nodes × 16 bytes.
+    if (conserveDangling) {
+      // r19 hoisted the round-invariant dangling SET out of the loop;
+      // r20 (guide §2.6 — fewer actions) folds the per-round dangling
+      // SUM into the round's own checkpoint action: the flag
+      // `__has_out` rides the rank frame, and each round's
+      // Σ pr(dangling) is an OBSERVED metric of the checkpoint job —
+      // the per-round broadcast-build job and its semi-join are gone.
+      // The sum is an exact 64-bit integer either way, so injecting it
+      // as a literal into the next round's expression is
+      // value-identical to the old broadcast column.
+      val nodesF = nodes.join(
+          ew.select(col("src").as("node")).distinct()
+            .withColumn("__has_out", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__has_out"), lit(false))
+          .as("__has_out")).cache()
+      def dsumOf(o: org.apache.spark.sql.Observation): Long =
+        o.get.get("dsum") match {
+          case Some(v: Long) => v
+          case _ => 0L // no dangling nodes -> sum over empty = NULL
         }
-      pr = ckpt(pr, reliableCheckpoint)
+      val obs0 = org.apache.spark.sql.Observation()
+      var pr = ckpt(nodesF.select(col("node"), lit(init).as("pr"),
+          col("__has_out"))
+        .observe(obs0, sum(when(!col("__has_out"), col("pr"))).as("dsum")),
+        reliableCheckpoint)
+      var dsum = dsumOf(obs0)
+      for (_ <- 1 to iters) {
+        val contrib = pr.join(ew, pr("node") === ew("src"))
+          .select(col("dst").as("node"), expr("(pr * w) div w_out").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("s"))
+        val obs = org.apache.spark.sql.Observation()
+        pr = ckpt(nodesF.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            expr(s"CAST($base AS BIGINT) + (CAST($dampBp AS BIGINT) * " +
+              s"(coalesce(s, CAST(0 AS BIGINT)) + CAST($dsum AS BIGINT) " +
+              s"div $n)) div 10000").as("pr"),
+            col("__has_out"))
+          .observe(obs, sum(when(!col("__has_out"), col("pr"))).as("dsum")),
+          reliableCheckpoint)
+        dsum = dsumOf(obs)
+      }
+      // the returned frame is the final checkpoint minus the flag — a
+      // lazy projection over checkpoint blocks, safe after unpersist
+      val out = pr.select(col("node"), col("pr"))
+      nodes.unpersist(); ew.unpersist(); nodesF.unpersist()
+      out
+    } else {
+      var pr = nodes.select(col("node"), lit(init).as("pr"))
+      for (_ <- 1 to iters) {
+        val contrib = pr.join(ew, pr("node") === ew("src"))
+          .select(col("dst").as("node"), expr("(pr * w) div w_out").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("s"))
+        pr = ckpt(nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            expr(s"CAST($base AS BIGINT) + (CAST($dampBp AS BIGINT) * " +
+              "coalesce(s, CAST(0 AS BIGINT))) div 10000").as("pr")),
+          reliableCheckpoint)
+      }
+      nodes.unpersist()
+      ew.unpersist()
+      pr
     }
-    val out = ckpt(pr, reliableCheckpoint)
-    nodes.unpersist()
-    ew.unpersist()
-    dangling.unpersist()
-    out
   }
 
   /** Bounded-hop BFS: minimum hop distance from any seed node within
@@ -137,20 +160,36 @@ object Graph {
       .distinct().cache()
     var dist = seeds.select(col(seeds.columns.head).as("node")).distinct()
       .withColumn("hops", lit(0L))
-    for (_ <- 1 to maxHops) {
+    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (h <- 1 to maxHops) {
       val next = dist.join(e, dist("node") === e("src"))
         .select(col("dst").as("node"), (col("hops") + lit(1L)).as("hops"))
-      // r19 per-round lineage truncation (guide §2.4): `dist` feeds the
-      // round twice (the expand join and the union), so untruncated
-      // lineage re-executes round r-1's whole subtree ~2× per later
-      // round — ~2^maxHops subtree copies in the final plan. Each
-      // round's frame is the node set × 16 bytes; the eager
-      // localCheckpoint is one tiny job and keeps the plan flat.
-      // Values untouched (same min-fold per round).
-      dist = dist.unionByName(next)
+      // r19 truncated each round eagerly (localCheckpoint — `dist`
+      // feeds the round twice, so untruncated lineage re-executed
+      // round r-1's subtree ~2× per later round). r20 (guide §2.6 —
+      // fewer actions): only every SECOND round is an eager
+      // checkpoint; the odd rounds in between are persisted LAZILY and
+      // materialize inside the next checkpoint's job (the block
+      // manager's per-partition locks make the twice-consumed cached
+      // round compute once). The cadence must stay bounded: because
+      // `dist` feeds each round twice, every un-truncated round
+      // DOUBLES the logical tree — an early r20 form that lazy-
+      // persisted all rounds built a 2^maxHops-node plan whose mere
+      // analysis/explain OOMed at maxHops=10. Depth ≤ 2 keeps ≤ 4
+      // subtree copies while halving the per-round actions. Same
+      // min-fold per round.
+      val folded = dist.unionByName(next)
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-        .localCheckpoint()
+      dist =
+        if (h % 2 == 0 || h == maxHops) folded.localCheckpoint()
+        else {
+          val p = folded
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cached += p
+          p
+        }
     }
+    cached.foreach(_.unpersist())
     e.unpersist()
     dist
   }
@@ -670,34 +709,47 @@ object Graph {
       col(wCol).cast("long").as("w")).cache()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().cache()
+    // r19 checkpointed each half-round's raw frame so its two
+    // consumers (L1-sum broadcast + renormalization join) read blocks
+    // instead of re-running the score⋈edges⋈agg pipeline. r20 (guide
+    // §2.6 — fewer actions): the L1 sum is now an OBSERVED metric of
+    // that same checkpoint job, injected as a literal into the
+    // renormalized frame — the per-half-round broadcast-build job is
+    // gone, and the renormalized auth/hub frames are cheap lazy
+    // projections over checkpoint blocks that no longer need their own
+    // checkpoints (each is consumed by at most the next half-round's
+    // checkpoint and the final join). Σraw is an exact 64-bit integer
+    // either way, so `div lit(tot)` is bit-identical to the old
+    // broadcast `div tot` column; the Σraw=0 floor (edgeless graph
+    // divides by 1, not 0) moves onto the driver literal unchanged.
+    def l1(o: org.apache.spark.sql.Observation): Long =
+      math.max(1L, o.get.get("tot") match {
+        case Some(v: Long) => v
+        case _ => 0L // empty raw frame -> sum = NULL
+      })
     var hub = nodes.select(col("node"), lit(1000000L).as("hub"))
     var auth = nodes.select(col("node"), lit(0L).as("auth"))
     for (_ <- 1 to iters) {
-      // r19 (guide §1/§2.4): each half-round's raw-score frame fed TWO
-      // consumers — the L1-sum broadcast and the renormalization join —
-      // and, uncheckpointed, the hub⋈edges⋈agg pipeline executed once
-      // per consumer (2× per half-round). The raw frame is nodes × 16
-      // bytes: checkpoint it once, both consumers read the blocks.
+      val aobs = org.apache.spark.sql.Observation()
       val araw = ckpt(hub.join(e, hub("node") === e("src"))
         .select(col("dst").as("node"), (col("hub") * col("w")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("raw")), reliableCheckpoint)
-      val asum = araw.agg(greatest(coalesce(sum(col("raw")), lit(0L)), lit(1L))
-        .as("tot"))
+        .groupBy(col("node")).agg(sum(col("c")).as("raw"))
+        .observe(aobs, sum(col("raw")).as("tot")), reliableCheckpoint)
+      val atot = l1(aobs)
       auth = nodes.join(araw, Seq("node"), "left")
-        .crossJoin(broadcast(asum))
         .select(col("node"),
-          expr("coalesce(raw, CAST(0 AS BIGINT)) * 1000000 div tot").as("auth"))
-      auth = ckpt(auth, reliableCheckpoint)
+          expr(s"coalesce(raw, CAST(0 AS BIGINT)) * 1000000 " +
+            s"div CAST($atot AS BIGINT)").as("auth"))
+      val hobs = org.apache.spark.sql.Observation()
       val hraw = ckpt(auth.join(e, auth("node") === e("dst"))
         .select(col("src").as("node"), (col("auth") * col("w")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("raw")), reliableCheckpoint)
-      val hsum = hraw.agg(greatest(coalesce(sum(col("raw")), lit(0L)), lit(1L))
-        .as("tot"))
+        .groupBy(col("node")).agg(sum(col("c")).as("raw"))
+        .observe(hobs, sum(col("raw")).as("tot")), reliableCheckpoint)
+      val htot = l1(hobs)
       hub = nodes.join(hraw, Seq("node"), "left")
-        .crossJoin(broadcast(hsum))
         .select(col("node"),
-          expr("coalesce(raw, CAST(0 AS BIGINT)) * 1000000 div tot").as("hub"))
-      hub = ckpt(hub, reliableCheckpoint)
+          expr(s"coalesce(raw, CAST(0 AS BIGINT)) * 1000000 " +
+            s"div CAST($htot AS BIGINT)").as("hub"))
     }
     val out = ckpt(hub.join(auth, Seq("node")), reliableCheckpoint)
     nodes.unpersist()

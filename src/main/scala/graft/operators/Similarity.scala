@@ -167,21 +167,19 @@ object Similarity {
     * DataFrame stages — no driver-side collect. */
   def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, poolK: Int = 20, pick: Int = 5): DataFrame = {
-    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, poolK)
-      .localCheckpoint()
+    val cand = Ckpt(bruteForceTopK(corpus, queries, idCol, vecCol, poolK))
     val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("vv"))
     val cv = cand.join(vecs, col("neighbor_id") === col("vid"))
       .select(col("query_id"), col("neighbor_id"), col("vv"))
     // oracle-shared tree: dot/(sqrt(dot)·sqrt(dot)) per pair
-    val ps = cv.as("x").join(cv.as("y"),
+    val ps = Ckpt(cv.as("x").join(cv.as("y"),
         col("x.query_id") === col("y.query_id") &&
           col("x.neighbor_id") =!= col("y.neighbor_id"))
       .select(col("x.query_id").as("query_id"),
         col("x.neighbor_id").as("a"), col("y.neighbor_id").as("b"),
         (dot(col("x.vv"), col("y.vv")) /
           (sqrt(dot(col("x.vv"), col("x.vv"))) *
-            sqrt(dot(col("y.vv"), col("y.vv"))))).as("sim"))
-      .localCheckpoint()
+            sqrt(dot(col("y.vv"), col("y.vv"))))).as("sim")))
     // Per-round lineage truncation (r19, guide §1/§5 — the hits()
     // lesson applied here): `next` references `picked` TWICE (the
     // anti-join and the maxsim join), so without truncation round r's
@@ -192,9 +190,8 @@ object Similarity {
     // localCheckpoint is a tiny job that keeps every later round's
     // plan shallow; values are untouched (same deterministic
     // row_number pick per round).
-    var picked = cand.filter(col("rn") === 1)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("round"))
-      .localCheckpoint()
+    var picked = Ckpt(cand.filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("round")))
     for (r <- 2 to pick) {
       val prev = picked
       val maxsim = ps
@@ -214,7 +211,7 @@ object Similarity {
       // picked (the next round's input) must contain ALL rounds so far:
       // the anti-join excludes every already-picked id, not just the
       // last round's
-      picked = picked.unionByName(next).localCheckpoint()
+      picked = Ckpt(picked.unionByName(next))
     }
     picked
   }

@@ -456,8 +456,10 @@ object TextAnalysis {
     // the explode now exists only on the query-term-matched tf path.
     // Parity: the old explode path dropped zero-token docs (nothing
     // to explode) and NULL texts (explode(NULL) = no rows) from dl —
-    // filter(dl > 0) reproduces both (size(split(NULL)) is NULL,
-    // never > 0), so n_docs/n_tokens and the dl join are identical.
+    // filter(dl > 0) reproduces both (size(split(NULL)) is -1 under
+    // the default spark.sql.legacy.sizeOfNull=true, NULL under
+    // ANSI/sizeOfNull=false — never > 0 either way), so
+    // n_docs/n_tokens and the dl join are identical.
     val dl = docs.select(col(idCol).as("id"),
         expr(s"size(filter(split($textCol, ' '), t -> length(t) > 0))")
           .cast("long").as("dl"))

@@ -1127,12 +1127,11 @@ object AnalyticsQueries {
       // times. The frame is part-granular (a dimension, not the
       // fact); one eager localCheckpoint makes every consumer a
       // block read. Values untouched.
-      val pr = Tables.lineitem(s, d)
+      val pr = graft.operators.Ckpt(Tables.lineitem(s, d)
         .groupBy(col("l_partkey"))
         .agg(sum((dec2(col("l_extendedprice")) *
           (lit(1) - dec2(col("l_discount"))) * 10000).cast("long"))
-          .as("rev_e4"))
-        .localCheckpoint()
+          .as("rev_e4")))
       val tot = pr.agg(sum(col("rev_e4")).as("total_e4"))
       val banded = pr.withColumn("band", expr("rev_e4 div 10000000"))
       val bandAgg = banded.groupBy(col("band"))
@@ -2059,7 +2058,7 @@ object AnalyticsQueries {
       // the events fact (one row per session / per active second), so
       // one eager localCheckpoint each turns the recomputes into
       // block reads; values untouched (same frames, same folds).
-      val sess = Tables.events(s, d)
+      val sess = graft.operators.Ckpt(Tables.events(s, d)
         .select(col("user_id"), col("ts").cast("long").as("t"))
         .withColumn("gap",
           when(col("t") - lag(col("t"), 1).over(
@@ -2069,13 +2068,12 @@ object AnalyticsQueries {
           Window.partitionBy(col("user_id")).orderBy(col("t"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"), col("session_id"))
-        .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
-        .localCheckpoint()
-      val deltas = sess.select(col("t0").as("t"), lit(1L).as("delta"))
-        .unionByName(sess.select((col("t1") + 1).as("t"), lit(-1L).as("delta")))
-        .groupBy(col("t")).agg(sum(col("delta")).as("delta"))
-        .withColumn("day", expr("t div 86400"))
-        .localCheckpoint()
+        .agg(min(col("t")).as("t0"), max(col("t")).as("t1")))
+      val deltas = graft.operators.Ckpt(
+        sess.select(col("t0").as("t"), lit(1L).as("delta"))
+          .unionByName(sess.select((col("t1") + 1).as("t"), lit(-1L).as("delta")))
+          .groupBy(col("t")).agg(sum(col("delta")).as("delta"))
+          .withColumn("day", expr("t div 86400")))
       // true session starts per day (the NET deltas above cancel a
       // same-second start+end pair, so they can't count starts)
       val starts = sess.groupBy(expr("t0 div 86400").as("day"))

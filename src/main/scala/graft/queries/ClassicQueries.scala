@@ -182,7 +182,11 @@ object ClassicQueries {
       // any-R flag BEFORE the shuffle, then folds per order — same
       // values (distinct suppliers = distinct (ok, sk) pairs; a
       // supplier is R-flagged iff any of its lines is), half the
-      // shuffled rows, no Expand.
+      // shuffled rows, no Expand. NON-NULL ASSUMPTION: count(1) over
+      // (ok, sk) groups counts a NULL-suppkey group, which the old
+      // countDistinct(l_suppkey) excluded — equivalent only because
+      // TPC-H l_suppkey is non-null; a nullable key would need
+      // .filter(col("l_suppkey").isNotNull) before the first groupBy.
       val stats = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey").as("st_ok"), col("l_suppkey").as("st_sk"))
         .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("any_r"))

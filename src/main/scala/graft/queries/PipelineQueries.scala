@@ -404,7 +404,7 @@ object PipelineQueries {
       // rows — and the union — are bit-identical to the sequential
       // form.
       import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
       val branches = Seq(7000L, 8000L, 9000L).map { t => Future {
         val p = pairs.filter(col("jaccard_bp") >= t)
@@ -417,7 +417,16 @@ object PipelineQueries {
             col("n_clusters"),
             (col("n_members") - col("n_clusters")).as("n_dropped"))
       } }
-      branches.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
+      // BOUNDED await over the sequenced futures (r19 ADVICE): with
+      // Duration.Inf a wedged branch hung the key with no diagnostic,
+      // and a branch-1 failure surfaced only after (or while) branches
+      // 2-3 kept running detached. Future.sequence fails fast on the
+      // FIRST failure regardless of branch order; the 15-minute bound
+      // is far past any sane build (the bench's own per-key patience)
+      // yet converts a deadlocked Spark job into a loud TimeoutException
+      // instead of a silent hang.
+      Await.result(Future.sequence(branches), 15.minutes)
+        .reduce(_ unionByName _)
     },
 
     // C125 — CONTAMINATION BY SOURCE: which sources carry the

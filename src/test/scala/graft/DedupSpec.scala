@@ -675,8 +675,11 @@ class DedupSpec extends SparkTestBase {
     import spark.implicits._
     // r19 optimization pin: simhashSignature was restructured from the
     // 64-pass interpreted aggregate(sequence(0,63), aggregate(th, …))
-    // fold (CodegenFallback in the hot path) to exploded per-bit SUM
-    // aggregates. The folded expression below IS the pre-r19 engine
+    // fold (CodegenFallback in the hot path) to the native codegen
+    // expression functions.SimHashSig — one JIT-compiled pass per row
+    // (an intermediate exploded per-bit SUM form was abandoned; this
+    // pin is implementation-agnostic either way). The folded
+    // expression below IS the pre-r19 engine
     // form verbatim — signatures must stay bit-identical, including a
     // NULL text (old fold: inner aggregate NULL -> every IF false ->
     // signature 0) and an empty string (split('',' ') = [''] — one
