@@ -147,6 +147,77 @@ object OptProbe {
       full("pmi_topk")
     }
 
+    if (want("r20")) {
+      // --- basket_rules stages ---
+      def basketLi = Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      med("basket/li_distinct")(basketLi)
+      med("basket/pairs_cab") {
+        val li = basketLi.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("part_a"),
+            col("y.l_partkey").as("part_b"))
+          .agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 3)
+      }
+      full("basket_rules")
+      // --- word-adjacency graph family stages ---
+      def wadj = {
+        val toks = Tables.documents(spark, d)
+          .select(split(col("text"), " ").as("t"))
+        toks.select(explode(expr(
+            """CASE WHEN size(t) < 2 THEN array()
+              |ELSE transform(sequence(0, size(t) - 2),
+              |  i -> struct(t[i] AS src, t[i + 1] AS dst)) END""".stripMargin)).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .filter(col("src") =!= "" && col("dst") =!= "")
+          .distinct()
+      }
+      med("wadj/edges_distinct")(wadj)
+      med("wadj/undirect")(graft.operators.Graph.undirect(wadj, "src", "dst"))
+      med("wadj/triangles") {
+        graft.operators.Graph.triangleCounts(wadj, "src", "dst")
+      }
+      full("graph_triangles")
+      full("clustering_coeff")
+      full("modularity_score")
+      full("cluster_density_audit")
+      // --- sparse_sim_topk stages ---
+      def corpToks = {
+        val pre = corpus
+          .select(col("doc_id").as("id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 3)
+        pre.select(col("id"), explode(expr(
+            "transform(sequence(1, size(ws) - 2), " +
+              "i -> concat_ws(' ', slice(ws, i, 3)))")).as("t"))
+          .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+      }
+      med("sparse/alltoks_agg")(corpToks)
+      med("sparse/dfs") {
+        corpToks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= 100)
+      }
+      full("sparse_sim_topk")
+      // --- CDC stages ---
+      med("cdc/changelog_scan")(
+        graft.sources.CdcEnvelope.ordersChangelog(spark, d))
+      med("cdc/latest_image") {
+        graft.operators.Cdc.latestImage(
+          graft.sources.CdcEnvelope.ordersChangelog(spark, d), "o_orderkey")
+      }
+      full("cdc_upsert_merge")
+      full("cdc_project")
+      // --- token-explode family ---
+      full("bigram_rarity")
+      full("contam_overlap")
+      full("contam_by_source")
+      full("source_overlap")
+      full("curation_verdict")
+    }
+
     if (want("misc")) {
       full("basket_rules")
       full("abc_classification")
